@@ -56,6 +56,7 @@ object Graft {
     spark.read
       .parquet(s"$sfDir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("time", timestamp_micros(col("ts_ns") / lit(1000L) cast "long"))
+      // integral DIV: double division would lose precision at epoch-ns scale
+      .withColumn("time", timestamp_micros(expr("ts_ns DIV 1000")))
   }
 }

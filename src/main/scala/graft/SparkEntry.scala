@@ -1,13 +1,83 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{EventQueries => EQ, TpchQueries => TQ}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 expressed
+  * through the graft library; [[oracleSql]] states the identical algorithm
+  * in DuckDB SQL over the same parquet tables. Column names and row order
+  * are aligned pairwise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * (Avoids the events table so it runs under any session config.) */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TQ.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map[String, Q](
+    // -- analytical / bench headliners
+    "q1_pricing_summary" -> TQ.pricingSummary,
+    "q_revenue_by_nation" -> TQ.revenueByNation,
+    "q_selective_scan" -> TQ.selectiveScan,
+    "q_top_customer_per_nation" -> TQ.topCustomerPerNation,
+    // -- InfluxQL aggregate family (SURVEY §2.5)
+    "q_count_hour" -> ((s, d) => EQ.aggHour(s, d, "count")),
+    "q_sum_hour" -> ((s, d) => EQ.aggHour(s, d, "sum")),
+    "q_mean_hour" -> ((s, d) => EQ.aggHour(s, d, "mean")),
+    "q_median_day" -> (EQ.medianDay _),
+    "q_mode_day" -> (EQ.modeDay _),
+    "q_spread_day" -> (EQ.spreadDay _),
+    "q_stddev_day" -> (EQ.stddevDay _),
+    "q_distinct" -> (EQ.distinctVals _),
+    "q_first_day" -> (EQ.firstDay _),
+    "q_last_day" -> (EQ.lastDay _),
+    "q_min_day" -> (EQ.minDay _),
+    "q_max_day" -> (EQ.maxDay _),
+    "q_percentile90_day" -> (EQ.percentile90Day _),
+    "q_top3" -> (EQ.top3 _),
+    "q_bottom3" -> (EQ.bottom3 _),
+    // -- stream transformations (SURVEY §2.5/2.6)
+    "q_elapsed" -> (EQ.elapsedQ _),
+    "q_difference" -> (EQ.differenceQ _),
+    "q_derivative" -> (EQ.derivativeQ _),
+    "q_moving_average" -> (EQ.movingAverageQ _),
+    "q_cumulative_sum" -> (EQ.cumulativeSumQ _),
+    // -- projection/filter/eval (SURVEY §2.2)
+    "q_where_eval" -> (EQ.whereEvalQ _),
+    // -- forecasting (custom Aggregator; no SQL equivalent)
+    "q_holt_winters" -> (EQ.holtWintersQ _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> TQ.pricingSummarySql,
+    "q_revenue_by_nation" -> TQ.revenueByNationSql,
+    "q_selective_scan" -> TQ.selectiveScanSql,
+    "q_top_customer_per_nation" -> TQ.topCustomerPerNationSql,
+    "q_count_hour" -> EQ.aggHourSql("count"),
+    "q_sum_hour" -> EQ.aggHourSql("sum"),
+    "q_mean_hour" -> EQ.aggHourSql("mean"),
+    "q_median_day" -> EQ.medianDaySql,
+    "q_mode_day" -> EQ.modeDaySql,
+    "q_spread_day" -> EQ.spreadDaySql,
+    "q_stddev_day" -> EQ.stddevDaySql,
+    "q_distinct" -> EQ.distinctValsSql,
+    "q_first_day" -> EQ.firstDaySql,
+    "q_last_day" -> EQ.lastDaySql,
+    "q_min_day" -> EQ.minDaySql,
+    "q_max_day" -> EQ.maxDaySql,
+    "q_percentile90_day" -> EQ.percentile90DaySql,
+    "q_top3" -> EQ.top3Sql,
+    "q_bottom3" -> EQ.bottom3Sql,
+    "q_elapsed" -> EQ.elapsedSql,
+    "q_difference" -> EQ.differenceSql,
+    "q_derivative" -> EQ.derivativeSql,
+    "q_moving_average" -> EQ.movingAverageSql,
+    "q_cumulative_sum" -> EQ.cumulativeSumSql,
+    "q_where_eval" -> EQ.whereEvalSql
+  )
 }

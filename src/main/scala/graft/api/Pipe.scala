@@ -1,0 +1,279 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The graft node algebra: every Kapacitor pipeline node re-expressed as a
+  * declarative transform over a [[DataFrame]] so Catalyst keeps the whole
+  * chain optimizable (pushdown, pruning, whole-stage codegen).
+  *
+  * A `Pipe` is the moral equivalent of a Kapacitor edge
+  * (reference: edge/messages.go:36-44): it carries the frame plus the
+  * bookkeeping the reference threads through its DAG — the event-time
+  * column, the current group dimensions (models/point.go:14-17) and the
+  * measurement name. Nodes are methods returning a new `Pipe`; nothing is
+  * executed until an action runs, so Kapacitor's one-goroutine-per-node
+  * pipelining is replaced by whole-stage codegen over the fused plan.
+  *
+  * Scale posture: all stateful ops partition by `dims` (Spark shuffles once
+  * per `groupBy`/window chain); window functions use range/rows frames that
+  * the state store or sort-based window exec handles without driver
+  * involvement. Nothing here collects to the driver.
+  */
+final case class Pipe(
+    df: DataFrame,
+    timeCol: String = "time",
+    dims: Seq[String] = Nil,
+    measurement: Option[String] = None,
+    idCol: Option[String] = None) {
+
+  private def t: Column = col(timeCol)
+
+  /** Partition spec for per-group window functions; a pipe with no dims is
+    * one global group (reference edge/grouped.go:11-60). */
+  private def byGroup = {
+    if (dims.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(dims.map(col): _*)
+  }
+  /** Stable intra-timestamp tiebreak. The reference relies on arrival order
+    * of the point stream; deterministic pipelines carry a unique id column
+    * (events: event_id) used only as a final tiebreak. */
+  private def orderCols: Seq[Column] = t +: idCol.map(col).toSeq
+  private def byGroupTime = byGroup.orderBy(orderCols: _*)
+
+  // ---------------------------------------------------------------- basics
+
+  /** from(): filter by measurement + predicate, set dims, optionally
+    * truncate time (reference stream.go:41-143). */
+  def from(
+      where: Column = lit(true),
+      groupBy: Seq[String] = dims,
+      truncate: Option[String] = None): Pipe = {
+    val filtered = df.filter(where)
+    val trunced = truncate match {
+      case Some(unit) => filtered.withColumn(timeCol, date_trunc(unit, t))
+      case None       => filtered
+    }
+    copy(df = trunced, dims = groupBy)
+  }
+
+  /** where(): per-point predicate (reference where.go:22-107). */
+  def where(cond: Column): Pipe = copy(df = df.filter(cond))
+
+  /** eval(): sequential scalar expressions, each visible to the next
+    * (reference eval.go:91-172). `keep=false` drops all but `as` + keys. */
+  def eval(exprs: (String, Column)*): Pipe =
+    copy(df = exprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) })
+
+  /** eval(...).keep(false) equivalent: retain only time, dims and results. */
+  def evalKeep(keepCols: Seq[String], exprs: (String, Column)*): Pipe = {
+    val evaluated = eval(exprs: _*).df
+    val out = (Seq(timeCol) ++ dims ++ keepCols ++ exprs.map(_._1)).distinct
+    copy(df = evaluated.select(out.map(col): _*))
+  }
+
+  /** default(): fill missing fields with constants (reference default.go). */
+  def default(defaults: (String, Any)*): Pipe =
+    copy(df = defaults.foldLeft(df) { case (d, (name, v)) =>
+      if (d.columns.contains(name)) d.withColumn(name, coalesce(col(name), lit(v)))
+      else d.withColumn(name, lit(v))
+    })
+
+  /** delete(): drop fields/tags (reference delete.go). */
+  def delete(cols: String*): Pipe = copy(df = df.drop(cols: _*))
+
+  /** shift(): move point time by a (possibly negative) number of seconds
+    * (reference shift.go:19-75). */
+  def shift(seconds: Long): Pipe =
+    copy(df = df.withColumn(timeCol, t + expr(s"INTERVAL $seconds SECOND")))
+
+  /** groupBy(): re-dimension the stream (reference group_by.go:33-206). */
+  def groupBy(newDims: String*): Pipe = copy(dims = newDims)
+
+  /** sample(n): keep every Nth point per group (reference sample.go:97-104). */
+  def sampleN(n: Int): Pipe =
+    copy(df = df
+      .withColumn("__rn", row_number().over(byGroupTime))
+      .filter(col("__rn") % n === 0)
+      .drop("__rn"))
+
+  /** union(): merge streams by name (reference union.go:28-166). */
+  def union(others: Pipe*): Pipe =
+    copy(df = others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
+
+  // ------------------------------------------------- stream transformations
+  // (reference influxql.go:213-273 — emit one output per input point)
+
+  /** difference(): value delta between consecutive points per group
+    * (reference pipeline/influxql.go:519). First point emits nothing. */
+  def difference(field: String, as: String = "difference"): Pipe = {
+    val d = df
+      .withColumn(as, col(field) - lag(field, 1).over(byGroupTime))
+      .filter(col(as).isNotNull)
+    copy(df = d)
+  }
+
+  /** elapsed(): seconds (unit) between consecutive points
+    * (reference pipeline/influxql.go:493). */
+  def elapsed(unitSeconds: Double = 1.0, as: String = "elapsed"): Pipe = {
+    val us = unix_micros(t)
+    val d = df
+      .withColumn(as, (us - lag(us, 1).over(byGroupTime)) / lit(unitSeconds * 1e6))
+      .filter(col(as).isNotNull)
+    copy(df = d)
+  }
+
+  /** derivative(): (Δf)/(Δt/unit) per group (reference derivative.go:127-159).
+    * `nonNegative` drops negative rates. */
+  def derivative(
+      field: String,
+      unitSeconds: Double = 1.0,
+      nonNegative: Boolean = false,
+      as: String = "derivative"): Pipe = {
+    val us = unix_micros(t)
+    val dv = col(field) - lag(field, 1).over(byGroupTime)
+    val dtUnits = (us - lag(us, 1).over(byGroupTime)).cast("double") / lit(unitSeconds * 1e6)
+    val rate = dv / dtUnits
+    val d0 = df.withColumn(as, rate).filter(col(as).isNotNull)
+    val d = if (nonNegative) d0.filter(col(as) >= 0) else d0
+    copy(df = d)
+  }
+
+  /** movingAverage(w): mean of last w points, emitted once w points seen
+    * (reference pipeline/influxql.go:537). */
+  def movingAverage(field: String, w: Int, as: String = "movingAverage"): Pipe = {
+    val frame = byGroupTime.rowsBetween(-(w - 1), 0)
+    val d = df
+      .withColumn(as, avg(field).over(frame))
+      .withColumn("__rn", row_number().over(byGroupTime))
+      .filter(col("__rn") >= w)
+      .drop("__rn")
+    copy(df = d)
+  }
+
+  /** cumulativeSum() (reference pipeline/influxql.go:585). */
+  def cumulativeSum(field: String, as: String = "cumulativeSum"): Pipe =
+    copy(df = df.withColumn(
+      as, sum(field).over(byGroupTime.rowsBetween(Window.unboundedPreceding, 0))))
+
+  /** changeDetect(): emit only when the field differs from the previously
+    * *emitted* value (reference change_detect.go:40-124). Because an emitted
+    * value is by construction different from its predecessor, comparing with
+    * lag over the raw stream is equivalent. */
+  def changeDetect(field: String): Pipe = {
+    val prev = lag(col(field), 1).over(byGroupTime)
+    copy(df = df
+      .withColumn("__chg", prev.isNull || col(field) =!= prev || (col(field).isNull && prev.isNotNull))
+      .filter(col("__chg")).drop("__chg"))
+  }
+
+  /** stateDuration(): seconds since `pred` first became true in the current
+    * true-run; -1 when false (reference state_tracking.go:88-169). */
+  def stateDuration(pred: Column, as: String = "state_duration", unitSeconds: Double = 1.0): Pipe = {
+    // Run id: count of pred-flips seen so far → groups consecutive equal
+    // pred values into sessions, all with window functions (no state store
+    // needed in batch; streaming uses TransformWithState — see
+    // graft.streaming.StateTrackingStream).
+    val flip = when(
+      lag(pred.cast("int"), 1).over(byGroupTime).isNull ||
+        lag(pred.cast("int"), 1).over(byGroupTime) =!= pred.cast("int"), 1).otherwise(0)
+    val d = df
+      .withColumn("__p", pred)
+      .withColumn("__run", sum(flip).over(byGroupTime.rowsBetween(Window.unboundedPreceding, 0)))
+    val runW = (if (dims.isEmpty) Window.partitionBy(col("__run"))
+                else Window.partitionBy((dims.map(col) :+ col("__run")): _*))
+      .orderBy(orderCols: _*)
+    val dur = (unix_micros(t) - unix_micros(min(t).over(runW.rowsBetween(Window.unboundedPreceding, 0)))) /
+      lit(unitSeconds * 1e6)
+    copy(df = d
+      .withColumn(as, when(col("__p"), dur).otherwise(lit(-1.0)))
+      .drop("__p", "__run"))
+  }
+
+  /** stateCount(): consecutive points with pred true; -1 when false
+    * (reference state_tracking.go:56-86). */
+  def stateCount(pred: Column, as: String = "state_count"): Pipe = {
+    val flip = when(
+      lag(pred.cast("int"), 1).over(byGroupTime).isNull ||
+        lag(pred.cast("int"), 1).over(byGroupTime) =!= pred.cast("int"), 1).otherwise(0)
+    val d = df
+      .withColumn("__p", pred)
+      .withColumn("__run", sum(flip).over(byGroupTime.rowsBetween(Window.unboundedPreceding, 0)))
+    val runW = (if (dims.isEmpty) Window.partitionBy(col("__run"))
+                else Window.partitionBy((dims.map(col) :+ col("__run")): _*))
+      .orderBy(orderCols: _*)
+    copy(df = d
+      .withColumn(as, when(col("__p"), row_number().over(runW).cast("long")).otherwise(lit(-1L)))
+      .drop("__p", "__run"))
+  }
+
+  // ---------------------------------------------------------------- windows
+
+  /** Tumbling time window: adds a `bucket_s` epoch-seconds column; the
+    * downstream aggregate groups on (dims, bucket_s). This is the batch
+    * rendering of window().period(p).every(p) (reference window.go:80-224).
+    * Kept as epoch arithmetic (not the window() generator) so the oracle SQL
+    * is the byte-identical computation.
+    */
+  def windowTumbling(everySeconds: Long, as: String = "bucket_s"): Pipe =
+    copy(df = df.withColumn(
+      as, (floor(unix_micros(t) / lit(1000000L) / everySeconds) * everySeconds).cast("long")))
+
+  /** Sliding time window period p / emit every e: one output row per
+    * covering window via Spark's window generator
+    * (reference window.go:80-224). Adds `wstart_s`/`wend_s`. */
+  def windowSliding(periodSeconds: Long, everySeconds: Long): Pipe = {
+    val w = window(t, s"$periodSeconds seconds", s"$everySeconds seconds")
+    copy(df = df
+      .withColumn("__w", w)
+      .withColumn("wstart_s", unix_timestamp(col("__w.start")))
+      .withColumn("wend_s", unix_timestamp(col("__w.end")))
+      .drop("__w"))
+  }
+
+  /** Count window periodCount n / everyCount m (reference window.go:360-470):
+    * every m-th point per group, aggregate over the last n points. Returns
+    * the frame with `__rn` attached for the caller's agg-over-frame. */
+  def windowCount(n: Int): (DataFrame, org.apache.spark.sql.expressions.WindowSpec) =
+    (df.withColumn("__rn", row_number().over(byGroupTime)),
+      byGroupTime.rowsBetween(-(n - 1), 0))
+
+  // ------------------------------------------------------------------ joins
+
+  /** Time-aligned join (reference join.go:16-762): points from both sides
+    * match when time rounded to `toleranceSeconds` is equal, per group.
+    * `fill` none→inner, null→full outer. Field columns are prefixed
+    * `<name>.` like the reference's prefix-with-delimiter. */
+  def joinTolerance(
+      other: Pipe,
+      toleranceSeconds: Long,
+      names: (String, String),
+      on: Seq[String],
+      fillOuter: Boolean = false): DataFrame = {
+    def keyed(p: Pipe, nm: String) = {
+      val bucket = (floor((unix_micros(col(p.timeCol)) / lit(1000000.0)) / toleranceSeconds + lit(0.5)) * toleranceSeconds).cast("long")
+      val dataCols = p.df.columns.filterNot(c => on.contains(c) || c == p.timeCol)
+      p.df.select(
+        (bucket.as("__jt") +: on.map(col)) ++ dataCols.map(c => col(c).as(s"$nm.$c")): _*)
+    }
+    val l = keyed(this, names._1)
+    val r = keyed(other, names._2)
+    val how = if (fillOuter) "full_outer" else "inner"
+    l.join(r, Seq("__jt") ++ on, how).withColumnRenamed("__jt", "jt_s")
+  }
+
+  // ------------------------------------------------------------- rendering
+
+  /** Deterministic output: order by the given columns (all remaining columns
+    * appended as tiebreak) — golden-test friendly. */
+  def sorted(by: String*): DataFrame = {
+    val cols = if (by.nonEmpty) by else df.columns.toSeq
+    df.orderBy(cols.map(col): _*)
+  }
+}
+
+object Pipe {
+  /** Entry point mirroring `stream|from()` on the canonical events table. */
+  def events(df: DataFrame, dims: String*): Pipe =
+    Pipe(df, timeCol = "time", dims = dims, measurement = Some("events"))
+}

@@ -1,0 +1,312 @@
+package graft.queries
+
+import graft.Graft
+import graft.api.Pipe
+import graft.operators.{HoltWinters, InfluxQL}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Kapacitor-parity operator queries over the `events` stream table, each
+  * paired with a DuckDB oracle stating the *identical* algorithm
+  * (SparkEntry.oracleSql). Conventions that keep the driver's hash-compare
+  * honest:
+  *   - time points surface as `time_us` (epoch micros, BIGINT both sides);
+  *     window buckets as `bucket_s` (epoch seconds, BIGINT);
+  *   - every double output is `round(x, 6)`;
+  *   - integer-ish outputs are cast to BIGINT on both sides;
+  *   - every query ends in a deterministic ORDER BY.
+  */
+object EventQueries {
+
+  /** Canonical event pipe: time (µs-truncated), per-point id tiebreak. */
+  def pipe(s: SparkSession, dir: String): Pipe =
+    Pipe(Graft.events(s, dir), timeCol = "time", dims = Seq("event_type"), idCol = Some("event_id"))
+
+  private def tus = expr("ts_ns DIV 1000")
+
+  /** Shared oracle SQL prelude: events with epoch-µs time. */
+  val preludeSql: String =
+    "WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events)"
+
+  private def bucketS(every: Long) =
+    (floor(col("tus") / 1000000.0 / every) * every).cast("long").as("bucket_s")
+  private def bucketSql(every: Long) =
+    s"CAST(floor(tus/1000000.0/$every)*$every AS BIGINT)"
+
+  private def withT(p: Pipe): DataFrame = p.df.withColumn("tus", tus)
+
+  // --------------------------------------------------------- aggregates
+
+  def aggHour(s: SparkSession, dir: String, agg: String): DataFrame = {
+    val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(3600))
+    val g = d.groupBy(col("event_type"), col("bucket_s"))
+    val out = agg match {
+      case "count" => g.agg(count(col("value")).as("cnt"))
+      case "sum"   => g.agg(round(sum("value"), 6).as("sum_v"))
+      case "mean"  => g.agg(round(avg("value"), 6).as("mean_v"))
+    }
+    out.orderBy(col("event_type"), col("bucket_s"))
+  }
+
+  def aggHourSql(agg: String): String = {
+    val e = s"$preludeSql SELECT event_type, ${bucketSql(3600)} AS bucket_s, "
+    val a = agg match {
+      case "count" => "count(value) AS cnt"
+      case "sum"   => "round(sum(value), 6) AS sum_v"
+      case "mean"  => "round(avg(value), 6) AS mean_v"
+    }
+    s"$e$a FROM e GROUP BY 1, 2 ORDER BY 1, 2"
+  }
+
+  def spreadDay(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    val d = withT(p).withColumn("bucket_s", bucketS(86400))
+    InfluxQL.spread(p.copy(df = d), Seq("event_type", "bucket_s"), "value", "spread_v")
+      .withColumn("spread_v", round(col("spread_v"), 6))
+      .orderBy("event_type", "bucket_s")
+  }
+  val spreadDaySql: String =
+    s"$preludeSql SELECT event_type, ${bucketSql(86400)} AS bucket_s, round(max(value)-min(value),6) AS spread_v FROM e GROUP BY 1,2 ORDER BY 1,2"
+
+  def stddevDay(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    val d = withT(p).withColumn("bucket_s", bucketS(86400))
+    InfluxQL.stddev(p.copy(df = d), Seq("event_type", "bucket_s"), "value", "stddev_v")
+      .withColumn("stddev_v", round(col("stddev_v"), 6))
+      .orderBy("event_type", "bucket_s")
+  }
+  val stddevDaySql: String =
+    s"$preludeSql SELECT event_type, ${bucketSql(86400)} AS bucket_s, round(stddev_samp(value),6) AS stddev_v FROM e GROUP BY 1,2 ORDER BY 1,2"
+
+  def medianDay(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    val d = withT(p).withColumn("bucket_s", bucketS(86400))
+    InfluxQL.median(p.copy(df = d), Seq("event_type", "bucket_s"), "value", "median_v")
+      .withColumn("median_v", round(col("median_v"), 6))
+      .orderBy("event_type", "bucket_s")
+  }
+  val medianDaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS n
+       FROM e)
+       SELECT event_type, bucket_s, round(avg(value),6) AS median_v FROM r
+       WHERE rn = (n+1)//2 OR rn = n//2 + 1 GROUP BY 1,2 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def modeDay(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    val d = withT(p).withColumn("bucket_s", bucketS(86400))
+    InfluxQL.mode(p.copy(df = d), Seq("event_type", "bucket_s"), "value", "mode_v")
+      .orderBy("event_type", "bucket_s")
+  }
+  val modeDaySql: String =
+    s"""$preludeSql, c AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value, count(*) AS c
+       FROM e GROUP BY 1,2,3),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s ORDER BY c DESC, value ASC) AS rk FROM c)
+       SELECT event_type, bucket_s, value AS mode_v FROM r WHERE rk = 1 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def distinctVals(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    InfluxQL.distinct(p, Seq("event_type"), "value", "distinct_v")
+      .orderBy("event_type", "distinct_v")
+  }
+  val distinctValsSql: String =
+    "SELECT DISTINCT event_type, value AS distinct_v FROM events ORDER BY 1, 2"
+
+  def firstDay(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0).withColumn("bucket_s", bucketS(86400)))
+    InfluxQL.first(p, Seq("event_type", "bucket_s"), "value", "first_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "bucket_s")
+  }
+  val firstDaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value, tus,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY tus, event_id) AS rn,
+              min(tus) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS mt
+       FROM e)
+       SELECT event_type, bucket_s, value AS first_v, mt AS time_us FROM r WHERE rn = 1 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def lastDay(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0).withColumn("bucket_s", bucketS(86400)))
+    InfluxQL.last(p, Seq("event_type", "bucket_s"), "value", "last_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "bucket_s")
+  }
+  val lastDaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value, tus,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY tus DESC, event_id DESC) AS rn,
+              max(tus) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS mt
+       FROM e)
+       SELECT event_type, bucket_s, value AS last_v, mt AS time_us FROM r WHERE rn = 1 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def minDay(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0).withColumn("bucket_s", bucketS(86400)))
+    InfluxQL.minSel(p, Seq("event_type", "bucket_s"), "value", "min_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "bucket_s")
+  }
+  val minDaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value, tus,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY value ASC, tus ASC, event_id ASC) AS rn
+       FROM e)
+       SELECT event_type, bucket_s, value AS min_v, tus AS time_us FROM r WHERE rn = 1 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def maxDay(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0).withColumn("bucket_s", bucketS(86400)))
+    InfluxQL.maxSel(p, Seq("event_type", "bucket_s"), "value", "max_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "bucket_s")
+  }
+  val maxDaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value, tus,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY value DESC, tus ASC, event_id ASC) AS rn
+       FROM e)
+       SELECT event_type, bucket_s, value AS max_v, tus AS time_us FROM r WHERE rn = 1 ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def percentile90Day(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0).withColumn("bucket_s", bucketS(86400)))
+    InfluxQL.percentile(p, Seq("event_type", "bucket_s"), "value", 90.0, "p90_v")
+      .orderBy("event_type", "bucket_s")
+  }
+  val percentile90DaySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value,
+              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY value, tus, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS n
+       FROM e)
+       SELECT event_type, bucket_s, value AS p90_v FROM r
+       WHERE rn = greatest(CAST(floor(n * 90.0/100 + 0.5) AS INTEGER), 1) ORDER BY 1,2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def top3(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0))
+    InfluxQL.top(p, Seq("event_type"), "value", 3, "top_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "rk")
+  }
+  val top3Sql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, tus, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value DESC, tus ASC, event_id ASC) AS rk
+       FROM e)
+       SELECT event_type, value AS top_v, CAST(rk AS BIGINT) AS rk, tus AS time_us FROM r WHERE rk <= 3 ORDER BY event_type, rk"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def bottom3(s: SparkSession, dir: String): DataFrame = {
+    val p0 = pipe(s, dir)
+    val p = p0.copy(df = withT(p0))
+    InfluxQL.bottom(p, Seq("event_type"), "value", 3, "bottom_v")
+      .withColumn("time_us", unix_micros(col("time"))).drop("time")
+      .orderBy("event_type", "rk")
+  }
+  val bottom3Sql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, tus, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value ASC, tus ASC, event_id ASC) AS rk
+       FROM e)
+       SELECT event_type, value AS bottom_v, CAST(rk AS BIGINT) AS rk, tus AS time_us FROM r WHERE rk <= 3 ORDER BY event_type, rk"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  // ------------------------------------------------- stream transformations
+
+  private def pointOut(df: DataFrame, resCol: String): DataFrame =
+    df.select(
+      col("event_type"),
+      unix_micros(col("time")).as("time_us"),
+      round(col(resCol), 6).as(resCol))
+      .orderBy("event_type", "time_us")
+
+  private val overGT =
+    "OVER (PARTITION BY event_type ORDER BY tus, event_id)"
+
+  def elapsedQ(s: SparkSession, dir: String): DataFrame =
+    pointOut(pipe(s, dir).elapsed(1.0, "elapsed_s").df, "elapsed_s")
+  val elapsedSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       round((tus - lag(tus) $overGT) / 1000000.0, 6) AS elapsed_s
+       FROM e QUALIFY elapsed_s IS NOT NULL ORDER BY 1, 2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def differenceQ(s: SparkSession, dir: String): DataFrame =
+    pointOut(pipe(s, dir).difference("value", "diff_v").df, "diff_v")
+  val differenceSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       round(value - lag(value) $overGT, 6) AS diff_v
+       FROM e QUALIFY diff_v IS NOT NULL ORDER BY 1, 2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def derivativeQ(s: SparkSession, dir: String): DataFrame =
+    pointOut(pipe(s, dir).derivative("value", 60.0, nonNegative = false, "deriv_v").df, "deriv_v")
+  val derivativeSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       round((value - lag(value) $overGT) / ((tus - lag(tus) $overGT) / 60000000.0), 6) AS deriv_v
+       FROM e QUALIFY deriv_v IS NOT NULL ORDER BY 1, 2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  def movingAverageQ(s: SparkSession, dir: String): DataFrame =
+    pointOut(pipe(s, dir).movingAverage("value", 5, "ma_v").df, "ma_v")
+  val movingAverageSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       round(avg(value) OVER (PARTITION BY event_type ORDER BY tus, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma_v,
+       row_number() $overGT AS rn
+       FROM e QUALIFY rn >= 5 ORDER BY 1, 2"""
+      .stripMargin.replaceAll("\\s+", " ") match {
+      case q => s"SELECT event_type, time_us, ma_v FROM ($q)"
+    }
+
+  def cumulativeSumQ(s: SparkSession, dir: String): DataFrame =
+    pointOut(pipe(s, dir).cumulativeSum("value", "csum_v").df, "csum_v")
+  val cumulativeSumSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       round(sum(value) OVER (PARTITION BY event_type ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS csum_v
+       FROM e ORDER BY 1, 2"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  // --------------------------------------------------------------- misc
+
+  /** where + eval chain (reference where.go + eval.go). */
+  def whereEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+      .where(col("value") > 50 && col("event_type") =!= "error")
+      .eval(
+        "v2" -> round(col("value") * 2 + 1, 6),
+        "vlog" -> round(log(col("value")) + col("v2") * 0.001, 6))
+    p.df.select(col("event_id"), col("event_type"), col("v2"), col("vlog"))
+      .orderBy("event_id")
+  }
+  val whereEvalSql: String =
+    """SELECT event_id, event_type, round(value*2+1, 6) AS v2,
+       round(ln(value) + round(value*2+1, 6)*0.001, 6) AS vlog
+       FROM events WHERE value > 50 AND event_type <> 'error' ORDER BY event_id"""
+      .stripMargin.replaceAll("\\s+", " ")
+
+  /** holtWinters forecast (no SQL oracle — custom Aggregator). Forecast 3
+    * daily means ahead per event_type over the daily mean series. */
+  def holtWintersQ(s: SparkSession, dir: String): DataFrame = {
+    val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
+      .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))
+    d.groupBy("event_type")
+      .agg(HoltWinters.holtWinters(col("bucket_s"), col("mean_v"), 3, 7).as("hw"))
+      .select(col("event_type"), posexplode(col("hw")).as(Seq("step", "forecast")))
+      .withColumn("forecast", round(col("forecast"), 6))
+      .orderBy("event_type", "step")
+  }
+}
