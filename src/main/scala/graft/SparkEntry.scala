@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries => EQ, TpchQueries => TQ}
+import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, TpchQueries => TQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,7 +50,22 @@ object SparkEntry {
     // -- projection/filter/eval (SURVEY §2.2)
     "q_where_eval" -> (EQ.whereEvalQ _),
     // -- forecasting (custom Aggregator; no SQL equivalent)
-    "q_holt_winters" -> (EQ.holtWintersQ _)
+    "q_holt_winters" -> (EQ.holtWintersQ _),
+    // -- reshaping / state / join / alert (SURVEY §2.2/2.3/2.6/2.7)
+    "q_change_detect" -> (EQ2.changeDetectQ _),
+    "q_state_duration" -> (EQ2.stateDurationQ _),
+    "q_state_count" -> (EQ2.stateCountQ _),
+    "q_sample" -> (EQ2.sampleQ _),
+    "q_shift" -> (EQ2.shiftQ _),
+    "q_default_delete" -> (EQ2.defaultDeleteQ _),
+    "q_union" -> (EQ2.unionQ _),
+    "q_join_tolerance" -> (EQ2.joinToleranceQ _),
+    "q_alert_levels" -> (EQ2.alertLevelsQ _),
+    "q_alert_state_changes" -> (EQ2.alertStateChangesQ _),
+    "q_window_sliding" -> (EQ2.windowSlidingQ _),
+    "q_flatten" -> (EQ2.flattenQ _),
+    "q_combine" -> (EQ2.combineQ _),
+    "q_sigma" -> (EQ2.sigmaQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -78,6 +93,20 @@ object SparkEntry {
     "q_derivative" -> EQ.derivativeSql,
     "q_moving_average" -> EQ.movingAverageSql,
     "q_cumulative_sum" -> EQ.cumulativeSumSql,
-    "q_where_eval" -> EQ.whereEvalSql
+    "q_where_eval" -> EQ.whereEvalSql,
+    "q_change_detect" -> EQ2.changeDetectSql,
+    "q_state_duration" -> EQ2.stateDurationSql,
+    "q_state_count" -> EQ2.stateCountSql,
+    "q_sample" -> EQ2.sampleSql,
+    "q_shift" -> EQ2.shiftSql,
+    "q_default_delete" -> EQ2.defaultDeleteSql,
+    "q_union" -> EQ2.unionSql,
+    "q_join_tolerance" -> EQ2.joinToleranceSql,
+    "q_alert_levels" -> EQ2.alertLevelsSql,
+    "q_alert_state_changes" -> EQ2.alertStateChangesSql,
+    "q_window_sliding" -> EQ2.windowSlidingSql,
+    "q_flatten" -> EQ2.flattenSql,
+    "q_combine" -> EQ2.combineSql,
+    "q_sigma" -> EQ2.sigmaSql
   )
 }

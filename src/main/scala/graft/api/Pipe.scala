@@ -241,9 +241,16 @@ final case class Pipe(
   // ------------------------------------------------------------------ joins
 
   /** Time-aligned join (reference join.go:16-762): points from both sides
-    * match when time rounded to `toleranceSeconds` is equal, per group.
-    * `fill` none→inner, null→full outer. Field columns are prefixed
-    * `<name>.` like the reference's prefix-with-delimiter. */
+    * match when time rounded to `toleranceSeconds` is equal
+    * (Go time.Round → floor(t/tol + 0.5)*tol), per group. `fillOuter`
+    * false→inner (fill none), true→full outer (fill null). Field columns
+    * are prefixed `<name>_` (the reference's prefix-with-delimiter,
+    * pipeline/join.go:28-270). Where the reference pairs at most one point
+    * per source per rounded timestamp, we keep relational semantics: all
+    * combinations within the bucket join (documented deviation).
+    *
+    * Scale: an equi-join on (bucket, on-dims) — shuffles both sides once on
+    * the join key; AQE handles skewed buckets. */
   def joinTolerance(
       other: Pipe,
       toleranceSeconds: Long,
@@ -254,7 +261,7 @@ final case class Pipe(
       val bucket = (floor((unix_micros(col(p.timeCol)) / lit(1000000.0)) / toleranceSeconds + lit(0.5)) * toleranceSeconds).cast("long")
       val dataCols = p.df.columns.filterNot(c => on.contains(c) || c == p.timeCol)
       p.df.select(
-        (bucket.as("__jt") +: on.map(col)) ++ dataCols.map(c => col(c).as(s"$nm.$c")): _*)
+        (bucket.as("__jt") +: on.map(col)) ++ dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
     }
     val l = keyed(this, names._1)
     val r = keyed(other, names._2)
