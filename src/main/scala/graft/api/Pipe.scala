@@ -161,9 +161,13 @@ final case class Pipe(
     * value is by construction different from its predecessor, comparing with
     * lag over the raw stream is equivalent. */
   def changeDetect(field: String): Pipe = {
+    // Null-safe IS DISTINCT FROM semantics (!(a <=> b)) so a run of
+    // consecutive NULLs emits once, matching the reference's compare against
+    // the previously-*emitted* value; the first point of a group always
+    // emits (the reference has no prior value there).
     val prev = lag(col(field), 1).over(byGroupTime)
     copy(df = df
-      .withColumn("__chg", prev.isNull || col(field) =!= prev || (col(field).isNull && prev.isNotNull))
+      .withColumn("__chg", row_number().over(byGroupTime) === 1 || !(col(field) <=> prev))
       .filter(col("__chg")).drop("__chg"))
   }
 

@@ -148,12 +148,18 @@ object TickFunctions {
   }
 
   private[graft] def humanBytesImpl(v: Double): String = {
-    // Mirrors Go's humanize.Bytes-style formatting used by the reference.
+    // Mirrors Go humanize.Bytes exactly (reference uses it for alert
+    // messages): input is a byte *count* (uint64 there — negatives are
+    // clamped to 0 here), <10 prints as integer bytes, scaled values are
+    // rounded to one decimal and printed %.0f once >= 10.
     val units = Array("B", "kB", "MB", "GB", "TB", "PB", "EB")
-    var x = math.abs(v); var i = 0
-    while (x >= 1000.0 && i < units.length - 1) { x /= 1000.0; i += 1 }
-    val sign = if (v < 0) "-" else ""
-    if (i == 0) f"$sign${x}%.0f ${units(i)}" else f"$sign${x}%.1f ${units(i)}"
+    val s = math.max(v, 0.0)
+    if (s < 10) f"${s.toLong}%d B"
+    else {
+      val e = math.floor(math.log(s) / math.log(1000.0)).toInt.min(units.length - 1)
+      val x = math.floor(s / math.pow(1000.0, e) * 10 + 0.5) / 10
+      if (x < 10) f"$x%.1f ${units(e)}" else f"$x%.0f ${units(e)}"
+    }
   }
 
   // UDF registrations (plain UDFs are fine here: these are cold-path scalars;

@@ -116,7 +116,7 @@ object InfluxQL {
     p.df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", org.apache.spark.sql.functions.count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__rn") === greatest(floor(col("__n") * pct / 100 + 0.5).cast("int"), lit(1)))
+      .filter(col("__rn") === floor(col("__n") * pct / 100 + 0.5).cast("int"))
       .select((keys.map(col) :+ col(field).as(as)): _*)
   }
 

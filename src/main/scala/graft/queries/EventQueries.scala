@@ -192,7 +192,7 @@ object EventQueries {
               count(*) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS n
        FROM e)
        SELECT event_type, bucket_s, value AS p90_v FROM r
-       WHERE rn = greatest(CAST(floor(n * 90.0/100 + 0.5) AS INTEGER), 1) ORDER BY 1,2"""
+       WHERE rn = CAST(floor(n * 90.0/100 + 0.5) AS INTEGER) ORDER BY 1,2"""
       .stripMargin.replaceAll("\\s+", " ")
 
   def top3(s: SparkSession, dir: String): DataFrame = {

@@ -22,7 +22,8 @@ object EventQueries2 {
   }
   val changeDetectSql: String =
     s"""$preludeSql SELECT user_id, tus AS time_us, event_type FROM e
-       QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS DISTINCT FROM event_type
+       QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) = 1
+            OR lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS DISTINCT FROM event_type
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
   // ----------------------------------------------------- state tracking
@@ -181,7 +182,8 @@ object EventQueries2 {
                    WHEN value > 50 THEN 'INFO' ELSE 'OK' END AS level
        FROM e)
        SELECT event_type, tus AS time_us, level FROM l
-       QUALIFY lag(level) OVER (PARTITION BY event_type ORDER BY tus, event_id) IS DISTINCT FROM level
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY tus, event_id) = 1
+            OR lag(level) OVER (PARTITION BY event_type ORDER BY tus, event_id) IS DISTINCT FROM level
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
   // ---------------------------------------------------- sliding window
@@ -195,10 +197,16 @@ object EventQueries2 {
       .orderBy("event_type", "wstart_s")
   }
   val windowSlidingSql: String =
-    s"""$preludeSql, w AS (SELECT range AS wstart_s FROM range(1701388800, 1709251200, 3600))
+    // each point covers exactly the two hourly-aligned 2h windows that
+    // contain it — derived from the point itself, so the oracle follows the
+    // data wherever its time range moves (no hardcoded bucket range)
+    s"""$preludeSql, c AS (
+       SELECT event_type, value,
+              unnest([CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT),
+                      CAST(floor(tus/1000000.0/3600)*3600 - 3600 AS BIGINT)]) AS wstart_s
+       FROM e)
        SELECT event_type, wstart_s, count(*) AS cnt, round(avg(value), 6) AS mean_v
-       FROM e JOIN w ON tus/1000000.0 >= wstart_s AND tus/1000000.0 < wstart_s + 7200
-       GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
+       FROM c GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
   // ----------------------------------------------------------- flatten
 
@@ -210,9 +218,11 @@ object EventQueries2 {
       .withColumn("tus", tusCol)
       .withColumn("minute_s", (floor(col("tus") / 1000000.0 / 60) * 60).cast("long"))
     val types = Seq("click", "view", "purchase", "signup", "error")
-    // single BIGINT ordering key (tus, event_id) — mirrors the oracle's
-    // arg_min key, which cannot be a struct in DuckDB
-    val ordKey = (col("tus") - lit(1700000000000000L)) * 1000000L + col("event_id")
+    // zero-padded string ordering key (tus, event_id) — lexicographic order
+    // equals numeric order and cannot overflow for any timestamp, unlike an
+    // arithmetic packing; mirrors the oracle's arg_min key, which cannot be
+    // a struct in DuckDB
+    val ordKey = format_string("%020d%010d", col("tus"), col("event_id"))
     d.withColumn("__ord", ordKey)
       .groupBy(col("user_id"), col("minute_s"))
       .pivot("event_type", types)
@@ -222,7 +232,7 @@ object EventQueries2 {
   }
   val flattenSql: String =
     s"""$preludeSql, m AS (SELECT *, CAST(floor(tus/1000000.0/60)*60 AS BIGINT) AS minute_s,
-              (tus - 1700000000000000)*1000000 + event_id AS ord FROM e)
+              printf('%020d%010d', tus, event_id) AS ord FROM e)
        SELECT user_id, minute_s,
               arg_min(value, ord) FILTER (WHERE event_type='click') AS click_value,
               arg_min(value, ord) FILTER (WHERE event_type='view') AS view_value,
