@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, TpchQueries => TQ}
+import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, LlmQueries => LQ, TpchQueries => TQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,7 +65,20 @@ object SparkEntry {
     "q_window_sliding" -> (EQ2.windowSlidingQ _),
     "q_flatten" -> (EQ2.flattenQ _),
     "q_combine" -> (EQ2.combineQ _),
-    "q_sigma" -> (EQ2.sigmaQ _)
+    "q_sigma" -> (EQ2.sigmaQ _),
+    // -- training-data pipeline operators (dedup / similarity / text / media)
+    "q_dedup_exact" -> (LQ.dedupExactQ _),
+    "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
+    "q_dedup_simhash" -> (LQ.dedupSimhashQ _),
+    "q_dedup_ngram" -> (LQ.dedupNgramQ _),
+    "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
+    "q_knn_bruteforce" -> (LQ.knnBruteQ _),
+    "q_knn_lsh" -> (LQ.knnLshQ _),
+    "q_text_langid" -> (LQ.textLangidQ _),
+    "q_text_quality" -> (LQ.textQualityQ _),
+    "q_text_tokens" -> (LQ.textTokensQ _),
+    "q_text_fingerprint" -> (LQ.textFingerprintQ _),
+    "q_media_chunks" -> (LQ.mediaChunksQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +120,18 @@ object SparkEntry {
     "q_window_sliding" -> EQ2.windowSlidingSql,
     "q_flatten" -> EQ2.flattenSql,
     "q_combine" -> EQ2.combineSql,
-    "q_sigma" -> EQ2.sigmaSql
+    "q_sigma" -> EQ2.sigmaSql,
+    "q_dedup_exact" -> LQ.dedupExactSql,
+    "q_dedup_minhash" -> LQ.dedupMinhashSql,
+    "q_dedup_simhash" -> LQ.dedupSimhashSql,
+    "q_dedup_ngram" -> LQ.dedupNgramSql,
+    "q_dedup_embedding" -> LQ.dedupEmbeddingSql,
+    "q_knn_bruteforce" -> LQ.knnBruteSql,
+    "q_knn_lsh" -> LQ.knnLshSql,
+    "q_text_langid" -> LQ.textLangidSql,
+    "q_text_quality" -> LQ.textQualitySql,
+    "q_text_tokens" -> LQ.textTokensSql,
+    "q_text_fingerprint" -> LQ.textFingerprintSql,
+    "q_media_chunks" -> LQ.mediaChunksSql
   )
 }

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`): brute-force
+  * cosine top-k as the exactness baseline, and a random-hyperplane LSH
+  * variant as the scale path (bucketed candidate generation → only
+  * same-bucket pairs are scored).
+  *
+  * Determinism: all arithmetic is float32-exactly-widened-to-double with
+  * left-to-right summation, so an oracle engine reproducing the same fold
+  * produces bit-identical doubles. The LSH hyperplanes are ±1 components
+  * derived from md5 (see [[hyperplanes]]) — a pure function of (plane,
+  * component) index that any engine can restate.
+  */
+object Similarity {
+
+  /** Widen float array to double (exact). */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-fold sum of an array<double>. */
+  private def fsum(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = fsum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(fsum(transform(asDouble(a), x => x * x)))
+
+  /** Cosine similarity given two vectors and their precomputed norms
+    * (precompute norms per row *before* any join — at 100 TB you don't
+    * recompute a norm once per candidate pair). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Top-`k` most similar vector pairs in the corpus (near-duplicate
+    * report). All-pairs scoring — the exactness baseline; the LSH variant
+    * below is the scale path. */
+  def topSimilarPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = n.select(col("vid").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Brute-force cosine k-NN: for each query vector, the `k` nearest
+    * corpus vectors (self excluded). The query side is broadcast — the
+    * corpus side streams through in one pass, no shuffle of the big side. */
+  def knnBrute(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int): DataFrame = {
+    // queryPred references the normalized id column "vid"
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val q = n.filter(queryPred)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    n.crossJoin(broadcast(q))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  // ------------------------------------------------------------ LSH ANN
+
+  /** JVM-side md5-derived bit, identical to TextOps.h60(s) % 2. */
+  private def h60bit(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(d.substring(0, 15), 16) % 2).toInt
+  }
+
+  /** `planes` random hyperplanes of ±1 components for `dim` dimensions,
+    * derived deterministically from md5("h:j") so the oracle can embed the
+    * identical literals. */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(h => (0 until dim).map(j => (2 * h60bit(s"$h:$j") - 1).toDouble))
+
+  /** Sign-bucket of a vector under the hyperplane family: bit h is set when
+    * dot(v, plane_h) >= 0. Vectors in the same bucket are ANN candidates. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, h) =>
+      val d = fsum(zip_with(asDouble(v), typedlit(p), (x, y) => x * y))
+      when(d >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate k-NN: candidates are corpus vectors sharing
+    * the query's sign-bucket; exact cosine ranks within the bucket. With B
+    * buckets the scored pairs shrink ~B× versus brute force, and the join
+    * is a plain equi-join on the bucket key (shuffle keyed by bucket —
+    * skew-safe for moderate `planes` counts, AQE handles the rest). */
+  def knnLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      planes: Int = 8): DataFrame = {
+    val dim = 64
+    val hp = hyperplanes(planes, dim)
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), hp).as("bucket"))
+    val q = n.filter(queryPred)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    n.join(broadcast(q), Seq("bucket"))
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
+  }
+}

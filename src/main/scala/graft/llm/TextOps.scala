@@ -1,0 +1,168 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, deterministic hashing, language ID, quality
+  * scoring, token counting and document fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression tree (higher-order array
+  * functions + builtin scalars, no UDFs), so the whole pipeline stays inside
+  * whole-stage codegen and distributes embarrassingly: per-document work
+  * only, no shuffle until an operator groups or joins.
+  *
+  * Determinism contract: [[h60]] is a 60-bit integer derived from md5, which
+  * any engine can reproduce (`('0x' || substr(md5(s),1,15))::BIGINT` in
+  * DuckDB) — the verification oracle computes the *identical* signatures.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash of a string: the first 15 hex chars of its
+    * md5, as a non-negative Long. 60 bits keeps all downstream arithmetic
+    * (shifts, mods, mins) inside BIGINT range on every engine. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens of the lowercased, trimmed text; empty tokens
+    * filtered so leading/trailing/multiple whitespace is harmless. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Word n-shingles joined by a single space; a document shorter than n
+    * tokens contributes its whole token string as one shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Distinct word n-shingles (the set used for Jaccard similarity). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(tokens(text), n))
+
+  // ------------------------------------------------------------- MinHash
+
+  /** k-element MinHash signature over a shingle array. Hash family i is
+    * h60 salted with the function index (`i:shingle`) — no multiply/mod
+    * arithmetic, so no overflow at any scale and trivially portable to the
+    * oracle engine. */
+  def minhashSig(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingleArr, s => h60(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys for a MinHash signature: `bands` bands of `rows` rows,
+    * each hashed to a compact string key. Two documents are candidate
+    * duplicates iff they collide on at least one band. */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat(b.cast("string"), lit("|"),
+        array_join(slice(sig, b * rows + 1, lit(rows)), ","))))
+
+  /** Estimated Jaccard similarity from two equal-length MinHash signatures:
+    * fraction of agreeing components. Integer-derived, so engines agree
+    * exactly. */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v).cast("double") / k
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash over the token multiset: bit b of the result is set
+    * when the sum over tokens of (2*bit_b(h60(token)) - 1) is positive.
+    * Token frequency weights naturally (each occurrence votes). 32 bits
+    * keeps every intermediate in Long range; near-duplicates land within a
+    * small Hamming distance. */
+  def simhash32(toks: Column): Column = {
+    val ths = transform(toks, t => h60(t))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(ths, lit(0L), (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** The `chunks`-way byte-split of a SimHash used for candidate blocking:
+    * two 32-bit hashes within Hamming distance (chunks-1) MUST share at
+    * least one chunk (pigeonhole), so blocking on chunks is lossless for
+    * a ≤ chunks-1 distance threshold. */
+  def simhashChunk(sh: Column, chunkIdx: Int, chunkBits: Int): Column =
+    shiftright(sh, chunkIdx * chunkBits) % (1L << chunkBits)
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------- language ID
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and embedded so the oracle can restate
+    * them as literals. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "por", "que", "para"),
+    "fr" -> Seq("le", "la", "les", "est", "un", "une", "et", "dans", "pour", "que"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni", "ta", "men", "zai", "you", "he"))
+
+  /** Number of tokens that appear in the given stopword list. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Predicted language: the stopword list with the most hits; ties break
+    * alphabetically; zero hits everywhere → "und" (undetermined). */
+  def langId(toks: Column): (Column, Column) = {
+    val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val pred = when(best.getField("s") === 0, lit("und")).otherwise(best.getField("l"))
+    (pred, best.getField("s").cast("long"))
+  }
+
+  // ----------------------------------------------------- quality scoring
+
+  /** Length / stopword / alphabetic-ratio quality features and a composite
+    * score in [0,1]. Linear combination only (no transcendentals) so every
+    * engine computes bit-identical doubles. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("long")
+    val nToks = size(toks).cast("long")
+    val meanTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(nToks, lit(1L))
+    val stopHits = stopwordHits(toks, stopwords.head._2) // en list
+    val stopRatio = stopHits.cast("double") / greatest(nToks, lit(1L))
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(nChars, lit(1L))
+    val score = least(nToks, lit(200L)).cast("double") / 200 * 0.3 +
+      stopRatio * 0.4 + alphaRatio * 0.3
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "mean_tok_len" -> round(meanTokLen, 6),
+      "stop_ratio" -> round(stopRatio, 6),
+      "alpha_ratio" -> round(alphaRatio, 6),
+      "quality" -> round(score, 6))
+  }
+
+  // ------------------------------------------------------ token counting
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token count: alphabetic runs, digit runs, and isolated
+    * non-space symbols each count as one token (a portable approximation
+    * of byte-pair tokenizer behavior). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** The classic chars/4 LLM token estimate. */
+  def approxTokenCount(text: Column): Column = ceil(length(text).cast("double") / 4).cast("long")
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Document fingerprint: the `k` smallest distinct word-3-shingle hashes
+    * (a winnowing-style sketch). Stable under small edits anywhere else in
+    * the document; compact enough to index at 100 TB scale. */
+  def fingerprint(text: Column, k: Int): Column = {
+    val hashes = array_distinct(transform(shingleSet(text, 3), s => h60(s)))
+    slice(array_sort(hashes), 1, k)
+  }
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.Graft
+import graft.llm.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries over `documents` / `embeddings`, each
+  * paired with a DuckDB oracle computing the *identical* algorithm.
+  *
+  * Determinism conventions (beyond EventQueries'):
+  *   - all hashing goes through the shared 60-bit md5-derived hash
+  *     ([[TextOps.h60]] ≡ `('0x' || substr(md5(s),1,15))::BIGINT`);
+  *   - all float reductions are left-fold in array order with exact
+  *     float→double widening, so doubles match bit-for-bit;
+  *   - thresholds only ever compare integer-derived quantities (signature
+  *     agreement counts, Hamming distances, Jaccard from counts) — never a
+  *     float against a data-dependent boundary.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Graft.table(s, dir, "embeddings")
+
+  /** Shared oracle fragments. */
+  private val h60sql = (e: String) => s"('0x' || substr(md5($e),1,15))::BIGINT"
+  private val tokSql =
+    """tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+       FROM documents)"""
+  // distinct word-3-shingles; a doc shorter than 3 tokens contributes its
+  // whole token string (mirrors TextOps.shingles)
+  private val shSql =
+    s"""sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+        THEN list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+        ELSE [array_to_string(toks, ' ')] END) AS s FROM tok)"""
+
+  // ------------------------------------------------------------ exact dedup
+
+  def dedupExactQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+  val dedupExactSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS dup_of,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       FROM documents ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------------- minhash + LSH
+
+  def dedupMinhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir), "doc_id", "text").orderBy("id_a", "id_b")
+  val dedupMinhashSql: String = {
+    val sigElem = h60sql("i::VARCHAR || ':' || x")
+    s"""WITH $tokSql, $shSql,
+       sig AS (SELECT doc_id, list_transform(range(16), i ->
+                 list_min(list_transform(s, x -> $sigElem))) AS sig FROM sh),
+       band AS (SELECT doc_id, sig, b,
+                 md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+                FROM sig, (SELECT unnest(range(4)) AS b)),
+       p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 16, 6) AS est_jaccard
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, est_jaccard FROM p WHERE est_jaccard >= 0.5 ORDER BY 1, 2"""
+      .replaceAll("\\s+", " ")
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  def dedupSimhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), "doc_id", "text").orderBy("id_a", "id_b")
+  val dedupSimhashSql: String = {
+    val bitSum = (0 until 32).map { b =>
+      s"(CASE WHEN list_sum(list_transform(ths, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $tokSql,
+       sim AS (SELECT doc_id, $bitSum AS sh
+               FROM (SELECT doc_id, list_transform(toks, t -> ${h60sql("t")}) AS ths FROM tok)),
+       blk AS (SELECT doc_id, sh, c, (sh >> (c*8)) % 256 AS chunk
+               FROM sim, (SELECT unnest(range(4)) AS c)),
+       p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+             FROM blk a JOIN blk b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3 ORDER BY 1, 2"""
+      .replaceAll("\\s+", " ")
+  }
+
+  // --------------------------------------------------------- n-gram Jaccard
+
+  def dedupNgramQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), "doc_id", "text").orderBy("id_a", "id_b")
+  val dedupNgramSql: String =
+    s"""WITH $tokSql, $shSql,
+       inv AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS nsh, unnest(s) AS shingle FROM sh),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS n_a, b.nsh AS n_b,
+               count(*) AS common
+             FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+       SELECT id_a, id_b, common, n_a, n_b,
+              round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+       FROM p WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.5 ORDER BY 1, 2"""
+      .replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------- embedding near-dup
+
+  /** DuckDB fragments for left-fold dot/norm matching Similarity exactly. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(64), j -> $a[j+1]::DOUBLE * $b[j+1]::DOUBLE), (x, y) -> x + y)"
+  private val normCte =
+    s"""n AS (SELECT vec_id, embedding,
+       sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  def dedupEmbeddingQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.topSimilarPairs(embs(s, dir), "vec_id", "embedding", 20).orderBy("rk")
+  val dedupEmbeddingSql: String =
+    s"""WITH $normCte,
+       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+             FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rk, id_a, id_b, cos
+       FROM p QUALIFY rk <= 20 ORDER BY rk""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------------------- kNN
+
+  def knnBruteQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnBrute(embs(s, dir), "vec_id", "embedding", col("vid") < 10, 5)
+      .orderBy("query_id", "rk")
+  val knnBruteSql: String =
+    s"""WITH $normCte,
+       q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       p AS (SELECT query_id, n.vec_id AS neighbor_id,
+               round(${dotSql("qv", "n.embedding")} / (qn * n.nrm), 6) AS cos
+             FROM n, q WHERE n.vec_id <> query_id)
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk,
+              neighbor_id, cos
+       FROM p QUALIFY rk <= 5 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
+
+  def knnLshQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnLsh(embs(s, dir), "vec_id", "embedding", col("vid") < 10, 3)
+      .orderBy("query_id", "rk")
+  val knnLshSql: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val bucket = planes.zipWithIndex.map { case (p, h) =>
+      val lit = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]") + "::DOUBLE[]"
+      s"(CASE WHEN list_reduce(list_transform(range(64), j -> embedding[j+1]::DOUBLE * ($lit)[j+1]), (x, y) -> x + y) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $normCte,
+       bk AS (SELECT vec_id, embedding, nrm, $bucket AS bucket FROM n),
+       q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket FROM bk WHERE vec_id < 10),
+       p AS (SELECT query_id, bk.vec_id AS neighbor_id,
+               round(${dotSql("qv", "bk.embedding")} / (qn * bk.nrm), 6) AS cos
+             FROM bk JOIN q USING (bucket) WHERE bk.vec_id <> q.query_id)
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk,
+              neighbor_id, cos
+       FROM p QUALIFY rk <= 3 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
+  }
+
+  // ----------------------------------------------------------- language ID
+
+  def textLangidQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val (pred, score) = TextOps.langId(toks)
+    docs(s, dir).select(col("doc_id"), col("lang"), pred.as("lang_pred"), score.as("score"))
+      .orderBy("doc_id")
+  }
+  val textLangidSql: String = {
+    val scores = TextOps.stopwords.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(", ")
+    val langs = TextOps.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val chain = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH $tokSql,
+       sc AS (SELECT doc_id, $scores FROM tok),
+       b AS (SELECT *, $best AS best FROM sc)
+       SELECT d.doc_id, d.lang,
+              CASE WHEN best = 0 THEN 'und' $chain END AS lang_pred,
+              best AS score
+       FROM b JOIN documents d USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
+  // ------------------------------------------------------------- quality
+
+  def textQualityQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.qualityFeatures(col("text"))
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+  val textQualitySql: String = {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH $tokSql
+       SELECT d.doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1), 6) AS mean_tok_len,
+         round(CAST(len(list_filter(toks, t -> t IN ($en))) AS DOUBLE) / greatest(len(toks), 1), 6) AS stop_ratio,
+         round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS alpha_ratio,
+         round(CAST(least(len(toks), 200) AS DOUBLE) / 200 * 0.3
+             + CAST(len(list_filter(toks, t -> t IN ($en))) AS DOUBLE) / greatest(len(toks), 1) * 0.4
+             + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 0.3, 6) AS quality
+       FROM documents d JOIN tok USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
+  // ---------------------------------------------------------- token counts
+
+  def textTokensQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+      TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+      TextOps.approxTokenCount(col("text")).as("approx_tokens"))
+      .orderBy("doc_id")
+  val textTokensSql: String =
+    s"""WITH $tokSql
+       SELECT d.doc_id,
+         CAST(len(toks) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpeish_tokens,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS approx_tokens
+       FROM documents d JOIN tok USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------------- fingerprints
+
+  def textFingerprintQ(s: SparkSession, dir: String): DataFrame = {
+    val fp = TextOps.fingerprint(col("text"), 4)
+    docs(s, dir).select(
+      col("doc_id"),
+      try_element_at(fp, lit(1)).as("fp1"),
+      try_element_at(fp, lit(2)).as("fp2"),
+      try_element_at(fp, lit(3)).as("fp3"),
+      try_element_at(fp, lit(4)).as("fp4"))
+      .orderBy("doc_id")
+  }
+  val textFingerprintSql: String =
+    s"""WITH $tokSql, $shSql,
+       f AS (SELECT doc_id, list_sort(list_distinct(list_transform(s, x -> ${h60sql("x")}))) AS hs FROM sh)
+       SELECT doc_id, hs[1] AS fp1, hs[2] AS fp2, hs[3] AS fp3, hs[4] AS fp4
+       FROM f ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------- media chunking
+
+  /** Multimodal-column plumbing, oracle-checkable slice: treat each
+    * document's payload as an opaque blob, split it into fixed-size frames
+    * and emit per-frame metadata (index, content hash, size) — the schema/
+    * partitioning shape of an image/audio feature-extraction pass. The
+    * decode itself is stubbed in graft.multimodal.Media (no codec libs in
+    * this environment); the chunk plumbing here is the real, tested part. */
+  def mediaChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(ceil(length(col("text")).cast("double") / 128).cast("long"), lit(1L))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        md5(expr("substr(text, CAST(chunk_idx*128+1 AS INT), 128)")).as("chunk_md5"),
+        length(expr("substr(text, CAST(chunk_idx*128+1 AS INT), 128)")).cast("long").as("chunk_chars"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  val mediaChunksSql: String =
+    """WITH c AS (SELECT doc_id, text,
+         unnest(range(greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 128) AS BIGINT), 1))) AS chunk_idx
+       FROM documents)
+       SELECT doc_id, chunk_idx,
+              md5(substr(text, CAST(chunk_idx*128+1 AS INT), 128)) AS chunk_md5,
+              CAST(length(substr(text, CAST(chunk_idx*128+1 AS INT), 128)) AS BIGINT) AS chunk_chars
+       FROM c ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " ")
+}
