@@ -98,7 +98,9 @@ object TickFunctions {
           val jm = 2.0 * i / x * j - jp
           jp = j; j = jm
           if (math.abs(j) > bigno) { j *= bigni; jp *= bigni; ans *= bigni; sum *= bigni }
-          if (i % 2 == 0) sum += j
+          // normalization sum accumulates even-index J terms: after the
+          // update, j holds J_{i-1}, so add on odd i (m is even)
+          if (i % 2 == 1) sum += j
           if (i == n) ans = jp
           i -= 1
         }

@@ -1,0 +1,104 @@
+package graft
+
+import graft.llm.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different words about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("tokens lowercases, trims and drops empty tokens") {
+    val out = Seq("  Hello   World  ").toDF("t")
+      .select(TextOps.tokens(col("t"))).as[Seq[String]].head()
+    assert(out == Seq("hello", "world"))
+  }
+
+  test("shingles produces n-grams, short docs collapse to one shingle") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.shingles(TextOps.tokens(col("t")), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("exact dedup marks later copies, keeps canonical id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .select("doc_id", "dup_of", "is_dup").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(out == Set((0L, 0L, false), (1L, 1L, false), (2L, 2L, false), (3L, 0L, true)))
+  }
+
+  test("minhash: identical docs agree fully, near-dups score high, unrelated don't pair") {
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text")
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 0.5)
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: hamming 0 for identical docs, blocking finds near-dups") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 3L)) == 0L)
+    assert(pairs.get((0L, 1L)).forall(_ <= 3L))
+  }
+
+  test("ngram jaccard computes the exact set overlap") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    // 13 tokens → 11 distinct shingles each; editing the final word changes
+    // only the final shingle → 10 common / 12 union
+    assert(pairs((0L, 1L)) == math.round(10.0 / 12 * 1e6) / 1e6)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)), // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.9f, 0.1f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("knnBrute ranks the identical vector first with cosine 1") {
+    val out = Similarity.knnBrute(vecs, "vec_id", "embedding", col("vid") === 0, 3)
+      .select("rk", "neighbor_id", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(out.head == ((1L, 1L, 1.0)))
+    assert(out.map(_._2) == Seq(1L, 3L, 2L))
+  }
+
+  test("topSimilarPairs reports the identical pair first") {
+    val out = Similarity.topSimilarPairs(vecs, "vec_id", "embedding", 2)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(out.head == ((0L, 1L, 1.0)))
+  }
+
+  test("lsh buckets identical vectors together; knnLsh finds the twin") {
+    val hp = Similarity.hyperplanes(8, 3)
+    assert(hp.length == 8 && hp.head.length == 3 && hp.flatten.forall(v => v == 1.0 || v == -1.0))
+    val out = Similarity.knnLsh(vecs, "vec_id", "embedding", col("vid") === 0, 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out.contains(1L))
+  }
+
+  test("langId predicts en for English stopword-rich text, und for none") {
+    val out = Seq("the cat sat on the mat", "xyzzy plugh").toDF("t")
+      .select(TextOps.langId(TextOps.tokens(col("t")))._1).as[String].collect().toSeq
+    assert(out == Seq("en", "und"))
+  }
+
+  test("fingerprint is stable and prefix-insensitive to later edits") {
+    val fp = Seq("a b c d e f g h", "a b c d e f g h")
+      .toDF("t").select(TextOps.fingerprint(col("t"), 4)).as[Seq[Long]].collect()
+    assert(fp(0) == fp(1) && fp(0).length == 4 && fp(0) == fp(0).sorted)
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.api.Pipe
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class PipeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+
+  /** One group "a" with values 10,20,15,15 at t=0,10,20,30; group "b"
+    * with 5 at t=0. */
+  private def pipe: Pipe = {
+    val df = Seq(
+      ("a", ts(0), 10.0, 1L), ("a", ts(10), 20.0, 2L),
+      ("a", ts(20), 15.0, 3L), ("a", ts(30), 15.0, 4L),
+      ("b", ts(0), 5.0, 5L))
+      .toDF("g", "time", "v", "id")
+    Pipe(df, timeCol = "time", dims = Seq("g"), idCol = Some("id"))
+  }
+
+  test("difference emits value deltas, first point dropped") {
+    val out = pipe.difference("v", "d").df.select("g", "d").as[(String, Double)].collect().toSet
+    assert(out == Set(("a", 10.0), ("a", -5.0), ("a", 0.0)))
+  }
+
+  test("elapsed emits seconds between consecutive points") {
+    val out = pipe.elapsed(1.0, "e").df.orderBy("id").select("e").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 10.0, 10.0))
+  }
+
+  test("derivative is delta-v per unit time, nonNegative drops falls") {
+    val out = pipe.derivative("v", 1.0, nonNegative = false, "r").df
+      .orderBy("id").select("r").as[Double].collect().toSeq
+    assert(out == Seq(1.0, -0.5, 0.0))
+    val nn = pipe.derivative("v", 1.0, nonNegative = true, "r").df
+      .orderBy("id").select("r").as[Double].collect().toSeq
+    assert(nn == Seq(1.0, 0.0))
+  }
+
+  test("movingAverage emits only once the window is full") {
+    val out = pipe.movingAverage("v", 2, "m").df.orderBy("id").select("m").as[Double].collect().toSeq
+    assert(out == Seq(15.0, 17.5, 15.0))
+  }
+
+  test("cumulativeSum runs per group") {
+    val out = pipe.cumulativeSum("v", "c").df
+      .select("g", "c").as[(String, Double)].collect().toSet
+    assert(out == Set(("a", 10.0), ("a", 30.0), ("a", 45.0), ("a", 60.0), ("b", 5.0)))
+  }
+
+  test("changeDetect keeps first point and drops repeats of the emitted value") {
+    val out = pipe.changeDetect("v").df.orderBy("id").select("v").as[Double].collect().toSeq
+    assert(out == Seq(10.0, 20.0, 15.0, 5.0))
+  }
+
+  test("changeDetect collapses consecutive nulls to a single emit") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, None), (4L, Some(1.0)))
+      .toDF("id", "v").withColumn("time", timestamp_seconds(col("id")))
+    val p = Pipe(df, dims = Nil, idCol = Some("id"))
+    val ids = p.changeDetect("v").df.orderBy("id").select("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 2L, 4L))
+  }
+
+  test("stateCount counts consecutive true runs, -1 when false") {
+    val out = pipe.stateCount(col("v") >= 15, "sc").df
+      .orderBy("id").select("sc").as[Long].collect().toSeq
+    assert(out == Seq(-1L, 1L, 2L, 3L, -1L))
+  }
+
+  test("stateDuration measures seconds since the run began") {
+    val out = pipe.stateDuration(col("v") >= 15, "sd").df
+      .orderBy("id").select("sd").as[Double].collect().toSeq
+    assert(out == Seq(-1.0, 0.0, 10.0, 20.0, -1.0))
+  }
+
+  test("sampleN keeps every nth point per group") {
+    val out = pipe.sampleN(2).df.select("id").as[Long].collect().toSeq.sorted
+    assert(out == Seq(2L, 4L))
+  }
+
+  test("shift moves time forward") {
+    val out = pipe.shift(60).df.filter(col("id") === 1).select("time")
+      .as[Timestamp].head()
+    assert(out == ts(60))
+  }
+
+  test("default fills nulls and missing columns") {
+    val p = pipe.eval("w" -> when(col("v") > 12, col("v")))
+      .default("w" -> 0.0, "tag" -> "x")
+    val out = p.df.orderBy("id").select("w").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 20.0, 15.0, 15.0, 0.0))
+    assert(p.df.columns.contains("tag"))
+  }
+
+  test("joinTolerance buckets on rounded time per key") {
+    val l = Pipe(Seq((1L, ts(0), 1.0)).toDF("k", "time", "x"), dims = Nil)
+    val r = Pipe(Seq((1L, ts(25), 2.0)).toDF("k", "time", "y"), dims = Nil)
+    // 25s rounds to 0 at 60s tolerance → joins; at 10s tolerance → 30 ≠ 0
+    assert(l.joinTolerance(r, 60, ("l", "r"), Seq("k")).count() == 1)
+    assert(l.joinTolerance(r, 10, ("l", "r"), Seq("k")).count() == 0)
+  }
+}
