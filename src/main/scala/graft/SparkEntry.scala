@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, LlmQueries => LQ, TpchQueries => TQ}
+import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, EventQueries3 => EQ3, LlmQueries => LQ, TpchQueries => TQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,10 @@ object SparkEntry {
     "q_flatten" -> (EQ2.flattenQ _),
     "q_combine" -> (EQ2.combineQ _),
     "q_sigma" -> (EQ2.sigmaQ _),
+    // -- sideload / deadman / alert templating (SURVEY §2.6/2.7)
+    "q_sideload" -> (EQ3.sideloadQ _),
+    "q_deadman" -> (EQ3.deadmanQ _),
+    "q_alert_message" -> (EQ3.alertMessageQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -121,6 +125,9 @@ object SparkEntry {
     "q_flatten" -> EQ2.flattenSql,
     "q_combine" -> EQ2.combineSql,
     "q_sigma" -> EQ2.sigmaSql,
+    "q_sideload" -> EQ3.sideloadSql,
+    "q_deadman" -> EQ3.deadmanSql,
+    "q_alert_message" -> EQ3.alertMessageSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

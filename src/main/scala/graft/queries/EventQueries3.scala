@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.functions.AlertTemplates
+import graft.operators.{Deadman, Sideload}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Wave 3: sideload overlay, stats/deadman, alert message templating
+  * (SURVEY §2.6/2.7). Same conventions as [[EventQueries]]. */
+object EventQueries3 {
+  import EventQueries.{pipe, preludeSql}
+
+  private def tusCol = expr("ts_ns DIV 1000")
+
+  // ----------------------------------------------------------- sideload
+
+  /** sideload(): per-event_type weight overlay with a default level
+    * (reference sideload.go) — the config "files" are a broadcast table;
+    * most-specific level first, constant default last. */
+  def sideloadQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(
+      ("click", Map("weight" -> "1.5")),
+      ("purchase", Map("weight" -> "10.0")),
+      ("error", Map("weight" -> "0.25")),
+      ("default", Map("weight" -> "1.0")))
+      .toDF("key", "values")
+    val loaded = Sideload.sideload(
+      pipe(s, dir).df,
+      levels = Seq(col("event_type"), lit("default")),
+      config = config,
+      fields = Map("weight" -> lit("1.0")))
+    loaded
+      .withColumn("weight", col("weight").cast("double"))
+      .withColumn("weighted_v", round(col("value") * col("weight"), 6))
+      .select(col("event_id"), col("event_type"), col("weight"), col("weighted_v"))
+      .orderBy("event_id")
+  }
+  val sideloadSql: String =
+    """SELECT event_id, event_type,
+       CAST(CASE WHEN event_type = 'click' THEN '1.5' WHEN event_type = 'purchase' THEN '10.0'
+            WHEN event_type = 'error' THEN '0.25' ELSE '1.0' END AS DOUBLE) AS weight,
+       round(value * CAST(CASE WHEN event_type = 'click' THEN '1.5' WHEN event_type = 'purchase' THEN '10.0'
+            WHEN event_type = 'error' THEN '0.25' ELSE '1.0' END AS DOUBLE), 6) AS weighted_v
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------ stats/deadman
+
+  /** deadman(2, 1h) per event_type: zero-filled hourly throughput with a
+    * CRITICAL level at or below the threshold (reference
+    * pipeline/node.go:282-312). */
+  def deadmanQ(s: SparkSession, dir: String): DataFrame =
+    Deadman.deadman(
+      pipe(s, dir).df.withColumn("tus", tusCol),
+      "tus", "event_type", 3600, 2)
+      .orderBy("event_type", "bucket_s")
+  val deadmanSql: String =
+    s"""$preludeSql, b AS (
+         SELECT event_type, CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT) AS bs FROM e),
+       r AS (SELECT unnest(generate_series(
+         (SELECT min(bs) FROM b), (SELECT max(bs) FROM b), 3600)) AS bucket_s),
+       g AS (SELECT DISTINCT event_type FROM b),
+       c AS (SELECT event_type, bs AS bucket_s, count(*) AS emitted FROM b GROUP BY 1, 2)
+       SELECT g.event_type, r.bucket_s, coalesce(c.emitted, 0) AS emitted,
+              CASE WHEN coalesce(c.emitted, 0) <= 2 THEN 'CRITICAL' ELSE 'OK' END AS level
+       FROM g CROSS JOIN r LEFT JOIN c ON c.event_type = g.event_type AND c.bucket_s = r.bucket_s
+       ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
+  // -------------------------------------------------- alert templating
+
+  /** Templated alert messages over classified points (reference
+    * alert.go:1349-1422): `{{ .ID }} is {{ .Level }} v={{ index .Fields
+    * "v" }}` rendered as one codegen'd concat. */
+  def alertMessageQ(s: SparkSession, dir: String): DataFrame = {
+    val lvl = when(col("value") > 90, "CRITICAL")
+      .when(col("value") > 70, "WARNING")
+      .otherwise("OK")
+    val d = pipe(s, dir).df
+      .withColumn("level", lvl)
+      .withColumn("alert_id", concat_ws(":", col("event_type"), col("user_id")))
+      .withColumn("fields", map(lit("v"), floor(col("value")).cast("long").cast("string")))
+    val msg = AlertTemplates.compile(
+      """{{ .ID }} is {{ .Level }} v={{ index .Fields "v" }}""",
+      scope = Map("ID" -> col("alert_id"), "Level" -> col("level")),
+      fields = Some(col("fields")))
+    d.select(col("event_id"), col("level"), msg.as("message")).orderBy("event_id")
+  }
+  val alertMessageSql: String =
+    """SELECT event_id,
+       CASE WHEN value > 90 THEN 'CRITICAL' WHEN value > 70 THEN 'WARNING' ELSE 'OK' END AS level,
+       event_type || ':' || CAST(user_id AS VARCHAR) || ' is ' ||
+       (CASE WHEN value > 90 THEN 'CRITICAL' WHEN value > 70 THEN 'WARNING' ELSE 'OK' END) ||
+       ' v=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS message
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.AlertTemplates
+import graft.operators.{Deadman, Sideload}
+import graft.sources.{LineProtocol, ResultRenderer}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("line protocol parses measurement, tags, typed fields, timestamp") {
+    val p = LineProtocol.parseLine(
+      """weather,location=us\ midwest,season=fall temperature=82.5,count=5i,ok=true,desc="h\"i" 1465839830100400200""").get
+    assert(p.measurement == "weather")
+    assert(p.tags == Map("location" -> "us midwest", "season" -> "fall"))
+    assert(p.fieldsFloat == Map("temperature" -> 82.5))
+    assert(p.fieldsInt == Map("count" -> 5L))
+    assert(p.fieldsBool == Map("ok" -> true))
+    assert(p.fieldsStr == Map("desc" -> "h\"i"))
+    assert(p.timeNs == 1465839830100400200L)
+  }
+
+  test("line protocol skips blanks/comments, tolerates malformed values") {
+    assert(LineProtocol.parseLine("").isEmpty)
+    assert(LineProtocol.parseLine("# comment").isEmpty)
+    val bad = LineProtocol.parseLine("m v=notanumber 1").get
+    assert(bad.fieldsFloat.isEmpty && bad.measurement == "m")
+  }
+
+  test("distributed parse produces a Pipe-ready frame") {
+    val lines = Seq(
+      "cpu,host=a usage=0.5 1000000000",
+      "cpu,host=b usage=0.7 2000000000",
+      "# comment").toDS()
+    val df = LineProtocol.toPointFrame(LineProtocol.parse(lines))
+    assert(df.count() == 2)
+    assert(df.columns.contains("time") && df.columns.contains("ts_ns"))
+    val hosts = df.select(expr("tags['host']")).as[String].collect().toSet
+    assert(hosts == Set("a", "b"))
+  }
+
+  test("result renderer groups series by tags with time first") {
+    val df = Seq(("a", 1.0, new java.sql.Timestamp(1000)), ("b", 2.0, new java.sql.Timestamp(2000)))
+      .toDF("host", "v", "time")
+    val r = ResultRenderer.render(df, "m", Seq("host"))
+    assert(r.series.length == 2)
+    assert(r.series.head.columns.head == "time")
+    val json = ResultRenderer.toJson(r)
+    assert(json.contains(""""name":"m"""") && json.contains(""""host":"a""""))
+  }
+
+  test("sideload overlays most-specific config, falls back to default") {
+    val points = Seq(("x", 1L), ("y", 2L), ("z", 3L)).toDF("kind", "id")
+    val config = Seq(
+      ("x", Map("w" -> "2.0")),
+      ("default", Map("w" -> "1.0"))).toDF("key", "values")
+    val out = Sideload.sideload(points, Seq(col("kind"), lit("default")), config,
+      Map("w" -> lit("0.0")))
+      .select("kind", "w").as[(String, String)].collect().toMap
+    assert(out == Map("x" -> "2.0", "y" -> "1.0", "z" -> "1.0"))
+  }
+
+  test("deadman zero-fills empty intervals and flags them") {
+    // group g has points in buckets 0 and 7200 only → 3600 is empty
+    val df = Seq(("g", 10L * 1000000), ("g", 7210L * 1000000)).toDF("k", "tus")
+    val out = Deadman.deadman(df, "tus", "k", 3600, 0)
+      .orderBy("bucket_s")
+      .select("bucket_s", "emitted", "level").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((0L, 1L, "OK"), (3600L, 0L, "CRITICAL"), (7200L, 1L, "OK")))
+  }
+
+  test("alert templates compile to a single concat column") {
+    val df = Seq(("id1", "CRITICAL", Map("v" -> "42"))).toDF("id", "lvl", "fields")
+    val msg = AlertTemplates.compile(
+      """{{ .ID }}: level {{ .Level }} value={{ index .Fields "v" }}!""",
+      scope = Map("ID" -> col("id"), "Level" -> col("lvl")),
+      fields = Some(col("fields")))
+    assert(df.select(msg).as[String].head() == "id1: level CRITICAL value=42!")
+  }
+
+  test("alert template unknown vars render empty") {
+    val df = Seq(1).toDF("x")
+    val msg = AlertTemplates.compile("a{{ .Nope }}b", Map.empty)
+    assert(df.select(msg).as[String].head() == "ab")
+  }
+}
