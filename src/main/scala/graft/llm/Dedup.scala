@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash and exact n-gram Jaccard (inverted-index form).
@@ -21,6 +22,17 @@ import org.apache.spark.sql.functions._
   *     rows, making the final Jaccard a pure map-side computation.
   */
 object Dedup {
+
+  /** Staged (doc_id, sh) frame where sh is the distinct word-n-shingle
+    * *hash* set. Each stage lives in its own projection so lambdas bind to
+    * materialized attributes: inlining `tokens(text)` into the per-shingle
+    * lambda would re-tokenize the document once per shingle (measured 50×
+    * slowdown — CollapseProject keeps multi-referenced non-trivial
+    * expressions apart, which is exactly what we rely on here). */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("shw"))
+      .select(col("doc_id"), array_distinct(transform(col("shw"), s => TextOps.h60(s))).as("sh"))
 
   /** Exact duplicate marking: every row keeps its content hash and the
     * smallest doc_id bearing the same hash (`dup_of`); `is_dup` flags
@@ -49,11 +61,19 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     require(bands * rows == k, "bands*rows must equal k")
-    val sigs = docs.select(
-      col(idCol).as("doc_id"),
-      TextOps.minhashSig(TextOps.shingleSet(col(textCol), 3), k).as("sig"))
+    // materialize one h60 per shingle in its own projection, then derive
+    // the k families arithmetically — the md5s are computed exactly once
+    // (CollapseProject keeps multi-referenced non-trivial columns apart)
+    val sigs = shingleHashes(docs, idCol, textCol, 3)
+      .select(col("doc_id"), TextOps.minhashSigFromHashes(col("sh"), k).as("sig"))
+    // materialize the tiny signature+band table before the self-join:
+    // both join sides would otherwise recompute the full text→signature
+    // pipeline, and generators re-evaluate interpreted expression chains
+    // per output row. Signatures are O(k) longs per doc — at 100 TB of
+    // text this is the table you keep, not the corpus.
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(TextOps.minhashBands(col("sig"), bands, rows)).as(Seq("band", "bh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bh"))
@@ -75,11 +95,16 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, "blocking is only lossless for maxHamming < chunks")
     val chunkBits = 32 / chunks
-    val hashed = docs.select(col(idCol).as("doc_id"),
-      TextOps.simhash32(TextOps.tokens(col(textCol))).as("sh"))
+    val hashed = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => TextOps.h60(t)).as("ths"))
+      .select(col("doc_id"), TextOps.simhash32FromHashes(col("ths")).as("sh"))
+    // one 64-bit hash per doc: materialize before the fan-out (see
+    // minhashLsh for rationale)
     val blocked = hashed.select(col("doc_id"), col("sh"),
       posexplode(array((0 until chunks).map(c =>
         TextOps.simhashChunk(col("sh"), c, chunkBits)): _*)).as(Seq("chunk_idx", "chunk")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = blocked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_idx", "chunk"))
@@ -90,26 +115,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard via inverted index: explode each document's
-    * distinct shingle set, equi-join on the shingle, count common shingles
-    * per pair, and compute |A∩B| / |A∪B| without ever materializing
-    * non-overlapping pairs. */
+  /** Exact n-gram Jaccard via **prefix filtering** (the AllPairs/PPJoin
+    * family): order each document's distinct shingles by ascending global
+    * document frequency (rarest first, canonical tie-break) and index only
+    * the first |A| − ⌈t·|A|⌉ + 1 of them. Two sets with Jaccard ≥ t must
+    * overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, which cannot fit entirely in
+    * either suffix — so every qualifying pair collides on some indexed
+    * prefix shingle (the filter is LOSSLESS; the verification oracle states
+    * the naive full inverted join and the outputs are identical).
+    * Candidates are then verified exactly on the full shingle sets.
+    *
+    * This is the 100 TB shape: a frequent shingle ("the quick brown")
+    * appears in millions of suffixes but few prefixes, so the candidate
+    * join stays near-linear in the number of true near-duplicates instead
+    * of quadratic in document frequency. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      TextOps.shingleSet(col(textCol), n).as("sh"))
+    // hashed shingle sets: verification compares 60-bit hashes, not
+    // strings (the chance of an in-pair collision at 2^-60 is negligible
+    // against the corpus sizes this runs at)
+    val sets = shingleHashes(docs, idCol, textCol, n)
       .withColumn("nsh", size(col("sh")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col("shingle"), col("doc_id").as("id_a"), col("nsh").as("n_a"))
-    val b = inv.select(col("shingle"), col("doc_id").as("id_b"), col("nsh").as("n_b"))
-    a.join(b, Seq("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfc = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rarest-first canonical position of each shingle within its document
+    val pos = inv.join(dfc, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("__pos") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = pos.select(col("shingle"), col("doc_id").as("id_a"),
+      col("__pos").as("pos_a"), col("nsh").as("na"))
+    val b = pos.select(col("shingle"), col("doc_id").as("id_b"),
+      col("__pos").as("pos_b"), col("nsh").as("nb"))
+    // size filter: J ≥ t bounds the size ratio; positional filter (PPJoin):
+    // a collision whose remaining tails cannot reach the required overlap
+    // α = ⌈t/(1+t)·(na+nb)⌉ is discarded. A qualifying pair's FIRST common
+    // prefix element always passes both, so the filters stay lossless.
+    val alpha = ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")))
+    val candidates = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("common"))
+      .filter(col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
+      .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >= alpha)
+      .select("id_a", "id_b").distinct()
+    // exact verification on the full hashed sets
+    val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
+    val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
+    candidates.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)

@@ -17,15 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Widen float array to double (exact). */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Left-fold double dot product via the native codegen'd expression
+    * (graft.expressions.DotProduct) — identical semantics to
+    * `aggregate(zip_with(...))` but it stays inside whole-stage codegen,
+    * which is the difference between interpreted HOF folds and a primitive
+    * loop on an all-pairs similarity join. */
+  def dot(a: Column, b: Column): Column = {
+    graft.expressions.DotProduct.register(org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
-  /** Left-fold sum of an array<double>. */
-  private def fsum(v: Column): Column = aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  def dot(a: Column, b: Column): Column = fsum(zip_with(asDouble(a), asDouble(b), (x, y) => x * y))
-
-  def norm(a: Column): Column = sqrt(fsum(transform(asDouble(a), x => x * x)))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity given two vectors and their precomputed norms
     * (precompute norms per row *before* any join — at 100 TB you don't
@@ -85,7 +87,7 @@ object Similarity {
     * dot(v, plane_h) >= 0. Vectors in the same bucket are ANN candidates. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, h) =>
-      val d = fsum(zip_with(asDouble(v), typedlit(p), (x, y) => x * y))
+      val d = dot(v, typedlit(p))
       when(d >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -41,13 +41,54 @@ object TextOps {
 
   // ------------------------------------------------------------- MinHash
 
-  /** k-element MinHash signature over a shingle array. Hash family i is
-    * h60 salted with the function index (`i:shingle`) — no multiply/mod
-    * arithmetic, so no overflow at any scale and trivially portable to the
-    * oracle engine. */
+  /** JVM-side h60 (identical to the Column version) for deriving constants
+    * embedded in both the Spark plan and the oracle SQL. */
+  private[graft] def jvmH60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  /** Per-family multipliers for the MinHash mixing hash: 30-bit odd
+    * constants derived from md5, so each family is
+    * `xor(hi(h)*a_i, lo(h)*b_i)` with every product < 2^60 — overflow-safe
+    * BIGINT arithmetic on any engine. */
+  private[graft] def minhashConsts(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i =>
+      ((jvmH60(s"mh:a:$i") % (1L << 30)) | 1L, (jvmH60(s"mh:b:$i") % (1L << 30)) | 1L))
+
+  private val mask30 = (1L << 30) - 1
+  private[graft] val mixPrime = 2147483647L // 2^31 - 1
+
+  /** Family-i mix of a 60-bit hash: universal-style
+    * `(hi*a_i + lo*b_i) mod (2^31-1)`. The modular wrap is essential — it
+    * destroys the cross-family ordering correlation a plain product would
+    * keep (all families would elect the same argmin). Every intermediate
+    * stays below 2^61: exact on any engine's BIGINT. */
+  private[graft] def mixHash(h: Column, consts: (Long, Long)): Column =
+    (shiftright(h, 30) * lit(consts._1) + h.bitwiseAND(lit(mask30)) * lit(consts._2)) % lit(mixPrime)
+
+  /** k-element MinHash signature over a *hash* array (one h60 per shingle,
+    * computed once upstream in its own projection). Fused native expression
+    * (graft.expressions.MinHashSig): one codegen'd pass computes all k
+    * mins, versus k interpreted `array_min(transform(...))` trees. */
+  def minhashSigFromHashes(hashArr: Column, k: Int): Column = {
+    val name = graft.expressions.MinHashSig.register(
+      org.apache.spark.sql.SparkSession.active, k)
+    call_function(name, hashArr)
+  }
+
+  /** Reference composition of the same signature from builtins (used by
+    * tests to pin the native expression's semantics). */
+  private[graft] def minhashSigFromHashesHof(hashArr: Column, k: Int): Column = {
+    val consts = minhashConsts(k)
+    array((0 until k).map(i => array_min(transform(hashArr, h => mixHash(h, consts(i))))): _*)
+  }
+
+  /** Convenience: signature straight from shingles (computes h60 inline —
+    * prefer materializing the hash array first as Dedup.minhashLsh does). */
   def minhashSig(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleArr, s => h60(concat(i.cast("string"), lit(":"), s)))))
+    minhashSigFromHashes(transform(shingleArr, s => h60(s)), k)
 
   /** LSH band keys for a MinHash signature: `bands` bands of `rows` rows,
     * each hashed to a compact string key. Two documents are candidate
@@ -71,8 +112,13 @@ object TextOps {
     * Token frequency weights naturally (each occurrence votes). 32 bits
     * keeps every intermediate in Long range; near-duplicates land within a
     * small Hamming distance. */
-  def simhash32(toks: Column): Column = {
-    val ths = transform(toks, t => h60(t))
+  def simhash32(toks: Column): Column = simhash32FromHashes(transform(toks, t => h60(t)))
+
+  /** SimHash over a precomputed token-hash array — the hash array must be
+    * materialized in its own projection upstream, because each of the 32
+    * bit-vote aggregates references it (re-inlining would recompute the
+    * md5s 32×). */
+  def simhash32FromHashes(ths: Column): Column = {
     val bits = (0 until 32).map { b =>
       val vote = aggregate(ths, lit(0L), (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
       when(vote > 0, lit(1L << b)).otherwise(lit(0L))

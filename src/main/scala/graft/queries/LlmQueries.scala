@@ -49,10 +49,13 @@ object LlmQueries {
   def dedupMinhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(s, dir), "doc_id", "text").orderBy("id_a", "id_b")
   val dedupMinhashSql: String = {
-    val sigElem = h60sql("i::VARCHAR || ':' || x")
+    // the identical mixing families, from the same JVM-derived constants
+    val sigList = graft.llm.TextOps.minhashConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ((h >> 30) * $a + (h & 1073741823) * $b) % ${graft.llm.TextOps.mixPrime}))"
+    }.mkString("[", ", ", "]")
     s"""WITH $tokSql, $shSql,
-       sig AS (SELECT doc_id, list_transform(range(16), i ->
-                 list_min(list_transform(s, x -> $sigElem))) AS sig FROM sh),
+       hsc AS (SELECT doc_id, list_transform(s, x -> ${h60sql("x")}) AS hs FROM sh),
+       sig AS (SELECT doc_id, $sigList AS sig FROM hsc),
        band AS (SELECT doc_id, sig, b,
                  md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
                 FROM sig, (SELECT unnest(range(4)) AS b)),

@@ -90,6 +90,25 @@ class LlmSpec extends SparkSpec {
     assert(out.contains(1L))
   }
 
+  test("native minhash expression matches the builtin composition") {
+    val hs = transform(TextOps.shingleSet(col("text"), 3), s => TextOps.h60(s))
+    val both = corpus.select(hs.as("hs"))
+      .select(TextOps.minhashSigFromHashes(col("hs"), 16).as("a"),
+        TextOps.minhashSigFromHashesHof(col("hs"), 16).as("b"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.forall { case (a, b) => a == b })
+  }
+
+  test("native dot product matches the interpreted fold") {
+    val fold = aggregate(
+      zip_with(transform(col("embedding"), x => x.cast("double")),
+        transform(col("embedding"), x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val both = vecs.select(Similarity.dot(col("embedding"), col("embedding")).as("a"), fold.as("b"))
+      .as[(Double, Double)].collect()
+    assert(both.forall { case (a, b) => a == b })
+  }
+
   test("langId predicts en for English stopword-rich text, und for none") {
     val out = Seq("the cat sat on the mat", "xyzzy plugh").toDF("t")
       .select(TextOps.langId(TextOps.tokens(col("t")))._1).as[String].collect().toSeq
