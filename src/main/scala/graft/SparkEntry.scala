@@ -70,6 +70,7 @@ object SparkEntry {
     "q_sideload" -> (EQ3.sideloadQ _),
     "q_deadman" -> (EQ3.deadmanQ _),
     "q_alert_message" -> (EQ3.alertMessageQ _),
+    "q_window_perpoint" -> (EQ3.windowPerPointQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_sideload" -> EQ3.sideloadSql,
     "q_deadman" -> EQ3.deadmanSql,
     "q_alert_message" -> EQ3.alertMessageSql,
+    "q_window_perpoint" -> EQ3.windowPerPointSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

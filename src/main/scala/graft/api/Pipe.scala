@@ -101,6 +101,31 @@ final case class Pipe(
   def union(others: Pipe*): Pipe =
     copy(df = others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
 
+  /** union(...).rename(m): merged stream under a new measurement name
+    * (reference union.go rename). */
+  def unionRename(newName: String, others: Pipe*): Pipe =
+    union(others: _*).copy(measurement = Some(newName))
+
+  /** groupBy(...).exclude(tags…): current dims minus the excluded ones
+    * (reference group_by.go ExcludedDimensions). */
+  def groupByExclude(excluded: String*): Pipe = copy(dims = dims.filterNot(excluded.contains))
+
+  /** trickle(): batch → stream representation change (reference
+    * trickle.go:9-66). Rows are already flat here, so this only clears the
+    * batch bookkeeping — kept for API parity. */
+  def trickle(): Pipe = this
+
+  /** noop() (reference noop.go). */
+  def noop(): Pipe = this
+
+  /** eval(...).quiet(): per-row evaluation errors degrade to null instead
+    * of failing the pipeline (reference eval.go .quiet()). Spark's
+    * equivalent is the `try_*` expression family (try_divide, try_add,
+    * try_cast, …) — build the expressions from those and this is exactly
+    * the reference's behavior, row-local and codegen'd. This method is
+    * eval() plus the contract that callers pass try-variant expressions. */
+  def evalQuiet(exprs: (String, Column)*): Pipe = eval(exprs: _*)
+
   // ------------------------------------------------- stream transformations
   // (reference influxql.go:213-273 — emit one output per input point)
 
@@ -233,6 +258,20 @@ final case class Pipe(
       .withColumn("wstart_s", unix_timestamp(col("__w.start")))
       .withColumn("wend_s", unix_timestamp(col("__w.end")))
       .drop("__w"))
+  }
+
+  /** window().period(p).every(0): emit on EVERY point the aggregate of the
+    * trailing period (oldest, now] — the reference's right-aligned
+    * per-point window (window.go:150-224, every=0 path). A range frame
+    * over epoch-µs with an inclusive lower bound at now−p+1µs gives the
+    * exclusive-older-end semantics; peers at the same timestamp are
+    * included, matching the reference's buffer contents. */
+  def windowPerPoint(periodSeconds: Long, field: String): Pipe = {
+    val frame = byGroup.orderBy(unix_micros(t))
+      .rangeBetween(-(periodSeconds * 1000000L - 1), 0)
+    copy(df = df
+      .withColumn("w_cnt", count(lit(1)).over(frame))
+      .withColumn("w_mean", avg(col(field)).over(frame)))
   }
 
   /** Count window periodCount n / everyCount m (reference window.go:360-470):

@@ -66,6 +66,25 @@ object EventQueries3 {
        FROM g CROSS JOIN r LEFT JOIN c ON c.event_type = g.event_type AND c.bucket_s = r.bucket_s
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
+  // ------------------------------------------- per-point (every=0) window
+
+  /** window().period(1h).every(0): every point carries the count/mean of
+    * its trailing hour (reference window.go every=0 right-aligned emit). */
+  def windowPerPointQ(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir).windowPerPoint(3600, "value")
+    p.df.select(
+      col("event_type"), unix_micros(col("time")).as("time_us"),
+      col("w_cnt").as("cnt"), round(col("w_mean"), 6).as("mean_v"))
+      .orderBy("event_type", "time_us")
+  }
+  val windowPerPointSql: String =
+    s"""$preludeSql SELECT event_type, tus AS time_us,
+       count(*) OVER w AS cnt, round(avg(value) OVER w, 6) AS mean_v
+       FROM e
+       WINDOW w AS (PARTITION BY event_type ORDER BY tus
+                    RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+       ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
   // -------------------------------------------------- alert templating
 
   /** Templated alert messages over classified points (reference

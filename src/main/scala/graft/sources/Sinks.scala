@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Output connectors (reference §2.1 sinks): influxDBOut-style durable
+  * writes, line-protocol serialization (the inverse of
+  * [[LineProtocol.parse]]), and the httpPost payload formatter. Streaming
+  * callers wrap these in `foreachBatch`; batch callers invoke directly —
+  * the reference's point-at-a-time buffered writers (influxdb_out.go
+  * writeBuffer) become micro-batch writes for free.
+  */
+object Sinks {
+
+  /** influxDBOut-equivalent durable write: parquet partitioned by
+    * (measurement, UTC day) — the layout that keeps 100 TB of points
+    * pruneable by measurement + time-range at read time. Overrides mirror
+    * the reference's .database()/.retentionPolicy()/.tag() options. */
+  def influxOut(
+      df: DataFrame,
+      path: String,
+      measurementCol: String = "measurement",
+      timeCol: String = "time",
+      extraTags: Map[String, String] = Map.empty): Unit = {
+    val tagged = extraTags.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+    tagged
+      .withColumn("__day", date_format(col(timeCol), "yyyy-MM-dd"))
+      .write
+      .mode("append")
+      .partitionBy(measurementCol, "__day")
+      .parquet(path)
+  }
+
+  /** Serialize rows to line protocol: `measurement,tags fields timeNs`.
+    * Pure Catalyst (concat/escape), so the writer is codegen'd and
+    * distributes like any projection. */
+  def toLineProtocol(
+      measurement: Column,
+      tags: Seq[(String, Column)],
+      fields: Seq[(String, Column)],
+      timeNs: Column): Column = {
+    def esc(c: Column): Column =
+      regexp_replace(c.cast("string"), "([,= ])", "\\\\$1")
+    val tagPart =
+      if (tags.isEmpty) lit("")
+      else concat(tags.map { case (k, v) => concat(lit(s",$k="), esc(v)) }: _*)
+    val fieldPart = concat_ws(",",
+      fields.map { case (k, v) => concat(lit(s"$k="), v.cast("string")) }: _*)
+    concat(esc(measurement), tagPart, lit(" "), fieldPart, lit(" "), timeNs.cast("string"))
+  }
+
+  /** httpPost-equivalent payload batches: one JSON Result string per
+    * micro-batch/partition-limited chunk, handed to a pluggable transport
+    * (the reference's POST, here any String => Unit — tests inject a
+    * recorder, production injects an HTTP client in foreachBatch). */
+  def httpPost(
+      df: DataFrame,
+      name: String,
+      tagCols: Seq[String],
+      transport: String => Unit): Unit =
+    transport(ResultRenderer.httpOutJson(df, name, tagCols))
+
+  /** kapacitorLoopback-equivalent: re-inject an output frame into an
+    * ingest location other pipelines read (reference
+    * kapacitor_loopback.go; cycle detection is the caller's topology
+    * concern, exactly as the reference validates at task start). */
+  def loopback(df: DataFrame, ingestPath: String): Unit =
+    df.write.mode("append").parquet(ingestPath)
+}

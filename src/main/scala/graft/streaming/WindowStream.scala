@@ -74,6 +74,35 @@ object WindowStream {
 
   case class BarrierEvent(group: String, emittedAtUs: Long, kind: String)
   case class IdleState(lastSeenUs: Long)
+  case class PeriodicState(lastSeenUs: Long, armed: Boolean)
+
+  /** barrier().period(d) (reference barrier.go:230-320): emit a barrier for
+    * every group each `periodMs` of wall-clock regardless of traffic. The
+    * timer re-arms on expiry instead of resetting on data (that's the
+    * difference from [[idleBarrier]]). */
+  def periodicBarrier(
+      points: Dataset[CountPoint],
+      periodMs: Long): Dataset[BarrierEvent] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.group)
+      .flatMapGroupsWithState[PeriodicState, BarrierEvent](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (group: String, it: Iterator[CountPoint], gs: GroupState[PeriodicState]) =>
+          if (gs.hasTimedOut) {
+            val st = gs.getOption.getOrElse(PeriodicState(0L, armed = false))
+            gs.update(st.copy(armed = true))
+            gs.setTimeoutDuration(periodMs)
+            Iterator.single(BarrierEvent(group, st.lastSeenUs, "periodic"))
+          } else {
+            val st = gs.getOption.getOrElse(PeriodicState(0L, armed = false))
+            val maxT = it.map(_.timeUs).foldLeft(st.lastSeenUs)(math.max)
+            gs.update(PeriodicState(maxT, armed = true))
+            if (!st.armed) gs.setTimeoutDuration(periodMs)
+            Iterator.empty
+          }
+      }
+  }
 
   /** barrier().idle(d) [.delete()] (reference barrier.go:86-229): when a
     * group has been idle for `idleUs` of event time, emit a barrier event;
