@@ -5,6 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Graft.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, parquet footers, shuffle machinery) so
+    // per-query timings measure the operators, not JVM startup billed to
+    // whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      graft.Graft.events(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
