@@ -115,6 +115,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full pipeline runs identically in batch and streaming (M5)") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // stream: filter(value > 50) |window(60s tumbling)| mean per group
+    val ms = MemoryStream[CountPoint]
+    val stream = ms.toDS().toDF()
+      .withColumn("time", timestamp_micros($"timeUs"))
+      .filter($"value" > 50)
+    val agg = WindowStream.windowedMeanCount(stream, "time", "value", Seq("group"), 60, 60, "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("e2e_t").outputMode("append").start()
+    try {
+      val batch1 = Seq(
+        CountPoint("a", 10 * us, 60.0), CountPoint("a", 20 * us, 80.0),
+        CountPoint("a", 30 * us, 40.0), // filtered out
+        CountPoint("b", 15 * us, 100.0))
+      ms.addData(batch1); q.processAllAvailable()
+      // late-ish batch advances the watermark past the first minute
+      ms.addData(Seq(CountPoint("a", 400 * us, 70.0))); q.processAllAvailable()
+      ms.addData(Seq(CountPoint("a", 600 * us, 70.0))); q.processAllAvailable()
+      val streamed = spark.table("e2e_t")
+        .select($"group", unix_timestamp($"wstart").as("ws"), $"cnt", $"mean_v")
+        .as[(String, Long, Long, Double)].collect().toSet
+      // batch rendering of the same pipeline over the same rows
+      val all = (batch1 ++ Seq(CountPoint("a", 400 * us, 70.0), CountPoint("a", 600 * us, 70.0))).toDS()
+        .toDF().withColumn("time", timestamp_micros($"timeUs")).filter($"value" > 50)
+      val expected = all
+        .groupBy($"group", window($"time", "60 seconds").as("w"))
+        .agg(count(lit(1)).as("cnt"), avg($"value").as("mean_v"))
+        .select($"group", unix_timestamp($"w.start").as("ws"), $"cnt", $"mean_v")
+        .as[(String, Long, Long, Double)].collect().toSet
+      // streaming emits only watermark-finalized windows → subset equality,
+      // and the first-minute windows must be present and identical
+      assert(streamed.subsetOf(expected))
+      assert(streamed.exists(r => r._1 == "a" && r._2 == 0 && r._3 == 2 && r._4 == 70.0))
+      assert(streamed.exists(r => r._1 == "b" && r._2 == 0 && r._3 == 1 && r._4 == 100.0))
+    } finally q.stop()
+  }
+
   test("streaming sliding window mean with watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[CountPoint]
