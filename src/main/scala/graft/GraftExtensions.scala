@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.MinHashSig].getName, "graft_minhash16"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.MinHashSig(exprs.head, graft.llm.TextOps.minhashConsts(16))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[graft.expressions.ShingleHashes].getName, "graft_shingles3"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.ShingleHashes(exprs.head, 3, distinct = true)))
   }
 }

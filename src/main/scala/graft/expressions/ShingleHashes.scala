@@ -1,0 +1,100 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Fused text → word-n-shingle 60-bit hash array: lowercase/trim/tokenize,
+  * n-word shingles (a doc shorter than n tokens yields its whole token
+  * string as one shingle), md5-derived h60 per shingle, optional distinct.
+  *
+  * Exactly the staged `tokens → shingles → h60 → array_distinct` builtin
+  * pipeline (TextOps), but one partition-local JVM pass — no interpreted
+  * HOF trees, no intermediate UTF8String arrays. CodegenFallback is fine:
+  * the md5 work dominates and the Scala loop is already tight; what this
+  * removes is per-lambda expression interpretation.
+  *
+  * `n == 1, distinct = false` yields the token-hash multiset SimHash needs.
+  */
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects string, got $t")
+  }
+
+  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private def h60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // first 15 hex chars == high 60 bits of the first 8 bytes
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // mirror lower(trim(text)) + split("\s+") + drop empties (TextOps.tokens)
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val out =
+      if (n > 1 && toks.length < n) Array(h60(toks.mkString(" ")))
+      else {
+        val cnt = toks.length - n + 1
+        val hs = new Array[Long](math.max(cnt, 0))
+        var i = 0
+        while (i < cnt) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          hs(i) = h60(sb.toString)
+          i += 1
+        }
+        hs
+      }
+    val res =
+      if (!distinct) out
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        out.foreach(seen.add(_))
+        val arr = new Array[Long](seen.size)
+        val it = seen.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        arr
+      }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Register `graft_shingles<n>[_all]` (distinct unless `_all`). */
+  def register(spark: SparkSession, n: Int, distinct: Boolean = true): String = {
+    val name = s"graft_shingles$n" + (if (distinct) "" else "_all")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => ShingleHashes(exprs.head, n, distinct), "built-in")
+    name
+  }
+}

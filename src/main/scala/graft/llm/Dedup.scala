@@ -23,16 +23,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** Staged (doc_id, sh) frame where sh is the distinct word-n-shingle
-    * *hash* set. Each stage lives in its own projection so lambdas bind to
-    * materialized attributes: inlining `tokens(text)` into the per-shingle
-    * lambda would re-tokenize the document once per shingle (measured 50×
-    * slowdown — CollapseProject keeps multi-referenced non-trivial
-    * expressions apart, which is exactly what we rely on here). */
-  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("shw"))
-      .select(col("doc_id"), array_distinct(transform(col("shw"), s => TextOps.h60(s))).as("sh"))
+  /** (doc_id, sh) frame where sh is the distinct word-n-shingle *hash*
+    * set, computed by the fused native expression
+    * (graft.expressions.ShingleHashes) — one JVM pass per document instead
+    * of the interpreted tokens→shingles→md5→distinct HOF chain. */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val fn = graft.expressions.ShingleHashes.register(
+      org.apache.spark.sql.SparkSession.active, n)
+    docs.select(col(idCol).as("doc_id"), call_function(fn, col(textCol)).as("sh"))
+  }
 
   /** Exact duplicate marking: every row keeps its content hash and the
     * smallest doc_id bearing the same hash (`dup_of`); `is_dup` flags
@@ -95,9 +94,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, "blocking is only lossless for maxHamming < chunks")
     val chunkBits = 32 / chunks
+    val tokFn = graft.expressions.ShingleHashes.register(
+      org.apache.spark.sql.SparkSession.active, 1, distinct = false)
     val hashed = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => TextOps.h60(t)).as("ths"))
+      .select(col(idCol).as("doc_id"), call_function(tokFn, col(textCol)).as("ths"))
       .select(col("doc_id"), TextOps.simhash32FromHashes(col("ths")).as("sh"))
     // one 64-bit hash per doc: materialize before the fan-out (see
     // minhashLsh for rationale)

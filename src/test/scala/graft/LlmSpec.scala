@@ -99,6 +99,26 @@ class LlmSpec extends SparkSpec {
     assert(both.forall { case (a, b) => a == b })
   }
 
+  test("native shingle-hash expression matches the staged builtin pipeline") {
+    val fn = graft.expressions.ShingleHashes.register(spark, 3)
+    val tokFn = graft.expressions.ShingleHashes.register(spark, 1, distinct = false)
+    val staged = corpus
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), TextOps.shingles(col("toks"), 3).as("shw"), col("toks"))
+      .select(col("doc_id"), col("text"),
+        array_distinct(transform(col("shw"), s => TextOps.h60(s))).as("builtin3"),
+        transform(col("toks"), t => TextOps.h60(t)).as("builtin1"))
+    val both = staged
+      .select(
+        call_function(fn, col("text")).as("native3"), col("builtin3"),
+        call_function(tokFn, col("text")).as("native1"), col("builtin1"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+    both.foreach { case (n3, b3, n1, b1) =>
+      assert(n3.toSet == b3.toSet && n3.length == b3.length)
+      assert(n1 == b1)
+    }
+  }
+
   test("native dot product matches the interpreted fold") {
     val fold = aggregate(
       zip_with(transform(col("embedding"), x => x.cast("double")),
