@@ -1,0 +1,74 @@
+package graft
+
+import graft.api.Pipe
+import graft.sources.{LineProtocol, ResultRenderer}
+import graft.streaming.AlertStream
+import org.apache.spark.sql.functions._
+
+/** The reference's golden-replay test shape (integrations/streamer_test.go:
+  * fixture replay → TICKscript pipeline → httpOut Result compare), here:
+  * line-protocol fixture → Pipe pipeline → ResultRenderer golden compare.
+  * Mirrors the README cpu_alert example: stream|from('cpu')|window|mean|
+  * alert(crit: usage > 70). */
+class GoldenReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    "cpu,host=serverA usage=40.0 0",
+    "cpu,host=serverA usage=60.0 5000000000",
+    "cpu,host=serverA usage=80.0 10000000000",
+    "cpu,host=serverA usage=90.0 15000000000",
+    "cpu,host=serverB usage=10.0 0",
+    "cpu,host=serverB usage=20.0 5000000000",
+    "mem,host=serverA used=99.0 0") // different measurement: filtered out
+
+  private def points = {
+    val parsed = LineProtocol.toPointFrame(LineProtocol.parse(fixture.toDS()))
+    parsed
+      .filter(col("measurement") === "cpu")
+      .select(
+        col("time"),
+        expr("tags['host']").as("host"),
+        expr("fieldsFloat['usage']").as("usage"))
+  }
+
+  test("replayed fixture through window|mean matches the golden Result") {
+    val p = Pipe(points, timeCol = "time", dims = Seq("host"))
+      .windowTumbling(10, "bucket_s")
+    val agg = p.df.groupBy("host", "bucket_s")
+      .agg(avg("usage").as("mean_usage"))
+      .orderBy("host", "bucket_s")
+    val result = ResultRenderer.render(agg, "cpu", Seq("host"))
+    // golden: serverA → buckets 0s (mean 50) and 10s (mean 85); serverB → 15
+    assert(result.series.map(_.tags("host")) == Seq("serverA", "serverB"))
+    val a = result.series.head
+    assert(a.columns == Seq("bucket_s", "mean_usage"))
+    assert(a.values == Seq(Seq(0L, 50.0), Seq(10L, 85.0)))
+    val b = result.series(1)
+    assert(b.values == Seq(Seq(0L, 15.0)))
+    // and the JSON tap renders the same shape the reference serves
+    val json = ResultRenderer.toJson(result)
+    assert(json.contains(""""tags":{"host":"serverA"}""") && json.contains("85.0"))
+  }
+
+  test("replayed fixture through the alert FSM matches the golden events") {
+    import AlertStream._
+    val pts = points.select(
+      col("host").as("group"),
+      unix_micros(col("time")).as("timeUs"),
+      (col("usage") > 50).as("pass1"),
+      (col("usage") > 70).as("pass2"),
+      (col("usage") > 85).as("pass3"),
+      lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+      .as[AlertPoint]
+    val events = runBatch(pts, AlertConfig(stateChangesOnly = true))
+      .collect().sortBy(e => (e.group, e.timeUs))
+      .map(e => (e.group, e.timeUs / 1000000, e.levelName)).toSeq
+    // initial OK points never emit under stateChangesOnly (history starts
+    // at OK, unchanged); serverB stays OK throughout → silent
+    assert(events == Seq(
+      ("serverA", 5L, "INFO"),
+      ("serverA", 10L, "WARNING"),
+      ("serverA", 15L, "CRITICAL")))
+  }
+}
