@@ -94,6 +94,28 @@ class PipeSpec extends SparkSpec {
     assert(p.df.columns.contains("tag"))
   }
 
+  test("flattenOn pivots per-dim values into prefixed columns") {
+    val df = Seq(
+      ("click", 1L, ts(5), 1.0), ("view", 2L, ts(7), 2.0), ("click", 3L, ts(65), 3.0))
+      .toDF("kind", "id", "time", "v")
+    val p = Pipe(df, dims = Seq("kind"), idCol = Some("id"))
+      .flattenOn("kind", Seq("click", "view"), "v", 60)
+    val out = p.df.orderBy("bucket_s")
+      .select("bucket_s", "click_v", "view_v")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq((0L, Some(1.0), Some(2.0)), (60L, Some(3.0), None)))
+  }
+
+  test("combinePairs emits ordered in-bucket combinations") {
+    val df = Seq(
+      (1L, ts(5), 95.0), (2L, ts(10), 96.0), (3L, ts(20), 97.0), (4L, ts(4000), 99.0))
+      .toDF("id", "time", "v")
+    val p = Pipe(df, dims = Nil, idCol = Some("id"))
+    val pairs = p.combinePairs(col("v") > 90, col("v") > 90, 3600)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // id 4 in a later bucket
+  }
+
   test("joinTolerance buckets on rounded time per key") {
     val l = Pipe(Seq((1L, ts(0), 1.0)).toDF("k", "time", "x"), dims = Nil)
     val r = Pipe(Seq((1L, ts(25), 2.0)).toDF("k", "time", "y"), dims = Nil)
