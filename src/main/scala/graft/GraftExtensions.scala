@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.ShingleHashes].getName, "graft_shingles3"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.expressions.ShingleHashes(exprs.head, 3, distinct = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[graft.expressions.IntersectCountSorted].getName, "graft_isect"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.expressions.IntersectCountSorted(exprs(0), exprs(1))))
   }
 }

@@ -74,13 +74,17 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
     val res =
       if (!distinct) out
       else {
-        val seen = new java.util.LinkedHashSet[java.lang.Long]()
-        out.foreach(seen.add(_))
-        val arr = new Array[Long](seen.size)
-        val it = seen.iterator()
+        // distinct + ASCENDING sort: downstream set ops (minhash min,
+        // Jaccard intersection) are order-insensitive, and sorted arrays
+        // let IntersectCountSorted merge-count in O(n+m)
+        java.util.Arrays.sort(out)
+        var w = 0
         var i = 0
-        while (it.hasNext) { arr(i) = it.next(); i += 1 }
-        arr
+        while (i < out.length) {
+          if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(out, w)
       }
     new GenericArrayData(res)
   }

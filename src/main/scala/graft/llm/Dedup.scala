@@ -167,8 +167,10 @@ object Dedup {
     // exact verification on the full hashed sets
     val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
     val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
+    graft.expressions.IntersectCountSorted.register(
+      org.apache.spark.sql.SparkSession.active)
     candidates.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("common", call_function("graft_isect", col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)

@@ -44,10 +44,15 @@ object Similarity {
     val b = n.select(col("vid").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     val pairs = a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+    // distributed top-k (TakeOrderedAndProject: per-partition heads merged
+    // on the driver) instead of a global rank window, which would sort the
+    // full pair set on a single partition; ranks attach to the k survivors
     pairs
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))).cast("long"))
-      .filter(col("rk") <= k)
       .select(col("rk"), col("id_a"), col("id_b"), col("cos"))
   }
 

@@ -119,6 +119,19 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native sorted intersect count matches array_intersect") {
+    graft.expressions.IntersectCountSorted.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val both = df.select(
+      call_function("graft_isect", col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .as[(Long, Long)].collect()
+    assert(both.forall { case (n, b) => n == b })
+  }
+
   test("native dot product matches the interpreted fold") {
     val fold = aggregate(
       zip_with(transform(col("embedding"), x => x.cast("double")),
