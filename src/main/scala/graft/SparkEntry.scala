@@ -71,6 +71,8 @@ object SparkEntry {
     "q_deadman" -> (EQ3.deadmanQ _),
     "q_alert_message" -> (EQ3.alertMessageQ _),
     "q_window_perpoint" -> (EQ3.windowPerPointQ _),
+    "q_sample_duration" -> (EQ3.sampleDurationQ _),
+    "q_eval_quiet" -> (EQ3.evalQuietQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -130,6 +132,8 @@ object SparkEntry {
     "q_deadman" -> EQ3.deadmanSql,
     "q_alert_message" -> EQ3.alertMessageSql,
     "q_window_perpoint" -> EQ3.windowPerPointSql,
+    "q_sample_duration" -> EQ3.sampleDurationSql,
+    "q_eval_quiet" -> EQ3.evalQuietSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

@@ -97,6 +97,19 @@ final case class Pipe(
       .filter(col("__rn") % n === 0)
       .drop("__rn"))
 
+  /** sample(duration): keep the first point per duration bucket per group
+    * (reference sample.go:97-104 duration mode). */
+  def sampleEvery(bucketSeconds: Long): Pipe = {
+    val bucket = floor(unix_micros(t) / lit(1000000L) / bucketSeconds)
+    val w = (if (dims.isEmpty) Window.partitionBy(bucket)
+             else Window.partitionBy(dims.map(col) :+ bucket: _*))
+      .orderBy(orderCols: _*)
+    copy(df = df
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn"))
+  }
+
   /** union(): merge streams by name (reference union.go:28-166). */
   def union(others: Pipe*): Pipe =
     copy(df = others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))

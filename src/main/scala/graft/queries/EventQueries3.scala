@@ -66,6 +66,42 @@ object EventQueries3 {
        FROM g CROSS JOIN r LEFT JOIN c ON c.event_type = g.event_type AND c.bucket_s = r.bucket_s
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
+  // --------------------------------------------------- duration sampling
+
+  /** sample(30m): first point of each half-hour per event_type (reference
+    * sample.go duration mode). */
+  def sampleDurationQ(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir).sampleEvery(1800)
+    p.df.select(col("event_id"), col("event_type"),
+      unix_micros(col("time")).as("time_us"), col("value"))
+      .orderBy("event_id")
+  }
+  val sampleDurationSql: String =
+    s"""$preludeSql SELECT event_id, event_type, tus AS time_us, value FROM e
+       QUALIFY row_number() OVER (
+         PARTITION BY event_type, CAST(floor(tus/1000000.0/1800) AS BIGINT)
+         ORDER BY tus, event_id) = 1
+       ORDER BY event_id""".replaceAll("\\s+", " ")
+
+  // ----------------------------------------------------------- quiet eval
+
+  /** eval().quiet() semantics: division that degrades to null instead of
+    * erroring (reference eval.go .quiet(); Spark try_* family under ANSI). */
+  def evalQuietQ(s: SparkSession, dir: String): DataFrame = {
+    // raw quotient, no rounding: IEEE division of identical inputs is
+    // bit-identical across engines, while rounding a quotient with a
+    // dyadic denominator (floor-100 ∈ {2,4,8,…}) hits exact .5 ties where
+    // Spark's BigDecimal HALF_UP and DuckDB's scaled-double round disagree
+    val p = pipe(s, dir).evalQuiet(
+      "ratio" -> try_divide(col("value"), floor(col("value")) - 100))
+    p.df.select(col("event_id"), col("ratio")).orderBy("event_id")
+  }
+  val evalQuietSql: String =
+    """SELECT event_id,
+       CASE WHEN floor(value) - 100 = 0 THEN NULL
+            ELSE value / (floor(value) - 100) END AS ratio
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
   // ------------------------------------------- per-point (every=0) window
 
   /** window().period(1h).every(0): every point carries the count/mean of
