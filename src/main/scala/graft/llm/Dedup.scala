@@ -28,8 +28,9 @@ object Dedup {
     * (graft.expressions.ShingleHashes) — one JVM pass per document instead
     * of the interpreted tokens→shingles→md5→distinct HOF chain. */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val fn = graft.expressions.ShingleHashes.register(
-      org.apache.spark.sql.SparkSession.active, n)
+    // register on the frame's own session — resolution happens there, and
+    // the caller's thread-local active session is not guaranteed to match
+    val fn = graft.expressions.ShingleHashes.register(docs.sparkSession, n)
     docs.select(col(idCol).as("doc_id"), call_function(fn, col(textCol)).as("sh"))
   }
 
@@ -63,6 +64,7 @@ object Dedup {
     // materialize one h60 per shingle in its own projection, then derive
     // the k families arithmetically — the md5s are computed exactly once
     // (CollapseProject keeps multi-referenced non-trivial columns apart)
+    graft.expressions.MinHashSig.register(docs.sparkSession, k)
     val sigs = shingleHashes(docs, idCol, textCol, 3)
       .select(col("doc_id"), TextOps.minhashSigFromHashes(col("sh"), k).as("sig"))
     // materialize the tiny signature+band table before the self-join:
@@ -95,7 +97,7 @@ object Dedup {
     require(maxHamming < chunks, "blocking is only lossless for maxHamming < chunks")
     val chunkBits = 32 / chunks
     val tokFn = graft.expressions.ShingleHashes.register(
-      org.apache.spark.sql.SparkSession.active, 1, distinct = false)
+      docs.sparkSession, 1, distinct = false)
     val hashed = docs
       .select(col(idCol).as("doc_id"), call_function(tokFn, col(textCol)).as("ths"))
       .select(col("doc_id"), TextOps.simhash32FromHashes(col("ths")).as("sh"))
@@ -167,8 +169,7 @@ object Dedup {
     // exact verification on the full hashed sets
     val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
     val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
-    graft.expressions.IntersectCountSorted.register(
-      org.apache.spark.sql.SparkSession.active)
+    graft.expressions.IntersectCountSorted.register(docs.sparkSession)
     candidates.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("common", call_function("graft_isect", col("sh_a"), col("sh_b")))
       .withColumn("jaccard",

@@ -39,6 +39,7 @@ object Similarity {
     * report). All-pairs scoring — the exactness baseline; the LSH variant
     * below is the scale path. */
   def topSimilarPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = n.select(col("vid").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
@@ -60,6 +61,7 @@ object Similarity {
     * corpus vectors (self excluded). The query side is broadcast — the
     * corpus side streams through in one pass, no shuffle of the big side. */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
     // queryPred references the normalized id column "vid"
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val q = n.filter(queryPred)
@@ -107,8 +109,9 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int,
-      planes: Int = 8): DataFrame = {
-    val dim = 64
+      planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
     val hp = hyperplanes(planes, dim)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), hp).as("bucket"))
