@@ -90,6 +90,24 @@ final case class Pipe(
   /** groupBy(): re-dimension the stream (reference group_by.go:33-206). */
   def groupBy(newDims: String*): Pipe = copy(dims = newDims)
 
+  /** groupBy(*): group by ALL tags of a dynamic `tags: map<string,string>`
+    * column — the reference's star dimension (group_by.go star path,
+    * groupID derivation models/point.go:82-118). The map is canonicalized
+    * to a sorted `k=v,k=v` string key so equal tag sets always collide,
+    * regardless of map entry order; `byMeasurement` prepends the
+    * measurement name exactly like the reference's groupID. */
+  def groupByStar(
+      tagsCol: String = "tags",
+      byMeasurement: Boolean = false,
+      measurementCol: String = "measurement",
+      as: String = "group_id"): Pipe = {
+    val entries = array_sort(transform(map_entries(col(tagsCol)),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))))
+    val key = if (byMeasurement) concat(col(measurementCol), lit("\n"), array_join(entries, ","))
+    else array_join(entries, ",")
+    copy(df = df.withColumn(as, key), dims = Seq(as))
+  }
+
   /** sample(n): keep every Nth point per group (reference sample.go:97-104). */
   def sampleN(n: Int): Pipe =
     copy(df = df

@@ -94,6 +94,22 @@ class PipeSpec extends SparkSpec {
     assert(p.df.columns.contains("tag"))
   }
 
+  test("groupByStar canonicalizes dynamic tag maps into one group key") {
+    val df = Seq(
+      (1L, Map("b" -> "2", "a" -> "1"), "cpu"),
+      (2L, Map("a" -> "1", "b" -> "2"), "cpu"), // same tags, different order
+      (3L, Map("a" -> "1"), "cpu"))
+      .toDF("id", "tags", "measurement")
+      .withColumn("time", timestamp_seconds(col("id")))
+    val p = Pipe(df, dims = Nil, idCol = Some("id")).groupByStar()
+    val keys = p.df.select("id", "group_id").as[(Long, String)].collect().toMap
+    assert(keys(1L) == keys(2L) && keys(1L) == "a=1,b=2")
+    assert(keys(3L) == "a=1")
+    val pm = Pipe(df, dims = Nil).groupByStar(byMeasurement = true)
+    assert(pm.df.select("group_id").as[String].head().startsWith("cpu\n"))
+    assert(pm.dims == Seq("group_id"))
+  }
+
   test("flattenOn pivots per-dim values into prefixed columns") {
     val df = Seq(
       ("click", 1L, ts(5), 1.0), ("view", 2L, ts(7), 2.0), ("click", 3L, ts(65), 3.0))
