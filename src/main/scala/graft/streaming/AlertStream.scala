@@ -42,14 +42,21 @@ object AlertStream {
       history: Seq[Int], idx: Int, flapping: Boolean,
       firstUs: Long, lastUs: Long)
 
+  /** @param stateChangesOnlyMaxIntervalUs with stateChangesOnly, re-emit an
+    *        unchanged state once this much event time has passed since the
+    *        last emitted event (reference .stateChangesOnly(maxInterval),
+    *        alert.go updateExpired:1289); 0 = never re-emit. */
   case class AlertConfig(
       historyLen: Int = 21,
       useFlapping: Boolean = false,
       flapLow: Double = 0.25,
       flapHigh: Double = 0.5,
       stateChangesOnly: Boolean = false,
+      stateChangesOnlyMaxIntervalUs: Long = 0L,
       noRecoveries: Boolean = false,
-      resetDefined: Seq[Boolean] = Seq(false, false, false))
+      resetDefined: Seq[Boolean] = Seq(false, false, false)) {
+    require(historyLen >= 2, "flapping history needs at least 2 entries")
+  }
 
   val levelNames: Seq[String] = Seq("OK", "INFO", "WARNING", "CRITICAL")
 
@@ -114,7 +121,10 @@ object AlertStream {
         else st.flapping
       }
     val st2 = st.copy(history = hist2, idx = idx2, flapping = flapping2)
-    if ((cfg.useFlapping && flapping2) || (cfg.stateChangesOnly && !changed))
+    // expired: unchanged for maxInterval of event time → re-emit anyway
+    val expired = !changed && cfg.stateChangesOnlyMaxIntervalUs != 0 &&
+      p.timeUs - st.lastUs >= cfg.stateChangesOnlyMaxIntervalUs
+    if ((cfg.useFlapping && flapping2) || (cfg.stateChangesOnly && !changed && !expired))
       (st2, None)
     else if (level != 0 || changed) {
       // triggered(t): previous level OK → new alert run begins now

@@ -30,6 +30,15 @@ class StreamingSpec extends SparkSpec {
     assert(out.map(e => (e.timeUs / us, e.level)) == Seq((1L, 1), (3L, 2), (5L, 0)))
   }
 
+  test("stateChangesOnly maxInterval re-emits stale unchanged state") {
+    val cfg = AlertConfig(stateChangesOnly = true, stateChangesOnlyMaxIntervalUs = 3 * us)
+    val points = Seq(pt("g", 1, 1), pt("g", 2, 1), pt("g", 5, 1), pt("g", 6, 1))
+    val out = runBatch(points.toDS(), cfg).collect().sortBy(_.timeUs).toSeq
+    // t=1 emits (change), t=2 suppressed, t=5 re-emits (3s since last
+    // emit), t=6 suppressed again
+    assert(out.map(_.timeUs / us) == Seq(1L, 5L))
+  }
+
   test("noRecoveries drops the OK event but keeps the run") {
     val points = Seq(pt("g", 1, 1), pt("g", 2, 0), pt("g", 3, 1))
     val out = runBatch(points.toDS(), AlertConfig(noRecoveries = true))
