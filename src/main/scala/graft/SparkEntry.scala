@@ -25,6 +25,7 @@ object SparkEntry {
     "q_revenue_by_nation" -> TQ.revenueByNation,
     "q_selective_scan" -> TQ.selectiveScan,
     "q_top_customer_per_nation" -> TQ.topCustomerPerNation,
+    "q_revenue_region_nation" -> TQ.revenueByRegionNation,
     // -- InfluxQL aggregate family (SURVEY §2.5)
     "q_count_hour" -> ((s, d) => EQ.aggHour(s, d, "count")),
     "q_sum_hour" -> ((s, d) => EQ.aggHour(s, d, "sum")),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_revenue_by_nation" -> TQ.revenueByNationSql,
     "q_selective_scan" -> TQ.selectiveScanSql,
     "q_top_customer_per_nation" -> TQ.topCustomerPerNationSql,
+    "q_revenue_region_nation" -> TQ.revenueByRegionNationSql,
     "q_count_hour" -> EQ.aggHourSql("count"),
     "q_sum_hour" -> EQ.aggHourSql("sum"),
     "q_mean_hour" -> EQ.aggHourSql("mean"),

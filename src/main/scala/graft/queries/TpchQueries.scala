@@ -68,6 +68,45 @@ object TpchQueries {
        FROM lineitem WHERE l_quantity > 49.5 AND l_discount < 0.01
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
+  /** Local-supplier revenue by nation within a region/year (TPC-H Q5
+    * shape): the multi-join showcase — dims (region⋈nation, customer,
+    * supplier) broadcast against the two fact tables, one shuffle join
+    * between orders and lineitem on orderkey, AQE free to re-plan; the
+    * local-supply condition (customer and supplier share the nation)
+    * prunes after the broadcasts. */
+  def revenueByRegionNation(s: SparkSession, dir: String): DataFrame = {
+    val nations = Graft.table(s, dir, "nation")
+      .join(Graft.table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Graft.table(s, dir, "orders")
+      .filter(col("o_orderdate") >= expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+    Graft.table(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Graft.table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Graft.table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val revenueByRegionNationSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY 1 ORDER BY 1""".replaceAll("\\s+", " ")
+
   /** Top customer per nation by account balance — ranked window shape. */
   def topCustomerPerNation(s: SparkSession, dir: String): DataFrame = {
     val customer = Graft.table(s, dir, "customer")
