@@ -1,0 +1,36 @@
+package graft.tools
+
+/** Dev tool: scan every SparkEntry query's physical plan for scale
+  * red flags (cartesian products, single-partition exchanges outside the
+  * final result sort, nested-loop joins).
+  *
+  * Known-intentional flags (all tiny-side broadcasts, reviewed):
+  *   - q_deadman: bucket-range × group-universe cross join — both sides
+  *     are one-row/few-row aggregates; the raw stream is scanned once.
+  *   - q_dedup_embedding: all-pairs id_a < id_b non-equi join — the
+  *     declared exactness baseline; q_knn_lsh is the scale path.
+  *   - q_knn_bruteforce: crossJoin(broadcast(queries)) by design.
+  *   - q_sideload: the constant "default" hierarchy level joins on a
+  *     literal key — a broadcast of a 4-row config table.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Graft.session("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          // exclude the final output sort (rangepartitioning is fine)
+          "SinglePartitionExchange" -> plan.contains("Exchange SinglePartition"))
+          .filter(_._2).map(_._1)
+        if (flags.nonEmpty) println(s"== FLAG $name: ${flags.mkString(",")}")
+      } catch { case e: Throwable => println(s"== ERR $name: ${e.getMessage.take(80)}") }
+    }
+    println("== audit done")
+    spark.stop()
+  }
+}
