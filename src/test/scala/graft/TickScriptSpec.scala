@@ -1,0 +1,82 @@
+package graft
+
+import graft.tick.TickScript
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TickScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private val source = Seq(
+    ("cpu", "serverA", ts(0), 40.0, 1L),
+    ("cpu", "serverA", ts(5), 60.0, 2L),
+    ("cpu", "serverA", ts(10), 80.0, 3L),
+    ("cpu", "serverA", ts(15), 90.0, 4L),
+    ("cpu", "serverB", ts(0), 10.0, 5L),
+    ("mem", "serverA", ts(0), 99.0, 6L))
+    .toDF("measurement", "host", "time", "usage", "id")
+
+  test("lexer handles strings, field refs, durations, operators, comments") {
+    import TickScript._
+    val toks = lex("""|from().where(lambda: "usage" > 70.5) // tail
+                      |.period(10s)""".stripMargin)
+    assert(toks.contains(TStr("")) == false)
+    assert(toks.contains(TFieldRef("usage")))
+    assert(toks.contains(TDur(10.0)))
+    assert(toks.contains(TOp(">")))
+  }
+
+  test("the README cpu_alert pipeline compiles and runs end to end") {
+    val script =
+      """stream
+        ||from().measurement('cpu').groupBy('host')
+        ||window().period(10s).every(10s)
+        ||mean('usage')
+        ||alert().warn(lambda: "mean" > 70).crit(lambda: "mean" > 85)
+        ||httpOut('cpu_alert')
+        |""".stripMargin
+    val out = TickScript.compile(script, source, idCol = Some("id"))
+      .orderBy("host", "bucket_s")
+      .select($"host", $"bucket_s", $"mean", $"level")
+      .as[(String, Long, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("serverA", 0L, 50.0, 0), // mean(40,60) → OK
+      ("serverA", 10L, 85.0, 2), // mean(80,90) → WARNING (not > 85)
+      ("serverB", 0L, 10.0, 0)))
+  }
+
+  test("where + eval + stateCount chain") {
+    val script =
+      """stream
+        ||from().measurement('cpu').groupBy('host')
+        ||eval(lambda: "usage" * 2 + 1).as('v2')
+        ||where(lambda: "v2" > 100 AND "host" == 'serverA')
+        ||stateCount(lambda: "v2" > 120)
+        |""".stripMargin
+    val out = TickScript.compile(script, source, idCol = Some("id"))
+      .orderBy("id").select($"v2", $"state_count").as[(Double, Long)].collect().toSeq
+    // v2: 121, 161, 181 pass the where; stateCount counts v2>120 runs
+    assert(out == Seq((121.0, 1L), (161.0, 2L), (181.0, 3L)))
+  }
+
+  test("derivative and stateChangesOnly alert") {
+    val script =
+      """stream
+        ||from().measurement('cpu').where(lambda: "host" == 'serverA').groupBy('host')
+        ||derivative('usage')
+        ||alert().crit(lambda: "derivative" >= 4).stateChangesOnly()
+        |""".stripMargin
+    val out = TickScript.compile(script, source, idCol = Some("id"))
+      .orderBy("time").select($"level").as[Int].collect().toSeq
+    // derivatives: 4, 4, 2 → CRIT, (suppressed), OK
+    assert(out == Seq(3, 0))
+  }
+
+  test("unsupported nodes fail loudly") {
+    intercept[IllegalArgumentException] {
+      TickScript.compile("stream |nope()", source)
+    }
+  }
+}
