@@ -74,6 +74,8 @@ object SparkEntry {
     "q_window_perpoint" -> (EQ3.windowPerPointQ _),
     "q_sample_duration" -> (EQ3.sampleDurationQ _),
     "q_eval_quiet" -> (EQ3.evalQuietQ _),
+    "q_fill_previous" -> (EQ3.fillPreviousQ _),
+    "q_fill_linear" -> (EQ3.fillLinearQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -136,6 +138,8 @@ object SparkEntry {
     "q_window_perpoint" -> EQ3.windowPerPointSql,
     "q_sample_duration" -> EQ3.sampleDurationSql,
     "q_eval_quiet" -> EQ3.evalQuietSql,
+    "q_fill_previous" -> EQ3.fillPreviousSql,
+    "q_fill_linear" -> EQ3.fillLinearSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

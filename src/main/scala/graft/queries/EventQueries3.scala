@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.AlertTemplates
-import graft.operators.{Deadman, Sideload}
+import graft.operators.{Deadman, Fill, Sideload}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,58 @@ object EventQueries3 {
        FROM e
        WINDOW w AS (PARTITION BY event_type ORDER BY tus
                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+       ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
+  // ----------------------------------------------------------- fill
+
+  private def filledBase(s: SparkSession, dir: String): DataFrame =
+    Fill.bucketedMin(
+      pipe(s, dir).df.withColumn("tus", tusCol).filter(col("value") > 150),
+      "tus", "event_type", "value", 3600)
+
+  private val filledBaseSql =
+    s"""$preludeSql, f AS (SELECT * FROM e WHERE value > 150),
+       b AS (SELECT event_type, CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT) AS bs, value FROM f),
+       r AS (SELECT unnest(generate_series(
+         (SELECT min(bs) FROM b), (SELECT max(bs) FROM b), 3600)) AS bucket_s),
+       g AS (SELECT DISTINCT event_type FROM b),
+       m AS (SELECT event_type, bs AS bucket_s, min(value) AS v FROM b GROUP BY 1, 2),
+       ax AS (SELECT g.event_type, r.bucket_s, m.v
+              FROM g CROSS JOIN r LEFT JOIN m ON m.event_type = g.event_type AND m.bucket_s = r.bucket_s)"""
+
+  /** fill(previous): hourly means (sparse after a selective filter) with
+    * gaps carried forward (InfluxQL FILL(previous)). */
+  def fillPreviousQ(s: SparkSession, dir: String): DataFrame =
+    Fill.fillPrevious(filledBase(s, dir), "event_type", "bucket_s", "v")
+      .withColumn("v", round(col("v"), 6))
+      .orderBy("event_type", "bucket_s")
+  val fillPreviousSql: String =
+    s"""$filledBaseSql
+       SELECT event_type, bucket_s,
+              round(last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+       FROM ax ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
+  /** fill(linear): gaps interpolated between neighboring observed buckets;
+    * edges stay null (InfluxQL FILL(linear)). */
+  def fillLinearQ(s: SparkSession, dir: String): DataFrame =
+    Fill.fillLinear(filledBase(s, dir), "event_type", "bucket_s", "v")
+      .withColumn("v", round(col("v"), 6))
+      .orderBy("event_type", "bucket_s")
+  val fillLinearSql: String =
+    s"""$filledBaseSql
+       SELECT event_type, bucket_s,
+              round(CASE WHEN v IS NOT NULL THEN v
+                    ELSE last_value(v IGNORE NULLS) OVER wb
+                       + (first_value(v IGNORE NULLS) OVER wf - last_value(v IGNORE NULLS) OVER wb)
+                         * (bucket_s - last_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wb)
+                         / (first_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wf
+                            - last_value(CASE WHEN v IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER wb)
+                    END, 6) AS v
+       FROM ax
+       WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY event_type ORDER BY bucket_s ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
        ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
   // -------------------------------------------------- alert templating
