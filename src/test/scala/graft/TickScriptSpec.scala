@@ -74,6 +74,67 @@ class TickScriptSpec extends SparkSpec {
     assert(out == Seq(3, 0))
   }
 
+  test("the reference repo's own example scripts compile and run") {
+    // line-protocol fixture → parsed points → pivoted field columns,
+    // exactly what a reference user's telegraf cpu stream looks like
+    val lines = Seq(
+      "cpu,host=a,cpu=cpu0 usage_idle=5.0,usage_user=90.0 1000000000",
+      "cpu,host=a,cpu=cpu0 usage_idle=50.0,usage_user=20.0 11000000000",
+      "cpu,host=b,cpu=cpu1 usage_idle=15.0,usage_user=40.0 1000000000",
+      "system,host=a load1=0.5 1000000000").toDS()
+    val pts = graft.sources.LineProtocol.toPointFrame(graft.sources.LineProtocol.parse(lines))
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['usage_idle']").as("usage_idle"),
+        expr("fieldsFloat['usage_user']").as("usage_user"))
+
+    // examples/load/tasks/cpu_alert.tick (verbatim shape)
+    val cpuAlert =
+      """dbrp "telegraf"."autogen"
+        |dbrp "telegraf"."autogen_not"
+        |stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy(*)
+        |    |alert()
+        |        .warn(lambda: "usage_idle" < 20)
+        |        .crit(lambda: "usage_idle" < 10)
+        |""".stripMargin
+    val out = TickScript.compile(cpuAlert, pts)
+      .select($"group_id", $"usage_idle", $"level")
+      .as[(String, Double, Int)].collect().toSet
+    assert(out == Set(
+      ("cpu=cpu0,host=a", 5.0, 3), // crit
+      ("cpu=cpu0,host=a", 50.0, 0),
+      ("cpu=cpu1,host=b", 15.0, 2))) // warn
+
+    // examples/nodes/tasks/alert.tick
+    val alertTick =
+      """dbrp "telegraf"."autogen"
+        |stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy(*)
+        |    |alert()
+        |        .crit(lambda: "usage_user" > 80)
+        |""".stripMargin
+    val crits = TickScript.compile(alertTick, pts).filter($"level" === 3).count()
+    assert(crits == 1)
+
+    // examples/nodes/tasks/httpout.tick (window shape)
+    val httpOutTick =
+      """dbrp "telegraf"."autogen"
+        |stream
+        |    |from()
+        |        .measurement('system')
+        |    |window()
+        |        .period(1m)
+        |        .every(10s)
+        |    |httpOut('data')
+        |""".stripMargin
+    val windows = TickScript.compile(httpOutTick, pts)
+    assert(windows.count() == 6) // one point covers 60s/10s = 6 sliding windows
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
