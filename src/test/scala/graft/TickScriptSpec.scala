@@ -135,6 +135,49 @@ class TickScriptSpec extends SparkSpec {
     assert(windows.count() == 6) // one point covers 60s/10s = 6 sliding windows
   }
 
+  test("the error_percent example (vars + query + join + eval) compiles and runs") {
+    // examples/error_percent/error_percent.tick, verbatim shape
+    val script =
+      """// Get errors batch data
+        |var errors = batch
+        |    |query('SELECT sum(value) FROM "pages"."default".errors')
+        |        .period(1h)
+        |        .every(1h)
+        |        .groupBy(time(1m), *)
+        |        .fill(0)
+        |
+        |var views = batch
+        |    |query('SELECT sum(value) FROM "pages"."default".views')
+        |        .period(1h)
+        |        .every(1h)
+        |        .groupBy(time(1m), *)
+        |        .fill(0)
+        |
+        |errors
+        |    |join(views)
+        |        .as('errors', 'views')
+        |    |eval(lambda: "errors.sum" / ("views.sum" + "errors.sum"))
+        |        .as('value')
+        |    |influxDBOut()
+        |        .database('pages')
+        |        .measurement('error_percent')
+        |""".stripMargin
+    val lines = Seq(
+      "errors,page=home value=5.0 0",
+      "errors,page=home value=5.0 30000000000",
+      "views,page=home value=90.0 0",
+      "views,page=home value=100.0 60000000000",
+      "errors,page=home value=2.0 60000000000").toDS()
+    val pts = graft.sources.LineProtocol.toPointFrame(graft.sources.LineProtocol.parse(lines))
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+      .orderBy("bucket_s")
+      .select($"bucket_s", $"value").as[(Long, Double)].collect().toSeq
+    // minute 0: errors 10, views 90 → 10/(90+10)=0.1; minute 60: 2/(100+2)
+    assert(out == Seq((0L, 0.1), (60L, 2.0 / 102.0)))
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
