@@ -178,6 +178,52 @@ class TickScriptSpec extends SparkSpec {
     assert(out == Seq((0L, 0.1), (60L, 2.0 / 102.0)))
   }
 
+  test("the join example (shared var, 3-way join, eval keep) compiles and runs") {
+    // examples/load/tasks/join.tick, verbatim shape
+    val script =
+      """dbrp "telegraf"."autogen"
+        |var data = stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy(*)
+        |    |eval()
+        |        .keep('usage_user')
+        |    |window()
+        |        .period(10s)
+        |        .every(10s)
+        |var mean_data = data
+        |  |mean('usage_user')
+        |    .as('usage_user')
+        |var max_data = data
+        |  |max('usage_user')
+        |    .as('usage_user')
+        |var min_data = data
+        |  |min('usage_user')
+        |    .as('usage_user')
+        |mean_data
+        |  |join(max_data, min_data)
+        |    .as('mean','max','min')
+        |  |eval(lambda: "mean.usage_user", lambda: "max.usage_user", lambda: "min.usage_user")
+        |    .as('mean_usage','max_usage','min_usage')
+        |  |log()
+        |  |influxDBOut()
+        |    .database('downit')
+        |    .measurement('idk')
+        |""".stripMargin
+    val lines = Seq(
+      "cpu,host=a usage_user=10.0 1000000000",
+      "cpu,host=a usage_user=30.0 5000000000",
+      "cpu,host=a usage_user=20.0 12000000000").toDS()
+    val pts = graft.sources.LineProtocol.toPointFrame(graft.sources.LineProtocol.parse(lines))
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['usage_user']").as("usage_user"))
+    val out = TickScript.compile(script, pts)
+      .orderBy("bucket_s")
+      .select($"bucket_s", $"mean_usage", $"max_usage", $"min_usage")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 20.0, 30.0, 10.0), (10L, 20.0, 20.0, 20.0)))
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
