@@ -224,6 +224,22 @@ class TickScriptSpec extends SparkSpec {
     assert(out == Seq((0L, 20.0, 30.0, 10.0), (10L, 20.0, 20.0, 20.0)))
   }
 
+  test("union and deadman nodes compile and run") {
+    val script =
+      """var clicks = stream
+        |    |from().measurement('cpu').groupBy('host')
+        |var mems = stream
+        |    |from().measurement('mem').groupBy('host')
+        |clicks
+        |    |union(mems)
+        |    |deadman(0.0, 10s)
+        |""".stripMargin
+    val out = TickScript.compile(script, source, idCol = Some("id"))
+    // 6 points over host dim: deadman emits one row per (host, 10s bucket)
+    val rows = out.select($"host", $"bucket_s", $"emitted", $"level").collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getAs[String]("level") == "OK" || r.getAs[Long]("emitted") == 0))
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
