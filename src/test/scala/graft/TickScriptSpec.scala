@@ -240,6 +240,39 @@ class TickScriptSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(r => r.getAs[String]("level") == "OK" || r.getAs[Long]("emitted") == 0))
   }
 
+  test("the same script compiles unchanged onto a streaming source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val script =
+      """stream
+        ||from().measurement('cpu').groupBy('host')
+        ||window().period(10s).every(10s)
+        ||mean('usage')
+        ||alert().warn(lambda: "mean" > 70).crit(lambda: "mean" > 85)
+        |""".stripMargin
+    val ms = MemoryStream[(String, String, Long, Double, Long)]
+    val streamSource = ms.toDS()
+      .toDF("measurement", "host", "timeUs", "usage", "id")
+      .withColumn("time", timestamp_micros($"timeUs"))
+    // identical compile path, streaming plan out
+    val compiled = TickScript.compile(script, streamSource, idCol = Some("id"))
+    assert(compiled.isStreaming)
+    val q = compiled.writeStream.format("memory").queryName("tick_stream")
+      .outputMode("update").start()
+    try {
+      ms.addData(source.collect().toSeq.map(r =>
+        (r.getString(0), r.getString(1), r.getTimestamp(2).getTime * 1000, r.getDouble(3), r.getLong(4))))
+      q.processAllAvailable()
+      val streamed = spark.table("tick_stream")
+        .select($"host", $"bucket_s", $"mean", $"level")
+        .as[(String, Long, Double, Int)].collect().toSet
+      val batch = TickScript.compile(script, source, idCol = Some("id"))
+        .select($"host", $"bucket_s", $"mean", $"level")
+        .as[(String, Long, Double, Int)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
