@@ -273,6 +273,50 @@ class TickScriptSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the base_template example compiles with task-definition vars") {
+    // examples/load/templates/base_template.tick, verbatim shape
+    val template =
+      """var measurement string
+        |var where_filter = lambda: TRUE
+        |var groups = [*]
+        |var field string
+        |var warn lambda
+        |var crit lambda
+        |var window = 5m
+        |var slack_channel = '#alerts'
+        |
+        |stream
+        |    |from()
+        |        .measurement(measurement)
+        |        .where(where_filter)
+        |        .groupBy(groups)
+        |    |window()
+        |        .period(window)
+        |        .every(window)
+        |    |mean(field)
+        |    |alert()
+        |         .warn(warn)
+        |         .crit(crit)
+        |""".stripMargin
+    val lines = Seq(
+      "cpu,host=a usage_idle=5.0 1000000000",
+      "cpu,host=a usage_idle=50.0 400000000000",
+      "mem,host=a used=1.0 1000000000").toDS()
+    val pts = graft.sources.LineProtocol.toPointFrame(graft.sources.LineProtocol.parse(lines))
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['usage_idle']").as("usage_idle"))
+    // unbound template vars are rejected
+    intercept[IllegalArgumentException](TickScript.compile(template, pts))
+    val out = TickScript.compile(template, pts, templateVars = Map(
+      "measurement" -> "cpu",
+      "field" -> "usage_idle",
+      "warn" -> TickScript.lambdaExpr("\"mean\" < 20"),
+      "crit" -> TickScript.lambdaExpr("\"mean\" < 10")))
+      .orderBy("bucket_s").select($"group_id", $"mean", $"level")
+      .as[(String, Double, Int)].collect().toSeq
+    assert(out == Seq(("host=a", 5.0, 3), ("host=a", 50.0, 0)))
+  }
+
   test("unsupported nodes fail loudly") {
     intercept[IllegalArgumentException] {
       TickScript.compile("stream |nope()", source)
