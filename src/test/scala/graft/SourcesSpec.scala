@@ -69,6 +69,18 @@ class SourcesSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, "OK"), (3600L, 0L, "CRITICAL"), (7200L, 1L, "OK")))
   }
 
+  test("salted aggregation equals the direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i <= 990) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val salted = graft.operators.Salt.saltedSumCount(df, "k", "v", 8)
+      .select("k", "sum_v", "cnt").as[(String, Double, Long)].collect()
+      .map { case (k, s2, c) => k -> ((s2, c)) }.toMap
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s2, c) => k -> ((s2, c)) }.toMap
+    assert(salted == direct)
+  }
+
   test("alert templates compile to a single concat column") {
     val df = Seq(("id1", "CRITICAL", Map("v" -> "42"))).toDF("id", "lvl", "fields")
     val msg = AlertTemplates.compile(
