@@ -69,6 +69,23 @@ class SourcesSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, "OK"), (3600L, 0L, "CRITICAL"), (7200L, 1L, "OK")))
   }
 
+  test("brpl/srpl replay fixtures from the reference parse into point frames") {
+    import graft.sources.Replay
+    val brpl = Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_ChangeDetect.0.brpl")
+    assert(brpl.count() > 0)
+    assert(brpl.columns.toSeq == Seq("name", "tags", "time", "fields"))
+    assert(brpl.select("name").distinct().as[String].collect().toSet == Set("packets"))
+    assert(brpl.select(expr("fields['value']")).as[String].collect().toSet.contains("good"))
+
+    val srplFiles = new java.io.File("/root/reference/integrations/testdata")
+      .listFiles().filter(_.getName.endsWith(".srpl"))
+    assert(srplFiles.nonEmpty)
+    val srpl = Replay.readSrpl(spark, srplFiles.head.getAbsolutePath)
+    assert(srpl.count() > 0)
+    assert(srpl.columns.contains("db") && srpl.columns.contains("measurement"))
+  }
+
   test("salted aggregation equals the direct aggregation") {
     val df = (1 to 1000).map(i => (if (i <= 990) "hot" else s"k$i", i.toDouble))
       .toDF("k", "v")
