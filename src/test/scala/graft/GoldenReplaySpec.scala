@@ -51,6 +51,35 @@ class GoldenReplaySpec extends SparkSpec {
     assert(json.contains(""""tags":{"host":"serverA"}""") && json.contains("85.0"))
   }
 
+  test("reference TestStream_ChangeDetect fixture reproduces the reference's golden Result") {
+    // integrations/testdata/TestStream_ChangeDetect.srpl through the
+    // TestStream_ChangeDetect pipeline (streamer_test.go:169-216):
+    //   stream |from().measurement('packets') |changeDetect('value')
+    //          |window().period(10s).every(10s) |httpOut(...)
+    // Expected (from the reference test, first full window):
+    //   t=0 bad, t=1 good, t=2 bad, t=5 good, t=7 bad, t=8 good
+    val srpl = graft.sources.Replay.readSrpl(spark,
+      "/root/reference/integrations/testdata/TestStream_ChangeDetect.srpl")
+    // fixture timestamps are whole seconds; the tracked field is a string
+    val pts = srpl.select(
+      col("measurement"),
+      timestamp_seconds(col("ts_ns")).as("time"),
+      expr("fieldsStr['value']").as("value"))
+      .filter(col("measurement") === "packets")
+      // reference changeDetect skips points missing the tracked field
+      // (change_detect.go logs and drops them)
+      .filter(col("value").isNotNull)
+    val p = Pipe(pts, timeCol = "time", dims = Nil)
+      .changeDetect("value")
+      .windowTumbling(10)
+    val firstWindow = p.df.filter(col("bucket_s") === 0)
+      .orderBy("time")
+      .select(unix_timestamp(col("time")).as("t"), col("value"))
+      .as[(Long, String)].collect().toSeq
+    assert(firstWindow == Seq(
+      (0L, "bad"), (1L, "good"), (2L, "bad"), (5L, "good"), (7L, "bad"), (8L, "good")))
+  }
+
   test("replayed fixture through the alert FSM matches the golden events") {
     import AlertStream._
     val pts = points.select(
