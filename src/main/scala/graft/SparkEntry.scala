@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, EventQueries3 => EQ3, LlmQueries => LQ, TpchQueries => TQ}
+import graft.queries.{EventQueries => EQ, EventQueries2 => EQ2, EventQueries3 => EQ3, EventQueries4 => EQ4, LlmQueries => LQ, TpchQueries => TQ}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -76,6 +76,8 @@ object SparkEntry {
     "q_eval_quiet" -> (EQ3.evalQuietQ _),
     "q_fill_previous" -> (EQ3.fillPreviousQ _),
     "q_fill_linear" -> (EQ3.fillLinearQ _),
+    // -- wave 4: aligned windows, k-combinations, batch scheduling
+    "q_window_aligned" -> (EQ4.windowAlignedQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -140,6 +142,7 @@ object SparkEntry {
     "q_eval_quiet" -> EQ3.evalQuietSql,
     "q_fill_previous" -> EQ3.fillPreviousSql,
     "q_fill_linear" -> EQ3.fillLinearSql,
+    "q_window_aligned" -> EQ4.windowAlignedSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

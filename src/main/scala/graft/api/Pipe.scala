@@ -305,6 +305,65 @@ final case class Pipe(
       .withColumn("w_mean", avg(col(field)).over(frame)))
   }
 
+  /** window().period(p).every(e).align() [.fillPeriod()] — the reference's
+    * aligned emission semantics (window.go:150-224 with AlignFlag,
+    * init window.go:108-126), derived in closed form so the whole operator
+    * stays declarative (no per-group FSM):
+    *
+    * With align, `nextEmit` after a trigger point q is always the first
+    * multiple of `every` strictly after q, so by induction a boundary
+    * B = k·every is emitted iff
+    *   - some point lies in [B-every, B)  (it arms B — it is either itself
+    *     a trigger whose nextEmit becomes B, or the group's first point), or
+    *     B is the fillPeriod-initialized first boundary
+    *       (first multiple of `every` strictly after t0+period), and
+    *   - some point has time ≥ B (the trigger), and
+    *   - B is not before the first boundary.
+    * The batch at B contains the points in [B-period, B) (left-aligned
+    * purge, window.go:197-204). Exactness vs the sequential FSM is pinned
+    * by PropertySpec (windowAligned ≡ WindowFSM(align=true)) and the
+    * golden WindowMissingAligned fixture.
+    *
+    * Output: one row per contained point per emitted window, stamped
+    * `wemit_s`. Scale: one explode of ≤ ⌈p/e⌉ boundaries per point, a
+    * per-group aggregate for (min,max), a distinct over (group, slot) for
+    * arming, and an equi-join of the data against the small emitted-boundary
+    * set on (dims, k) — AQE broadcasts it when small. No sequential state.
+    */
+  def windowAligned(
+      periodSeconds: Long,
+      everySeconds: Long,
+      fillPeriod: Boolean = false,
+      as: String = "wemit_s"): Pipe = {
+    val everyUs = everySeconds * 1000000L
+    val periodUs = periodSeconds * 1000000L
+    val gcols = if (dims.isEmpty) Seq(lit(0).as("__g")) else dims.map(col)
+    val gnames = if (dims.isEmpty) Seq("__g") else dims
+    val d = df.withColumn("__us", unix_micros(t)).withColumns(
+      if (dims.isEmpty) Map("__g" -> lit(0)) else Map.empty[String, Column])
+    val stats = d.groupBy(gnames.map(col): _*)
+      .agg(min("__us").as("__mn"), max("__us").as("__mx"))
+    val firstK =
+      if (fillPeriod) (floor((col("__mn") + periodUs) / everyUs) + 1).cast("long")
+      else (floor(col("__mn") / everyUs) + 1).cast("long")
+    val armed = d.select(gcols :+ (floor(col("__us") / everyUs) + 1).cast("long").as("__k"): _*)
+      .distinct()
+      .union(stats.select(gnames.map(col) :+ firstK.as("__k"): _*))
+      .distinct()
+    val emitted = armed.join(stats, gnames)
+      .filter(col("__k") >= firstK && col("__k") * everyUs <= col("__mx"))
+      .select(gnames.map(col) :+ col("__k"): _*)
+    // membership: point ∈ [B-period, B) ⟺ floor(us/every)+1 ≤ k ≤ floor((us+period)/every)
+    val kLo = (floor(col("__us") / everyUs) + 1).cast("long")
+    val kHi = floor((col("__us") + periodUs) / everyUs).cast("long")
+    val ks = when(kHi >= kLo, sequence(kLo, kHi)).otherwise(array().cast("array<long>"))
+    val exploded = d.withColumn("__k", explode(ks))
+    val out = exploded.join(emitted, gnames :+ "__k")
+      .withColumn(as, (col("__k") * everySeconds).cast("long"))
+      .drop("__k", "__us", "__g")
+    copy(df = out)
+  }
+
   /** Count window periodCount n / everyCount m (reference window.go:360-470):
     * every m-th point per group, aggregate over the last n points. Returns
     * the frame with `__rn` attached for the caller's agg-over-frame. */

@@ -67,6 +67,65 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------- aligned window emission: closed form ≡ sequential FSM -----
+  //
+  // Pipe.windowAligned relies on a closed-form characterization of the
+  // reference's windowByTime FSM under align (window.go:108-224): boundary
+  // B=k·every emits iff some point arms it (point in [B-every,B), or B is
+  // the fillPeriod first boundary) and some point is ≥ B; contents are
+  // [B-period, B). This property pins the derivation against a direct port
+  // of the Go FSM on arbitrary point sets. Empty batches are excluded on
+  // both sides (rows can't express them — documented WindowFSM deviation).
+
+  private def fsmAligned(times: Seq[Long], periodS: Long, everyS: Long,
+      fillPeriod: Boolean): Seq[(Long, Seq[Long])] = {
+    val out = Seq.newBuilder[(Long, Seq[Long])]
+    var buf = Vector.empty[Long]
+    var nextEmit = 0L
+    var first = true
+    for (t <- times) {
+      if (first) {
+        nextEmit =
+          if (fillPeriod) (t + periodS) / everyS * everyS + everyS
+          else (t + everyS) / everyS * everyS
+        first = false
+      }
+      if (t >= nextEmit) {
+        val oldest = nextEmit - periodS
+        buf = buf.dropWhile(_ < oldest)
+        out += ((nextEmit, buf))
+        nextEmit = (t + everyS) / everyS * everyS
+      }
+      buf :+= t
+    }
+    out.result()
+  }
+
+  private def closedFormAligned(times: Seq[Long], periodS: Long, everyS: Long,
+      fillPeriod: Boolean): Seq[(Long, Seq[Long])] = {
+    val mn = times.min
+    val mx = times.max
+    val firstK = if (fillPeriod) (mn + periodS) / everyS + 1 else mn / everyS + 1
+    val armed = times.map(_ / everyS + 1).toSet + firstK
+    armed.toSeq.sorted
+      .filter(k => k >= firstK && k * everyS <= mx)
+      .map(k => (k * everyS, times.filter(t => t >= k * everyS - periodS && t < k * everyS)))
+  }
+
+  test("windowAligned closed form ≡ Go windowByTime FSM (align) on random point sets") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 400L))
+      every <- Gen.chooseNum(1L, 12L)
+      period <- Gen.chooseNum(1L, 30L)
+      fp <- Gen.oneOf(true, false)
+    } yield (ts.sorted, period, every, fp)
+    holds(Prop.forAll(gen) { case (ts, period, every, fp) =>
+      fsmAligned(ts, period, every, fp).filter(_._2.nonEmpty) ==
+        closedFormAligned(ts, period, every, fp).filter(_._2.nonEmpty)
+    })
+  }
+
   // ------------------------- percentile rank bounds -----------------------
 
   test("nearest-rank percentile index stays within [0, n] and is monotone in pct") {
