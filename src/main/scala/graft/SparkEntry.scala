@@ -78,6 +78,8 @@ object SparkEntry {
     "q_fill_linear" -> (EQ3.fillLinearQ _),
     // -- wave 4: aligned windows, k-combinations, batch scheduling
     "q_window_aligned" -> (EQ4.windowAlignedQ _),
+    "q_combine_triples" -> (EQ4.combineTriplesQ _),
+    "q_flatten_multi" -> (EQ4.flattenMultiQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -143,6 +145,8 @@ object SparkEntry {
     "q_fill_previous" -> EQ3.fillPreviousSql,
     "q_fill_linear" -> EQ3.fillLinearSql,
     "q_window_aligned" -> EQ4.windowAlignedSql,
+    "q_combine_triples" -> EQ4.combineTriplesSql,
+    "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,

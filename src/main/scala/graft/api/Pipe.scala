@@ -428,6 +428,98 @@ final case class Pipe(
       .filter(col(s"${names._1}_$id") < col(s"${names._2}_$id"))
   }
 
+  /** flatten().on(dim).fields(f…) — the full reference surface
+    * (flatten.go:53-97): within a tolerance-rounded timestamp and the
+    * remaining dims, merge points across `dim` values into one row whose
+    * columns are `<dimValue><delimiter><field>` for EVERY listed field
+    * (the reference prefixes all fields of the point); with
+    * `dropOriginalFieldName` the column is just `<dimValue>` (single-field
+    * use). Earliest point per cell wins on the overflow-proof (time,id)
+    * string key, like [[flattenOn]]. One pivot pass; the universe is
+    * declared, not discovered. */
+  def flattenOnFields(
+      dim: String,
+      dimValues: Seq[String],
+      fields: Seq[String],
+      toleranceSeconds: Long,
+      delimiter: String = ".",
+      dropOriginalFieldName: Boolean = false): Pipe = {
+    val bucket = (floor(unix_micros(t) / 1000000.0 / toleranceSeconds) * toleranceSeconds)
+      .cast("long").as("bucket_s")
+    val ord = format_string("%020d%010d", unix_micros(t),
+      idCol.map(col).getOrElse(lit(0L)))
+    val keys = dims.filterNot(_ == dim).map(col) :+ col("bucket_s")
+    val aggs = fields.map(f => min_by(col(f), col("__ord")).as(f))
+    val pivoted = df
+      .withColumn("bucket_s", bucket)
+      .withColumn("__ord", ord)
+      .groupBy(keys: _*)
+      .pivot(dim, dimValues)
+      .agg(aggs.head, aggs.tail: _*)
+    // Spark names pivot outputs `<value>_<aggAlias>` (single agg: `<value>`)
+    val outCols = for (v <- dimValues; f <- fields) yield {
+      val src = if (fields.size == 1) v else s"${v}_$f"
+      val dst = if (dropOriginalFieldName) v else s"$v$delimiter$f"
+      col(src).as(dst)
+    }
+    val out = pivoted.select(keys ++ outCols: _*)
+    copy(df = out, dims = dims.filterNot(_ == dim), timeCol = "bucket_s")
+  }
+
+  /** combine(lambda…k).as(names…k).max(n) (reference combine.go:142-231):
+    * within a tolerance-rounded timestamp per group, emit every k-subset of
+    * points where the i-th point (in id order) matches the i-th predicate;
+    * columns are prefixed with the i-th name. Expressed as k-1 chained
+    * equi-joins on (group, bucket) — each join shuffles on the bucket key,
+    * AQE splits skewed buckets; no per-node buffering of a whole group.
+    *
+    * `maxCombinations` mirrors the reference's cap (combine.go:232-259,
+    * which errors the task when C(n, k) > max): buckets whose point count
+    * yields more than `max` k-subsets raise a runtime error through
+    * `raise_error`, so the cap costs one count aggregate, not a collect.
+    *
+    * Deviation (documented, same as [[combinePairs]]): the reference
+    * assigns lambdas to subset members greedily in buffer order; we pin
+    * the i-th predicate to the i-th member in id order. For identical
+    * predicates (the common "pairs/triples of X" use) the two agree. */
+  def combineK(
+      preds: Seq[Column],
+      toleranceSeconds: Long,
+      names: Seq[String],
+      maxCombinations: Long = 10000): DataFrame = {
+    require(preds.size == names.size && preds.size >= 2, "combine needs k>=2 predicates+names")
+    require(idCol.isDefined, "combineK needs an id column for ordering")
+    val id = idCol.get
+    val k = preds.size
+    val bucket = (floor(unix_micros(t) / 1000000.0 / toleranceSeconds) * toleranceSeconds)
+      .cast("long").as("bucket_s")
+    val base = df.withColumn("bucket_s", bucket)
+    val keys = dims :+ "bucket_s"
+    // the reference caps on C(bufferSize, k) over ALL points of the bucket;
+    // the cap is a filter (not a dropped column) so pruning can't elide the
+    // raise_error
+    val counts = base.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+    val nCk = (0 until k).map(i => col("__n") - i).reduce(_ * _) /
+      lit((1L to k.toLong).product)
+    def side(pred: Column, nm: String) = {
+      val dataCols = base.columns.filterNot(c => keys.contains(c))
+      base.filter(pred).select(
+        keys.map(col) ++ dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
+    }
+    val joined = names.zip(preds).map { case (nm, p) => side(p, nm) }
+      .reduceLeft((a, b) => a.join(b, keys))
+    val ordered = names.sliding(2).map { case Seq(x, y) =>
+      col(s"${x}_$id") < col(s"${y}_$id") }.reduce(_ && _)
+    // guard sits on the counts side of the join so every bucket is checked,
+    // matches or not (the reference errors on buffer size alone)
+    val guarded = counts.filter(when(nCk > maxCombinations,
+      raise_error(concat(lit(s"combine: combinations exceed max $maxCombinations in bucket "),
+        col("bucket_s"))).cast("boolean")).otherwise(lit(true)))
+    joined.filter(ordered)
+      .join(guarded, keys)
+      .drop("__n")
+  }
+
   // ------------------------------------------------------------------ joins
 
   /** Time-aligned join (reference join.go:16-762): points from both sides

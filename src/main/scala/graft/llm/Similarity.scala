@@ -35,9 +35,11 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
-  /** Top-`k` most similar vector pairs in the corpus (near-duplicate
-    * report). All-pairs scoring — the exactness baseline; the LSH variant
-    * below is the scale path. */
+  /** Top-`k` most similar vector pairs in the corpus — all-pairs scoring.
+    * EXACTNESS BASELINE, test-only: the pair join is a cartesian product
+    * with a filter and never finishes at corpus scale. The production
+    * near-duplicate report is [[nearDupPairsLsh]]; LlmSpec uses this one
+    * as its oracle on small data. */
   def topSimilarPairs(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
@@ -97,6 +99,63 @@ object Similarity {
       val d = dot(v, typedlit(p))
       when(d >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Seeded hyperplane family `f` — same construction as [[hyperplanes]]
+    * in a per-family md5 namespace, so families are independent. */
+  def hyperplanesSeeded(family: Int, planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map(h => (0 until dim).map(j => (2 * h60bit(s"f$family:$h:$j") - 1).toDouble))
+
+  /** Scale-path near-duplicate report: banded sign-LSH candidate
+    * generation + exact cosine re-rank (the minhash-band pattern applied
+    * to random-hyperplane signatures). A pair is a candidate when its
+    * vectors share a sign-bucket under ANY of the `families` independent
+    * hyperplane families; candidates get exact cosine and the global top-k
+    * survives.
+    *
+    * Plan shape at 100 TB: the bucket table is narrow (id, family, bucket
+    * — no vectors), the pair join is an equi-join on (family, bucket), and
+    * vectors are fetched for the ~linear candidate set via two id
+    * equi-joins. No cartesian anywhere; recall is the standard LSH
+    * trade-off (1-(1-p^planes)^families per pair) — LlmSpec pins 100%
+    * recall on planted near-duplicates, which is the workload this report
+    * exists for. */
+  def nearDupPairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      families: Int = 4,
+      planesPerFamily: Int = 6,
+      dim: Int = 64): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val famBuckets = (0 until families).map { f =>
+      struct(lit(f).as("fam"), lshBucket(col("v"), hyperplanesSeeded(f, planesPerFamily, dim)).as("bucket"))
+    }
+    // narrow signature table; persisted because it feeds an aliased
+    // self-join (both branches would otherwise recompute the signatures —
+    // and it is the only state this operator materializes)
+    val buckets = n.select(col("vid"), explode(array(famBuckets: _*)).as("fb"))
+      .select(col("vid"), col("fb.fam").as("fam"), col("fb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.fam") === col("b.fam") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(n.select(col("vid").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cos", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
+    scored
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))).cast("long"))
+      .select(col("rk"), col("id_a"), col("id_b"), col("cos"))
+  }
 
   /** LSH-bucketed approximate k-NN: candidates are corpus vectors sharing
     * the query's sign-bucket; exact cosine ranks within the bucket. With B

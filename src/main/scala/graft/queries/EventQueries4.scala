@@ -45,4 +45,62 @@ object EventQueries4 {
        FROM mem m JOIN em ON em.event_type = m.event_type AND em.k = m.k
        GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
   }
+
+  // ------------------------------------------------- combine() with k = 3
+
+  /** q_combine_triples: every ordered triple of very-high-value points
+    * within the same hour+event_type (reference combine.go:142-231 with
+    * three lambdas; max cap active but unreached). */
+  def combineTriplesQ(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+      .eval("v" -> col("value")).delete("props", "ts_ns", "value", "user_id")
+    val pred = col("v") > 97
+    p.combineK(Seq(pred, pred, pred), 3600, Seq("a", "b", "c"), maxCombinations = 100000)
+      .select(col("event_type"), col("bucket_s"),
+        col("a_event_id").as("id_a"), col("b_event_id").as("id_b"), col("c_event_id").as("id_c"),
+        col("a_v"), col("b_v"), col("c_v"))
+      .orderBy("event_type", "bucket_s", "id_a", "id_b", "id_c")
+  }
+  val combineTriplesSql: String =
+    s"""$preludeSql, d AS (
+       SELECT event_type, CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT) AS bucket_s, event_id, value AS v
+       FROM e WHERE value > 97)
+       SELECT a.event_type, a.bucket_s,
+              a.event_id AS id_a, b.event_id AS id_b, c.event_id AS id_c,
+              a.v AS a_v, b.v AS b_v, c.v AS c_v
+       FROM d a
+       JOIN d b ON a.event_type = b.event_type AND a.bucket_s = b.bucket_s AND a.event_id < b.event_id
+       JOIN d c ON b.event_type = c.event_type AND b.bucket_s = c.bucket_s AND b.event_id < c.event_id
+       ORDER BY 1, 2, 3, 4, 5""".replaceAll("\\s+", " ")
+
+  // -------------------------------------- flatten() across multiple fields
+
+  /** q_flatten_multi: flatten().on('event_type').fields(value, event_id)
+    * with 5m tolerance per user (reference flatten.go:53-97 — every field
+    * gets the `<dimValue><delim><field>` prefix; '_' delimiter exercises
+    * the configurable delimiter). */
+  def flattenMultiQ(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase")
+    val p = Pipe(
+      pipe(s, dir).df.filter(col("event_type").isin(types: _*)),
+      timeCol = "time", dims = Seq("user_id", "event_type"), idCol = Some("event_id"))
+    val out = p.flattenOnFields("event_type", types, Seq("value", "event_id"), 300, delimiter = "_")
+    out.df.select(
+      col("user_id") +: col("bucket_s") +:
+        types.flatMap(v => Seq(round(col(s"${v}_value"), 6).as(s"${v}_value"), col(s"${v}_event_id"))): _*)
+      .orderBy("user_id", "bucket_s")
+  }
+  val flattenMultiSql: String =
+    s"""$preludeSql, m AS (
+       SELECT *, CAST(floor(tus/1000000.0/300)*300 AS BIGINT) AS bucket_s,
+              printf('%020d%010d', tus, event_id) AS ord
+       FROM e WHERE event_type IN ('click', 'view', 'purchase'))
+       SELECT user_id, bucket_s,
+              round(arg_min(value, ord) FILTER (WHERE event_type='click'), 6) AS click_value,
+              arg_min(event_id, ord) FILTER (WHERE event_type='click') AS click_event_id,
+              round(arg_min(value, ord) FILTER (WHERE event_type='view'), 6) AS view_value,
+              arg_min(event_id, ord) FILTER (WHERE event_type='view') AS view_event_id,
+              round(arg_min(value, ord) FILTER (WHERE event_type='purchase'), 6) AS purchase_value,
+              arg_min(event_id, ord) FILTER (WHERE event_type='purchase') AS purchase_event_id
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
 }

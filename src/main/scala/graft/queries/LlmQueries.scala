@@ -111,15 +111,32 @@ object LlmQueries {
     s"""n AS (SELECT vec_id, embedding,
        sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** Near-duplicate report via banded sign-LSH candidates + exact cosine
+    * re-rank (Similarity.nearDupPairsLsh) — the scale path; the all-pairs
+    * baseline is test-only (LlmSpec planted-duplicate recall). The oracle
+    * restates the identical algorithm with the same JVM-derived hyperplane
+    * literals. */
   def dedupEmbeddingQ(s: SparkSession, dir: String): DataFrame =
-    Similarity.topSimilarPairs(embs(s, dir), "vec_id", "embedding", 20).orderBy("rk")
-  val dedupEmbeddingSql: String =
+    Similarity.nearDupPairsLsh(embs(s, dir), "vec_id", "embedding", 20).orderBy("rk")
+  val dedupEmbeddingSql: String = {
+    def bucketExpr(f: Int): String =
+      Similarity.hyperplanesSeeded(f, 6, 64).zipWithIndex.map { case (p, h) =>
+        val lit = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]") + "::DOUBLE[]"
+        s"(CASE WHEN list_reduce(list_transform(range(64), j -> embedding[j+1]::DOUBLE * ($lit)[j+1]), (x, y) -> x + y) >= 0 THEN ${1L << h} ELSE 0 END)"
+      }.mkString(" + ")
+    val bks = (0 until 4).map(f => s"(${bucketExpr(f)}) AS b$f").mkString(", ")
+    val cands = (0 until 4).map(f =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM bk a JOIN bk b ON a.b$f = b.b$f AND a.vec_id < b.vec_id")
+      .mkString(" UNION ")
     s"""WITH $normCte,
-       p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       bk AS (SELECT vec_id, $bks FROM n),
+       c AS ($cands),
+       sc AS (SELECT id_a, id_b,
                round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
-             FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             FROM c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b)
        SELECT CAST(row_number() OVER (ORDER BY cos DESC, id_a, id_b) AS BIGINT) AS rk, id_a, id_b, cos
-       FROM p QUALIFY rk <= 20 ORDER BY rk""".replaceAll("\\s+", " ")
+       FROM sc QUALIFY rk <= 20 ORDER BY rk""".replaceAll("\\s+", " ")
+  }
 
   // ------------------------------------------------------------------- kNN
 

@@ -7,8 +7,6 @@ package graft.tools
   * Known-intentional flags (all tiny-side broadcasts, reviewed):
   *   - q_deadman: bucket-range × group-universe cross join — both sides
   *     are one-row/few-row aggregates; the raw stream is scanned once.
-  *   - q_dedup_embedding: all-pairs id_a < id_b non-equi join — the
-  *     declared exactness baseline; q_knn_lsh is the scale path.
   *   - q_knn_bruteforce: crossJoin(broadcast(queries)) by design.
   *   - q_sideload: the constant "default" hierarchy level joins on a
   *     literal key — a broadcast of a 4-row config table.

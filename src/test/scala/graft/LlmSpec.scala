@@ -82,6 +82,26 @@ class LlmSpec extends SparkSpec {
     assert(out.head == ((0L, 1L, 1.0)))
   }
 
+  test("nearDupPairsLsh finds every planted near-duplicate, agreeing with the all-pairs baseline") {
+    // 200 deterministic pseudo-random 64-dim vectors + 10 planted near-dups
+    // (copy with tiny perturbation, cos > 0.99) — the workload the LSH
+    // report exists for; the all-pairs baseline is the oracle
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val planted = (0 until 10).map { i =>
+      val (srcId, v) = base(i * 17)
+      (1000L + srcId) -> v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    }
+    val all = (base ++ planted).toDF("vec_id", "embedding")
+    val lsh = Similarity.nearDupPairsLsh(all, "vec_id", "embedding", 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.topSimilarPairs(all, "vec_id", "embedding", 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 10).map(i => (i * 17).toLong -> (1000L + i * 17)).toSet
+    assert(exact == expected) // the planted pairs ARE the true top-10
+    assert(lsh == expected, "LSH candidates must recall all planted near-duplicates")
+  }
+
   test("lsh buckets identical vectors together; knnLsh finds the twin") {
     val hp = Similarity.hyperplanes(8, 3)
     assert(hp.length == 8 && hp.head.length == 3 && hp.flatten.forall(v => v == 1.0 || v == -1.0))

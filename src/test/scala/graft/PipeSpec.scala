@@ -132,6 +132,50 @@ class PipeSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // id 4 in a later bucket
   }
 
+  test("combineK emits ordered triples; different predicates pin positions") {
+    val df = Seq(
+      (1L, ts(5), 95.0), (2L, ts(10), 96.0), (3L, ts(20), 97.0), (4L, ts(30), 50.0))
+      .toDF("id", "time", "v")
+    val p = Pipe(df, dims = Nil, idCol = Some("id"))
+    val same = col("v") > 90
+    val triples = p.combineK(Seq(same, same, same), 3600, Seq("a", "b", "c"))
+      .select("a_id", "b_id", "c_id").as[(Long, Long, Long)].collect().toSet
+    assert(triples == Set((1L, 2L, 3L)))
+    // heterogeneous predicates: low value must occupy the last position
+    val mixed = p.combineK(Seq(same, same, col("v") < 60), 3600, Seq("a", "b", "c"))
+      .select("a_id", "b_id", "c_id").as[(Long, Long, Long)].collect().toSet
+    assert(mixed == Set((1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("combineK raises when a bucket exceeds the combination cap") {
+    val df = (1L to 10L).map(i => (i, ts(i), 95.0)).toDF("id", "time", "v")
+    val p = Pipe(df, dims = Nil, idCol = Some("id"))
+    // C(10,2)=45 > 40 → the reference errors the task (combine.go:232-259)
+    val e = intercept[Exception] {
+      p.combineK(Seq(col("v") > 90, col("v") > 90), 3600, Seq("a", "b"), maxCombinations = 40).count()
+    }
+    assert(e.getMessage.contains("exceed") || e.getCause != null)
+    // under the cap: all 45 pairs emit with max=45
+    assert(p.combineK(Seq(col("v") > 90, col("v") > 90), 3600, Seq("a", "b"),
+      maxCombinations = 45).count() == 45)
+  }
+
+  test("flattenOnFields prefixes every field; dropOriginalFieldName collapses names") {
+    val df = Seq(
+      ("click", 1L, ts(5), 1.0), ("view", 2L, ts(7), 2.0), ("click", 3L, ts(65), 3.0))
+      .toDF("kind", "id", "time", "v")
+    val p = Pipe(df, dims = Seq("kind"), idCol = Some("id"))
+      .flattenOnFields("kind", Seq("click", "view"), Seq("v", "id"), 60)
+    assert(p.df.columns.toSet == Set("bucket_s", "click.v", "click.id", "view.v", "view.id"))
+    val row = p.df.orderBy("bucket_s")
+      .select(col("bucket_s"), col("`click.v`"), col("`click.id`"), col("`view.id`"))
+      .as[(Long, Option[Double], Option[Long], Option[Long])].collect().toSeq
+    assert(row == Seq((0L, Some(1.0), Some(1L), Some(2L)), (60L, Some(3.0), Some(3L), None)))
+    val dropped = Pipe(df, dims = Seq("kind"), idCol = Some("id"))
+      .flattenOnFields("kind", Seq("click", "view"), Seq("v"), 60, dropOriginalFieldName = true)
+    assert(dropped.df.columns.toSet == Set("bucket_s", "click", "view"))
+  }
+
   test("joinTolerance buckets on rounded time per key") {
     val l = Pipe(Seq((1L, ts(0), 1.0)).toDF("k", "time", "x"), dims = Nil)
     val r = Pipe(Seq((1L, ts(25), 2.0)).toDF("k", "time", "y"), dims = Nil)
