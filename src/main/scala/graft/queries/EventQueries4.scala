@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.Pipe
+import graft.operators.BatchScheduler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,6 +44,37 @@ object EventQueries4 {
        SELECT m.event_type, CAST(m.k * 3600 AS BIGINT) AS wemit_s,
               count(*) AS cnt, round(avg(m.value), 6) AS mean_v
        FROM mem m JOIN em ON em.event_type = m.event_type AND em.k = m.k
+       GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
+  }
+
+  // ------------------------------------- batch query() period scheduling
+
+  /** q_batch_periods: batch|query() every=2h aligned, offset=15m,
+    * period=2h (reference batch.go:277-306 period stepping + query.go:37-70
+    * bound injection): each tick T reads [T-15m-2h, T-15m) and aggregates
+    * per event_type. period == every → each point lands in exactly one
+    * tick's frame. */
+  def batchPeriodsQ(s: SparkSession, dir: String): DataFrame = {
+    val ticked = BatchScheduler.assignEveryTicks(
+      pipe(s, dir).df, "time", everySeconds = 7200, align = true,
+      periodSeconds = 7200, offsetSeconds = 900)
+    ticked.groupBy(col("event_type"), (col("tick_us") / 1000000L).cast("long").as("tick_s"))
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 6).as("mean_v"))
+      .orderBy("event_type", "tick_s")
+  }
+  val batchPeriodsSql: String = {
+    val ev = 7200000000L
+    val off = 900000000L
+    s"""$preludeSql,
+       st AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e),
+       fk AS (SELECT CAST(floor(mn/$ev.0) AS BIGINT)
+                     + CASE WHEN 2*(mn - floor(mn/$ev.0)*$ev) >= $ev THEN 2 ELSE 1 END AS jfirst,
+                     mx FROM st),
+       m AS (SELECT event_type, value,
+                    CAST(floor((tus + $off)/$ev.0) + 1 AS BIGINT) AS j FROM e)
+       SELECT event_type, CAST(j * 7200 AS BIGINT) AS tick_s,
+              count(*) AS cnt, round(avg(value), 6) AS mean_v
+       FROM m, fk WHERE j >= fk.jfirst AND j * $ev <= fk.mx
        GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
   }
 
