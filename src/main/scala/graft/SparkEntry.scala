@@ -80,6 +80,7 @@ object SparkEntry {
     "q_window_aligned" -> (EQ4.windowAlignedQ _),
     "q_combine_triples" -> (EQ4.combineTriplesQ _),
     "q_batch_periods" -> (EQ4.batchPeriodsQ _),
+    "q_alert_all" -> (EQ4.alertAllQ _),
     "q_flatten_multi" -> (EQ4.flattenMultiQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_window_aligned" -> EQ4.windowAlignedSql,
     "q_combine_triples" -> EQ4.combineTriplesSql,
     "q_batch_periods" -> EQ4.batchPeriodsSql,
+    "q_alert_all" -> EQ4.alertAllSql,
     "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.api.Pipe
 import graft.operators.BatchScheduler
+import graft.streaming.AlertStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +47,50 @@ object EventQueries4 {
        FROM mem m JOIN em ON em.event_type = m.event_type AND em.k = m.k
        GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
   }
+
+  // ----------------------------------------------------- alert().all()
+
+  /** q_alert_all: hourly windowed batches per event_type through the batch
+    * alert FSM with `.all()` (reference pipeline/alert.go:490-496 +
+    * alert.go:1022-1090): the batch level is the LOWEST point level (every
+    * point must match), the event time is the batch time, and an event
+    * emits when the level is non-OK or changed. The oracle restates the
+    * no-suppression FSM in closed form (lag for `changed`, running max of
+    * OK→non-OK transitions for the alert duration). */
+  def alertAllQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = pipe(s, dir).df.withColumn("tus", expr("ts_ns DIV 1000"))
+    val lvl = AlertStream.levelColumn(col("value") > 10, col("value") > 25, col("value") > 50)
+    val batches = AlertStream.batchLevels(
+      d, groupCol = col("event_type"),
+      batchTimeUs = (floor(col("tus") / 1000000.0 / 3600) * 3600000000L).cast("long"),
+      pointTimeUs = col("tus"), idTiebreak = col("event_id"),
+      level = lvl, all = true)
+    val events = AlertStream.runBatchLevels(
+      batches.select(col("group"), col("time_us").as("timeUs"), col("level"))
+        .as[AlertStream.LevelPoint],
+      AlertStream.AlertConfig())
+    events.toDF()
+      .select(col("group").as("event_type"), (col("timeUs") / 1000000L).cast("long").as("batch_s"),
+        col("level").cast("long").as("level"), col("changed"),
+        (col("durationUs") / 1000000L).cast("long").as("duration_s"))
+      .orderBy("event_type", "batch_s")
+  }
+  val alertAllSql: String =
+    s"""$preludeSql, pl AS (
+       SELECT event_type, CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT) AS bs,
+              CASE WHEN value > 50 THEN 3 WHEN value > 25 THEN 2 WHEN value > 10 THEN 1 ELSE 0 END AS plvl
+       FROM e),
+       b AS (SELECT event_type, bs, min(plvl) AS lvl FROM pl GROUP BY 1, 2),
+       r1 AS (SELECT event_type, bs, lvl,
+                coalesce(lag(lvl) OVER (PARTITION BY event_type ORDER BY bs), 0) AS prev
+              FROM b),
+       r2 AS (SELECT *, max(CASE WHEN prev = 0 AND lvl <> 0 THEN bs END)
+                OVER (PARTITION BY event_type ORDER BY bs ROWS UNBOUNDED PRECEDING) AS run_start
+              FROM r1)
+       SELECT event_type, bs AS batch_s, CAST(lvl AS BIGINT) AS level, (lvl <> prev) AS changed,
+              CAST(bs - coalesce(run_start, bs) AS BIGINT) AS duration_s
+       FROM r2 WHERE lvl <> 0 OR lvl <> prev ORDER BY 1, 2""".replaceAll("\\s+", " ")
 
   // ------------------------------------- batch query() period scheduling
 

@@ -104,10 +104,23 @@ object AlertStream {
     changes / (l - 1)
   }
 
+  /** A pre-leveled event point — what a windowed batch reduces to
+    * (alert.go:1022-1060 BufferedBatch: one addEvent per batch). */
+  case class LevelPoint(group: String, timeUs: Long, level: Int)
+
   /** One FSM transition; returns the new state and an optional event. */
   def step(cfg: AlertConfig, st: FsmState, p: AlertPoint): (FsmState, Option[AlertEvent]) = {
     val cur = st.history(st.idx)
     val level = determineLevel(cfg, cur, p)
+    stepLevel(cfg, st, p.group, p.timeUs, level)
+  }
+
+  /** FSM transition from a precomputed level (batch path — the reference
+    * determines one level per buffered batch then runs the same
+    * addEvent/trigger logic, alert.go:1060-1090). */
+  def stepLevel(cfg: AlertConfig, st: FsmState, group: String, timeUs: Long,
+      level: Int): (FsmState, Option[AlertEvent]) = {
+    val cur = st.history(st.idx)
     // addEvent
     val changed = cur != level
     val idx2 = (st.idx + 1) % cfg.historyLen
@@ -123,18 +136,61 @@ object AlertStream {
     val st2 = st.copy(history = hist2, idx = idx2, flapping = flapping2)
     // expired: unchanged for maxInterval of event time → re-emit anyway
     val expired = !changed && cfg.stateChangesOnlyMaxIntervalUs != 0 &&
-      p.timeUs - st.lastUs >= cfg.stateChangesOnlyMaxIntervalUs
+      timeUs - st.lastUs >= cfg.stateChangesOnlyMaxIntervalUs
     if ((cfg.useFlapping && flapping2) || (cfg.stateChangesOnly && !changed && !expired))
       (st2, None)
     else if (level != 0 || changed) {
       // triggered(t): previous level OK → new alert run begins now
-      val first = if (cur == 0) p.timeUs else st.firstUs
-      val st3 = st2.copy(firstUs = first, lastUs = p.timeUs)
+      val first = if (cur == 0) timeUs else st.firstUs
+      val st3 = st2.copy(firstUs = first, lastUs = timeUs)
       if (cfg.noRecoveries && level == 0) (st3, None)
       else
-        (st3, Some(AlertEvent(p.group, p.timeUs, level, levelNames(level),
-          p.timeUs - first, changed, flapping2)))
+        (st3, Some(AlertEvent(group, timeUs, level, levelNames(level),
+          timeUs - first, changed, flapping2)))
     } else (st2, None)
+  }
+
+  /** Reduce windowed batches to one level-event per batch
+    * (alert.go:1022-1060 BufferedBatch, incl. `.all()`
+    * pipeline/alert.go:490-496): per (group, batch) the batch level is the
+    * lowest point level when `all` (every point must match) else the
+    * highest; the event time is the batch time when `all` or the level is
+    * OK, otherwise the time of the FIRST point carrying the highest level.
+    * Declarative: one aggregate over (group, batch) — min/max for the
+    * level, min_by over a (level-complement, time, id) key for the
+    * highest-point time. Feed the result to [[runBatchLevels]].
+    *
+    * State-free determineLevel only (no reset hysteresis): the reference
+    * evaluates resets per point against FSM state; batch alerts with reset
+    * expressions are out of scope (documented). */
+  def batchLevels(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: Column,
+      batchTimeUs: Column,
+      pointTimeUs: Column,
+      idTiebreak: Column,
+      level: Column,
+      all: Boolean): org.apache.spark.sql.DataFrame = {
+    // first point with the maximal level: min_by on (3-level, time, id)
+    val ordKey = format_string("%01d%020d%010d", lit(3) - level, pointTimeUs, idTiebreak)
+    val agg = df.groupBy(groupCol.as("group"), batchTimeUs.as("batch_us"))
+      .agg(
+        (if (all) min(level) else max(level)).as("level"),
+        min_by(pointTimeUs, ordKey).as("high_us"))
+    val t = if (all) col("batch_us") else when(col("level") === 0, col("batch_us")).otherwise(col("high_us"))
+    agg.select(col("group"), t.as("time_us"), col("level"))
+  }
+
+  /** Batch-edge FSM over pre-leveled events, per group in time order. */
+  def runBatchLevels(points: Dataset[LevelPoint], cfg: AlertConfig): Dataset[AlertEvent] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_.group).flatMapGroups { (_, it) =>
+      var st = initialState(cfg)
+      it.toSeq.sortBy(_.timeUs).flatMap { p =>
+        val (st2, ev) = stepLevel(cfg, st, p.group, p.timeUs, p.level); st = st2; ev
+      }.iterator
+    }
   }
 
   /** Batch execution: per group in time order, fresh state. */

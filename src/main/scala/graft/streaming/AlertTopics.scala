@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Alert topics and inhibitors (reference alert.go:712-914 handleEvent,
+  * alert/inhibit.go:10-90, services/alert).
+  *
+  * Topics: every alert event is published to its node's topic(s); handlers
+  * subscribe to topics and receive the fan-out. Declaratively that is a
+  * join of the event stream against a (topic → handler) subscription table
+  * — handlers are few, so the subscription side broadcasts.
+  *
+  * Inhibitors: an alert node declaring `.inhibit(category, equalTags…)`
+  * suppresses, while its own level is non-OK, every event of `category`
+  * whose equal-tags match its group (inhibit.go:74-90; the inhibitor's
+  * state is Set on each trigger, alert.go:1225-1229). Batch rendering: the
+  * inhibiting node's event stream is a step function of time per
+  * (category, tagset); a candidate event is inhibited iff the latest
+  * inhibiting event at-or-before it is non-OK. That is a union of the two
+  * streams + a per-key running last_value — one shuffle on (category,
+  * equalTags), no joins, no state explosion.
+  *
+  * Tie order (documented): the reference updates inhibitor state and
+  * delivers events from concurrent goroutines, so same-instant ordering is
+  * racy; here an inhibiting event at time t governs candidates at the same
+  * t (inhibitor sorts first on ties) — deterministic and the conservative
+  * reading of "suppress while CRITICAL".
+  */
+object AlertTopics {
+
+  /** Fan out events to their subscribed handlers.
+    * @param events        alert events with a `topic` column
+    * @param subscriptions (topic, handler) rows — the AlertService handler
+    *                      registry (services/alert topics store) */
+  def fanOut(events: DataFrame, subscriptions: DataFrame): DataFrame =
+    events.join(broadcast(subscriptions), "topic")
+
+  /** Suppress candidate events inhibited by an active non-OK inhibitor.
+    *
+    * @param candidates      events of the inhibited category:
+    *                        (timeUs, equalTags…, payload…)
+    * @param inhibitorEvents the inhibiting node's alert events:
+    *                        (timeUs, equalTags…, level) — its non-OK runs
+    *                        define the inhibition windows
+    * @param equalTags       tag columns that must match (inhibit.go:81-88)
+    * @return candidates plus a boolean `inhibited` column */
+  def applyInhibitors(
+      candidates: DataFrame,
+      inhibitorEvents: DataFrame,
+      equalTags: Seq[String],
+      timeUsCol: String = "time_us"): DataFrame = {
+    val c = candidates.withColumn("__src", lit(1))
+    val i = inhibitorEvents
+      .select(equalTags.map(col) :+ col(timeUsCol) :+ col("level").cast("int").as("__ilvl"): _*)
+      .withColumn("__src", lit(0))
+    val unioned = c.unionByName(i, allowMissingColumns = true)
+    val w = Window.partitionBy(equalTags.map(col): _*)
+      .orderBy(col(timeUsCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("__inh", coalesce(last(col("__ilvl"), ignoreNulls = true).over(w), lit(0)))
+      .filter(col("__src") === 1)
+      .withColumn("inhibited", col("__inh") =!= 0)
+      .drop("__src", "__ilvl", "__inh")
+  }
+}

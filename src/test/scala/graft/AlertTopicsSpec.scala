@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{AlertStream, AlertTopics}
+import graft.streaming.AlertStream.{AlertConfig, LevelPoint}
+import org.apache.spark.sql.functions._
+
+/** alert().all(), topic fan-out and inhibitors (reference
+  * pipeline/alert.go:490-496, alert.go:712-914, alert/inhibit.go). */
+class AlertTopicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three batches for one group: (batch_us, point time, id, level)
+  private def batchDf = Seq(
+    // batch 0: levels 1,3,2 → all→1, any→3 (highest first at t=20)
+    ("g", 0L, 10L, 1L, 1), ("g", 0L, 20L, 2L, 3), ("g", 0L, 30L, 3L, 2),
+    // batch 100: levels 3,3 → the FIRST point with the max level wins the time
+    ("g", 100L, 110L, 4L, 3), ("g", 100L, 120L, 5L, 3),
+    // batch 200: all OK
+    ("g", 200L, 210L, 6L, 0))
+    .toDF("group", "batch_us", "t_us", "id", "lvl")
+
+  test("batchLevels: all() takes the lowest level and the batch time") {
+    val out = AlertStream.batchLevels(batchDf, col("group"), col("batch_us"),
+      col("t_us"), col("id"), col("lvl"), all = true)
+      .orderBy("time_us").as[(String, Long, Int)].collect().toSeq
+    assert(out == Seq(("g", 0L, 1), ("g", 100L, 3), ("g", 200L, 0)))
+  }
+
+  test("batchLevels: default takes the highest level and its first point's time") {
+    val out = AlertStream.batchLevels(batchDf, col("group"), col("batch_us"),
+      col("t_us"), col("id"), col("lvl"), all = false)
+      .orderBy("time_us").as[(String, Long, Int)].collect().toSeq
+    // batch 0 → highest 3 at t=20; batch 100 → first of the two 3s at t=110;
+    // batch 200 → OK falls back to the batch time
+    assert(out == Seq(("g", 20L, 3), ("g", 110L, 3), ("g", 200L, 0)))
+  }
+
+  test("runBatchLevels drives the FSM: emit on non-OK or change, duration spans the run") {
+    val events = AlertStream.runBatchLevels(
+      Seq(LevelPoint("g", 0L, 0), LevelPoint("g", 10L, 2), LevelPoint("g", 20L, 2),
+        LevelPoint("g", 30L, 0), LevelPoint("g", 40L, 0)).toDS(),
+      AlertConfig())
+      .collect().sortBy(_.timeUs)
+      .map(e => (e.timeUs, e.level, e.changed, e.durationUs)).toSeq
+    // t=0 OK unchanged → silent; t=10 WARN changed (run starts); t=20 WARN
+    // unchanged (still emits, not stateChangesOnly); t=30 recovery with the
+    // run's duration; t=40 OK unchanged → silent
+    assert(events == Seq((10L, 2, true, 0L), (20L, 2, false, 10L), (30L, 0, true, 20L)))
+  }
+
+  test("inhibitors: candidates are suppressed exactly while the inhibitor is non-OK") {
+    // cpu_alert on host A goes CRITICAL at t=100, recovers at t=300
+    // (pipeline/alert.go:577-601 inhibit example)
+    val inhibitorEvents = Seq(
+      ("A", 100L, 3), ("A", 300L, 0), ("B", 500L, 3))
+      .toDF("host", "time_us", "level")
+    val candidates = Seq(
+      ("A", 50L, "e1"),  // before inhibition
+      ("A", 100L, "e2"), // at the inhibiting instant → suppressed (tie rule)
+      ("A", 200L, "e3"), // inside the window
+      ("A", 300L, "e4"), // at recovery → released
+      ("A", 400L, "e5"), // after recovery
+      ("B", 400L, "e6"), // other host, before ITS inhibition
+      ("B", 600L, "e7")) // other host, inhibited
+      .toDF("host", "time_us", "name")
+    val out = AlertTopics.applyInhibitors(candidates, inhibitorEvents, Seq("host"))
+      .select("name", "inhibited").as[(String, Boolean)].collect().toMap
+    assert(out == Map("e1" -> false, "e2" -> true, "e3" -> true, "e4" -> false,
+      "e5" -> false, "e6" -> false, "e7" -> true))
+  }
+
+  test("topic fan-out delivers each event to every subscribed handler") {
+    val events = Seq(("system_alerts", "ev1"), ("db_alerts", "ev2")).toDF("topic", "name")
+    val subs = Seq(("system_alerts", "slack"), ("system_alerts", "pagerduty"),
+      ("db_alerts", "log")).toDF("topic", "handler")
+    val out = AlertTopics.fanOut(events, subs)
+      .select("name", "handler").as[(String, String)].collect().toSet
+    assert(out == Set(("ev1", "slack"), ("ev1", "pagerduty"), ("ev2", "log")))
+  }
+}
