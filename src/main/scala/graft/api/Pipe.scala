@@ -108,25 +108,22 @@ final case class Pipe(
     copy(df = df.withColumn(as, key), dims = Seq(as))
   }
 
-  /** sample(n): keep every Nth point per group (reference sample.go:97-104). */
+  /** sample(n): keep every Nth point per group, counting from the FIRST
+    * (reference sample.go:97-104: `count%n==0` with count starting at 0, so
+    * the 1st, n+1th, 2n+1th… points are kept — pinned by the
+    * TestStream_Sample golden fixture). */
   def sampleN(n: Int): Pipe =
     copy(df = df
       .withColumn("__rn", row_number().over(byGroupTime))
-      .filter(col("__rn") % n === 0)
+      .filter(col("__rn") % n === 1)
       .drop("__rn"))
 
-  /** sample(duration): keep the first point per duration bucket per group
-    * (reference sample.go:97-104 duration mode). */
-  def sampleEvery(bucketSeconds: Long): Pipe = {
-    val bucket = floor(unix_micros(t) / lit(1000000L) / bucketSeconds)
-    val w = (if (dims.isEmpty) Window.partitionBy(bucket)
-             else Window.partitionBy(dims.map(col) :+ bucket: _*))
-      .orderBy(orderCols: _*)
-    copy(df = df
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn"))
-  }
+  /** sample(duration): keep only points whose time lies exactly on a
+    * duration boundary — `t.Truncate(d) == t` (reference sample.go:100-103,
+    * pinned by the TestStream_Sample_Time golden fixture). A pure filter:
+    * no window function, no shuffle, fully pushdown-able. */
+  def sampleEvery(bucketSeconds: Long): Pipe =
+    copy(df = df.filter(unix_micros(t) % (bucketSeconds * 1000000L) === 0))
 
   /** union(): merge streams by name (reference union.go:28-166). */
   def union(others: Pipe*): Pipe =

@@ -23,6 +23,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Materialize the (small) result eagerly, then release every cached
+    * intermediate. Near-dup outputs are pair lists — orders of magnitude
+    * smaller than the exploded indexes that produce them — so pinning the
+    * result via localCheckpoint and dropping the big caches immediately is
+    * the right trade at any scale; without this the session accumulates
+    * one inverted index per invocation. */
+  private def eagerRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** (doc_id, sh) frame where sh is the distinct word-n-shingle *hash*
     * set, computed by the fused native expression
     * (graft.expressions.ShingleHashes) — one JVM pass per document instead
@@ -77,12 +89,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bh"))
+    val pairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(TextOps.minhashEstimate(col("sig_a"), col("sig_b"), k), 6).as("est_jaccard"))
       .distinct() // a pair may collide on several bands
       .filter(col("est_jaccard") >= threshold)
+    eagerRelease(pairs, banded)
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash, `chunks`-way blocking,
@@ -109,12 +122,13 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = blocked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("chunk_idx"), col("chunk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
+    val pairs = a.join(b, Seq("chunk_idx", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    eagerRelease(pairs, blocked)
   }
 
   /** Exact n-gram Jaccard via **prefix filtering** (the AllPairs/PPJoin
@@ -170,11 +184,12 @@ object Dedup {
     val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
     val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
     graft.expressions.IntersectCountSorted.register(docs.sparkSession)
-    candidates.join(setsA, "id_a").join(setsB, "id_b")
+    val verified = candidates.join(setsA, "id_a").join(setsB, "id_b")
       .withColumn("common", call_function("graft_isect", col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+    eagerRelease(verified, sets, inv, pos)
   }
 }

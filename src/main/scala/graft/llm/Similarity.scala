@@ -148,13 +148,18 @@ object Similarity {
       .join(n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
       .join(n.select(col("vid").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
       .withColumn("cos", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
-    scored
+    val topk = scored
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))).cast("long"))
       .select(col("rk"), col("id_a"), col("id_b"), col("cos"))
+    // the top-k result is tiny: pin it eagerly and release the bucket cache
+    // so repeated invocations don't accumulate signature tables
+    val out = topk.localCheckpoint(true)
+    buckets.unpersist(false)
+    out
   }
 
   /** LSH-bucketed approximate k-NN: candidates are corpus vectors sharing

@@ -121,18 +121,24 @@ object InfluxQL {
   }
 
   /** top/bottom — n points by value per group (reference
-    * pipeline/influxql.go:419/446); deterministic tie-break (time, id). */
-  def top(p: Pipe, keys: Seq[String], field: String, n: Int, as: String = "top"): DataFrame = {
+    * pipeline/influxql.go:419/446); deterministic tie-break (time, id).
+    * `carry` keeps extra columns of the winning points — the reference's
+    * `top(n, field, tag…)` extra-tags surface. */
+  def top(p: Pipe, keys: Seq[String], field: String, n: Int, as: String = "top",
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(field).desc +: col(p.timeCol).asc +: p.idCol.map(c => col(c).asc).toSeq: _*)
     p.df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n)
-      .select((keys.map(col) :+ col(p.timeCol) :+ col(field).as(as) :+ col("__rk").cast("long").as("rk")): _*)
+      .select((keys.map(col) :+ col(p.timeCol)) ++ carry.map(col) ++
+        Seq(col(field).as(as), col("__rk").cast("long").as("rk")): _*)
   }
 
-  def bottom(p: Pipe, keys: Seq[String], field: String, n: Int, as: String = "bottom"): DataFrame = {
+  def bottom(p: Pipe, keys: Seq[String], field: String, n: Int, as: String = "bottom",
+      carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(field).asc +: col(p.timeCol).asc +: p.idCol.map(c => col(c).asc).toSeq: _*)
     p.df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= n)
-      .select((keys.map(col) :+ col(p.timeCol) :+ col(field).as(as) :+ col("__rk").cast("long").as("rk")): _*)
+      .select((keys.map(col) :+ col(p.timeCol)) ++ carry.map(col) ++
+        Seq(col(field).as(as), col("__rk").cast("long").as("rk")): _*)
   }
 }

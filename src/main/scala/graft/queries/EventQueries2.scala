@@ -76,7 +76,7 @@ object EventQueries2 {
   }
   val sampleSql: String =
     s"""$preludeSql SELECT event_id, event_type, tus AS time_us, value FROM e
-       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY tus, event_id) % 10 = 0
+       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY tus, event_id) % 10 = 1
        ORDER BY event_id""".replaceAll("\\s+", " ")
 
   /** shift(+1h) (reference shift.go). */

@@ -68,19 +68,23 @@ object EventQueries3 {
 
   // --------------------------------------------------- duration sampling
 
-  /** sample(30m): first point of each half-hour per event_type (reference
-    * sample.go duration mode). */
+  /** sample(30m) after truncating times to the minute: the reference keeps
+    * only points lying exactly on a duration boundary (sample.go:100-103,
+    * `t.Truncate(d) == t`) — event timestamps are µs-grained, so a minute
+    * truncation upstream makes the boundary population non-empty while the
+    * operator under test stays reference-exact. */
   def sampleDurationQ(s: SparkSession, dir: String): DataFrame = {
-    val p = pipe(s, dir).sampleEvery(1800)
-    p.df.select(col("event_id"), col("event_type"),
+    val p = pipe(s, dir)
+    val truncated = p.copy(df = p.df.withColumn("time", date_trunc("minute", col("time"))))
+      .sampleEvery(1800)
+    truncated.df.select(col("event_id"), col("event_type"),
       unix_micros(col("time")).as("time_us"), col("value"))
       .orderBy("event_id")
   }
   val sampleDurationSql: String =
-    s"""$preludeSql SELECT event_id, event_type, tus AS time_us, value FROM e
-       QUALIFY row_number() OVER (
-         PARTITION BY event_type, CAST(floor(tus/1000000.0/1800) AS BIGINT)
-         ORDER BY tus, event_id) = 1
+    s"""$preludeSql SELECT event_id, event_type,
+         epoch_us(date_trunc('minute', make_timestamp(tus))) AS time_us, value FROM e
+       WHERE epoch_us(date_trunc('minute', make_timestamp(tus))) % 1800000000 = 0
        ORDER BY event_id""".replaceAll("\\s+", " ")
 
   // ----------------------------------------------------------- quiet eval

@@ -181,28 +181,43 @@ object AlertStream {
     agg.select(col("group"), t.as("time_us"), col("level"))
   }
 
-  /** Batch-edge FSM over pre-leveled events, per group in time order. */
+  /** Batch-edge FSM over pre-leveled events, per group in time order.
+    *
+    * Memory-bounded: repartition by group + sortWithinPartitions gives each
+    * group as a contiguous time-sorted run (secondary sort — the shuffle
+    * writes sort spillable runs, never an in-memory group buffer), and the
+    * FSM is a streaming fold over the partition iterator whose only state is
+    * one FsmState. A skewed group costs sort spill, not executor OOM. */
   def runBatchLevels(points: Dataset[LevelPoint], cfg: AlertConfig): Dataset[AlertEvent] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.group).flatMapGroups { (_, it) =>
-      var st = initialState(cfg)
-      it.toSeq.sortBy(_.timeUs).flatMap { p =>
-        val (st2, ev) = stepLevel(cfg, st, p.group, p.timeUs, p.level); st = st2; ev
-      }.iterator
-    }
+    points.repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("timeUs"))
+      .mapPartitions { it =>
+        var curGroup: String = null
+        var st = initialState(cfg)
+        it.flatMap { p =>
+          if (p.group != curGroup) { curGroup = p.group; st = initialState(cfg) }
+          val (st2, ev) = stepLevel(cfg, st, p.group, p.timeUs, p.level); st = st2; ev
+        }
+      }
   }
 
-  /** Batch execution: per group in time order, fresh state. */
+  /** Batch execution: per group in time order, fresh state. Secondary-sorted
+    * partition fold — see [[runBatchLevels]] for the bounded-memory shape. */
   def runBatch(points: Dataset[AlertPoint], cfg: AlertConfig): Dataset[AlertEvent] = {
     val spark = points.sparkSession
     import spark.implicits._
-    points.groupByKey(_.group).flatMapGroups { (_, it) =>
-      var st = initialState(cfg)
-      it.toSeq.sortBy(p => (p.timeUs, p.group)).flatMap { p =>
-        val (st2, ev) = step(cfg, st, p); st = st2; ev
-      }.iterator
-    }
+    points.repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("timeUs"))
+      .mapPartitions { it =>
+        var curGroup: String = null
+        var st = initialState(cfg)
+        it.flatMap { p =>
+          if (p.group != curGroup) { curGroup = p.group; st = initialState(cfg) }
+          val (st2, ev) = step(cfg, st, p); st = st2; ev
+        }
+      }
   }
 
   /** Streaming execution: identical FSM, state kept in the state store and
@@ -216,6 +231,8 @@ object AlertStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, it: Iterator[AlertPoint], gs: GroupState[FsmState]) =>
           var st = gs.getOption.getOrElse(initialState(cfg))
+          // buffers one group's slice of ONE micro-batch (bounded by the
+          // trigger interval); cross-batch state is just FsmState
           val out = it.toSeq.sortBy(_.timeUs).flatMap { p =>
             val (st2, ev) = step(cfg, st, p); st = st2; ev
           }

@@ -57,6 +57,9 @@ object WindowStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (group: String, it: Iterator[CountPoint], gs: GroupState[RingState]) =>
           var st = gs.getOption.getOrElse(RingState(Vector.empty, Vector.empty, 0L))
+          // the toSeq here buffers one group's slice of ONE micro-batch
+          // (bounded by the trigger interval), not the group's history —
+          // cross-batch state is only the n-point ring in the state store
           val out = it.toSeq.sortBy(_.timeUs).flatMap { p =>
             val times = (st.times :+ p.timeUs).takeRight(n)
             val values = (st.values :+ p.value).takeRight(n)

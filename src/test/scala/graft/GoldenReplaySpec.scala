@@ -4,6 +4,7 @@ import graft.api.Pipe
 import graft.operators.WindowFSM
 import graft.sources.{LineProtocol, ResultRenderer}
 import graft.streaming.AlertStream
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 
 /** The reference's golden-replay test shape (integrations/streamer_test.go:
@@ -152,6 +153,199 @@ class GoldenReplaySpec extends SparkSpec {
       assert(decl == fsm, s"fixture $name fillPeriod=$fp")
     }
   }
+
+  // ---- transform + window fixtures (streamer_test.go:264-760, 2449-2710,
+  // 4656-5900, 8507+, 12697-12860). Each reference test replays its .srpl,
+  // runs a TICKscript, and compares httpOut's LAST cached batch; here the
+  // same pipeline runs through Pipe/WindowFSM/InfluxQL and the final FSM
+  // emission is compared against the reference's literal expectation.
+
+  /** Whole-fixture read with the replay harness's re-basing: all points
+    * shift so the stream's first point lands on t=0 (replay.go precision
+    * 's'; fixtures carry plain-second timestamps). */
+  private def srplRebased(name: String) = {
+    val df = graft.sources.Replay.readSrpl(spark,
+      s"/root/reference/integrations/testdata/$name.srpl")
+    val mn = df.agg(min("ts_ns")).head.getLong(0)
+    df.withColumn("time", timestamp_seconds(col("ts_ns") - mn))
+  }
+
+  private def fieldPts(name: String, meas: String, where: Column = lit(true)) =
+    srplRebased(name)
+      .filter(col("measurement") === meas && where)
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+      .filter(col("value").isNotNull)
+
+  /** (emit_s, rows-of-last-batch) for an already-transformed point stream. */
+  private def lastFsmBatch(df: org.apache.spark.sql.DataFrame, period: Long,
+      every: Long, align: Boolean = false): (Long, Seq[Row]) = {
+    val w = WindowFSM.windowByTime(df, "time", Nil, period, every, align = align)
+    val last = w.agg(max("wemit_us")).head.getLong(0)
+    (last / 1000000L, w.filter(col("wemit_us") === last).orderBy("time").collect().toSeq)
+  }
+
+  test("TestStream_Derivative golden: derivative|window(10s,10s)|mean") {
+    val der = Pipe(fieldPts("TestStream_Derivative", "packets"), "time", Nil)
+      .derivative("value").df
+    val (emit, rows) = lastFsmBatch(der.select(col("time"), col("derivative")), 10, 10)
+    assert(emit == 11L)
+    val mean = rows.map(_.getDouble(1)).sum / rows.size
+    assert(mean == 1.0)
+  }
+
+  test("TestStream_Elapsed golden: elapsed(1s)|window(10s,10s)|max") {
+    val el = Pipe(fieldPts("TestStream_Elapsed", "packets"), "time", Nil)
+      .elapsed(1.0).df
+    val (emit, rows) = lastFsmBatch(el.select(col("time"), col("elapsed")), 10, 10)
+    assert(emit == 11L)
+    assert(rows.map(_.getDouble(1)).max == 4.0)
+  }
+
+  test("TestStream_Difference golden: difference|window(10s,10s)|max") {
+    val d = Pipe(fieldPts("TestStream_Difference", "packets"), "time", Nil)
+      .difference("value").df
+    val (emit, rows) = lastFsmBatch(d.select(col("time"), col("difference")), 10, 10)
+    assert(emit == 11L)
+    assert(rows.map(_.getDouble(1)).max == 5.0)
+  }
+
+  test("TestStream_MovingAverage golden: movingAverage(4)|window(10s,10s)") {
+    val ma = Pipe(fieldPts("TestStream_MovingAverage", "packets"), "time", Nil)
+      .movingAverage("value", 4).df
+    val (emit, rows) = lastFsmBatch(
+      ma.select(col("time"), col("movingAverage")), 10, 10)
+    assert(emit == 13L)
+    assert(rows.map(r => (unix_ts(r), r.getDouble(1))) == Seq(
+      3L -> 1001.5, 4L -> 1005.0, 5L -> 1008.5, 6L -> 1012.0, 7L -> 1015.5,
+      8L -> 1016.5, 9L -> 1017.5, 10L -> 1018.5, 11L -> 1019.5, 12L -> 1020.5))
+  }
+
+  test("TestStream_CumulativeSum golden: cumulativeSum|window(10s,10s)") {
+    val cs = Pipe(fieldPts("TestStream_CumulativeSum", "packets"), "time", Nil)
+      .cumulativeSum("value").df
+    val (emit, rows) = lastFsmBatch(
+      cs.select(col("time"), col("cumulativeSum")), 10, 10)
+    assert(emit == 10L)
+    assert(rows.map(r => (unix_ts(r), r.getDouble(1))) ==
+      (0L to 9L).zip(Seq(0.0, 0.0, 1.0, 3.0, 6.0, 10.0, 15.0, 21.0, 28.0, 36.0)))
+  }
+
+  test("TestStream_SimpleMR golden: where(host=serverA)|window(10s,10s)|count") {
+    val pts = fieldPts("TestStream_SimpleMR", "cpu", expr("tags['host']") === "serverA")
+    val (emit, rows) = lastFsmBatch(pts, 10, 10)
+    assert(emit == 10L && rows.size == 10)
+  }
+
+  test("TestStream_Union golden: union of three filtered streams|window|count") {
+    val base = srplRebased("TestStream_Union").filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['cpu']").as("cpu"), expr("fieldsFloat['value']").as("value"))
+    def sub(v: String) = Pipe(base.filter(col("cpu") === v), "time", Nil)
+    val u = sub("total").unionRename("cpu_all", sub("0"), sub("1"))
+    val (emit, rows) = lastFsmBatch(u.df.select(col("time"), col("value")), 10, 10)
+    assert(u.measurement.contains("cpu_all"))
+    assert(emit == 10L && rows.size == 20)
+  }
+
+  test("TestStream_Sample_Count golden: sample(2)|window(4s,4s,align)") {
+    val sampled = Pipe(fieldPts("TestStream_Sample", "packets"), "time", Nil).sampleN(2).df
+    val (emit, rows) = lastFsmBatch(sampled, 4, 4, align = true)
+    assert(emit == 8L)
+    assert(rows.map(r => (unix_ts(r), r.getDouble(1))) == Seq(4L -> 1004.0, 6L -> 1006.0))
+  }
+
+  test("TestStream_Sample_Time golden: sample(3s)|window(4s,4s,align)") {
+    val sampled = Pipe(fieldPts("TestStream_Sample", "packets"), "time", Nil).sampleEvery(3).df
+    val (emit, rows) = lastFsmBatch(sampled, 4, 4, align = true)
+    assert(emit == 8L)
+    assert(rows.map(r => (unix_ts(r), r.getDouble(1))) == Seq(6L -> 1006.0))
+  }
+
+  test("TestStream_Shift golden: shifted past vs current window counts join") {
+    val pts = fieldPts("TestStream_Shift", "cpu", expr("tags['host']") === "serverA")
+    val counts = WindowFSM.windowByTime(pts, "time", Nil, 5, 5, align = true)
+      .groupBy("wemit_us").agg(count("value").as("count"))
+    // past |shift(5s): emit times move forward one period, then join(current)
+    val past = counts.select((col("wemit_us") + 5000000L).as("wemit_us"),
+      col("count").as("past_count"))
+    val cur = counts.select(col("wemit_us"), col("count").as("current_count"))
+    val joined = past.join(cur, "wemit_us")
+      .withColumn("diff", col("current_count") - col("past_count"))
+      .orderBy("wemit_us").collect()
+    val lastRow = joined.last
+    assert(lastRow.getLong(0) == 10000000L && lastRow.getLong(1) == 4L &&
+      lastRow.getLong(2) == 5L && lastRow.getLong(3) == 1L)
+  }
+
+  test("TestStream_Join golden: per-service aligned sums join to error_percent") {
+    val base = srplRebased("TestStream_Join")
+    def side(m: String) = base.filter(col("measurement") === m)
+      .select(expr("tags['service']").as("service"), col("time"),
+        expr("fieldsFloat['value']").as("value"))
+    def sums(m: String, as: String) =
+      WindowFSM.windowByTime(side(m), "time", Seq("service"), 10, 10, align = true)
+        .groupBy("service", "wemit_us").agg(sum("value").as(as))
+    val j = sums("errors", "errors_sum").join(sums("views", "views_sum"),
+        Seq("service", "wemit_us"))
+      .withColumn("error_percent", col("errors_sum") / col("views_sum"))
+    val lastEmit = j.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val rows = j.filter(col("wemit_us") === lastEmit)
+      .select("service", "errors_sum", "views_sum", "error_percent")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows == Map(
+      "cartA" -> ((47.0, 4700.0, 0.01)),
+      "login" -> ((45.0, 4500.0, 0.01)),
+      "front" -> ((32.0, 3200.0, 0.01))))
+  }
+
+  test("TestStream_Selectors golden: last carries the selected point's other fields") {
+    val pts = srplRebased("TestStream_Selectors")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"),
+        expr("fieldsFloat['another']").as("another"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    // selector keeps the whole winning point; result is stamped with the
+    // batch emit time (influxql.go non-usePointTimes path)
+    val sel = w.filter(col("wemit_us") === lastEmit)
+      .agg(max_by(struct(col("value"), col("another")), col("time")).as("p"))
+      .select("p.value", "p.another").head
+    assert(sel.getDouble(0) == 95.3 && sel.getDouble(1) == 5.0)
+  }
+
+  test("TestStream_TopSelector golden: last per player then top(5) per game") {
+    val pts = srplRebased("TestStream_TopSelector")
+      .filter(col("measurement") === "scores")
+      .select(expr("tags['game']").as("game"), expr("tags['player']").as("player"),
+        col("time"), expr("fieldsFloat['value']").as("value"))
+    val lastPer = WindowFSM
+      .windowByTime(pts, "time", Seq("game", "player"), 2, 2, align = true)
+      .groupBy("game", "player", "wemit_us")
+      .agg(max_by(col("value"), col("time")).as("last"))
+    // stream-mode InfluxQL nodes flush a timestamp's buffer only when a
+    // newer point arrives (influxql.go stream context): the final window
+    // emission (two straggler groups at t=6) is never followed, so httpOut
+    // keeps the second-to-last distinct emit time.
+    val emits = lastPer.select("wemit_us").distinct().orderBy("wemit_us")
+      .collect().map(_.getLong(0))
+    val lastEmit = emits(emits.length - 2)
+    assert(lastEmit == 4000000L)
+    val p = Pipe(lastPer.filter(col("wemit_us") === lastEmit)
+      .withColumn("t", timestamp_micros(col("wemit_us"))), timeCol = "t", dims = Seq("game"))
+    val top5 = graft.operators.InfluxQL.top(p, Seq("game"), "last", 5, carry = Seq("player"))
+      .orderBy(col("game"), col("rk"))
+      .select(col("game"), col("player"), col("top"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(top5 == Seq(
+      ("g0", "p7", 978.0), ("g0", "p10", 957.0), ("g0", "p9", 878.0),
+      ("g0", "p5", 877.0), ("g0", "p15", 791.0),
+      ("g1", "p19", 926.0), ("g1", "p12", 887.0), ("g1", "p0", 879.0),
+      ("g1", "p15", 872.0), ("g1", "p16", 863.0)))
+  }
+
+  private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {
     import AlertStream._

@@ -75,9 +75,11 @@ class PipeSpec extends SparkSpec {
     assert(out == Seq(-1.0, 0.0, 10.0, 20.0, -1.0))
   }
 
-  test("sampleN keeps every nth point per group") {
+  test("sampleN keeps every nth point per group, counting from the first") {
+    // reference sample.go: count%n==0 with count starting at 0 → the 1st,
+    // n+1th, … points are kept (pinned by the TestStream_Sample fixture)
     val out = pipe.sampleN(2).df.select("id").as[Long].collect().toSeq.sorted
-    assert(out == Seq(2L, 4L))
+    assert(out == Seq(1L, 3L, 5L))
   }
 
   test("shift moves time forward") {
