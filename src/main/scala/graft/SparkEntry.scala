@@ -82,6 +82,7 @@ object SparkEntry {
     "q_batch_periods" -> (EQ4.batchPeriodsQ _),
     "q_alert_all" -> (EQ4.alertAllQ _),
     "q_flatten_multi" -> (EQ4.flattenMultiQ _),
+    "q_join_fill" -> (EQ4.joinFillQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_combine_triples" -> EQ4.combineTriplesSql,
     "q_batch_periods" -> EQ4.batchPeriodsSql,
     "q_alert_all" -> EQ4.alertAllSql,
+    "q_join_fill" -> EQ4.joinFillSql,
     "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,

@@ -548,6 +548,57 @@ final case class Pipe(
     l.join(r, Seq("__jt") ++ on, how).withColumnRenamed("__jt", "jt_s")
   }
 
+  /** join(o1, o2, …).as(n0, n1, …).tolerance(t).on(dims).fill(…) — the full
+    * reference join surface (pipeline/join.go:16-150, join.go:16-762),
+    * n-way. Each side's *field* columns are prefixed `<name>_`; its group
+    * dims pass through unprefixed — `on` dims are join keys, extra dims of
+    * a finer-grouped side ride along (the reference's `.on()` contract:
+    * sides must agree on the `on` dims and at most one side may carry a
+    * given extra dim; reference join.go JoinOn). Time matches exactly, or
+    * rounded to `toleranceSeconds` (Go time.Round = half away from zero)
+    * when nonzero; the rounded time is `jt_us` (epoch µs).
+    *
+    * Fill (pipeline/join.go:120-150): none → inner; null → full outer;
+    * value v → full outer with every missing *field* coalesced to v (tags
+    * of absent sides stay null — the reference has no point to take tags
+    * from either).
+    *
+    * Scale: a reduce of equi-joins on (jt_us, on) — each join shuffles on
+    * the same key so Catalyst reuses the partitioning across the chain; AQE
+    * broadcasts/splits skewed sides. All-combinations-within-bucket
+    * deviation as [[joinTolerance]] (documented there). */
+  def joinMulti(
+      thisName: String,
+      others: Seq[(Pipe, String)],
+      toleranceSeconds: Long = 0L,
+      on: Seq[String] = Nil,
+      fill: Pipe.JoinFill = Pipe.FillNone): DataFrame = {
+    val sides = (this, thisName) +: others
+    def keyed(p: Pipe, nm: String) = {
+      val us = unix_micros(col(p.timeCol))
+      val jt =
+        if (toleranceSeconds == 0) us
+        else (floor(us / lit(1000000.0) / toleranceSeconds + lit(0.5)) *
+          toleranceSeconds * 1000000L).cast("long")
+      val extraDims = p.dims.filterNot(on.contains)
+      val dataCols = p.df.columns
+        .filterNot(c => on.contains(c) || extraDims.contains(c) || c == p.timeCol)
+      p.df.select(
+        (jt.as("jt_us") +: (on ++ extraDims).map(col)) ++
+          dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
+    }
+    val how = fill match { case Pipe.FillNone => "inner"; case _ => "full_outer" }
+    val joined = sides.map { case (p, nm) => keyed(p, nm) }
+      .reduceLeft((a, b) => a.join(b, Seq("jt_us") ++ on, how))
+    fill match {
+      case Pipe.FillValue(v) =>
+        val tagCols = Set("jt_us") ++ on ++ sides.flatMap(_._1.dims)
+        joined.select(joined.columns.map(c =>
+          if (tagCols.contains(c)) col(c) else coalesce(col(c), lit(v)).as(c)): _*)
+      case _ => joined
+    }
+  }
+
   // ------------------------------------------------------------- rendering
 
   /** Deterministic output: order by the given columns (all remaining columns
@@ -562,4 +613,10 @@ object Pipe {
   /** Entry point mirroring `stream|from()` on the canonical events table. */
   def events(df: DataFrame, dims: String*): Pipe =
     Pipe(df, timeCol = "time", dims = dims, measurement = Some("events"))
+
+  /** join fill modes (reference pipeline/join.go:120-150). */
+  sealed trait JoinFill
+  case object FillNone extends JoinFill
+  case object FillNull extends JoinFill
+  final case class FillValue(v: Any) extends JoinFill
 }

@@ -180,4 +180,40 @@ object EventQueries4 {
               round(arg_min(value, ord) FILTER (WHERE event_type='purchase'), 6) AS purchase_value,
               arg_min(event_id, ord) FILTER (WHERE event_type='purchase') AS purchase_event_id
        FROM m GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
+  // ----------------------------------------------------- n-way join + fill
+
+  /** q_join_fill: three per-type minute-bucket sum streams, n-way
+    * full-outer joined on the rounded time with fill(0.0) — the reference's
+    * join(o1,o2).as(...).fill(value) surface (pipeline/join.go:120-150;
+    * golden parity via TestStream_JoinN / TestStream_Join_Fill in
+    * GoldenReplaySpec). */
+  def joinFillQ(s: SparkSession, dir: String): DataFrame = {
+    val base = pipe(s, dir)
+    def side(t: String) = {
+      val d = base.df.filter(col("event_type") === t)
+        .withColumn("bt", timestamp_seconds(
+          (floor(unix_micros(col("time")) / 1000000.0 / 60) * 60).cast("long")))
+        .groupBy("bt").agg(round(sum("value"), 6).as("sum_v"))
+      Pipe(d, timeCol = "bt", dims = Nil)
+    }
+    side("click").joinMulti("click",
+        Seq((side("purchase"), "purchase"), (side("error"), "err")),
+        fill = Pipe.FillValue(0.0))
+      .select(col("jt_us"), col("click_sum_v"), col("purchase_sum_v"), col("err_sum_v"))
+      .orderBy("jt_us")
+  }
+  val joinFillSql: String =
+    s"""$preludeSql,
+       a AS (SELECT CAST(floor(tus/1000000.0/60)*60 AS BIGINT)*1000000 AS jt_us,
+             round(sum(value),6) AS click_sum_v FROM e WHERE event_type='click' GROUP BY 1),
+       b AS (SELECT CAST(floor(tus/1000000.0/60)*60 AS BIGINT)*1000000 AS jt_us,
+             round(sum(value),6) AS purchase_sum_v FROM e WHERE event_type='purchase' GROUP BY 1),
+       c AS (SELECT CAST(floor(tus/1000000.0/60)*60 AS BIGINT)*1000000 AS jt_us,
+             round(sum(value),6) AS err_sum_v FROM e WHERE event_type='error' GROUP BY 1)
+       SELECT jt_us, coalesce(click_sum_v, 0.0) AS click_sum_v,
+              coalesce(purchase_sum_v, 0.0) AS purchase_sum_v,
+              coalesce(err_sum_v, 0.0) AS err_sum_v
+       FROM a FULL JOIN b USING (jt_us) FULL JOIN c USING (jt_us)
+       ORDER BY jt_us""".replaceAll("\\s+", " ")
 }

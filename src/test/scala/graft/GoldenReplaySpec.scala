@@ -345,6 +345,66 @@ class GoldenReplaySpec extends SparkSpec {
       ("g1", "p15", 872.0), ("g1", "p16", 863.0)))
   }
 
+  test("TestStream_JoinN golden: 3-way exact-time join with fill(0.0)") {
+    val base = srplRebased("TestStream_JoinN")
+    def side(m: String, tag: String, v: String) = Pipe(base
+      .filter(col("measurement") === m && expr(s"tags['$tag']") === v)
+      .select(col("time"), expr("fieldsFloat['value']").as("value")), "time", Nil)
+    val joined = side("cpu", "cpu", "total").joinMulti("cpu",
+      Seq((side("memory", "type", "free"), "mem"), (side("disk", "device", "sda"), "disk")),
+      fill = Pipe.FillValue(0.0))
+    // |window(10s,10s)|count('cpu.value'): fill makes every joined row carry
+    // a cpu_value, so the count is the row count of the final window
+    val pts = joined.select(timestamp_micros(col("jt_us")).as("time"), col("cpu_value"))
+    val (emit, rows) = lastFsmBatch(pts, 10, 10)
+    assert(emit == 10L && rows.size == 10 && rows.forall(!_.isNullAt(1)))
+  }
+
+  test("TestStream_Join_Fill golden: outer join fill(0) keeps unmatched points") {
+    val base = srplRebased("TestStream_Join_Fill")
+    def side(m: String) = Pipe(base.filter(col("measurement") === m)
+      .select(col("time"), expr("tags['service']").as("service"),
+        expr("fieldsFloat['value']").as("value")), "time", dims = Seq("service"))
+    val joined = side("errors").joinMulti("errors", Seq((side("views"), "views")),
+      on = Seq("service"), fill = Pipe.FillValue(0.0))
+    val pts = joined.select(col("service"), timestamp_micros(col("jt_us")).as("time"),
+      (col("errors_value") + col("views_value")).as("error_percent"))
+    val w = WindowFSM.windowByTime(pts, "time", Seq("service"), 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val counts = w.filter(col("wemit_us") === lastEmit)
+      .groupBy("service").agg(count("error_percent").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("cartA" -> 7L, "login" -> 7L, "front" -> 8L))
+  }
+
+  test("TestStream_JoinOn golden: coarser side joins onto finer dims via on()") {
+    val base = srplRebased("TestStream_JoinOn")
+    val errs = base.filter(col("measurement") === "errors")
+      .select(expr("tags['service']").as("service"), expr("tags['dc']").as("dc"),
+        col("time"), expr("fieldsFloat['value']").as("value"))
+    val globalSums = WindowFSM.windowByTime(
+        errs.select(col("service"), col("time"), col("value")),
+        "time", Seq("service"), 10, 10, align = true)
+      .groupBy("service", "wemit_us").agg(sum("value").as("sum"))
+      .withColumn("t", timestamp_micros(col("wemit_us"))).drop("wemit_us")
+    val dcSums = WindowFSM.windowByTime(errs, "time", Seq("service", "dc"), 10, 10, align = true)
+      .groupBy("service", "dc", "wemit_us").agg(sum("value").as("sum"))
+      .withColumn("t", timestamp_micros(col("wemit_us"))).drop("wemit_us")
+    val j = Pipe(globalSums, "t", Seq("service"))
+      .joinMulti("service", Seq((Pipe(dcSums, "t", Seq("service", "dc")), "dc")),
+        on = Seq("service"))
+      .withColumn("value", col("dc_sum") / col("service_sum"))
+    val rows = j.filter(col("jt_us") === 10000000L)
+      .select("dc", "service", "dc_sum", "service_sum", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(("A", "cartA")) == ((15.0, 47.0, 15.0 / 47.0)))
+    assert(rows(("B", "cartA")) == ((32.0, 47.0, 32.0 / 47.0)))
+    assert(rows(("A", "login")) == ((15.0, 45.0, 15.0 / 45.0)))
+    assert(rows(("B", "login")) == ((23.0, 45.0, 23.0 / 45.0)))
+  }
+
   private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {
