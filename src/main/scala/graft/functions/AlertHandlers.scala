@@ -58,4 +58,38 @@ object AlertHandlers {
     * tab-separated record ready for a line sink. */
   def logLine(id: Column, message: Column, level: Column, timeUs: Column): Column =
     concat_ws("\t", timeUs.cast("string"), level, id, message)
+
+  /** The canonical `alert.Data` JSON document (reference alert/types.go:
+    * 183-193) — the payload the log, exec and tcp handlers all emit
+    * (services/alert/handlers.go:69-176). Field order and encodings match
+    * the Go struct: RFC3339 UTC time, duration in nanoseconds, levels as
+    * their names. The nested `data` Result is the caller's pre-rendered
+    * JSON (ResultRenderer.toJson) so the formatter stays one codegen'd
+    * projection. */
+  def alertData(
+      id: Column, message: Column, details: Column, timeUs: Column,
+      durationUs: Column, level: Column, previousLevel: Column,
+      recoverable: Column, dataJson: Column = lit("{}")): Column =
+    concat(
+      lit("{\"id\":"), jsonStr(id),
+      lit(",\"message\":"), jsonStr(message),
+      lit(",\"details\":"), jsonStr(details),
+      lit(",\"time\":"), jsonStr(date_format(
+        timestamp_micros(timeUs.cast("long")), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+      lit(",\"duration\":"), (durationUs.cast("long") * 1000L).cast("string"),
+      lit(",\"level\":"), jsonStr(level),
+      lit(",\"data\":"), dataJson,
+      lit(",\"previousLevel\":"), jsonStr(previousLevel),
+      lit(",\"recoverable\":"), recoverable.cast("boolean").cast("string"),
+      lit("}"))
+
+  /** Email handler message (services/smtp): a minimal RFC-822 document —
+    * subject is the alert message, body the details, exactly the
+    * reference's mapping (smtp service Handle → send(subject=message,
+    * body=details)). */
+  def emailMime(to: String, from: String, message: Column, details: Column): Column =
+    concat(
+      lit(s"From: $from\r\nTo: $to\r\nSubject: "), message,
+      lit("\r\nMIME-Version: 1.0\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
+      details)
 }

@@ -204,4 +204,16 @@ object TickFunctions {
     val sd = stddev_samp(field).over(w)
     when(sd.isNull || sd === 0, lit(0.0)).otherwise(abs(field - mu) / sd)
   }
+
+  /** rand() / rand(n) (reference tick/stateful/functions.go:1092-1116):
+    * per-row random int64, optionally bounded to [0, n). The reference
+    * draws from a per-task RNG stream — values are inherently
+    * run-specific, so the contract here is the same distributional one:
+    * Spark's seeded per-partition stream, reproducible for a fixed seed
+    * and partitioning. */
+  def randLambda(seed: Long): Column =
+    floor(rand(seed) * Long.MaxValue).cast("long")
+
+  def randLambda(seed: Long, n: Long): Column =
+    floor(rand(seed) * n).cast("long")
 }

@@ -66,4 +66,69 @@ object Sinks {
     * concern, exactly as the reference validates at task start). */
   def loopback(df: DataFrame, ingestPath: String): Unit =
     df.write.mode("append").parquet(ingestPath)
+
+  /** exec handler (reference services/alert/handlers.go:85-137): run a
+    * command per alert event with the alert.Data JSON on stdin. The runner
+    * is injectable (tests record; production uses [[runProcess]]); payloads
+    * are computed distributed and the fan-out happens per partition on the
+    * executors, so no event list ever sits on the driver. */
+  def execAlert(
+      payloads: DataFrame,
+      payloadCol: String,
+      prog: String,
+      args: Seq[String],
+      runner: (String, Seq[String], String) => Unit = runProcess): Unit =
+    payloads.select(payloadCol).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach(r => runner(prog, args, r.getString(0)))
+    }
+
+  /** Real command execution for [[execAlert]]: stdin ← payload, like the
+    * reference's commander (command.go Spec). */
+  def runProcess(prog: String, args: Seq[String], payload: String): Unit = {
+    val pb = new ProcessBuilder((prog +: args): _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val w = p.getOutputStream
+    w.write(payload.getBytes("UTF-8")); w.close()
+    p.waitFor()
+  }
+
+  /** tcp handler (reference services/alert/handlers.go:139-176): write the
+    * alert.Data JSON + '\n' to a socket. One connection per partition (the
+    * reference dials per event; batching writes per partition is the
+    * at-scale choice — same bytes on the wire). */
+  def tcpAlert(
+      payloads: DataFrame,
+      payloadCol: String,
+      host: String,
+      port: Int,
+      send: (String, Int, Iterator[String]) => Unit = sendSocket): Unit =
+    payloads.select(payloadCol).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) send(host, port, it.map(_.getString(0)))
+    }
+
+  /** Real socket transport for [[tcpAlert]]. */
+  def sendSocket(host: String, port: Int, lines: Iterator[String]): Unit = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val out = sock.getOutputStream
+      lines.foreach { l => out.write(l.getBytes("UTF-8")); out.write('\n') }
+      out.flush()
+    } finally sock.close()
+  }
+
+  /** email handler (reference services/smtp): the MIME documents are
+    * computed by [[graft.functions.AlertHandlers.emailMime]]; delivery is
+    * the injected transport (an SMTP client in production — none ships in
+    * this library, exactly like the reference requires a configured SMTP
+    * server). */
+  def emailAlert(
+      payloads: DataFrame,
+      mimeCol: String,
+      send: String => Unit): Unit =
+    payloads.select(mimeCol).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(r => send(r.getString(0)))
+    }
 }

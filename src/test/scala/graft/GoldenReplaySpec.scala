@@ -405,6 +405,26 @@ class GoldenReplaySpec extends SparkSpec {
     assert(rows(("B", "login")) == ((23.0, 45.0, 23.0 / 45.0)))
   }
 
+  test("TestStream_AlertDuration golden: duration tracks the non-OK episode") {
+    import AlertStream._
+    // warn: value>7, crit: value>8, stateChangesOnly
+    // (streamer_test.go:8507-8686: five posts with durations 0,2,4,0,3s)
+    val pts = srplRebased("TestStream_AlertDuration")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(lit("serverA").as("group"), unix_micros(col("time")).as("timeUs"),
+        lit(false).as("pass1"),
+        (expr("fieldsFloat['value']") > 7).as("pass2"),
+        (expr("fieldsFloat['value']") > 8).as("pass3"),
+        lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+      .as[AlertPoint]
+    val events = runBatch(pts, AlertConfig(stateChangesOnly = true))
+      .collect().sortBy(_.timeUs)
+      .map(e => (e.timeUs / 1000000L, e.levelName, e.durationUs / 1000000L)).toSeq
+    assert(events == Seq(
+      (0L, "CRITICAL", 0L), (2L, "WARNING", 2L), (4L, "OK", 4L),
+      (5L, "WARNING", 0L), (8L, "OK", 3L)))
+  }
+
   private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {

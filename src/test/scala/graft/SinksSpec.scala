@@ -39,6 +39,46 @@ class SinksSpec extends SparkSpec {
     assert(posted != null && posted.contains(""""name":"m""""))
   }
 
+  test("execAlert hands every alert.Data payload to the command runner") {
+    SinkRecorders.clear()
+    val df = Seq("p1", "p2", "p3").toDF("payload")
+    Sinks.execAlert(df, "payload", "/bin/cat", Seq("-"), SinkRecorders.execRecorder)
+    assert(SinkRecorders.drain().toSet == Set("p1", "p2", "p3"))
+  }
+
+  test("runProcess feeds the payload to the command's stdin") {
+    val tmp = Files.createTempFile("graft_exec", ".txt")
+    Sinks.runProcess("/bin/sh", Seq("-c", s"cat > $tmp"), "{\"id\":\"a\"}")
+    assert(new String(Files.readAllBytes(tmp), "UTF-8") == "{\"id\":\"a\"}")
+  }
+
+  test("tcpAlert writes newline-delimited payloads to a real socket") {
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val acceptor = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null).foreach(received.add)
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    acceptor.start()
+    val df = Seq("t1", "t2").toDF("payload").coalesce(1)
+    Sinks.tcpAlert(df, "payload", "127.0.0.1", server.getLocalPort)
+    acceptor.join(5000)
+    server.close()
+    assert(received.toArray.toSet == Set("t1", "t2"))
+  }
+
+  test("emailAlert hands MIME documents to the transport") {
+    SinkRecorders.clear()
+    val df = Seq("From: a\r\n\r\nbody").toDF("mime")
+    Sinks.emailAlert(df, "mime", SinkRecorders.emailRecorder)
+    assert(SinkRecorders.drain() == Seq("From: a\r\n\r\nbody"))
+  }
+
   test("graft extensions inject native functions; SQL resolves them") {
     // injection applies cleanly to a fresh extensions container
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
@@ -80,4 +120,16 @@ class SinksSpec extends SparkSpec {
       assert(ok, "no periodic barrier for idle group g within 20s")
     } finally q.stop()
   }
+}
+
+/** JVM-static recorder for sink transports: executor closures in local mode
+  * share this JVM, so the recording functions stay serializable while the
+  * buffer lives here. */
+object SinkRecorders {
+  private val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def clear(): Unit = buf.clear()
+  def drain(): Seq[String] = buf.toArray(Array.empty[String]).toSeq
+  val execRecorder: (String, Seq[String], String) => Unit =
+    (prog, _, payload) => { require(prog == "/bin/cat"); buf.add(payload); () }
+  val emailRecorder: String => Unit = m => { buf.add(m); () }
 }
