@@ -398,7 +398,7 @@ final case class Pipe(
       .groupBy(keys: _*)
       .pivot(dim, dimValues)
       .agg(min_by(col(field), col("__ord")))
-      .select(keys.map(c => c) ++ dimValues.map(v => col(v).as(s"${v}_$field")): _*)
+      .select(keys.map(c => c) ++ dimValues.map(v => col(s"`$v`").as(s"${v}_$field")): _*)
     copy(df = out, dims = dims.filterNot(_ == dim), timeCol = "bucket_s")
   }
 
@@ -453,11 +453,13 @@ final case class Pipe(
       .groupBy(keys: _*)
       .pivot(dim, dimValues)
       .agg(aggs.head, aggs.tail: _*)
-    // Spark names pivot outputs `<value>_<aggAlias>` (single agg: `<value>`)
+    // Spark names pivot outputs `<value>_<aggAlias>` (single agg: `<value>`);
+    // backquote the reference — dim values may contain dots, which col()
+    // would otherwise parse as struct access
     val outCols = for (v <- dimValues; f <- fields) yield {
       val src = if (fields.size == 1) v else s"${v}_$f"
       val dst = if (dropOriginalFieldName) v else s"$v$delimiter$f"
-      col(src).as(dst)
+      col(s"`$src`").as(dst)
     }
     val out = pivoted.select(keys ++ outCols: _*)
     copy(df = out, dims = dims.filterNot(_ == dim), timeCol = "bucket_s")

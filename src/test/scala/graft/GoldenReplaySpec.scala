@@ -425,6 +425,155 @@ class GoldenReplaySpec extends SparkSpec {
       (5L, "WARNING", 0L), (8L, "OK", 3L)))
   }
 
+  /** (group, timeUs, value) AlertPoints for one host of an alert fixture. */
+  private def alertPoints(name: String, host: String,
+      pass1: Column => Column, pass2: Column => Column, pass3: Column => Column,
+      reset1: Column => Column = _ => lit(true),
+      reset2: Column => Column = _ => lit(true),
+      reset3: Column => Column = _ => lit(true)) = {
+    val v = expr("fieldsFloat['value']")
+    srplRebased(name)
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === host)
+      .select(lit(host).as("group"), unix_micros(col("time")).as("timeUs"),
+        pass1(v).as("pass1"), pass2(v).as("pass2"), pass3(v).as("pass3"),
+        reset1(v).as("reset1"), reset2(v).as("reset2"), reset3(v).as("reset3"))
+      .as[AlertStream.AlertPoint]
+  }
+
+  private def eventTriples(events: Array[AlertStream.AlertEvent]) =
+    events.sortBy(_.timeUs)
+      .map(e => (e.timeUs / 1000000L, e.levelName, e.durationUs / 1000000L)).toSeq
+
+  test("TestStream_Alert_WithReset_0 golden: reset hysteresis holds levels") {
+    import AlertStream._
+    // info>40/warn>60/crit>80; resets <10/<20/<30 (streamer_test.go:7713-8046)
+    val pts = alertPoints("TestStream_Alert_WithReset_0", "serverA",
+      _ > 40, _ > 60, _ > 80, _ < 10, _ < 20, _ < 30)
+    val events = runBatch(pts,
+      AlertConfig(resetDefined = Seq(true, true, true)))
+    assert(eventTriples(events.collect()) == Seq(
+      (0L, "INFO", 0L), (1L, "INFO", 1L), (2L, "INFO", 2L), (3L, "OK", 3L),
+      (4L, "INFO", 0L), (5L, "WARNING", 1L), (6L, "WARNING", 2L), (7L, "OK", 3L),
+      (8L, "INFO", 0L), (9L, "WARNING", 1L), (10L, "CRITICAL", 2L), (11L, "OK", 3L)))
+  }
+
+  test("TestStream_Alert_NoRecoveries golden: recoveries suppressed, episodes reset") {
+    import AlertStream._
+    // info>=6/warn>=7/crit>=8, noRecoveries (streamer_test.go:7515-7712)
+    val pts = alertPoints("TestStream_Alert_NoRecoveries", "serverA",
+      _ >= 6, _ >= 7, _ >= 8)
+    val events = runBatch(pts, AlertConfig(noRecoveries = true))
+    assert(eventTriples(events.collect()) == Seq(
+      (0L, "WARNING", 0L), (2L, "INFO", 0L), (3L, "WARNING", 1L),
+      (4L, "WARNING", 2L), (5L, "CRITICAL", 3L), (7L, "INFO", 0L)))
+  }
+
+  test("TestStream_AlertSigma golden: running sigma values and the two events") {
+    import AlertStream._
+    // eval sigma |alert(info: sigma>2, warn: >3, crit: >3.5) → exactly two
+    // posts: INFO@7s (sigma 2.469916402324427) and OK@8s
+    // (streamer_test.go:11157-11246)
+    val pts = srplRebased("TestStream_AlertSigma")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val sig = pts.withColumn("sigma",
+      graft.functions.TickFunctions.sigma(col("value"), Nil, col("time")))
+    val s7 = sig.filter(unix_timestamp(col("time")) === 7).select("sigma").head.getDouble(0)
+    val s8 = sig.filter(unix_timestamp(col("time")) === 8).select("sigma").head.getDouble(0)
+    assert(math.abs(s7 - 2.469916402324427) < 1e-9)
+    assert(math.abs(s8 - 0.3053477916297622) < 1e-9)
+    val ap = sig.select(lit("serverA").as("group"), unix_micros(col("time")).as("timeUs"),
+      (col("sigma") > 2.0).as("pass1"), (col("sigma") > 3.0).as("pass2"),
+      (col("sigma") > 3.5).as("pass3"),
+      lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+      .as[AlertStream.AlertPoint]
+    val events = runBatch(ap, AlertConfig())
+    assert(eventTriples(events.collect()) == Seq((7L, "INFO", 0L), (8L, "OK", 1L)))
+  }
+
+  test("TestStream_AlertStateChangesOnlyExpired golden: maxInterval re-emits") {
+    import AlertStream._
+    // crit: value<97, stateChangesOnly(2s) → five CRITICALs 2s apart then
+    // the recovery (streamer_test.go:11327-11396)
+    val pts = alertPoints("TestStream_AlertStateChangesOnlyExpired", "serverA",
+      _ => lit(false), _ => lit(false), _ < 97)
+    val events = runBatch(pts, AlertConfig(
+      stateChangesOnly = true, stateChangesOnlyMaxIntervalUs = 2000000L))
+    assert(eventTriples(events.collect()) == Seq(
+      (1L, "CRITICAL", 0L), (3L, "CRITICAL", 2L), (5L, "CRITICAL", 4L),
+      (7L, "CRITICAL", 6L), (9L, "CRITICAL", 8L), (10L, "OK", 9L)))
+  }
+
+  test("TestStream_AlertFlapping golden: flapping suppresses the tail alerts") {
+    import AlertStream._
+    // info v<95 / warn v<94 / crit v<93, flapping(0.25,0.5) history 21 →
+    // exactly 9 posts (streamer_test.go:11397-11424)
+    val pts = alertPoints("TestStream_AlertFlapping", "serverA",
+      _ < 95, _ < 94, _ < 93)
+    val events = runBatch(pts, AlertConfig(
+      useFlapping = true, flapLow = 0.25, flapHigh = 0.5, historyLen = 21))
+    assert(events.count() == 9L)
+  }
+
+  test("TestStream_GroupBy golden: per-group unaligned windows emit at group-local boundaries") {
+    val pts = srplRebased("TestStream_GroupBy").filter(col("measurement") === "errors")
+      .select(expr("tags['service']").as("service"), col("time"),
+        expr("fieldsFloat['value']").as("value"))
+    val sums = WindowFSM.windowByTime(pts, "time", Seq("service"), 10, 10)
+      .groupBy("service", "wemit_us").agg(sum("value").as("sum"))
+    val last = sums.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("service")
+          .orderBy(col("wemit_us").desc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1) / 1000000L, r.getDouble(2)))).toMap
+    // front's stream starts 1s later → its unaligned boundary lands at 11
+    assert(last == Map("cartA" -> ((10L, 47.0)), "login" -> ((10L, 45.0)),
+      "front" -> ((11L, 32.0))))
+  }
+
+  test("TestStream_Flatten golden: two-dim flatten synthesizes dim1.dim2.field columns") {
+    val combos = for (s <- Seq("auth", "cart", "log"); h <- Seq("server01", "server02"))
+      yield s"$s.$h"
+    val base = srplRebased("TestStream_Flatten")
+      .filter(col("measurement") === "request_latency")
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        concat_ws(".", expr("tags['service']"), expr("tags['host']")).as("sh"),
+        expr("fieldsFloat['value']").as("value"))
+    val flat = Pipe(base, "time", Seq("dc", "sh"))
+      .flattenOnFields("sh", combos, Seq("value"), 1).df
+    // stream-mode flush: the final bucket is never followed, httpOut keeps
+    // the first (t=0) bucket
+    val rows = flat.filter(col("bucket_s") === 0)
+      .collect().map(r => r.getString(0) ->
+        combos.map(c => r.getDouble(flat.columns.indexOf(s"$c.value")))).toMap
+    // combos order: auth.s01, auth.s02, cart.s01, cart.s02, log.s01, log.s02
+    assert(rows("A") == Seq(700.0, 702.0, 800.0, 802.0, 600.0, 602.0))
+    assert(rows("B") == Seq(750.0, 752.0, 850.0, 852.0, 650.0, 652.0))
+  }
+
+  test("TestStream_Combine golden: arrival-ordered pairs within a tolerance bucket") {
+    // combine(TRUE, TRUE).tolerance(1s): every pair in arrival order
+    // (streamer_test.go:4476-4551; ratios 7/6, 7/8, 6/8 per dc)
+    val arrival = typedlit(Map("auth" -> 1L, "log" -> 2L, "cart" -> 3L))
+    val base = srplRebased("TestStream_Combine")
+      .filter(col("measurement") === "request_latency")
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("fieldsFloat['value']").as("value"),
+        arrival(expr("tags['service']")).as("aid"))
+    val pairs = Pipe(base, "time", Seq("dc"), idCol = Some("aid"))
+      .combinePairs(lit(true), lit(true), 1, ("first", "second"))
+      .filter(col("bucket_s") === 0)
+      .withColumn("ratio", col("first_value") / col("second_value"))
+    val got = pairs.select("dc", "first_service", "second_service", "ratio")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("A", "auth", "log", 700.0 / 600.0), ("A", "auth", "cart", 700.0 / 800.0),
+      ("A", "log", "cart", 600.0 / 800.0),
+      ("B", "auth", "log", 750.0 / 650.0), ("B", "auth", "cart", 750.0 / 850.0),
+      ("B", "log", "cart", 650.0 / 850.0)))
+  }
+
   private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {
