@@ -83,6 +83,9 @@ object SparkEntry {
     "q_alert_all" -> (EQ4.alertAllQ _),
     "q_flatten_multi" -> (EQ4.flattenMultiQ _),
     "q_join_fill" -> (EQ4.joinFillQ _),
+    "q_join_on" -> (EQ4.joinOnQ _),
+    "q_alert_inhibit" -> (EQ4.alertInhibitQ _),
+    "q_top_carry" -> (EQ4.topCarryQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -152,6 +155,9 @@ object SparkEntry {
     "q_batch_periods" -> EQ4.batchPeriodsSql,
     "q_alert_all" -> EQ4.alertAllSql,
     "q_join_fill" -> EQ4.joinFillSql,
+    "q_join_on" -> EQ4.joinOnSql,
+    "q_alert_inhibit" -> EQ4.alertInhibitSql,
+    "q_top_carry" -> EQ4.topCarrySql,
     "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,

@@ -216,4 +216,95 @@ object EventQueries4 {
               coalesce(err_sum_v, 0.0) AS err_sum_v
        FROM a FULL JOIN b USING (jt_us) FULL JOIN c USING (jt_us)
        ORDER BY jt_us""".replaceAll("\\s+", " ")
+
+  // ----------------------------------------------------------- join .on()
+
+  /** q_join_on: a coarser per-type stream joined onto a finer
+    * (type, user-band) stream via on(event_type) — the reference's
+    * subset-dimension join (join.go:157-238; golden parity via
+    * TestStream_JoinOn). */
+  def joinOnQ(s: SparkSession, dir: String): DataFrame = {
+    val base = pipe(s, dir)
+    def bucketed(d: org.apache.spark.sql.DataFrame) = d.withColumn("bt",
+      timestamp_seconds((floor(unix_micros(col("time")) / 1000000.0 / 3600) * 3600).cast("long")))
+    val global = bucketed(base.df).groupBy("event_type", "bt")
+      .agg(round(sum("value"), 6).as("sum_v"))
+    val fine = bucketed(base.df).withColumn("band", col("user_id") % 4)
+      .groupBy("event_type", "band", "bt")
+      .agg(round(sum("value"), 6).as("sum_v"))
+    Pipe(global, "bt", Seq("event_type"))
+      .joinMulti("g", Seq((Pipe(fine, "bt", Seq("event_type", "band")), "b")),
+        on = Seq("event_type"))
+      .withColumn("share", round(col("b_sum_v") / col("g_sum_v"), 6))
+      .select(col("jt_us"), col("event_type"), col("band"),
+        col("g_sum_v"), col("b_sum_v"), col("share"))
+      .orderBy("jt_us", "event_type", "band")
+  }
+  val joinOnSql: String =
+    s"""$preludeSql,
+       g AS (SELECT event_type, CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT)*1000000 AS jt_us,
+             round(sum(value),6) AS g_sum_v FROM e GROUP BY 1, 2),
+       b AS (SELECT event_type, user_id % 4 AS band,
+             CAST(floor(tus/1000000.0/3600)*3600 AS BIGINT)*1000000 AS jt_us,
+             round(sum(value),6) AS b_sum_v FROM e GROUP BY 1, 2, 3)
+       SELECT jt_us, event_type, band, g_sum_v, b_sum_v,
+              round(b_sum_v / g_sum_v, 6) AS share
+       FROM g JOIN b USING (event_type, jt_us)
+       ORDER BY jt_us, event_type, band""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------- topics + inhibitors
+
+  /** q_alert_inhibit: purchase alerts (value>150 → CRITICAL) inhibit click
+    * events in the same user band while non-OK (reference alert/inhibit.go:
+    * 10-90, alert.go:1225-1229) — the running-last-level rendering of
+    * AlertTopics.applyInhibitors, stated identically in SQL. */
+  def alertInhibitQ(s: SparkSession, dir: String): DataFrame = {
+    val base = pipe(s, dir).df.withColumn("time_us", unix_micros(col("time")))
+    val candidates = base.filter(col("event_type") === "click")
+      .select(col("event_id"), (col("user_id") % 5).as("grp"), col("time_us"))
+    val inhibitors = base.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 5).as("grp"), col("time_us"),
+        when(col("value") > 150, 3).otherwise(0).as("level"))
+    graft.streaming.AlertTopics.applyInhibitors(candidates, inhibitors, Seq("grp"))
+      .select(col("event_id"), col("grp"), col("inhibited"))
+      .orderBy("event_id")
+  }
+  val alertInhibitSql: String =
+    s"""$preludeSql,
+       c AS (SELECT event_id, user_id % 5 AS grp, tus, 1 AS src, NULL AS ilvl
+             FROM e WHERE event_type = 'click'),
+       i AS (SELECT NULL AS event_id, user_id % 5 AS grp, tus, 0 AS src,
+             CASE WHEN value > 150 THEN 3 ELSE 0 END AS ilvl
+             FROM e WHERE event_type = 'purchase'),
+       u AS (SELECT * FROM c UNION ALL SELECT * FROM i),
+       r AS (SELECT event_id, grp, src, coalesce(last_value(ilvl IGNORE NULLS) OVER (
+               PARTITION BY grp ORDER BY tus, src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS inh
+             FROM u)
+       SELECT event_id, grp, inh <> 0 AS inhibited FROM r WHERE src = 1
+       ORDER BY event_id""".replaceAll("\\s+", " ")
+
+  // -------------------------------------------------- top with carried tags
+
+  /** q_top_carry: top(3, value, user_id) — the selector's extra-tag
+    * surface (pipeline/influxql.go:419; golden parity via
+    * TestStream_TopSelector). */
+  def topCarryQ(s: SparkSession, dir: String): DataFrame = {
+    val p0 = EventQueries.pipe(s, dir)
+    val p = p0.copy(
+      df = p0.df.withColumn("time_us", unix_micros(col("time"))).drop("time"),
+      timeCol = "time_us")
+    graft.operators.InfluxQL.top(p, Seq("event_type"), "value", 3, "top_v",
+        carry = Seq("user_id"))
+      .orderBy("event_type", "rk")
+  }
+  val topCarrySql: String =
+    s"""$preludeSql, r AS (
+       SELECT event_type, tus, user_id, value,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value DESC, tus ASC, event_id ASC) AS rk
+       FROM e)
+       SELECT event_type, tus AS time_us, user_id, value AS top_v,
+              CAST(rk AS BIGINT) AS rk
+       FROM r WHERE rk <= 3 ORDER BY event_type, rk""".replaceAll("\\s+", " ")
 }
