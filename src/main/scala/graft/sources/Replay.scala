@@ -47,17 +47,20 @@ object Replay {
       StructField("tags", MapType(StringType, StringType)),
       StructField("time", StringType)))))))
 
-  /** Batch replay: one row per point with (name, tags, time, fields).
-    * Point-level tags override batch-level ones, as in the reference's
-    * batch JSON. */
+  /** Batch replay: one row per point with (batch_idx, name, tags, time,
+    * fields). Each JSON document is one batch — `batch_idx` is its ordinal
+    * in the file, preserving the replay's batch boundaries (the reference
+    * feeds one BeginBatch…EndBatch per document). Point-level tags override
+    * batch-level ones, as in the reference's batch JSON. */
   def readBrpl(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.textFile(path).collect().mkString("\n") // fixtures are small
-    val docs = splitJsonDocs(raw).toDS()
-    docs.select(from_json(col("value"), pointSchema).as("b"))
-      .select(col("b.name").as("name"), col("b.tags").as("batch_tags"),
+    val docs = splitJsonDocs(raw).zipWithIndex.toDS().toDF("value", "batch_idx")
+    docs.select(col("batch_idx"), from_json(col("value"), pointSchema).as("b"))
+      .select(col("batch_idx"), col("b.name").as("name"), col("b.tags").as("batch_tags"),
         explode(col("b.points")).as("p"))
       .select(
+        col("batch_idx"),
         col("name"),
         coalesce(col("p.tags"), col("batch_tags"), typedlit(Map.empty[String, String])).as("tags"),
         to_timestamp(col("p.time")).as("time"),

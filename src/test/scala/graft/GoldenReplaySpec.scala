@@ -574,6 +574,47 @@ class GoldenReplaySpec extends SparkSpec {
       ("B", "log", "cart", 650.0 / 850.0)))
   }
 
+  // ---- batch (.brpl) fixtures (batcher_test.go): one JSON doc = one batch.
+
+  private def brplRebased(name: String) = {
+    val df = graft.sources.Replay.readBrpl(spark,
+      s"/root/reference/integrations/testdata/$name.brpl")
+    val mn = df.agg(min(unix_micros(col("time")))).head.getLong(0)
+    df.withColumn("time", timestamp_micros(unix_micros(col("time")) - mn))
+  }
+
+  test("TestBatch_Derivative golden: derivative within one replayed batch") {
+    // batcher_test.go:199-243: derivative over the batch's sum-points,
+    // missing-field point dropped; expected 0.5,0.5,0.5,1.0 at t=2..8
+    val b = brplRebased("TestBatch_Derivative.0")
+      .select(col("batch_idx"), col("time"),
+        expr("try_cast(fields['value'] AS double)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx")).derivative("value").df
+      .orderBy("time")
+      .select(unix_timestamp(col("time")), col("derivative"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 0.5, 4L -> 0.5, 6L -> 0.5, 8L -> 1.0))
+  }
+
+  test("TestBatch_SimpleMR golden: per-batch count then windowed sum") {
+    // batcher_test.go:615-667: count('mean') per batch (emitted at the
+    // batch's tmax), then window(20s,20s)|sum → 10.0 at t=28 per cpu
+    val b = brplRebased("TestBatch_SimpleMR.0")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("try_cast(fields['mean'] AS double)").as("mean"))
+    val counts = b.groupBy("cpu", "batch_idx")
+      .agg(count("mean").as("count"), max("time").as("time"))
+    val w = WindowFSM.windowByTime(
+      counts.select(col("cpu"), col("time"), col("count")), "time", Seq("cpu"), 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 28000000L)
+    val sums = w.filter(col("wemit_us") === lastEmit)
+      .groupBy("cpu").agg(sum("count").as("sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("cpu-total" -> 10L, "cpu0" -> 10L, "cpu1" -> 10L))
+  }
+
   private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {

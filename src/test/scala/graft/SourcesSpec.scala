@@ -74,7 +74,8 @@ class SourcesSpec extends SparkSpec {
     val brpl = Replay.readBrpl(spark,
       "/root/reference/integrations/testdata/TestBatch_ChangeDetect.0.brpl")
     assert(brpl.count() > 0)
-    assert(brpl.columns.toSeq == Seq("name", "tags", "time", "fields"))
+    assert(brpl.columns.toSeq == Seq("batch_idx", "name", "tags", "time", "fields"))
+    assert(brpl.select("batch_idx").distinct().count() >= 1) // one idx per JSON doc
     assert(brpl.select("name").distinct().as[String].collect().toSet == Set("packets"))
     assert(brpl.select(expr("fields['value']")).as[String].collect().toSet.contains("good"))
 
