@@ -574,6 +574,27 @@ class GoldenReplaySpec extends SparkSpec {
       ("B", "log", "cart", 650.0 / 850.0)))
   }
 
+  test("TestStream_Window_Count golden: count windows emit every m-th point") {
+    // periodCount/everyCount over 12 same-timestamp points (arrival order =
+    // value order); the last emitted batch holds the trailing `period`
+    // points of the m·k-th arrival (streamer_test.go:921-1002)
+    val pts = srplRebased("TestStream_Window_Count")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val n = pts.count()
+    for ((period, every, expected) <- Seq(
+        (10, 10, (1 to 10).map(_.toDouble)),       // TestStream_Window_Count
+        (3, 1, Seq(10.0, 11.0, 12.0)))) {          // …_Count_Overlapping
+      val (df, _) = Pipe(pts, "time", Nil, idCol = Some("value"))
+        .windowCount(period)
+      val k = n / every // last emission ordinal
+      val batch = df
+        .filter(col("__rn") > k * every - period && col("__rn") <= k * every)
+        .orderBy("__rn").select("value").as[Double].collect().toSeq
+      assert(batch == expected, s"period=$period every=$every")
+    }
+  }
+
   // ---- batch (.brpl) fixtures (batcher_test.go): one JSON doc = one batch.
 
   private def brplRebased(name: String) = {

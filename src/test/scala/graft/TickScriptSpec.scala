@@ -178,6 +178,38 @@ class TickScriptSpec extends SparkSpec {
     assert(out == Seq((0L, 0.1), (60L, 2.0 / 102.0)))
   }
 
+  test("join .tolerance() and .fill() compile to the outer time-keyed join") {
+    // the TestStream_Join_Fill shape: unwindowed streams joined on
+    // tolerance-rounded time, missing sides filled with 0.0
+    val script =
+      """var errors = stream
+        |    |from()
+        |        .measurement('errors')
+        |var views = stream
+        |    |from()
+        |        .measurement('views')
+        |errors
+        |    |join(views)
+        |        .as('errors', 'views')
+        |        .tolerance(1s)
+        |        .fill(0.0)
+        |    |eval(lambda: "errors.value" + "views.value")
+        |        .as('total')
+        |    |httpOut('out')
+        |""".stripMargin
+    val lines = Seq(
+      "errors,page=home value=5.0 0",
+      "views,page=home value=90.0 0",
+      "errors,page=home value=2.0 60000000000", // no matching view → filled
+      "views,page=home value=80.0 120000000000").toDS()
+    val pts = graft.sources.LineProtocol.toPointFrame(graft.sources.LineProtocol.parse(lines))
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+      .orderBy("__jt").select($"__jt", $"total").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 95.0), (60L, 2.0), (120L, 80.0)))
+  }
+
   test("the join example (shared var, 3-way join, eval keep) compiles and runs") {
     // examples/load/tasks/join.tick, verbatim shape
     val script =
