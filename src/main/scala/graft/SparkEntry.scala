@@ -94,6 +94,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
     "q_knn_bruteforce" -> (LQ.knnBruteQ _),
     "q_knn_lsh" -> (LQ.knnLshQ _),
+    "q_knn_ivf" -> (LQ.knnIvfQ _),
     "q_text_langid" -> (LQ.textLangidQ _),
     "q_text_quality" -> (LQ.textQualityQ _),
     "q_text_tokens" -> (LQ.textTokensQ _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_dedup_embedding" -> LQ.dedupEmbeddingSql,
     "q_knn_bruteforce" -> LQ.knnBruteSql,
     "q_knn_lsh" -> LQ.knnLshSql,
+    "q_knn_ivf" -> LQ.knnIvfSql,
     "q_text_langid" -> LQ.textLangidSql,
     "q_text_quality" -> LQ.textQualitySql,
     "q_text_tokens" -> LQ.textTokensSql,

@@ -77,6 +77,49 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF-flat approximate k-NN: corpus vectors are inverted-listed under
+    * their nearest centroid; a query probes its `nprobe` nearest lists and
+    * exact cosine re-ranks the candidates.
+    *
+    * `centroids` is the coarse quantizer — (cid, cvec) rows, normally
+    * k-means output; any deterministic seeding works and the oracle entry
+    * seeds with the first-nlist vectors. Scale shape: centroids broadcast
+    * (a model object, O(nlist·dim)); assignment is a map-side broadcast
+    * join + partial `max_by` per vector (one hash-agg keyed by the vector
+    * id, no explode-rank, no collect); the probe join is an equi-join on
+    * cid whose right side shrank to ~|corpus|/nlist·nprobe. */
+  def knnIvf(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryPred: Column,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int = 2): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cents = centroids.select(col("cid"), col("cvec"), norm(col("cvec")).as("cnrm"))
+    val sim = round(cosineWithNorms(col("v"), col("cvec"), col("nrm"), col("cnrm")), 6)
+    // assignment: best centroid per vector — max_by over the broadcast fan-out
+    val assigned = n.join(broadcast(cents))
+      .groupBy("vid")
+      .agg(max_by(col("cid"), struct(sim.as("s"), (-col("cid")).as("t"))).as("cid"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // probes: nprobe best centroids per query vector
+    val probes = n.filter(queryPred).join(broadcast(cents))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("vid")).orderBy(sim.desc, col("cid"))))
+      .filter(col("prk") <= nprobe)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+    assigned.join(probes, "cid")
+      .filter(col("vid") =!= col("query_id"))
+      .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
   // ------------------------------------------------------------ LSH ANN
 
   /** JVM-side md5-derived bit, identical to TextOps.h60(s) % 2. */

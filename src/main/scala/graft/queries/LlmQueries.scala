@@ -175,6 +175,35 @@ object LlmQueries {
        FROM p QUALIFY rk <= 3 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
   }
 
+  /** q_knn_ivf: IVF-flat ANN — first-8-vector centroids, nprobe=2, exact
+    * re-rank (Similarity.knnIvf). The oracle restates assignment, probing
+    * and re-ranking with the identical rounded-cosine ordering. */
+  def knnIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.knnIvf(e, "vec_id", "embedding", col("vid") < 10, 3, centroids, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+  val knnIvfSql: String =
+    s"""WITH $normCte,
+       c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 8),
+       asg AS (SELECT n.vec_id AS vid, cid, n.embedding AS v, n.nrm AS nrm
+               FROM n CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6) DESC, cid) = 1),
+       pr AS (SELECT n.vec_id AS query_id, n.embedding AS qv, n.nrm AS qn, cid
+              FROM n CROSS JOIN c WHERE n.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6) DESC, cid) <= 2),
+       p AS (SELECT query_id, a.vid AS neighbor_id,
+               round(${dotSql("qv", "a.v")} / (qn * a.nrm), 6) AS cos
+             FROM pr JOIN asg a USING (cid) WHERE a.vid <> pr.query_id)
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk,
+              neighbor_id, cos
+       FROM p QUALIFY rk <= 3 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
+
   // ----------------------------------------------------------- language ID
 
   def textLangidQ(s: SparkSession, dir: String): DataFrame = {
