@@ -595,6 +595,84 @@ class GoldenReplaySpec extends SparkSpec {
     }
   }
 
+  test("TestStream_EvalGroups golden: stateful count() runs per group") {
+    // eval(lambda: count()) per group: running count, fresh per group
+    // (streamer_test.go:2933-2972 — both groups reach 2 at t=1)
+    val pts = srplRebased("TestStream_EvalGroups")
+      .filter(col("measurement") === "types")
+      .select(expr("tags['group']").as("group"), col("time"))
+    val counted = pts.withColumn("count", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("group").orderBy("time")))
+    val last = counted.filter(unix_timestamp(col("time")) === 1)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(last == Map("A" -> 2, "B" -> 2))
+  }
+
+  test("TestStream_Eval_Tags golden: evaluated column promotes to a dimension") {
+    // eval(string(value)).as('value_tag').tags('value_tag').keep('value','another')
+    // (streamer_test.go:2893-2931)
+    val pts = srplRebased("TestStream_Eval_Tags")
+      .filter(col("measurement") === "types")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"),
+        expr("fieldsFloat['another']").as("another"))
+    val p = Pipe(pts, "time", Nil)
+      .evalKeep(Seq("value", "another"),
+        "value_tag" -> col("value").cast("int").cast("string"))
+      .evalTags("value_tag")
+    assert(p.dims == Seq("value_tag"))
+    val rows = p.df.collect()
+      .map(r => r.getString(r.fieldIndex("value_tag")) ->
+        ((r.getDouble(r.fieldIndex("value")), r.getDouble(r.fieldIndex("another"))))).toMap
+    assert(rows == Map("0" -> ((0.0, 2.0)), "1" -> ((1.0, 2.0))))
+  }
+
+  test("TestStream_InfluxQL_String golden: typed aggregates over a string field") {
+    // count/distinct/first/last over string values, window [0,10)
+    // (streamer_test.go:6934-7140)
+    val pts = srplRebased("TestStream_InfluxQL_String")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsStr['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val batch = w.filter(col("wemit_us") === lastEmit)
+    val p = Pipe(batch, "time", Nil)
+    assert(graft.operators.InfluxQL.count(p, Nil, "value").head.getLong(0) == 10L)
+    assert(graft.operators.InfluxQL.distinct(p, Nil, "value")
+      .collect().map(_.getString(0)).toSet == Set("98", "91", "95", "93", "92", "96"))
+    assert(graft.operators.InfluxQL.first(p, Nil, "value").head.getString(0) == "98")
+    assert(graft.operators.InfluxQL.last(p, Nil, "value").head.getString(0) == "95")
+  }
+
+  test("TestStream_Sideload golden: ordered overlay with defaults") {
+    // sideload order t0→t1→t2, first match per field wins, defaults fill
+    // (streamer_test.go:12268-12339; yml contents transcribed from
+    // integrations/testdata/sideload/)
+    val cfg = Seq(
+      ("t0/b", Map("f1" -> "2")), ("t0/c", Map("f1" -> "12")),
+      ("t1/n", Map("f2" -> "3.5")), ("t1/o", Map("f1" -> "42", "f2" -> "13.5")),
+      ("t2/y", Map("t3" -> "why", "other" -> "56")))
+      .toDF("key", "values")
+    val pts = srplRebased("TestStream_Sideload")
+      .filter(col("measurement") === "m")
+      .select(col("time"), expr("tags['t0']").as("t0"), expr("tags['t1']").as("t1"),
+        expr("tags['t2']").as("t2"), expr("fieldsFloat['value']").as("value"))
+    val out = graft.operators.Sideload.sideload(pts,
+      levels = Seq(
+        concat(lit("t0/"), col("t0")), concat(lit("t1/"), col("t1")),
+        concat(lit("t2/"), col("t2"))),
+      config = cfg,
+      fields = Map("f1" -> lit("0"), "f2" -> lit("0.0"), "t3" -> lit("one")))
+    val rows = out.collect().map(r => (
+      r.getString(r.fieldIndex("t0")),
+      (r.getString(r.fieldIndex("f1")), r.getString(r.fieldIndex("f2")),
+        r.getString(r.fieldIndex("t3"))))).toMap
+    assert(rows == Map(
+      "a" -> (("0", "0.0", "one")),
+      "b" -> (("2", "3.5", "why")),
+      "c" -> (("12", "13.5", "why"))))
+  }
+
   // ---- batch (.brpl) fixtures (batcher_test.go): one JSON doc = one batch.
 
   private def brplRebased(name: String) = {
