@@ -205,6 +205,25 @@ object TickFunctions {
     when(sd.isNull || sd === 0, lit(0.0)).otherwise(abs(field - mu) / sd)
   }
 
+  /** count() (reference tick/stateful/functions.go:1055-1090): running
+    * number of points seen so far, per group, time-ordered — pinned by the
+    * TestStream_EvalGroups golden. */
+  def runningCount(dims: Seq[Column], time: Column, tiebreak: Seq[Column] = Nil): Column = {
+    val w = (if (dims.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(dims: _*))
+      .orderBy(time +: tiebreak: _*)
+    row_number().over(w).cast("long")
+  }
+
+  /** spread(f) (reference tick/stateful/functions.go spread): running
+    * max − min of the field over all points so far, per group. */
+  def runningSpread(field: Column, dims: Seq[Column], time: Column,
+      tiebreak: Seq[Column] = Nil): Column = {
+    val w = (if (dims.isEmpty) Window.partitionBy(lit(0)) else Window.partitionBy(dims: _*))
+      .orderBy(time +: tiebreak: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    max(field).over(w) - min(field).over(w)
+  }
+
   /** rand() / rand(n) (reference tick/stateful/functions.go:1092-1116):
     * per-row random int64, optionally bounded to [0, n). The reference
     * draws from a per-task RNG stream — values are inherently

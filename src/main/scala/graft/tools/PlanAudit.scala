@@ -10,6 +10,11 @@ package graft.tools
   *   - q_knn_bruteforce: crossJoin(broadcast(queries)) by design.
   *   - q_sideload: the constant "default" hierarchy level joins on a
   *     literal key — a broadcast of a 4-row config table.
+  *   - q_knn_ivf: the nlist-row centroid table fans out via broadcast for
+  *     assignment/probing — the IVF coarse quantizer is a model object,
+  *     not a data-sized side.
+  *   - q_batch_periods / q_fill_*: the generated period/bucket axis is a
+  *     single-partition sequence by construction (tiny).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

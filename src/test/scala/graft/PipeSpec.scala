@@ -75,6 +75,16 @@ class PipeSpec extends SparkSpec {
     assert(out == Seq(-1.0, 0.0, 10.0, 20.0, -1.0))
   }
 
+  test("stateful count()/spread() lambdas run per group in time order") {
+    import graft.functions.TickFunctions
+    val out = pipe.df
+      .withColumn("cnt", TickFunctions.runningCount(Seq(col("g")), col("time"), Seq(col("id"))))
+      .withColumn("spr", TickFunctions.runningSpread(col("v"), Seq(col("g")), col("time"), Seq(col("id"))))
+      .orderBy("id").select("cnt", "spr").as[(Long, Double)].collect().toSeq
+    // group a: v = 10,20,15,15 → spread 0,10,10,10; group b: single point
+    assert(out == Seq((1L, 0.0), (2L, 10.0), (3L, 10.0), (4L, 10.0), (1L, 0.0)))
+  }
+
   test("sampleN keeps every nth point per group, counting from the first") {
     // reference sample.go: count%n==0 with count starting at 0 → the 1st,
     // n+1th, … points are kept (pinned by the TestStream_Sample fixture)
