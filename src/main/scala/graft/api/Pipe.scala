@@ -177,7 +177,10 @@ final case class Pipe(
   }
 
   /** derivative(): (Δf)/(Δt/unit) per group (reference derivative.go:127-159).
-    * `nonNegative` drops negative rates. */
+    * `nonNegative` drops negative rates. A zero-elapsed pair emits nothing
+    * but the point still becomes the next previous (derivative.go:147-150;
+    * lag() naturally keeps it as the predecessor) — pinned by the
+    * TestStream_DerivativeZeroElapsed golden. */
   def derivative(
       field: String,
       unitSeconds: Double = 1.0,
@@ -186,7 +189,7 @@ final case class Pipe(
     val us = unix_micros(t)
     val dv = col(field) - lag(field, 1).over(byGroupTime)
     val dtUnits = (us - lag(us, 1).over(byGroupTime)).cast("double") / lit(unitSeconds * 1e6)
-    val rate = dv / dtUnits
+    val rate = when(dtUnits =!= 0, dv / dtUnits)
     val d0 = df.withColumn(as, rate).filter(col(as).isNotNull)
     val d = if (nonNegative) d0.filter(col(as) >= 0) else d0
     copy(df = d)

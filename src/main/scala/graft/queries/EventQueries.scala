@@ -256,8 +256,9 @@ object EventQueries {
   def derivativeQ(s: SparkSession, dir: String): DataFrame =
     pointOut(pipe(s, dir).derivative("value", 60.0, nonNegative = false, "deriv_v").df, "deriv_v")
   val derivativeSql: String =
+    // nullif guard: zero-elapsed pairs emit nothing (derivative.go:147-150)
     s"""$preludeSql SELECT event_type, tus AS time_us,
-       round((value - lag(value) $overGT) / ((tus - lag(tus) $overGT) / 60000000.0), 6) AS deriv_v
+       round((value - lag(value) $overGT) / (nullif(tus - lag(tus) $overGT, 0) / 60000000.0), 6) AS deriv_v
        FROM e QUALIFY deriv_v IS NOT NULL ORDER BY 1, 2"""
       .stripMargin.replaceAll("\\s+", " ")
 

@@ -193,6 +193,16 @@ class GoldenReplaySpec extends SparkSpec {
     assert(mean == 1.0)
   }
 
+  test("TestStream_DerivativeZeroElapsed golden: same-timestamp pair emits nothing") {
+    // two points at t=1 (derivative.go:147-150): the pair is dropped but
+    // still becomes the next previous; window count = 9 at emit 11
+    val der = Pipe(fieldPts("TestStream_DerivativeZeroElapsed", "packets"), "time", Nil)
+      .derivative("value").df
+    val (emit, rows) = lastFsmBatch(der.select(col("time"), col("derivative")), 10, 10)
+    assert(emit == 11L && rows.size == 9)
+    assert(rows.forall(r => !r.getDouble(1).isInfinite))
+  }
+
   test("TestStream_Elapsed golden: elapsed(1s)|window(10s,10s)|max") {
     val el = Pipe(fieldPts("TestStream_Elapsed", "packets"), "time", Nil)
       .elapsed(1.0).df
