@@ -605,6 +605,39 @@ class GoldenReplaySpec extends SparkSpec {
     }
   }
 
+  test("TestStream_Default golden: field and tag defaults patch absent values") {
+    // default value=1.0, host='serverA' then where(host=serverA), window
+    // [0,10) sum = 57 (streamer_test.go:3071-3100: two points lack the
+    // value field, two lack the host tag)
+    val pts = srplRebased("TestStream_Default").filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    val p = Pipe(pts, "time", Nil)
+      .default("value" -> 1.0, "host" -> "serverA")
+      .where(col("host") === "serverA")
+    val (emit, rows) = lastFsmBatch(p.df.select(col("time"), col("value")), 10, 10)
+    assert(emit == 10L)
+    assert(rows.map(_.getDouble(1)).sum == 57.0)
+  }
+
+  test("TestStream_GroupByMeasurement golden: measurement joins the group key") {
+    val pts = srplRebased("TestStream_GroupByMeasurement")
+      .select(col("measurement"), expr("tags['service']").as("service"),
+        col("time"), expr("fieldsFloat['value']").as("value"))
+    val sums = WindowFSM
+      .windowByTime(pts, "time", Seq("measurement", "service"), 10, 10)
+      .groupBy("measurement", "service", "wemit_us").agg(sum("value").as("sum"))
+    val last = sums.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("measurement", "service")
+          .orderBy(col("wemit_us").desc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2) / 1000000L, r.getDouble(3)))).toMap
+    assert(last == Map(
+      ("errors", "cartA") -> ((10L, 47.0)), ("errors", "login") -> ((10L, 45.0)),
+      ("errors", "front") -> ((11L, 32.0)), ("disk", "sda") -> ((10L, 810.0))))
+  }
+
   test("TestStream_EvalGroups golden: stateful count() runs per group") {
     // eval(lambda: count()) per group: running count, fresh per group
     // (streamer_test.go:2933-2972 — both groups reach 2 at t=1)
