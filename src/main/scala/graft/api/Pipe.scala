@@ -65,10 +65,14 @@ final case class Pipe(
   def eval(exprs: (String, Column)*): Pipe =
     copy(df = exprs.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, e) })
 
-  /** eval(...).keep(false) equivalent: retain only time, dims and results. */
+  /** eval(...).keep(fields…): retain only time, dims and the kept fields.
+    * Evaluated names NOT in the keep list are hidden — visible to later
+    * lambdas in the same eval, dropped from the output (reference
+    * eval.go .keep() semantics, pinned by the Eval_KeepSomeWithHidden
+    * golden). List an evaluated name in `keepCols` to keep it. */
   def evalKeep(keepCols: Seq[String], exprs: (String, Column)*): Pipe = {
     val evaluated = eval(exprs: _*).df
-    val out = (Seq(timeCol) ++ dims ++ keepCols ++ exprs.map(_._1)).distinct
+    val out = (Seq(timeCol) ++ dims ++ keepCols).distinct
     copy(df = evaluated.select(out.map(col): _*))
   }
 

@@ -638,6 +638,41 @@ class GoldenReplaySpec extends SparkSpec {
       ("errors", "front") -> ((11L, 32.0)), ("disk", "sda") -> ((10L, 810.0))))
   }
 
+  test("TestStream_Eval_Keep golden: keep-some hides unlisted evaluated fields") {
+    // eval(pos, zero).keep('value0','zero'): 'pos' feeds the second lambda
+    // then drops; 'value1'/'other' drop too (streamer_test.go:2777-2816 and
+    // 2745-2775 KeepSome)
+    val pts = srplRebased("TestStream_Eval_KeepSome")
+      .filter(col("measurement") === "types")
+      .select(col("time"), expr("fieldsFloat['value0']").as("value0"),
+        expr("fieldsFloat['value1']").as("value1"),
+        expr("fieldsFloat['other']").as("other"))
+    val hidden = Pipe(pts, "time", Nil).evalKeep(Seq("value0", "zero"),
+      "pos" -> (col("value0") + col("value1")),
+      "zero" -> (col("pos") - col("value1")))
+    assert(hidden.df.columns.toSeq == Seq("time", "value0", "zero"))
+    val r = hidden.df.head
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    val some = Pipe(pts, "time", Nil).evalKeep(Seq("value0", "pos", "neg", "other"),
+      "pos" -> (col("value0") + col("value1")),
+      "neg" -> (col("value0") - col("value1")))
+    val s = some.df.head
+    assert(some.df.columns.toSeq == Seq("time", "value0", "pos", "neg", "other"))
+    assert(s.getDouble(2) == 1.0 && s.getDouble(3) == -1.0 && s.getDouble(4) == 5.0)
+  }
+
+  test("TestStream_Aggregate_Changing_Type golden: boolean field filters the window") {
+    // window(10,10) |where(lambda: "c") |count: boundaries derive from ALL
+    // points (the where runs on batch contents); the one c=true point sits
+    // in [10,20) → count 1 at emit 20 (streamer_test.go:2412-2447)
+    val pts = srplRebased("TestStream_Aggregate_Changing_Type")
+      .filter(col("measurement") === "m")
+      .select(col("time"), expr("fieldsBool['c']").as("c"))
+    val (emit, rows) = lastFsmBatch(pts, 10, 10)
+    assert(emit == 20L)
+    assert(rows.count(r => !r.isNullAt(1) && r.getBoolean(1)) == 1)
+  }
+
   test("TestStream_EvalGroups golden: stateful count() runs per group") {
     // eval(lambda: count()) per group: running count, fresh per group
     // (streamer_test.go:2933-2972 — both groups reach 2 at t=1)
@@ -659,7 +694,7 @@ class GoldenReplaySpec extends SparkSpec {
       .select(col("time"), expr("fieldsFloat['value']").as("value"),
         expr("fieldsFloat['another']").as("another"))
     val p = Pipe(pts, "time", Nil)
-      .evalKeep(Seq("value", "another"),
+      .evalKeep(Seq("value", "another", "value_tag"),
         "value_tag" -> col("value").cast("int").cast("string"))
       .evalTags("value_tag")
     assert(p.dims == Seq("value_tag"))
