@@ -86,6 +86,8 @@ object SparkEntry {
     "q_join_on" -> (EQ4.joinOnQ _),
     "q_alert_inhibit" -> (EQ4.alertInhibitQ _),
     "q_top_carry" -> (EQ4.topCarryQ _),
+    "q_stateful_lambdas" -> (EQ4.statefulLambdasQ _),
+    "q_window_count" -> (EQ4.windowCountQ _),
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
@@ -159,6 +161,8 @@ object SparkEntry {
     "q_join_on" -> EQ4.joinOnSql,
     "q_alert_inhibit" -> EQ4.alertInhibitSql,
     "q_top_carry" -> EQ4.topCarrySql,
+    "q_stateful_lambdas" -> EQ4.statefulLambdasSql,
+    "q_window_count" -> EQ4.windowCountSql,
     "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,

@@ -284,6 +284,50 @@ object EventQueries4 {
        SELECT event_id, grp, inh <> 0 AS inhibited FROM r WHERE src = 1
        ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  // -------------------------------------------------- stateful lambdas
+
+  /** q_stateful_lambdas: running count() and spread(value) per event_type
+    * (reference tick/stateful/functions.go count/spread; EvalGroups golden
+    * pins count). */
+  def statefulLambdasQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TickFunctions
+    val p = pipe(s, dir)
+    p.df
+      .withColumn("cnt", TickFunctions.runningCount(
+        Seq(col("event_type")), col("time"), Seq(col("event_id"))))
+      .withColumn("spread_v", round(TickFunctions.runningSpread(
+        col("value"), Seq(col("event_type")), col("time"), Seq(col("event_id"))), 6))
+      .select(col("event_id"), col("event_type"), col("cnt"), col("spread_v"))
+      .orderBy("event_id")
+  }
+  val statefulLambdasSql: String =
+    s"""$preludeSql SELECT event_id, event_type,
+       CAST(row_number() OVER w AS BIGINT) AS cnt,
+       round(max(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - min(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS spread_v
+       FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id)
+       ORDER BY event_id""".replaceAll("\\s+", " ")
+
+  /** q_window_count: periodCount=20/everyCount=5 count windows per
+    * event_type — every 5th arrival emits the mean of the trailing 20
+    * (reference window.go:360-470; emission pinned by the
+    * TestStream_Window_Count goldens). */
+  def windowCountQ(s: SparkSession, dir: String): DataFrame = {
+    val p = pipe(s, dir)
+    val (df, frame) = p.windowCount(20)
+    df.withColumn("mean_v", round(avg("value").over(frame), 6))
+      .filter(col("__rn") % 5 === 0)
+      .select(col("event_id"), col("event_type"),
+        col("__rn").cast("long").as("rn"), col("mean_v"))
+      .orderBy("event_id")
+  }
+  val windowCountSql: String =
+    s"""$preludeSql SELECT event_id, event_type,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       round(avg(value) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS mean_v
+       FROM e WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id)
+       QUALIFY rn % 5 = 0 ORDER BY event_id""".replaceAll("\\s+", " ")
+
   // -------------------------------------------------- top with carried tags
 
   /** q_top_carry: top(3, value, user_id) — the selector's extra-tag
