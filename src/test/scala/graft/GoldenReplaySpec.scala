@@ -525,6 +525,22 @@ class GoldenReplaySpec extends SparkSpec {
     assert(events.count() == 9L)
   }
 
+  test("TestStream_Union_Stepped golden: regrouped union's final per-group point") {
+    // union(cpu0, cpu1).rename |groupBy('cpu'): the last point per group
+    // (streamer_test.go:5848-6030 final step)
+    val base = srplRebased("TestStream_Union_Stepped").filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['cpu']").as("cpu"), expr("fieldsFloat['value']").as("value"))
+    def sub(v: String) = Pipe(base.filter(col("cpu") === v), "time", Nil)
+    val u = sub("total").unionRename("cpu_all", sub("0"), sub("1")).groupBy("cpu")
+    val last = u.df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cpu").orderBy(col("time").desc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getString(1) ->
+        ((r.getTimestamp(0).toInstant.getEpochSecond, r.getDouble(2)))).toMap
+    assert(last == Map(
+      "0" -> ((12L, 95.0)), "1" -> ((12L, 95.0)), "total" -> ((11L, 96.0))))
+  }
+
   test("TestStream_GroupBy golden: per-group unaligned windows emit at group-local boundaries") {
     val pts = srplRebased("TestStream_GroupBy").filter(col("measurement") === "errors")
       .select(expr("tags['service']").as("service"), col("time"),
@@ -557,6 +573,26 @@ class GoldenReplaySpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         combos.map(c => r.getDouble(flat.columns.indexOf(s"$c.value")))).toMap
     // combos order: auth.s01, auth.s02, cart.s01, cart.s02, log.s01, log.s02
+    assert(rows("A") == Seq(700.0, 702.0, 800.0, 802.0, 600.0, 602.0))
+    assert(rows("B") == Seq(750.0, 752.0, 850.0, 852.0, 650.0, 652.0))
+  }
+
+  test("TestStream_FlattenDropOriginalFieldName golden: columns lose the field suffix") {
+    // same pipeline as TestStream_Flatten but .dropOriginalFieldName():
+    // columns are just `service.host` (streamer_test.go:4427-4474)
+    val combos = for (s <- Seq("auth", "cart", "log"); h <- Seq("server01", "server02"))
+      yield s"$s.$h"
+    val base = srplRebased("TestStream_Flatten")
+      .filter(col("measurement") === "request_latency")
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        concat_ws(".", expr("tags['service']"), expr("tags['host']")).as("sh"),
+        expr("fieldsFloat['value']").as("value"))
+    val flat = Pipe(base, "time", Seq("dc", "sh"))
+      .flattenOnFields("sh", combos, Seq("value"), 1, dropOriginalFieldName = true).df
+    assert(flat.columns.toSeq == Seq("dc", "bucket_s") ++ combos)
+    val rows = flat.filter(col("bucket_s") === 0)
+      .collect().map(r => r.getString(0) ->
+        combos.map(c => r.getDouble(flat.columns.indexOf(c)))).toMap
     assert(rows("A") == Seq(700.0, 702.0, 800.0, 802.0, 600.0, 602.0))
     assert(rows("B") == Seq(750.0, 752.0, 850.0, 852.0, 650.0, 652.0))
   }
