@@ -203,6 +203,19 @@ class GoldenReplaySpec extends SparkSpec {
     assert(rows.forall(r => !r.getDouble(1).isInfinite))
   }
 
+  test("TestStream_DerivativeNN golden: nonNegative drops falls, plain keeps them") {
+    // with .nonNegative() the two falls vanish → mean 1.0; without, the
+    // same window means -99.7 (streamer_test.go DerivativeNN pair)
+    val pts = fieldPts("TestStream_DerivativeNN", "packets")
+    for ((nn, expected) <- Seq(true -> 1.0, false -> -99.7)) {
+      val der = Pipe(pts, "time", Nil).derivative("value", nonNegative = nn).df
+      val (emit, rows) = lastFsmBatch(der.select(col("time"), col("derivative")), 10, 10)
+      assert(emit == 11L, s"nonNegative=$nn")
+      val mean = rows.map(_.getDouble(1)).sum / rows.size
+      assert(math.abs(mean - expected) < 1e-9, s"nonNegative=$nn mean=$mean")
+    }
+  }
+
   test("TestStream_Elapsed golden: elapsed(1s)|window(10s,10s)|max") {
     val el = Pipe(fieldPts("TestStream_Elapsed", "packets"), "time", Nil)
       .elapsed(1.0).df
@@ -756,6 +769,37 @@ class GoldenReplaySpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("98", "91", "95", "93", "92", "96"))
     assert(graft.operators.InfluxQL.first(p, Nil, "value").head.getString(0) == "98")
     assert(graft.operators.InfluxQL.last(p, Nil, "value").head.getString(0) == "95")
+  }
+
+  test("TestStream_InfluxQL_Float golden: all aggregates/selectors over one window") {
+    // one fixture pins 15 operators' exact values (streamer_test.go:6012-6933)
+    import graft.operators.InfluxQL
+    val pts = srplRebased("TestStream_InfluxQL_Float")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val p = Pipe(w.filter(col("wemit_us") === lastEmit), "time", Nil)
+    assert(InfluxQL.count(p, Nil, "value").head.getLong(0) == 10L)
+    assert(InfluxQL.sum(p, Nil, "value").head.getDouble(0) == 940.0)
+    assert(InfluxQL.mean(p, Nil, "value").head.getDouble(0) == 94.0)
+    assert(InfluxQL.median(p, Nil, "value").head.getDouble(0) == 94.0)
+    assert(InfluxQL.mode(p, Nil, "value").head.getDouble(0) == 95.0)
+    assert(InfluxQL.spread(p, Nil, "value").head.getDouble(0) == 7.0)
+    assert(math.abs(InfluxQL.stddev(p, Nil, "value").head.getDouble(0)
+      - 2.160246899469287) < 1e-12)
+    assert(InfluxQL.minSel(p, Nil, "value").head.getDouble(0) == 91.0)
+    assert(InfluxQL.maxSel(p, Nil, "value").head.getDouble(0) == 98.0)
+    assert(InfluxQL.first(p, Nil, "value").head.getDouble(0) == 98.0)
+    assert(InfluxQL.last(p, Nil, "value").head.getDouble(0) == 95.0)
+    assert(InfluxQL.percentile(p, Nil, "value", 50.0).head.getDouble(0) == 93.0)
+    assert(InfluxQL.distinct(p, Nil, "value").collect().map(_.getDouble(0)).toSet ==
+      Set(98.0, 91.0, 95.0, 93.0, 92.0, 96.0))
+    assert(InfluxQL.top(p, Nil, "value", 2).collect()
+      .map(_.getAs[Double]("top")).toSeq == Seq(98.0, 96.0))
+    assert(InfluxQL.bottom(p, Nil, "value", 3).collect()
+      .map(_.getAs[Double]("bottom")).toSeq == Seq(91.0, 92.0, 92.0))
   }
 
   test("TestStream_Sideload golden: ordered overlay with defaults") {
