@@ -216,18 +216,21 @@ final case class Pipe(
     copy(df = df.withColumn(
       as, sum(field).over(byGroupTime.rowsBetween(Window.unboundedPreceding, 0))))
 
-  /** changeDetect(): emit only when the field differs from the previously
-    * *emitted* value (reference change_detect.go:40-124). Because an emitted
-    * value is by construction different from its predecessor, comparing with
-    * lag over the raw stream is equivalent. */
-  def changeDetect(field: String): Pipe = {
+  /** changeDetect(fields…): emit only when any tracked field differs from
+    * the previously *emitted* values (reference change_detect.go:40-124).
+    * A non-emitted point's tracked tuple equals the last emitted tuple by
+    * construction, so comparing the tuple with lag over the raw stream is
+    * equivalent — multi-field tracking is a struct compare (pinned by the
+    * ChangeDetect_Many golden). */
+  def changeDetect(fields: String*): Pipe = {
     // Null-safe IS DISTINCT FROM semantics (!(a <=> b)) so a run of
     // consecutive NULLs emits once, matching the reference's compare against
     // the previously-*emitted* value; the first point of a group always
     // emits (the reference has no prior value there).
-    val prev = lag(col(field), 1).over(byGroupTime)
+    val tracked = if (fields.size == 1) col(fields.head) else struct(fields.map(col): _*)
+    val prev = lag(tracked, 1).over(byGroupTime)
     copy(df = df
-      .withColumn("__chg", row_number().over(byGroupTime) === 1 || !(col(field) <=> prev))
+      .withColumn("__chg", row_number().over(byGroupTime) === 1 || !(tracked <=> prev))
       .filter(col("__chg")).drop("__chg"))
   }
 

@@ -203,6 +203,20 @@ class GoldenReplaySpec extends SparkSpec {
     assert(rows.forall(r => !r.getDouble(1).isInfinite))
   }
 
+  test("TestStream_ChangeDetect_Many golden: any tracked field change emits") {
+    // changeDetect('a','b'): untracked field c never triggers; b's 1→0
+    // flip does (streamer_test.go:218-264)
+    val pts = srplRebased("TestStream_ChangeDetect_Many")
+      .filter(col("measurement") === "packets")
+      .select(col("time"), expr("fieldsStr['a']").as("a"), expr("fieldsFloat['b']").as("b"))
+    val out = Pipe(pts, "time", Nil).changeDetect("a", "b").df
+      .orderBy("time")
+      .select(unix_timestamp(col("time")), col("a"), col("b"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((0L, "bad", 0.0), (1L, "good", 0.0), (4L, "bad", 1.0),
+      (5L, "bad", 0.0), (6L, "pump", 2.0)))
+  }
+
   test("TestStream_DerivativeNN golden: nonNegative drops falls, plain keeps them") {
     // with .nonNegative() the two falls vanish → mean 1.0; without, the
     // same window means -99.7 (streamer_test.go DerivativeNN pair)
