@@ -868,6 +868,21 @@ class GoldenReplaySpec extends SparkSpec {
     assert(out == Seq(2L -> 0.5, 4L -> 0.5, 6L -> 0.5, 8L -> 1.0))
   }
 
+  test("TestBatch_CumulativeSum golden: cumulative sum restarts per batch") {
+    // two replayed batches; the cached Result is the second batch's
+    // in-batch cumulative sum (batcher_test.go:566-613)
+    val b = brplRebased("TestBatch_CumulativeSum.0")
+      .select(col("batch_idx"), col("time"),
+        expr("try_cast(fields['value'] AS double)").as("value"))
+    val lastIdx = b.agg(max("batch_idx")).head.getInt(0)
+    val out = Pipe(b.filter(col("batch_idx") === lastIdx), "time", Seq("batch_idx"))
+      .cumulativeSum("value").df
+      .orderBy("time")
+      .select(unix_timestamp(col("time")), col("cumulativeSum"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(10L -> 0.0, 12L -> 10.0, 14L -> 30.0, 16L -> 60.0, 18L -> 100.0))
+  }
+
   test("TestBatch_SimpleMR golden: per-batch count then windowed sum") {
     // batcher_test.go:615-667: count('mean') per batch (emitted at the
     // batch's tmax), then window(20s,20s)|sum → 10.0 at t=28 per cpu
