@@ -83,8 +83,23 @@ final case class Pipe(
       else d.withColumn(name, lit(v))
     })
 
-  /** delete(): drop fields/tags (reference delete.go). */
-  def delete(cols: String*): Pipe = copy(df = df.drop(cols: _*))
+  /** default().tag(k,v): tag defaults apply when the tag is missing OR
+    * empty — Go's map zero value conflates the two (reference
+    * default.go:100-106; field defaults test nil only, [[default]]).
+    * Pinned by the DefaultEmptyTags golden. */
+  def defaultTags(defaults: (String, String)*): Pipe =
+    copy(df = defaults.foldLeft(df) { case (d, (name, v)) =>
+      if (d.columns.contains(name))
+        d.withColumn(name,
+          when(col(name).isNull || col(name) === "", lit(v)).otherwise(col(name)))
+      else d.withColumn(name, lit(v))
+    })
+
+  /** delete(): drop fields/tags; deleting a grouped tag regroups the
+    * stream without it (reference delete.go DeleteGroup handling — pinned
+    * by the Delete_GroupBy golden). */
+  def delete(cols: String*): Pipe =
+    copy(df = df.drop(cols: _*), dims = dims.filterNot(cols.contains))
 
   /** shift(): move point time by a (possibly negative) number of seconds
     * (reference shift.go:19-75). */

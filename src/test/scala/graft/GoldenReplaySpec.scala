@@ -683,6 +683,39 @@ class GoldenReplaySpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).sum == 57.0)
   }
 
+  test("TestStream_Delete_GroupBy golden: deleting a grouped tag regroups") {
+    // groupBy(host,type) |delete(type) |window(2s,2s)|sum: per-host sums
+    // merge the former (host,type) groups (streamer_test.go Delete_GroupBy)
+    val pts = srplRebased("TestStream_Delete_GroupBy")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("tags['type']").as("type"), expr("fieldsFloat['value']").as("value"))
+    val p = Pipe(pts, "time", Seq("host", "type")).delete("type", "anothervalue")
+    assert(p.dims == Seq("host"))
+    val sums = WindowFSM.windowByTime(p.df, "time", p.dims, 2, 2)
+      .groupBy("host", "wemit_us").agg(sum("value").as("sum"))
+      .filter(col("wemit_us") === 2000000L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sums == Map("serverA" -> 18.0, "serverB" -> 12.0, "serverC" -> 6.0))
+  }
+
+  test("TestStream_DefaultEmptyTags golden: empty-string tags count as absent") {
+    // default('') is a no-op on an absent tag, default('serverA') then
+    // fills, default('serverB') sees it set (streamer_test.go:3103-3131;
+    // reference default.go:100-106 conflates missing and empty)
+    val pts = srplRebased("TestStream_DefaultEmptyTags")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['cpu']").as("cpu"),
+        expr("tags['host']").as("host"), expr("fieldsFloat['value']").as("value"))
+    val out = Pipe(pts, "time", Nil)
+      .defaultTags("host" -> "")
+      .defaultTags("host" -> "serverA")
+      .defaultTags("host" -> "serverB")
+      .df.head
+    assert(out.getString(1) == "cpu-total" &&
+      out.getString(2) == "serverA" && out.getDouble(3) == 9.0)
+  }
+
   test("TestStream_GroupByMeasurement golden: measurement joins the group key") {
     val pts = srplRebased("TestStream_GroupByMeasurement")
       .select(col("measurement"), expr("tags['service']").as("service"),
