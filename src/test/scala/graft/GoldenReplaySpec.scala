@@ -442,6 +442,37 @@ class GoldenReplaySpec extends SparkSpec {
     assert(rows(("B", "login")) == ((23.0, 45.0, 23.0 / 45.0)))
   }
 
+  test("TestStream_AllMeasurements golden: from() without a measurement filter") {
+    // stream|from()|window(10,10)|count('value'): every measurement's
+    // points count together → 23 at emit 10
+    val pts = srplRebased("TestStream_AllMeasurements")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+      .filter(col("value").isNotNull)
+    val (emit, rows) = lastFsmBatch(pts, 10, 10)
+    assert(emit == 10L && rows.size == 23)
+  }
+
+  test("TestStream_JoinOn_AcrossMeasurement golden: on() joins across measurements") {
+    // building_power (by building) joined onto floor_power (by building,
+    // floor) via on('building'), exact time, no windows
+    val base = srplRebased("TestStream_JoinOn_AcrossMeasurement")
+    val building = Pipe(base.filter(col("measurement") === "building_power")
+      .select(col("time"), expr("tags['building']").as("building"),
+        expr("fieldsFloat['value']").as("value")), "time", Seq("building"))
+    val floor = Pipe(base.filter(col("measurement") === "floor_power")
+      .select(col("time"), expr("tags['building']").as("building"),
+        expr("tags['floor']").as("floor"), expr("fieldsFloat['value']").as("value")),
+      "time", Seq("building", "floor"))
+    val rows = building.joinMulti("building", Seq((floor, "floor")), on = Seq("building"))
+      .withColumn("value", col("floor_value") / col("building_value"))
+      .collect().map(r => (r.getAs[String]("building"), r.getAs[String]("floor")) ->
+        r.getAs[Double]("value")).toMap
+    assert(rows == Map(
+      ("shack", "1") -> 7.0 / 30.0, ("shack", "2") -> 11.0 / 30.0,
+      ("shack", "3") -> 12.0 / 30.0,
+      ("hut", "1") -> 19.0 / 40.0, ("hut", "2") -> 21.0 / 40.0))
+  }
+
   test("TestStream_AlertDuration golden: duration tracks the non-OK episode") {
     import AlertStream._
     // warn: value>7, crit: value>8, stateChangesOnly
