@@ -601,22 +601,28 @@ final case class Pipe(
       on: Seq[String] = Nil,
       fill: Pipe.JoinFill = Pipe.FillNone): DataFrame = {
     val sides = (this, thisName) +: others
+    // tolerance 0 keys on the raw time VALUE (not a derived epoch): when a
+    // side was just aggregated on its time column, the join key is then the
+    // aggregation key and Catalyst reuses the partitioning instead of
+    // re-shuffling every side (7 → 4 exchanges on the 3-way fill join)
     def keyed(p: Pipe, nm: String) = {
-      val us = unix_micros(col(p.timeCol))
       val jt =
-        if (toleranceSeconds == 0) us
-        else (floor(us / lit(1000000.0) / toleranceSeconds + lit(0.5)) *
+        if (toleranceSeconds == 0) col(p.timeCol)
+        else (floor(unix_micros(col(p.timeCol)) / lit(1000000.0) / toleranceSeconds + lit(0.5)) *
           toleranceSeconds * 1000000L).cast("long")
       val extraDims = p.dims.filterNot(on.contains)
       val dataCols = p.df.columns
         .filterNot(c => on.contains(c) || extraDims.contains(c) || c == p.timeCol)
       p.df.select(
-        (jt.as("jt_us") +: (on ++ extraDims).map(col)) ++
+        (jt.as("__jtk") +: (on ++ extraDims).map(col)) ++
           dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
     }
     val how = fill match { case Pipe.FillNone => "inner"; case _ => "full_outer" }
-    val joined = sides.map { case (p, nm) => keyed(p, nm) }
-      .reduceLeft((a, b) => a.join(b, Seq("jt_us") ++ on, how))
+    val joined0 = sides.map { case (p, nm) => keyed(p, nm) }
+      .reduceLeft((a, b) => a.join(b, Seq("__jtk") ++ on, how))
+    val jtOut = if (toleranceSeconds == 0) unix_micros(col("__jtk")) else col("__jtk")
+    val joined = joined0.withColumn("jt_us", jtOut).drop("__jtk")
+      .select(col("jt_us") +: joined0.columns.filter(_ != "__jtk").map(col): _*)
     fill match {
       case Pipe.FillValue(v) =>
         val tagCols = Set("jt_us") ++ on ++ sides.flatMap(_._1.dims)
