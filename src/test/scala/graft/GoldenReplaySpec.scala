@@ -559,6 +559,21 @@ class GoldenReplaySpec extends SparkSpec {
     assert(eventTriples(events.collect()) == Seq((7L, "INFO", 0L), (8L, "OK", 1L)))
   }
 
+  test("TestStream_AlertComplexWhere golden: stateful sigma inside a where predicate") {
+    // where(host=='serverA' AND sigma(value) > 2): the lazy AND means sigma
+    // runs over serverA points only; exactly one point passes — the t=7
+    // outlier (value 16.0); crit(TRUE) fires once
+    val pts = srplRebased("TestStream_AlertComplexWhere")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val passed = pts.withColumn("sigma",
+        graft.functions.TickFunctions.sigma(col("value"), Nil, col("time")))
+      .filter(col("sigma") > 2)
+      .select(unix_timestamp(col("time")), col("value"))
+      .as[(Long, Double)].collect().toSeq
+    assert(passed == Seq((7L, 16.0)))
+  }
+
   test("TestStream_AlertStateChangesOnlyExpired golden: maxInterval re-emits") {
     import AlertStream._
     // crit: value<97, stateChangesOnly(2s) → five CRITICALs 2s apart then
@@ -907,6 +922,33 @@ class GoldenReplaySpec extends SparkSpec {
       "a" -> (("0", "0.0", "one")),
       "b" -> (("2", "3.5", "why")),
       "c" -> (("12", "13.5", "why"))))
+  }
+
+  test("TestStream_StateTracking golden: stateDuration/stateCount runs per host") {
+    // stateDuration(value>95).unit(1ms) and stateCount over the same
+    // fixture; the field-less serverB point drops without breaking the run
+    // (streamer_test.go:13554-13692)
+    val pts = srplRebased("TestStream_StateTracking")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+      .filter(col("value").isNotNull)
+    val p = Pipe(pts, "time", Seq("host"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.filter(unix_timestamp(col("time")) < 4).orderBy("host", "time")
+        .select(col("host"), unix_timestamp(col("time")), col(as).cast("double"))
+        .as[(String, Long, Double)].collect().toSeq
+    val dur = rowsOf(p.stateDuration(col("value") > 95, "my_duration", 0.001).df,
+      "my_duration")
+    assert(dur == Seq(
+      ("serverA", 0L, 0.0), ("serverA", 1L, 1000.0), ("serverA", 2L, -1.0),
+      ("serverA", 3L, 0.0),
+      ("serverB", 0L, -1.0), ("serverB", 1L, 0.0), ("serverB", 3L, 2000.0)))
+    val cnt = rowsOf(p.stateCount(col("value") > 95, "my_count").df, "my_count")
+    assert(cnt == Seq(
+      ("serverA", 0L, 1.0), ("serverA", 1L, 2.0), ("serverA", 2L, -1.0),
+      ("serverA", 3L, 1.0),
+      ("serverB", 0L, -1.0), ("serverB", 1L, 1.0), ("serverB", 3L, 2.0)))
   }
 
   // ---- batch (.brpl) fixtures (batcher_test.go): one JSON doc = one batch.
