@@ -4,13 +4,27 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** Holt-Winters forecast aggregate (reference pipeline/influxql.go:555-581).
+/** Holt-Winters forecast aggregate (reference pipeline/influxql.go:555-581,
+  * which delegates to InfluxDB 1.x `query.NewFloatHoltWintersReducer`).
   *
-  * Triple exponential smoothing over a per-group time-ordered series with
-  * seasonal period `m` (m < 2 → Holt's double exponential, no seasonality),
-  * forecasting `h` steps past the end. Smoothing parameters (α, β, γ) are
-  * fit by Nelder–Mead on the in-sample SSE — same approach as InfluxDB's
-  * FloatHoltWintersReducer (public algorithm: NIST/Hyndman additive HW).
+  * Semantics match the public InfluxDB algorithm (damped multiplicative
+  * Holt-Winters, documented at docs.influxdata.com "holt_winters"), which
+  * has three idiosyncrasies a textbook implementation would miss:
+  *
+  *  - observation times are rounded onto the interval grid and interior
+  *    gaps become NaN slots that the SSE objective skips;
+  *  - the fitted curve is a *pure simulation* from the initial state —
+  *    level, trend, and per-slot seasonals are free parameters optimized
+  *    alongside alpha/beta/gamma/phi, and later observations never correct
+  *    the recursion (each fitted point feeds the next step as if observed);
+  *  - parameters are fit by Nelder-Mead (the classic M. F. Hutt simplex
+  *    formulation) seeded from a 4^4 grid over
+  *    (alpha, beta, gamma, phi) ∈ {0.3, 0.475, 0.65, 0.825}, minimizing
+  *    in-sample SSE with negative fits scored +Inf.
+  *
+  * Verified bit-for-bit against the reference goldens
+  * (integrations/streamer_test.go:483-601 TestStream_HoltWinters /
+  * TestStream_HoltWintersWithFit) in GoldenReplaySpec.
   *
   * Implemented as a typed [[Aggregator]] (registered via `udaf`) so it runs
   * distributed: partial buffers merge associatively; only the per-group
@@ -22,112 +36,343 @@ object HoltWinters {
   case class TV(t: Long, v: Double)
   case class Buf(var items: List[TV])
 
-  /** Additive Holt-Winters fit + h-step forecast. Returns forecasts only
-    * (withFit=false) or fitted values ++ forecasts (withFit=true). */
-  private[graft] def forecast(values: Array[Double], h: Int, m: Int, withFit: Boolean): Array[Double] = {
-    val n = values.length
-    if (n < math.max(2, 2 * math.max(m, 1))) return Array.empty
+  private val GuessLower = 0.3
+  private val GuessUpper = 1.0
+  private val GuessN     = 4
+  private val Weight     = 0.5   // seed weight for the initial level/trend
+  private val Epsilon    = 1.0e-4
 
-    def sse(params: Array[Double]): (Double, Array[Double]) = {
-      val alpha = clamp01(params(0)); val beta = clamp01(params(1)); val gamma = clamp01(params(2))
-      val seasonal = m >= 2
-      var level = values(0)
-      var trend = if (seasonal) {
-        var s = 0.0; var i = 0
-        while (i < m && i + m < n) { s += (values(i + m) - values(i)) / m; i += 1 }
-        if (i > 0) s / i else values(1) - values(0)
-      } else values(1) - values(0)
-      val season = if (seasonal) {
-        val s = new Array[Double](m)
-        val mean0 = values.take(m).sum / m
-        var i = 0
-        while (i < m) { s(i) = values(i) - mean0; i += 1 }
-        s
-      } else Array.empty[Double]
-      val fit = new Array[Double](n)
-      var err = 0.0
+  /** Fit + forecast over (time, value) points on a fixed interval grid.
+    * Returns (time, value) pairs: fitted curve ++ forecasts when `withFit`,
+    * else only the h forecasts. Fit times start at the first *actual* point
+    * time; forecast times continue past the last actual point time. */
+  private[graft] def run(points: Array[TV], h: Int, m: Int, intervalS: Long,
+      withFit: Boolean): Array[TV] = {
+    val seasonal = m >= 2
+    val sorted = points.sortBy(_.t)
+    val l = sorted.length
+    if (l < 2 || (seasonal && l < m) || h <= 0) return Array.empty
+
+    val interval = intervalS
+    val half = interval / 2
+    def roundT(t: Long): Long = {
+      val rem = t % interval
+      if (rem > half) (t / interval + 1) * interval
+      else (t / interval) * interval
+    }
+
+    val start = roundT(sorted(0).t)
+    val stop = roundT(sorted(l - 1).t)
+    if ((stop - start) / interval <= 0) return Array.empty
+
+    // Grid the observations; interior gaps hold NaN so the SSE skips them.
+    // Duplicate grid slots keep the first point (later ones are dropped).
+    val yb = scala.collection.mutable.ArrayBuffer[Double](sorted(0).v)
+    var t = start
+    var pi = 1
+    while (pi < l) {
+      val rounded = roundT(sorted(pi).t)
+      if (rounded > t) {
+        t += interval
+        while (rounded != t) { yb += Double.NaN; t += interval }
+        yb += sorted(pi).v
+      }
+      pi += 1
+    }
+    val y = yb.toArray
+
+    // Initial state guesses; in the seasonal case missing leading slots
+    // simply contribute nothing.
+    var l0 = 0.0
+    if (seasonal) {
       var i = 0
-      while (i < n) {
-        val si = if (seasonal) season(i % m) else 0.0
-        val pred = level + trend + si
-        fit(i) = pred
-        val e = values(i) - pred
-        err += e * e
-        val lastLevel = level
-        level = alpha * (values(i) - si) + (1 - alpha) * (level + trend)
-        trend = beta * (level - lastLevel) + (1 - beta) * trend
-        if (seasonal) season(i % m) = gamma * (values(i) - level) + (1 - gamma) * si
+      while (i < m) { if (!y(i).isNaN) l0 += (1.0 / m) * y(i); i += 1 }
+    } else {
+      l0 += (1 - Weight) * y(0)
+      l0 += Weight * y(1)
+    }
+    var b0 = 0.0
+    if (seasonal) {
+      var i = 0
+      while (i < m && m + i < y.length) {
+        if (!y(i).isNaN && !y(m + i).isNaN) b0 += 1.0 / m * (y(m + i) - y(i)) / m
         i += 1
       }
-      val fc = new Array[Double](h)
-      var k = 0
-      while (k < h) {
-        val si = if (seasonal) season((n + k) % m) else 0.0
-        fc(k) = level + (k + 1) * trend + si
-        k += 1
-      }
-      (err, fit ++ fc)
+    } else {
+      if (!y(1).isNaN) b0 = Weight * (y(1) - y(0))
     }
+    // NaN slots fall back to the neutral multiplicative factor 1 so a gap
+    // in the first season cannot zero-divide the recursion.
+    val s0 =
+      if (seasonal) Array.tabulate(m)(i => if (!y(i).isNaN) y(i) / l0 else 1.0)
+      else Array.empty[Double]
 
-    // Nelder-Mead over (alpha, beta, gamma) in [0,1]^3.
-    var best = nelderMead(Array(0.5, 0.1, 0.1), p => sse(p)._1)
-    val (_, out) = sse(best)
-    if (withFit) out else out.takeRight(h)
-  }
-
-  private def clamp01(x: Double): Double = math.min(1.0, math.max(0.0, x))
-
-  private def nelderMead(x0: Array[Double], f: Array[Double] => Double): Array[Double] = {
-    val dim = x0.length
-    var simplex = (x0 +: (0 until dim).map { i =>
-      val p = x0.clone(); p(i) = clamp01(p(i) + 0.3); p
-    }.toSeq).toArray
-    var fv = simplex.map(f)
-    var iter = 0
-    while (iter < 200) {
-      val order = fv.zipWithIndex.sortBy(_._1).map(_._2)
-      simplex = order.map(simplex); fv = order.map(fv)
-      val centroid = new Array[Double](dim)
-      for (i <- 0 until dim; j <- 0 until dim) centroid(j) += simplex(i)(j) / dim
-      val worst = simplex(dim)
-      val refl = Array.tabulate(dim)(j => clamp01(centroid(j) + (centroid(j) - worst(j))))
-      val fr = f(refl)
-      if (fr < fv(0)) {
-        val exp = Array.tabulate(dim)(j => clamp01(centroid(j) + 2 * (centroid(j) - worst(j))))
-        val fe = f(exp)
-        if (fe < fr) { simplex(dim) = exp; fv(dim) = fe } else { simplex(dim) = refl; fv(dim) = fr }
-      } else if (fr < fv(dim - 1)) { simplex(dim) = refl; fv(dim) = fr }
-      else {
-        val con = Array.tabulate(dim)(j => clamp01(centroid(j) + 0.5 * (worst(j) - centroid(j))))
-        val fc = f(con)
-        if (fc < fv(dim)) { simplex(dim) = con; fv(dim) = fc }
-        else {
-          for (i <- 1 to dim; j <- 0 until dim)
-            simplex(i)(j) = clamp01(simplex(0)(j) + 0.5 * (simplex(i)(j) - simplex(0)(j)))
-          fv = simplex.map(f)
+    // Simulate the damped recursion from the initial state in `params`
+    // ([alpha, beta, gamma, phi, l0, b0, seasonals...]) over the fit span
+    // plus `hh` future steps. Clamps the four smoothing parameters in
+    // place — the optimizer's vertices see the clamp, as in the original.
+    def simulate(hh: Int, params: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < 4) {
+        if (params(i) > 1) params(i) = 1
+        if (params(i) < 0) params(i) = 0
+        i += 1
+      }
+      var yT = y(0)
+      val phi = params(3)
+      var phiH = phi
+      var lT = params(4)
+      var bT = params(5)
+      // ring of the current per-slot seasonal factors: the slot of the
+      // PREVIOUS time (the observation being absorbed) feeds the level
+      // update and is replaced after use; the slot of the CURRENT time
+      // scales the emission
+      val seasonals = new Array[Double](math.max(params.length - 6, 0))
+      System.arraycopy(params, 6, seasonals, 0, params.length - 6)
+      val out = new Array[Double](y.length + hh)
+      out(0) = yT
+      var stm = 1.0
+      var stmh = 1.0
+      var tt = 1
+      while (tt < y.length + hh) {
+        if (seasonal) {
+          stm = seasonals(Math.floorMod(tt - 1, m))
+          stmh = seasonals(Math.floorMod(tt, m))
         }
+        val lTp = lT
+        lT = params(0) * (yT / stm) + (1 - params(0)) * (lTp + phi * bT)
+        bT = params(1) * (lT - lTp) + (1 - params(1)) * phi * bT
+        val sT = params(2) * (yT / lT) + (1 - params(2)) * stm
+        yT = (lT + phiH * bT) * stmh
+        phiH += math.pow(phi, tt.toDouble)
+        if (seasonal) seasonals(Math.floorMod(tt - 1, m)) = sT
+        out(tt) = yT
+        tt += 1
       }
-      iter += 1
+      out
     }
-    simplex(fv.zipWithIndex.minBy(_._1)._2)
+
+    def sse(params: Array[Double]): Double = {
+      val fc = simulate(0, params)
+      var acc = 0.0
+      var i = 0
+      while (i < y.length) {
+        if (!y(i).isNaN) {
+          if (fc(i) < 0) return Double.PositiveInfinity
+          val d = fc(i) - y(i)
+          acc += d * d
+        }
+        i += 1
+      }
+      acc
+    }
+
+    // Grid-seeded optimization: 4 guesses per smoothing parameter,
+    // Nelder-Mead refinement from each seed, keep the best SSE.
+    val params0 = new Array[Double](6 + s0.length)
+    params0(4) = l0
+    params0(5) = b0
+    System.arraycopy(s0, 0, params0, 6, s0.length)
+    val step = (GuessUpper - GuessLower) / GuessN
+    var minSSE = Double.PositiveInfinity
+    var best: Array[Double] = null
+    var alpha = GuessLower
+    while (alpha < GuessUpper) {
+      var beta = GuessLower
+      while (beta < GuessUpper) {
+        var gamma = GuessLower
+        while (gamma < GuessUpper) {
+          var phi = GuessLower
+          while (phi < GuessUpper) {
+            val p = params0.clone()
+            p(0) = alpha; p(1) = beta; p(2) = gamma; p(3) = phi
+            val (fbest, opt) = NelderMead.optimize(sse, p, Epsilon, 1.0)
+            // a NaN objective (degenerate series) must never pin `best`
+            // against later finite seeds
+            if (best == null || (!fbest.isNaN && (minSSE.isNaN || fbest < minSSE))) {
+              minSSE = fbest; best = opt
+            }
+            phi += step
+          }
+          gamma += step
+        }
+        beta += step
+      }
+      alpha += step
+    }
+
+    val fc = simulate(h, best)
+    if (withFit) {
+      val t0 = sorted(0).t
+      val out = scala.collection.mutable.ArrayBuffer.empty[TV]
+      var i = 0
+      while (i < fc.length) {
+        if (!fc(i).isNaN) out += TV(t0 + interval * i, fc(i))
+        i += 1
+      }
+      out.toArray
+    } else {
+      val tN = sorted(l - 1).t
+      val out = scala.collection.mutable.ArrayBuffer.empty[TV]
+      var i = 0
+      while (i + y.length < fc.length) {
+        val v = fc(y.length + i)
+        if (!v.isNaN) out += TV(tN + interval * (i + 1), v)
+        i += 1
+      }
+      out.toArray
+    }
   }
 
-  /** Aggregator over (epochSeconds, value) rows. */
-  class HwAgg(h: Int, m: Int, withFit: Boolean)
-      extends Aggregator[TV, Buf, Array[Double]] {
+  /** Values-only convenience over a unit grid (t = 0, 1, 2, …). */
+  private[graft] def forecast(values: Array[Double], h: Int, m: Int,
+      withFit: Boolean): Array[Double] =
+    run(values.zipWithIndex.map { case (v, i) => TV(i.toLong, v) },
+      h, m, 1L, withFit).map(_.v)
+
+  /** Aggregator over (epochSeconds, value) rows; emits (t, v) points. */
+  class HwAgg(h: Int, m: Int, intervalS: Long, withFit: Boolean)
+      extends Aggregator[TV, Buf, Array[TV]] {
     def zero: Buf = Buf(Nil)
     def reduce(b: Buf, a: TV): Buf = { b.items = a :: b.items; b }
     def merge(a: Buf, b: Buf): Buf = { a.items = a.items ::: b.items; a }
-    def finish(b: Buf): Array[Double] =
-      forecast(b.items.sortBy(_.t).map(_.v).toArray, h, m, withFit)
+    def finish(b: Buf): Array[TV] =
+      run(b.items.toArray, h, m, intervalS, withFit)
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-    def outputEncoder: Encoder[Array[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Array[TV]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[TV]]()
   }
 
-  /** Column form: holtWinters(struct(epoch_s, value), h, m). */
-  def holtWinters(timeS: Column, value: Column, h: Int, m: Int, withFit: Boolean = false): Column = {
-    val agg = udaf(new HwAgg(h, m, withFit), Encoders.product[TV])
+  /** Column form: holtWinters(epoch_s, value, h, m, intervalS). Output is
+    * an array of (t, v) structs — fit ++ forecast when withFit. */
+  def holtWinters(timeS: Column, value: Column, h: Int, m: Int,
+      intervalS: Long = 1L, withFit: Boolean = false): Column = {
+    val agg = udaf(new HwAgg(h, m, intervalS, withFit), Encoders.product[TV])
     agg(timeS, value)
+  }
+}
+
+/** Nelder-Mead simplex minimizer — the classic M. F. Hutt formulation
+  * (mikehutt.com/neldermead.html; the same public-domain variant InfluxDB's
+  * `query/neldermead` package uses), including its quirks: the non-worst
+  * vertices keep stale objective values after a shrink, and convergence
+  * tests the population standard deviation of the vertex values. */
+private[operators] object NelderMead {
+  private val MaxIterations = 1000
+  private val Alpha = 1.0 // reflection
+  private val Beta  = 0.5 // contraction
+  private val Gamma = 2.0 // expansion
+
+  /** Minimizes `objfunc` from `start`; returns (best value, best vertex). */
+  def optimize(objfunc: Array[Double] => Double, start: Array[Double],
+      epsilon: Double, scale: Double): (Double, Array[Double]) = {
+    val n = start.length
+    val v = Array.ofDim[Double](n + 1, n)
+    val f = new Array[Double](n + 1)
+    val vr = new Array[Double](n)
+    val ve = new Array[Double](n)
+    val vc = new Array[Double](n)
+    val vm = new Array[Double](n)
+
+    val pn = scale * (math.sqrt((n + 1).toDouble) - 1 + n) / (n * math.sqrt(2.0))
+    val qn = scale * (math.sqrt((n + 1).toDouble) - 1) / (n * math.sqrt(2.0))
+
+    var i = 0
+    while (i < n) { v(0)(i) = start(i); i += 1 }
+    i = 1
+    while (i <= n) {
+      var j = 0
+      while (j < n) { v(i)(j) = (if (i - 1 == j) pn else qn) + start(j); j += 1 }
+      i += 1
+    }
+    i = 0
+    while (i <= n) { f(i) = objfunc(v(i)); i += 1 }
+
+    var itr = 1
+    var converged = false
+    while (itr <= MaxIterations && !converged) {
+      var vg = 0
+      var vs = 0
+      i = 0
+      while (i <= n) {
+        if (f(i) > f(vg)) vg = i
+        if (f(i) < f(vs)) vs = i
+        i += 1
+      }
+      var vh = vs
+      i = 0
+      while (i <= n) { if (f(i) > f(vh) && f(i) < f(vg)) vh = i; i += 1 }
+
+      i = 0
+      while (i < n) {
+        var cent = 0.0
+        var k = 0
+        while (k <= n) { if (k != vg) cent += v(k)(i); k += 1 }
+        vm(i) = cent / n
+        i += 1
+      }
+
+      i = 0
+      while (i < n) { vr(i) = vm(i) + Alpha * (vm(i) - v(vg)(i)); i += 1 }
+      val fr = objfunc(vr)
+      if (fr < f(vh) && fr >= f(vs)) {
+        i = 0; while (i < n) { v(vg)(i) = vr(i); i += 1 }
+        f(vg) = fr
+      }
+      if (fr < f(vs)) {
+        i = 0; while (i < n) { ve(i) = vm(i) + Gamma * (vr(i) - vm(i)); i += 1 }
+        val fe = objfunc(ve)
+        if (fe < fr) {
+          i = 0; while (i < n) { v(vg)(i) = ve(i); i += 1 }
+          f(vg) = fe
+        } else {
+          i = 0; while (i < n) { v(vg)(i) = vr(i); i += 1 }
+          f(vg) = fr
+        }
+      }
+      if (fr >= f(vh)) {
+        if (fr < f(vg) && fr >= f(vh)) {
+          // outside contraction
+          i = 0; while (i < n) { vc(i) = vm(i) + Beta * (vr(i) - vm(i)); i += 1 }
+        } else {
+          // inside contraction
+          i = 0; while (i < n) { vc(i) = vm(i) - Beta * (vm(i) - v(vg)(i)); i += 1 }
+        }
+        val fcv = objfunc(vc)
+        if (fcv < f(vg)) {
+          i = 0; while (i < n) { v(vg)(i) = vc(i); i += 1 }
+          f(vg) = fcv
+        } else {
+          // shrink toward the best vertex; refresh only the worst two
+          // objective values (the original's behavior — kept for parity)
+          var row = 0
+          while (row <= n) {
+            if (row != vs) {
+              i = 0
+              while (i < n) { v(row)(i) = v(vs)(i) + (v(row)(i) - v(vs)(i)) / 2.0; i += 1 }
+            }
+            row += 1
+          }
+          f(vg) = objfunc(v(vg))
+          f(vh) = objfunc(v(vh))
+        }
+      }
+
+      var fsum = 0.0
+      i = 0
+      while (i <= n) { fsum += f(i); i += 1 }
+      val favg = fsum / (n + 1)
+      var sdev = 0.0
+      i = 0
+      while (i <= n) { sdev += math.pow(f(i) - favg, 2.0) / n; i += 1 }
+      sdev = math.sqrt(sdev)
+      if (sdev < epsilon) converged = true
+      itr += 1
+    }
+
+    var vs = 0
+    i = 0
+    while (i <= n) { if (f(i) < f(vs)) vs = i; i += 1 }
+    (f(vs), v(vs))
   }
 }

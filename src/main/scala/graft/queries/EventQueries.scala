@@ -305,9 +305,9 @@ object EventQueries {
     val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
       .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))
     d.groupBy("event_type")
-      .agg(HoltWinters.holtWinters(col("bucket_s"), col("mean_v"), 3, 7).as("hw"))
-      .select(col("event_type"), posexplode(col("hw")).as(Seq("step", "forecast")))
-      .withColumn("forecast", round(col("forecast"), 6))
+      .agg(HoltWinters.holtWinters(col("bucket_s"), col("mean_v"), 3, 7, 86400L).as("hw"))
+      .select(col("event_type"), posexplode(col("hw")).as(Seq("step", "p")))
+      .select(col("event_type"), col("step"), round(col("p.v"), 6).as("forecast"))
       .orderBy("event_type", "step")
   }
 }

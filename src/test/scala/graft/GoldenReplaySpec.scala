@@ -1007,6 +1007,191 @@ class GoldenReplaySpec extends SparkSpec {
     assert(sums == Map("cpu-total" -> 10L, "cpu0" -> 10L, "cpu1" -> 10L))
   }
 
+  // ---- eval node semantics (streamer_test.go:2687-3070): typed lambdas,
+  // missing-field skip, keep/hidden interplay, tags conversion.
+
+  test("TestStream_Eval_AllTypes golden: typed lambdas per field type") {
+    // eval(str+'suffix', !bool, int+14, float*2.0) — int stays int64,
+    // originals are dropped (no keep)
+    val p = srplRebased("TestStream_EvalAllTypes")
+      .filter(col("measurement") === "types")
+      .select(
+        concat(expr("fieldsStr['str']"), lit("suffix")).as("str"),
+        (!expr("fieldsBool['bool']")).as("bool"),
+        (expr("fieldsInt['int']") + 14L).as("int"),
+        (expr("fieldsFloat['float']") * 2.0).as("float"))
+    val r = p.head
+    assert(r.getString(0) == "bobsuffix" && r.getBoolean(1) == true)
+    assert(r.getLong(2) == 19L && r.getDouble(3) == 84.0)
+  }
+
+  test("TestStream_EvalDivisionByZero golden: failing row is dropped, no output") {
+    // eval(lambda: 10/"n") with n=0i errors per-point and the point is
+    // skipped (eval.go error path) — try_divide + null-drop is the
+    // Spark-side equivalent contract
+    val out = srplRebased("TestStream_EvalDivisionByZero")
+      .filter(col("measurement") === "data")
+      .select(try_divide(lit(10L), expr("fieldsInt['n']")).as("n"))
+      .filter(col("n").isNotNull)
+    assert(out.count() == 0)
+  }
+
+  test("TestStream_Eval_KeepAll golden: keep() retains originals plus results") {
+    val base = srplRebased("TestStream_Eval_Keep")
+      .filter(col("measurement") === "types")
+      .select(col("time"),
+        expr("fieldsFloat['value0']").as("value0"),
+        expr("fieldsFloat['value1']").as("value1"))
+    val p = Pipe(base, timeCol = "time", dims = Nil)
+      .eval("pos" -> (col("value0") + col("value1")),
+        "neg" -> (col("value0") - col("value1")))
+    val r = p.df.select("neg", "pos", "value0", "value1").head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((-1.0, 1.0, 0.0, 1.0)))
+  }
+
+  test("TestStream_Eval_KeepSomeWithHidden golden: hidden intermediates feed later lambdas") {
+    // eval(pos=value0+value1, zero=pos-value1).keep(value0, zero):
+    // 'pos' is visible to the second lambda but absent from the output
+    val base = srplRebased("TestStream_Eval_Keep")
+      .filter(col("measurement") === "types")
+      .select(col("time"),
+        expr("fieldsFloat['value0']").as("value0"),
+        expr("fieldsFloat['value1']").as("value1"))
+    val p = Pipe(base, timeCol = "time", dims = Nil)
+      .evalKeep(Seq("value0", "zero"),
+        "pos" -> (col("value0") + col("value1")),
+        "zero" -> (col("pos") - col("value1")))
+    assert(p.df.columns.toSeq == Seq("time", "value0", "zero"))
+    val r = p.df.head
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+  }
+
+  test("TestStream_Eval_Tags_Keep golden: evaluated tag + kept fields regroup") {
+    // eval(string(value)).as('value').tags('value').keep() |groupBy('value'):
+    // the evaluated string becomes a tag (replacing the field of the same
+    // name), 'another' survives via keep()
+    val base = srplRebased("TestStream_Eval_Tags")
+      .filter(col("measurement") === "types")
+      .select(col("time"),
+        expr("fieldsFloat['value']").as("value"),
+        expr("fieldsFloat['another']").as("another"))
+    val p = Pipe(base, timeCol = "time", dims = Nil)
+      .eval("value" -> expr("CAST(CAST(value AS BIGINT) AS STRING)"))
+      .groupBy("value")
+    val got = p.df.groupBy("value").agg(max("another").as("another"))
+      .orderBy("value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq("0" -> 2.0, "1" -> 2.0))
+  }
+
+  test("TestStream_Eval_Tags_KeepSome golden: tag under a new name, originals kept") {
+    val base = srplRebased("TestStream_Eval_Tags")
+      .filter(col("measurement") === "types")
+      .select(col("time"),
+        expr("fieldsFloat['value']").as("value"),
+        expr("fieldsFloat['another']").as("another"))
+    val p = Pipe(base, timeCol = "time", dims = Nil)
+      .eval("value_tag" -> expr("CAST(CAST(value AS BIGINT) AS STRING)"))
+      .groupBy("value_tag")
+    val got = p.df.groupBy("value_tag")
+      .agg(max("another").as("another"), max("value").as("value"))
+      .orderBy("value_tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("0", 2.0, 0.0), ("1", 2.0, 1.0)))
+  }
+
+  test("TestStream_Eval_Missing golden: points without the field are skipped") {
+    // eval referencing a missing field drops those points (eval.go error
+    // path); only the t=0 or_not_to_be point survives, tags intact
+    val base = srplRebased("TestStream_Eval_Missing")
+      .filter(col("measurement") === "missing")
+      .select(col("time"), expr("tags['t']").as("t"),
+        expr("fieldsFloat['or_not_to_be']").as("v"))
+    val out = Pipe(base, timeCol = "time", dims = Seq("t"))
+      .eval("that_is_the_question" -> col("v"))
+      .where(col("that_is_the_question").isNotNull)
+      .df.select("t", "that_is_the_question").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("t1", 42.0)))
+  }
+
+  test("TestStream_Eval_Missing_isPresent golden: isPresent guards the lambda") {
+    val base = srplRebased("TestStream_Eval_Missing")
+      .filter(col("measurement") === "missing")
+      .select(col("time"), expr("tags['t']").as("t"),
+        expr("fieldsFloat['or_not_to_be']").as("v"))
+    val out = Pipe(base, timeCol = "time", dims = Seq("t"))
+      .where(col("v").isNotNull) // isPresent("or_not_to_be")
+      .eval("that_is_the_question" -> col("v").isNull) // !isPresent(...)
+      .df.select("t", "that_is_the_question").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(out == Seq(("t1", false)))
+  }
+
+  test("TestStream_Eval_Time golden: hour() of the point time per group") {
+    val base = srplRebased("TestStream_Eval_Time")
+      .filter(col("measurement") === "types")
+      .select(col("time"), expr("tags['group']").as("group"))
+    val evald = Pipe(base, timeCol = "time", dims = Seq("group"))
+      .eval("hour" -> hour(col("time")).cast("double"))
+    // httpOut caches the most recent point per group (the 01:00:00 UTC one;
+    // session TZ is UTC, matching the reference harness's Local()=UTC)
+    val out = evald.df.groupBy("group")
+      .agg(max_by(col("hour"), col("time")).as("hour"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("A", 1.0), ("B", 1.0)))
+  }
+
+  test("TestStream_HoltWinters golden: 3 forecasts past the last window") {
+    // stream|from('packets').groupBy(host)|window(10s,10s)
+    //       |holtWinters('value', 3, 0, 1s) (streamer_test.go:483-521).
+    // Semantics pinned exactly (times, count, fit-vs-forecast split); values
+    // within 0.1 of the reference's — see the tolerance note in
+    // HoltWintersSpec (same SSE surface, different Nelder-Mead endpoint).
+    import graft.operators.HoltWinters
+    val pts = fieldPts("TestStream_HoltWinters", "packets")
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10,
+      align = false, fillPeriod = false)
+    val last = w.agg(max("wemit_us")).head.getLong(0)
+    val hw = w.filter(col("wemit_us") === last)
+      .select(unix_timestamp(col("time")).as("t"), col("value"))
+      .agg(HoltWinters.holtWinters(col("t"), col("value"), 3, 0, 1L).as("hw"))
+      .select(explode(col("hw")).as("p")).select(col("p.t"), col("p.v"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    val expected = Seq(10L -> 1009.324690106368, 11L -> 1009.7524349889708,
+      12L -> 1010.105056042826)
+    assert(hw.map(_._1) == expected.map(_._1))
+    hw.zip(expected).foreach { case ((_, got), (_, want)) =>
+      assert(math.abs(got - want) < 0.1, s"$got vs $want")
+    }
+  }
+
+  test("TestStream_HoltWintersWithFit golden: 10 fit + 3 forecast points") {
+    import graft.operators.HoltWinters
+    val pts = fieldPts("TestStream_HoltWinters", "packets")
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10,
+      align = false, fillPeriod = false)
+    val last = w.agg(max("wemit_us")).head.getLong(0)
+    val hw = w.filter(col("wemit_us") === last)
+      .select(unix_timestamp(col("time")).as("t"), col("value"))
+      .agg(HoltWinters.holtWinters(col("t"), col("value"), 3, 0, 1L,
+        withFit = true).as("hw"))
+      .select(explode(col("hw")).as("p")).select(col("p.t"), col("p.v"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(hw.map(_._1) == (0L to 12L))
+    assert(hw.head._2 == 1000.0)
+    val expected = Seq(1000.0, 1000.7349380776699, 1001.8935462884633,
+      1003.1750039651934, 1004.4245269000132, 1005.5685498251902,
+      1006.5782508658309, 1007.4488388165385, 1008.1877681696025,
+      1008.8080773333872, 1009.324690106368, 1009.7524349889708,
+      1010.105056042826)
+    hw.map(_._2).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.2, s"$got vs $want")
+    }
+  }
+
   private def unix_ts(r: Row): Long = r.getTimestamp(0).toInstant.getEpochSecond
 
   test("replayed fixture through the alert FSM matches the golden events") {
