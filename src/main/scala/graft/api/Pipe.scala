@@ -575,6 +575,37 @@ final case class Pipe(
     l.join(r, Seq("__jt") ++ on, how).withColumnRenamed("__jt", "jt_s")
   }
 
+  /** [[joinTolerance]] with the reference's arrival-order pairing: within
+    * a rounded bucket the i-th point (time order) of each side pairs with
+    * the i-th of the other — join.go builds joinsets sequentially per
+    * rounded timestamp, so two same-bucket points yield two paired rows,
+    * not a cross product (pinned by the JoinTolerance golden's two t=6
+    * rows). Unmatched ranks drop (inner) or null-fill (outer).
+    *
+    * Scale: the rank is a window function over (on-dims, bucket) — bounded
+    * partitions — and the join stays an equi-join on (bucket, rank, on). */
+  def joinToleranceOrdered(
+      other: Pipe,
+      toleranceSeconds: Long,
+      names: (String, String),
+      on: Seq[String],
+      fillOuter: Boolean = false): DataFrame = {
+    def keyed(p: Pipe, nm: String) = {
+      val bucket = (floor((unix_micros(col(p.timeCol)) / lit(1000000.0)) / toleranceSeconds + lit(0.5)) * toleranceSeconds).cast("long")
+      val dataCols = p.df.columns.filterNot(c => on.contains(c) || c == p.timeCol)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((Seq("__jt") ++ on).map(col): _*).orderBy(col(p.timeCol))
+      p.df.withColumn("__jt", bucket)
+        .withColumn("__rk", row_number().over(w))
+        .select((Seq("__jt", "__rk") ++ on).map(col) ++
+          dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
+    }
+    val how = if (fillOuter) "full_outer" else "inner"
+    keyed(this, names._1)
+      .join(keyed(other, names._2), Seq("__jt", "__rk") ++ on, how)
+      .withColumnRenamed("__jt", "jt_s").drop("__rk")
+  }
+
   /** join(o1, o2, …).as(n0, n1, …).tolerance(t).on(dims).fill(…) — the full
     * reference join surface (pipeline/join.go:16-150, join.go:16-762),
     * n-way. Each side's *field* columns are prefixed `<name>_`; its group

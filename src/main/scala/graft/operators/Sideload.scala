@@ -39,4 +39,43 @@ object Sideload {
     }
     withFields.drop(levels.indices.flatMap(i => Seq(s"__sl_key_$i", s"__sl_values_$i")): _*)
   }
+
+  /** Load a sideload source directory (the reference's `file://` source,
+    * sideload.go Service): every *.yml / *.json file under `root` becomes
+    * one config row keyed by its root-relative path — extension included,
+    * since order() templates name it ('t0/{{.t0}}.yml'). Documents are
+    * flat scalar maps, values stringified ("2", "3.5", "why").
+    *
+    * Driver-side by design: sideload config is small and broadcast; the
+    * point stream never moves. */
+  def loadDir(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stream = java.nio.file.Files.walk(base)
+    val rows = try {
+      stream.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) && {
+          val n = p.toString; n.endsWith(".yml") || n.endsWith(".yaml") || n.endsWith(".json")
+        })
+        .map { p =>
+          val rel = base.relativize(p).toString
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val kv: Map[String, String] =
+            if (rel.endsWith(".json"))
+              mapper.readTree(text).fields().asScala
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            else
+              text.linesIterator.map(_.trim)
+                .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains(":"))
+                .map { l =>
+                  val Array(k, v) = l.split(":", 2)
+                  k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+                }.toMap
+          (rel, kv)
+        }.toSeq
+    } finally stream.close()
+    import spark.implicits._
+    rows.toDF("key", "values")
+  }
 }

@@ -1,0 +1,420 @@
+package graft
+
+import graft.api.Pipe
+import graft.operators.{InfluxQL, WindowFSM}
+import org.apache.spark.sql.functions._
+
+/** Golden-replay batch 2 — more reference stream fixtures reproduced
+  * end-to-end (integrations/streamer_test.go; fixture replay → pipeline →
+  * LAST httpOut batch compare). Same harness shape as GoldenReplaySpec. */
+class GoldenReplaySpec2 extends SparkSpec {
+  import spark.implicits._
+
+  /** Whole-fixture read with the replay harness's re-basing (first point
+    * lands on t=0; fixtures carry plain-second timestamps). */
+  private def srplRebased(name: String) = {
+    val df = graft.sources.Replay.readSrpl(spark,
+      s"/root/reference/integrations/testdata/$name.srpl")
+    val mn = df.agg(min("ts_ns")).head.getLong(0)
+    df.withColumn("time", timestamp_seconds(col("ts_ns") - mn))
+  }
+
+  // ---- InfluxQL node over integer and boolean fields
+  // (streamer_test.go:6475-7100, 7103-7350)
+
+  test("TestStream_InfluxQL_Integer golden: aggregates/selectors over int fields") {
+    val pts = srplRebased("TestStream_InfluxQL_Integer")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsInt['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val p = Pipe(w.filter(col("wemit_us") === lastEmit), "time", Nil)
+    assert(InfluxQL.count(p, Nil, "value").head.getLong(0) == 10L)
+    assert(InfluxQL.sum(p, Nil, "value").head.getLong(0) == 940L)
+    assert(InfluxQL.mean(p, Nil, "value").head.getDouble(0) == 94.0)
+    assert(InfluxQL.median(p, Nil, "value").head.getDouble(0) == 94.0)
+    assert(InfluxQL.spread(p, Nil, "value").head.getLong(0) == 7L)
+    assert(math.abs(InfluxQL.stddev(p, Nil, "value").head.getDouble(0)
+      - 2.160246899469287) < 1e-12)
+    assert(InfluxQL.minSel(p, Nil, "value").head.getLong(0) == 91L)
+    assert(InfluxQL.maxSel(p, Nil, "value").head.getLong(0) == 98L)
+    assert(InfluxQL.first(p, Nil, "value").head.getLong(0) == 98L)
+    assert(InfluxQL.last(p, Nil, "value").head.getLong(0) == 95L)
+    assert(InfluxQL.distinct(p, Nil, "value").collect().map(_.getLong(0)).toSet ==
+      Set(98L, 91L, 95L, 93L, 92L, 96L))
+    assert(InfluxQL.top(p, Nil, "value", 2).collect()
+      .map(_.getAs[Long]("top")).toSeq == Seq(98L, 96L))
+    assert(InfluxQL.bottom(p, Nil, "value", 3).collect()
+      .map(_.getAs[Long]("bottom")).toSeq == Seq(91L, 92L, 92L))
+  }
+
+  test("TestStream_InfluxQL_Boolean golden: count/distinct/first over bool fields") {
+    val pts = srplRebased("TestStream_InfluxQL_Boolean")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsBool['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    val p = Pipe(w.filter(col("wemit_us") === lastEmit), "time", Nil)
+    assert(InfluxQL.count(p, Nil, "value").head.getLong(0) == 10L)
+    assert(InfluxQL.distinct(p, Nil, "value").collect().map(_.getBoolean(0)).toSet ==
+      Set(true, false))
+    assert(InfluxQL.first(p, Nil, "value").head.getBoolean(0) == false)
+  }
+
+  // ---- joins (streamer_test.go:4934-5210)
+
+  test("TestStream_JoinTolerance golden: arrival-ordered pairing within buckets") {
+    // join(views).tolerance(2s) groupBy service; the cartA window [0,10)
+    // has TWO pairs at rounded t=6 — sequential joinsets, not a cross
+    // product (streamer_test.go:4934-5080)
+    val base = srplRebased("TestStream_JoinTolerance")
+    def side(meas: String) = Pipe(
+      base.filter(col("measurement") === meas)
+        .select(col("time"), expr("tags['service']").as("service"),
+          expr("fieldsFloat['value']").as("value")),
+      "time", Seq("service"))
+    val joined = side("errors").joinToleranceOrdered(
+      side("views"), 2, ("errors", "views"), Seq("service"))
+    val cartA = joined.filter(col("service") === "cartA" && col("jt_s") < 10)
+      .orderBy("jt_s", "errors_value")
+      .select(col("jt_s"), col("errors_value"), col("views_value"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(cartA == Seq(
+      (0L, 7.0, 700.0), (2L, 9.0, 900.0), (4L, 3.0, 300.0),
+      (6L, 11.0, 1100.0), (6L, 12.0, 1200.0), (8L, 6.0, 600.0)))
+  }
+
+  test("TestStream_Join_Fill_Null golden: null fill + defaults keep unmatched points") {
+    // join.fill('null') |default(0) |eval(sum) |window(10s)|count:
+    // cartA 7, login 7, front 8 (streamer_test.go:5082-5144)
+    val base = srplRebased("TestStream_Join_Fill")
+    def side(meas: String) = Pipe(
+      base.filter(col("measurement") === meas)
+        .select(col("time"), expr("tags['service']").as("service"),
+          expr("fieldsFloat['value']").as("value")),
+      "time", Seq("service"))
+    val joined = side("errors").joinMulti(
+      "errors", Seq((side("views"), "views")),
+      toleranceSeconds = 0, on = Seq("service"), fill = Pipe.FillNull)
+    val counts = joined
+      .withColumn("ev", coalesce(col("errors_value"), lit(0.0)))
+      .withColumn("vv", coalesce(col("views_value"), lit(0.0)))
+      .withColumn("error_percent", col("ev") + col("vv"))
+      .filter(col("jt_us") < 10000000L)
+      .groupBy("service").agg(count("error_percent").as("count"))
+      .orderBy("service")
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("cartA", 7L), ("front", 8L), ("login", 7L)))
+  }
+
+  test("TestStream_GroupByWhere golden: finer dims join the filtered total on host") {
+    // byCpu (host,cpu) joins total (host, cpu==cpu-total) on('host'),
+    // ratio means over [0,10) (streamer_test.go:4258-4330)
+    val base = srplRebased("TestStream_GroupByWhere")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("tags['cpu']").as("cpu"), expr("fieldsFloat['value']").as("value"))
+    val byCpu = Pipe(base, "time", Seq("host", "cpu"))
+    val total = Pipe(base.filter(col("cpu") === "cpu-total").drop("cpu"),
+      "time", Seq("host"))
+    val joined = byCpu.joinMulti("cpu", Seq((total, "total")), on = Seq("host"))
+    val means = joined
+      .withColumn("cpu_percent", col("cpu_value") / col("total_value"))
+      .filter(col("jt_us") < 10000000L)
+      .groupBy("host", "cpu").agg(avg("cpu_percent").as("mean"))
+      .orderBy("cpu")
+      .as[(String, String, Double)].collect().toSeq
+    assert(means.map(_._2) == Seq("cpu-total", "cpu0", "cpu1"))
+    assert(means(0)._3 == 1.0)
+    assert(math.abs(means(1)._3 - 0.7823116704593873) < 1e-12)
+    assert(math.abs(means(2)._3 - 0.7676074281820646) < 1e-12)
+  }
+
+  // ---- delete + groupBy(*) (streamer_test.go:3133-3177)
+
+  test("TestStream_Delete golden: dropped tag regroups under the star dimension") {
+    val base = srplRebased("TestStream_Delete")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), col("tags"),
+        expr("fieldsFloat['value']").as("value"),
+        expr("fieldsFloat['anothervalue']").as("anothervalue"))
+    val p = Pipe(base, "time", Nil)
+      .delete("anothervalue")
+      // delete().tag('type'): remove from the tag map, then groupBy(*)
+      .eval("tags" -> map_filter(col("tags"), (k, _) => k =!= "type"))
+      .groupByStar()
+    assert(!p.df.columns.contains("anothervalue"))
+    val rows = p.df.select(expr("tags['host']"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(rows == Map("serverA" -> 9.0, "serverB" -> 6.0, "serverC" -> 3.0))
+  }
+
+  // ---- combine filtered (streamer_test.go:4554-4612)
+
+  test("TestStream_Combine_Filtered golden: first lambda filters the left member") {
+    val arrival = typedlit(Map("auth" -> 1L, "log" -> 2L, "cart" -> 3L))
+    val base = srplRebased("TestStream_Combine")
+      .filter(col("measurement") === "request_latency")
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("fieldsFloat['value']").as("value"),
+        arrival(expr("tags['service']")).as("aid"))
+    val pairs = Pipe(base, "time", Seq("dc"), idCol = Some("aid"))
+      .combinePairs(col("service") === "auth", lit(true), 1, ("auth", "other"))
+      .filter(col("bucket_s") === 0)
+      .withColumn("ratio", col("auth_value") / col("other_value"))
+    val got = pairs.select("dc", "other_service", "ratio")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("A", "log", 700.0 / 600.0), ("A", "cart", 700.0 / 800.0),
+      ("B", "log", 750.0 / 650.0), ("B", "cart", 750.0 / 850.0)))
+  }
+
+  // ---- derivative .as() and .unit() (streamer_test.go:293-423)
+
+  test("TestStream_DerivativeAs golden: named column rides beside the original") {
+    val pts = srplRebased("TestStream_Derivative")
+      .filter(col("measurement") === "packets")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+      // the t=2 point carries only value2 — derivative.go skips points
+      // missing the tracked field
+      .filter(col("value").isNotNull)
+    val der = Pipe(pts, "time", Nil).derivative("value", as = "derivative")
+    val first = der.df.filter(unix_micros(col("time")) < 6000000L)
+      .orderBy("time")
+      .select((unix_micros(col("time")) / 1000000L).cast("long"), col("derivative"), col("value"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(first == Seq((1L, 1.0, 1001.0), (3L, 1.0, 1003.0),
+      (4L, 1.0, 1004.0), (5L, 2.0, 1006.0)))
+  }
+
+  test("TestStream_DerivativeUnit golden: unit scales the per-second rate") {
+    val pts = srplRebased("TestStream_Derivative")
+      .filter(col("measurement") === "packets")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    // no .as(): the reference replaces the field in place
+    val der = Pipe(pts, "time", Nil).derivative("value", unitSeconds = 10, as = "value")
+    val w = WindowFSM.windowByTime(der.df, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    val mean = w.filter(col("wemit_us") === lastEmit)
+      .agg(avg("value")).head.getDouble(0)
+    assert(mean == 10.0)
+  }
+
+  // ---- shift(-period) (streamer_test.go:2553-2604; ShiftBatch[Negative]
+  // reorder the same operators and share this path)
+
+  test("TestStream_ShiftNegative golden: current counts shifted back join the past") {
+    val pts = srplRebased("TestStream_Shift")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    def counts(p: Pipe) = {
+      val w = WindowFSM.windowByTime(p.df, "time", Nil, 5, 5, align = true)
+      Pipe(w.groupBy("wemit_us").agg(count("value").cast("double").as("count"))
+        .withColumn("time", timestamp_micros(col("wemit_us"))).drop("wemit_us"),
+        "time", Nil)
+    }
+    val past = counts(Pipe(pts, "time", Nil))
+    val current = counts(Pipe(pts, "time", Nil)).shift(-5)
+    val joined = past.joinMulti("past", Seq((current, "current")))
+      .withColumn("diff", col("current_count") - col("past_count"))
+      .select((col("jt_us") / 1000000L).cast("long"), col("current_count"), col("diff"), col("past_count"))
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(joined == Seq((5L, 5.0, 1.0, 4.0)))
+  }
+
+  // ---- where chains (streamer_test.go:4076-4130)
+
+  test("TestStream_SimpleWhere golden: stacked wheres pre- and post-aggregate") {
+    val pts = srplRebased("TestStream_SimpleMR")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    val p = Pipe(pts, "time", Nil)
+      .where(col("host") === "serverA")
+      .where(col("host") =!= "serverB")
+    val w = WindowFSM.windowByTime(p.df, "time", Nil, 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 10000000L)
+    val counted = w.filter(col("wemit_us") === lastEmit)
+      .agg(count("value").as("count"))
+      .filter(col("count") > 0 && col("count") < 12)
+    assert(counted.head.getLong(0) == 10L)
+  }
+
+  // ---- sideload from real config files (streamer_test.go:12340-12500)
+
+  test("TestStream_Sideload_JSON golden: json sources load and overlay identically") {
+    val cfg = graft.operators.Sideload.loadDir(spark,
+      "/root/reference/integrations/testdata/sideload")
+    val pts = srplRebased("TestStream_Sideload")
+      .filter(col("measurement") === "m")
+      .select(col("time"), expr("tags['t0']").as("t0"), expr("tags['t1']").as("t1"),
+        expr("tags['t2']").as("t2"), expr("fieldsFloat['value']").as("value"))
+    val out = graft.operators.Sideload.sideload(pts,
+      levels = Seq(
+        concat(lit("t0/"), col("t0"), lit(".json")),
+        concat(lit("t1/"), col("t1"), lit(".json")),
+        concat(lit("t2/"), col("t2"), lit(".yml"))),
+      config = cfg,
+      fields = Map("f1" -> lit("0"), "f2" -> lit("0.0"), "t3" -> lit("one")))
+    val rows = out.collect().map(r => (
+      r.getString(r.fieldIndex("t0")),
+      (r.getString(r.fieldIndex("f1")), r.getString(r.fieldIndex("f2")),
+        r.getString(r.fieldIndex("t3"))))).toMap
+    assert(rows == Map(
+      "a" -> (("0", "0.0", "one")),
+      "b" -> (("2", "3.5", "why")),
+      "c" -> (("12", "13.5", "why"))))
+  }
+
+  // ---- mid-stream regrouping (streamer_test.go:3909-4075)
+
+  test("TestStream_BatchGroupBy golden: groupBy after the window re-dimensions the batch") {
+    // the reference er pins the FIRST window [0,5) (its grouped httpOut
+    // cache holds that batch for every group: counts 5/5/1 at t=5)
+    val pts = srplRebased("TestStream_BatchGroupBy")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), col("tags"), expr("fieldsFloat['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 5, 5)
+    val counts = w.filter(col("wemit_us") === 5000000L)
+      .groupBy(expr("tags['host']").as("host")).agg(count("value").as("count"))
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("serverA", 5L), ("serverB", 5L), ("serverC", 1L)))
+  }
+
+  test("TestStream_BatchGroupByAllExclude golden: star minus a tag regroups coarser") {
+    // same first-window er as BatchGroupBy: 5+5+1 points collapse to
+    // the single remaining (type=idle) group
+    val pts = srplRebased("TestStream_BatchGroupBy")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), col("tags"), expr("fieldsFloat['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 5, 5)
+    val p = Pipe(w.filter(col("wemit_us") === 5000000L), "time", Nil)
+      .eval("tags" -> map_filter(col("tags"), (k, _) => k =!= "host"))
+      .groupByStar()
+    val counts = p.df.groupBy(expr("tags['type']").as("type"))
+      .agg(count("value").as("count"))
+      .as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("idle", 11L)))
+  }
+
+  test("TestStream_GroupByAllExclude golden: excluded star dim before the window") {
+    val pts = srplRebased("TestStream_GroupByExclude")
+      .filter(col("measurement") === "mock")
+      .select(col("time"), col("tags"), expr("fieldsFloat['value']").as("value"))
+    val p = Pipe(pts, "time", Nil)
+      .eval("tags" -> map_filter(col("tags"), (k, _) => k =!= "s"))
+      .groupByStar()
+    val w = WindowFSM.windowByTime(p.df, "time", p.dims, 2, 2)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 2000000L)
+    val counts = w.filter(col("wemit_us") === lastEmit)
+      .groupBy(expr("tags['t']").as("t")).agg(count("value").as("count"))
+      .orderBy("t").as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("A", 4L), ("B", 4L)))
+  }
+
+  // ---- alert node (streamer_test.go:7424-7600, 8074-8560, 11303-11330)
+
+  test("TestStream_Alert golden: windowed count alerts CRITICAL with rendered id/msg") {
+    import graft.functions.AlertTemplates
+    import graft.streaming.AlertStream
+    import graft.streaming.AlertStream._
+    val pts = srplRebased("TestStream_Alert")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Seq("host"), 10, 10)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    val counted = w.filter(col("wemit_us") === lastEmit)
+      .groupBy("host").agg(count("value").cast("double").as("count"))
+      .withColumn("timeUs", lit(lastEmit))
+    // info>6 / warn>7 / crit>8 on count=10 → CRITICAL
+    val events = AlertStream.runBatch(
+      counted.select(col("host").as("group"), col("timeUs"),
+        (col("count") > 6).as("pass1"), (col("count") > 7).as("pass2"),
+        (col("count") > 8).as("pass3"),
+        lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+        .as[AlertPoint],
+      AlertConfig()).collect()
+    assert(events.length == 1 && events.head.levelName == "CRITICAL"
+      && events.head.timeUs == 10000000L)
+    // the httpOut point carries idField/idTag/levelField/messageField/levelTag
+    val enriched = counted
+      .withColumn("id", AlertTemplates.compile(
+        "kapacitor/{{ .Name }}/{{ index .Tags \"host\" }}",
+        Map("Name" -> lit("cpu")), tags = Some(map(lit("host"), col("host")))))
+      .withColumn("level", lit(events.head.levelName))
+      .withColumn("msg", AlertTemplates.compile("{{ .ID }} is {{ .Level }}",
+        Map("ID" -> col("id"), "Level" -> col("level"))))
+    val r = enriched.select("count", "id", "level", "msg").head
+    assert(r.getDouble(0) == 10.0)
+    assert(r.getString(1) == "kapacitor/cpu/serverA")
+    assert(r.getString(2) == "CRITICAL")
+    assert(r.getString(3) == "kapacitor/cpu/serverA is CRITICAL")
+  }
+
+  test("TestStream_AlertStateChangesOnly golden: 8 events for 4 sub-threshold points") {
+    import graft.streaming.AlertStream
+    import graft.streaming.AlertStream._
+    val pts = srplRebased("TestStream_AlertStateChangesOnly")
+      .filter(col("measurement") === "cpu")
+      .select(lit("g").as("group"), unix_micros(col("time")).as("timeUs"),
+        lit(false).as("pass1"), lit(false).as("pass2"),
+        (expr("fieldsFloat['value']") < 93).as("pass3"),
+        lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+      .as[AlertPoint]
+    val events = AlertStream.runBatch(pts,
+      AlertConfig(stateChangesOnly = true)).collect()
+    assert(events.length == 8)
+    assert(events.count(_.levelName == "CRITICAL") == 4)
+    assert(events.count(_.levelName == "OK") == 4)
+  }
+
+  test("TestStream_Alert_WithReset_1 golden: higher reset thresholds hold longer") {
+    import graft.streaming.AlertStream
+    import graft.streaming.AlertStream._
+    // info>40/warn>60/crit>80; resets <30/<50/<70 (streamer_test.go:8074-8560)
+    val v = expr("fieldsFloat['value']")
+    val pts = srplRebased("TestStream_Alert_WithReset_1")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(lit("serverA").as("group"), unix_micros(col("time")).as("timeUs"),
+        (v > 40).as("pass1"), (v > 60).as("pass2"), (v > 80).as("pass3"),
+        (v < 30).as("reset1"), (v < 50).as("reset2"), (v < 70).as("reset3"))
+      .as[AlertPoint]
+    val events = AlertStream.runBatch(pts,
+      AlertConfig(resetDefined = Seq(true, true, true))).collect()
+      .sortBy(_.timeUs).map(e => (e.timeUs / 1000000L, e.levelName)).toSeq
+    assert(events == Seq(
+      (0L, "INFO"), (1L, "INFO"), (2L, "INFO"), (3L, "OK"),
+      (4L, "INFO"), (5L, "WARNING"), (6L, "INFO"), (7L, "OK"),
+      (8L, "INFO"), (9L, "WARNING"), (10L, "CRITICAL"), (11L, "WARNING"),
+      (12L, "WARNING"), (13L, "INFO"), (14L, "OK")))
+  }
+
+  test("TestStream_Sideload_Multiple golden: chained sideloads add fields independently") {
+    val cfg = graft.operators.Sideload.loadDir(spark,
+      "/root/reference/integrations/testdata/sideload")
+    val pts = srplRebased("TestStream_Sideload")
+      .filter(col("measurement") === "m")
+      .select(col("time"), expr("tags['t0']").as("t0"), expr("tags['t1']").as("t1"),
+        expr("tags['t2']").as("t2"), expr("fieldsFloat['value']").as("value"))
+    val levels = Seq(
+      concat(lit("t0/"), col("t0"), lit(".yml")),
+      concat(lit("t1/"), col("t1"), lit(".yml")),
+      concat(lit("t2/"), col("t2"), lit(".yml")))
+    val once = graft.operators.Sideload.sideload(pts, levels, cfg,
+      fields = Map("f1" -> lit("0"), "f2" -> lit("0.0"), "t3" -> lit("one")))
+    val twice = graft.operators.Sideload.sideload(once, levels, cfg,
+      fields = Map("other" -> lit("-1.0")))
+    val rows = twice.collect().map(r => (
+      r.getString(r.fieldIndex("t0")),
+      (r.getString(r.fieldIndex("f1")), r.getString(r.fieldIndex("other"))))).toMap
+    assert(rows == Map(
+      "a" -> (("0", "-1.0")),
+      "b" -> (("2", "56")),
+      "c" -> (("12", "56"))))
+  }
+}
