@@ -108,12 +108,16 @@ object Dedup {
       chunks: Int = 4,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < chunks, "blocking is only lossless for maxHamming < chunks")
-    val chunkBits = 32 / chunks
+    // 60-bit simhash → 15-bit chunks → 32k blocking buckets per band; the
+    // old 32-bit hash left 8-bit chunks whose 256 buckets collide
+    // quadratically once the corpus outgrows a few thousand docs
+    val chunkBits = 60 / chunks
     val tokFn = graft.expressions.ShingleHashes.register(
       docs.sparkSession, 1, distinct = false)
+    val shFn = graft.expressions.SimHashBits.register(docs.sparkSession, 60)
     val hashed = docs
       .select(col(idCol).as("doc_id"), call_function(tokFn, col(textCol)).as("ths"))
-      .select(col("doc_id"), TextOps.simhash32FromHashes(col("ths")).as("sh"))
+      .select(col("doc_id"), call_function(shFn, col("ths")).as("sh"))
     // one 64-bit hash per doc: materialize before the fan-out (see
     // minhashLsh for rationale)
     val blocked = hashed.select(col("doc_id"), col("sh"),

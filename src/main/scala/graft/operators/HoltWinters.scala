@@ -46,43 +46,48 @@ object HoltWinters {
     * Returns (time, value) pairs: fitted curve ++ forecasts when `withFit`,
     * else only the h forecasts. Fit times start at the first *actual* point
     * time; forecast times continue past the last actual point time. */
-  private[graft] def run(points: Array[TV], h: Int, m: Int, intervalS: Long,
-      withFit: Boolean): Array[TV] = {
+  /** Interval-gridded series plus the actual first/last point times. */
+  private[graft] case class Prepared(y: Array[Double], t0: Long, tN: Long)
+
+  /** Sort, round onto the interval grid, fill interior gaps with NaN.
+    * None when the series is too short to fit. Duplicate grid slots keep
+    * the first point (later ones are dropped). */
+  private[graft] def prepare(points: Array[TV], m: Int, intervalS: Long): Option[Prepared] = {
     val seasonal = m >= 2
     val sorted = points.sortBy(_.t)
     val l = sorted.length
-    if (l < 2 || (seasonal && l < m) || h <= 0) return Array.empty
-
-    val interval = intervalS
-    val half = interval / 2
+    if (l < 2 || (seasonal && l < m)) return None
+    val half = intervalS / 2
     def roundT(t: Long): Long = {
-      val rem = t % interval
-      if (rem > half) (t / interval + 1) * interval
-      else (t / interval) * interval
+      val rem = t % intervalS
+      if (rem > half) (t / intervalS + 1) * intervalS
+      else (t / intervalS) * intervalS
     }
-
     val start = roundT(sorted(0).t)
     val stop = roundT(sorted(l - 1).t)
-    if ((stop - start) / interval <= 0) return Array.empty
-
-    // Grid the observations; interior gaps hold NaN so the SSE skips them.
-    // Duplicate grid slots keep the first point (later ones are dropped).
+    if ((stop - start) / intervalS <= 0) return None
     val yb = scala.collection.mutable.ArrayBuffer[Double](sorted(0).v)
     var t = start
     var pi = 1
     while (pi < l) {
       val rounded = roundT(sorted(pi).t)
       if (rounded > t) {
-        t += interval
-        while (rounded != t) { yb += Double.NaN; t += interval }
+        t += intervalS
+        while (rounded != t) { yb += Double.NaN; t += intervalS }
         yb += sorted(pi).v
       }
       pi += 1
     }
-    val y = yb.toArray
+    Some(Prepared(yb.toArray, sorted(0).t, sorted(l - 1).t))
+  }
 
-    // Initial state guesses; in the seasonal case missing leading slots
-    // simply contribute nothing.
+  /** Initial [alpha, beta, gamma, phi, l0, b0, seasonals…] guess vector
+    * (smoothing slots left 0 for the seed grid to fill). Seasonal missing
+    * leading slots contribute nothing to l0/b0; NaN seasonal slots fall
+    * back to the neutral multiplicative factor 1 so a gap in the first
+    * season cannot zero-divide the recursion. */
+  private[graft] def initialParams(y: Array[Double], m: Int): Array[Double] = {
+    val seasonal = m >= 2
     var l0 = 0.0
     if (seasonal) {
       var i = 0
@@ -101,126 +106,150 @@ object HoltWinters {
     } else {
       if (!y(1).isNaN) b0 = Weight * (y(1) - y(0))
     }
-    // NaN slots fall back to the neutral multiplicative factor 1 so a gap
-    // in the first season cannot zero-divide the recursion.
     val s0 =
       if (seasonal) Array.tabulate(m)(i => if (!y(i).isNaN) y(i) / l0 else 1.0)
       else Array.empty[Double]
-
-    // Simulate the damped recursion from the initial state in `params`
-    // ([alpha, beta, gamma, phi, l0, b0, seasonals...]) over the fit span
-    // plus `hh` future steps. Clamps the four smoothing parameters in
-    // place — the optimizer's vertices see the clamp, as in the original.
-    def simulate(hh: Int, params: Array[Double]): Array[Double] = {
-      var i = 0
-      while (i < 4) {
-        if (params(i) > 1) params(i) = 1
-        if (params(i) < 0) params(i) = 0
-        i += 1
-      }
-      var yT = y(0)
-      val phi = params(3)
-      var phiH = phi
-      var lT = params(4)
-      var bT = params(5)
-      // ring of the current per-slot seasonal factors: the slot of the
-      // PREVIOUS time (the observation being absorbed) feeds the level
-      // update and is replaced after use; the slot of the CURRENT time
-      // scales the emission
-      val seasonals = new Array[Double](math.max(params.length - 6, 0))
-      System.arraycopy(params, 6, seasonals, 0, params.length - 6)
-      val out = new Array[Double](y.length + hh)
-      out(0) = yT
-      var stm = 1.0
-      var stmh = 1.0
-      var tt = 1
-      while (tt < y.length + hh) {
-        if (seasonal) {
-          stm = seasonals(Math.floorMod(tt - 1, m))
-          stmh = seasonals(Math.floorMod(tt, m))
-        }
-        val lTp = lT
-        lT = params(0) * (yT / stm) + (1 - params(0)) * (lTp + phi * bT)
-        bT = params(1) * (lT - lTp) + (1 - params(1)) * phi * bT
-        val sT = params(2) * (yT / lT) + (1 - params(2)) * stm
-        yT = (lT + phiH * bT) * stmh
-        phiH += math.pow(phi, tt.toDouble)
-        if (seasonal) seasonals(Math.floorMod(tt - 1, m)) = sT
-        out(tt) = yT
-        tt += 1
-      }
-      out
-    }
-
-    def sse(params: Array[Double]): Double = {
-      val fc = simulate(0, params)
-      var acc = 0.0
-      var i = 0
-      while (i < y.length) {
-        if (!y(i).isNaN) {
-          if (fc(i) < 0) return Double.PositiveInfinity
-          val d = fc(i) - y(i)
-          acc += d * d
-        }
-        i += 1
-      }
-      acc
-    }
-
-    // Grid-seeded optimization: 4 guesses per smoothing parameter,
-    // Nelder-Mead refinement from each seed, keep the best SSE.
     val params0 = new Array[Double](6 + s0.length)
     params0(4) = l0
     params0(5) = b0
     System.arraycopy(s0, 0, params0, 6, s0.length)
-    val step = (GuessUpper - GuessLower) / GuessN
-    var minSSE = Double.PositiveInfinity
-    var best: Array[Double] = null
-    var alpha = GuessLower
-    while (alpha < GuessUpper) {
-      var beta = GuessLower
-      while (beta < GuessUpper) {
-        var gamma = GuessLower
-        while (gamma < GuessUpper) {
-          var phi = GuessLower
-          while (phi < GuessUpper) {
-            val p = params0.clone()
-            p(0) = alpha; p(1) = beta; p(2) = gamma; p(3) = phi
-            val (fbest, opt) = NelderMead.optimize(sse, p, Epsilon, 1.0)
-            // a NaN objective (degenerate series) must never pin `best`
-            // against later finite seeds
-            if (best == null || (!fbest.isNaN && (minSSE.isNaN || fbest < minSSE))) {
-              minSSE = fbest; best = opt
-            }
-            phi += step
-          }
-          gamma += step
-        }
-        beta += step
-      }
-      alpha += step
-    }
+    params0
+  }
 
-    val fc = simulate(h, best)
+  /** The seed values the serial grid visits, in visit order — accumulated
+    * addition kept so distributed and serial fits see bit-identical seeds. */
+  private[graft] val SeedValues: Array[Double] = {
+    val step = (GuessUpper - GuessLower) / GuessN
+    val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var v = GuessLower
+    while (v < GuessUpper) { b += v; v += step }
+    b.toArray
+  }
+
+  /** Total restarts in the seed grid (alpha × beta × gamma × phi). */
+  private[graft] val SeedCount: Int = SeedValues.length * SeedValues.length *
+    SeedValues.length * SeedValues.length
+
+  /** Simulate the damped recursion from the initial state in `params`
+    * ([alpha, beta, gamma, phi, l0, b0, seasonals...]) over the fit span
+    * plus `hh` future steps. Clamps the four smoothing parameters in
+    * place — the optimizer's vertices see the clamp, as in the original. */
+  private def simulate(hh: Int, params: Array[Double], y: Array[Double], m: Int): Array[Double] = {
+    val seasonal = m >= 2
+    var i = 0
+    while (i < 4) {
+      if (params(i) > 1) params(i) = 1
+      if (params(i) < 0) params(i) = 0
+      i += 1
+    }
+    var yT = y(0)
+    val phi = params(3)
+    var phiH = phi
+    var lT = params(4)
+    var bT = params(5)
+    // ring of the current per-slot seasonal factors: the slot of the
+    // PREVIOUS time (the observation being absorbed) feeds the level
+    // update and is replaced after use; the slot of the CURRENT time
+    // scales the emission
+    val seasonals = new Array[Double](math.max(params.length - 6, 0))
+    System.arraycopy(params, 6, seasonals, 0, params.length - 6)
+    val out = new Array[Double](y.length + hh)
+    out(0) = yT
+    var stm = 1.0
+    var stmh = 1.0
+    // phi^tt kept incrementally — pow() per step dominated the fit cost
+    // (256 restarts × ~1000 simplex iterations × series length)
+    var phiPow = phi
+    var tt = 1
+    while (tt < y.length + hh) {
+      if (seasonal) {
+        stm = seasonals(Math.floorMod(tt - 1, m))
+        stmh = seasonals(Math.floorMod(tt, m))
+      }
+      val lTp = lT
+      lT = params(0) * (yT / stm) + (1 - params(0)) * (lTp + phi * bT)
+      bT = params(1) * (lT - lTp) + (1 - params(1)) * phi * bT
+      val sT = params(2) * (yT / lT) + (1 - params(2)) * stm
+      yT = (lT + phiH * bT) * stmh
+      phiH += phiPow
+      phiPow *= phi
+      if (seasonal) seasonals(Math.floorMod(tt - 1, m)) = sT
+      out(tt) = yT
+      tt += 1
+    }
+    out
+  }
+
+  private def sseOf(params: Array[Double], y: Array[Double], m: Int): Double = {
+    val fc = simulate(0, params, y, m)
+    var acc = 0.0
+    var i = 0
+    while (i < y.length) {
+      if (!y(i).isNaN) {
+        if (fc(i) < 0) return Double.PositiveInfinity
+        val d = fc(i) - y(i)
+        acc += d * d
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** One Nelder-Mead restart from grid seed `idx` (row-major over
+    * alpha, beta, gamma, phi in [[SeedValues]] order). */
+  private[graft] def fitSeed(y: Array[Double], m: Int, params0: Array[Double],
+      idx: Int): (Double, Array[Double]) = {
+    val n = SeedValues.length
+    val p = params0.clone()
+    p(0) = SeedValues(idx / (n * n * n) % n)
+    p(1) = SeedValues(idx / (n * n) % n)
+    p(2) = SeedValues(idx / n % n)
+    p(3) = SeedValues(idx % n)
+    NelderMead.optimize(sseOf(_, y, m), p, Epsilon, 1.0)
+  }
+
+  /** Final emission from the winning parameters. */
+  private[graft] def emitPoints(prep: Prepared, params: Array[Double], h: Int,
+      m: Int, intervalS: Long, withFit: Boolean): Array[TV] = {
+    val fc = simulate(h, params, prep.y, m)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TV]
     if (withFit) {
-      val t0 = sorted(0).t
-      val out = scala.collection.mutable.ArrayBuffer.empty[TV]
       var i = 0
       while (i < fc.length) {
-        if (!fc(i).isNaN) out += TV(t0 + interval * i, fc(i))
+        if (!fc(i).isNaN) out += TV(prep.t0 + intervalS * i, fc(i))
         i += 1
       }
-      out.toArray
     } else {
-      val tN = sorted(l - 1).t
-      val out = scala.collection.mutable.ArrayBuffer.empty[TV]
       var i = 0
-      while (i + y.length < fc.length) {
-        val v = fc(y.length + i)
-        if (!v.isNaN) out += TV(tN + interval * (i + 1), v)
+      while (i + prep.y.length < fc.length) {
+        val v = fc(prep.y.length + i)
+        if (!v.isNaN) out += TV(prep.tN + intervalS * (i + 1), v)
         i += 1
       }
-      out.toArray
+    }
+    out.toArray
+  }
+
+  private[graft] def run(points: Array[TV], h: Int, m: Int, intervalS: Long,
+      withFit: Boolean): Array[TV] = {
+    if (h <= 0) return Array.empty
+    prepare(points, m, intervalS) match {
+      case None => Array.empty
+      case Some(prep) =>
+        val params0 = initialParams(prep.y, m)
+        var minSSE = Double.PositiveInfinity
+        var best: Array[Double] = null
+        var idx = 0
+        while (idx < SeedCount) {
+          val (fbest, opt) = fitSeed(prep.y, m, params0, idx)
+          // a NaN objective (degenerate series) must never pin `best`
+          // against later finite seeds
+          if (best == null || (!fbest.isNaN && (minSSE.isNaN || fbest < minSSE))) {
+            minSSE = fbest; best = opt
+          }
+          idx += 1
+        }
+        emitPoints(prep, best, h, m, intervalS, withFit)
     }
   }
 
@@ -229,6 +258,62 @@ object HoltWinters {
       withFit: Boolean): Array[Double] =
     run(values.zipWithIndex.map { case (v, i) => TV(i.toLong, v) },
       h, m, 1L, withFit).map(_.v)
+
+  /** Distributed fit: one task row per (group, seed) so the 4^4
+    * Nelder-Mead restarts spread across the cluster instead of
+    * serializing inside a single aggregation task — the right shape when
+    * groups are few and fat (a 5-group daily-seasonal fit keeps 5 cores
+    * busy under the Aggregator; here it keeps 5 × 256). The per-group
+    * winner is the same argmin the serial path picks (first
+    * strictly-smaller SSE in seed order; NaN never pins).
+    *
+    * Input: (group, epochSeconds, value) rows. Output: (group, t, v)
+    * forecast (or fit ++ forecast) points. */
+  def holtWintersDistributed(
+      points: org.apache.spark.sql.DataFrame,
+      groupCol: String, tCol: String, vCol: String,
+      h: Int, m: Int, intervalS: Long,
+      withFit: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val mm = m; val hh = h; val ivl = intervalS; val wf = withFit
+    val typed = points.select(
+      org.apache.spark.sql.functions.col(groupCol).cast("string"),
+      org.apache.spark.sql.functions.col(tCol).cast("long"),
+      org.apache.spark.sql.functions.col(vCol).cast("double"))
+      .as[(String, Long, Double)]
+    val tasks = typed.groupByKey(_._1)
+      .mapGroups { (g, it) => (g, it.map(r => TV(r._2, r._3)).toArray) }
+      .flatMap { case (g, arr) =>
+        prepare(arr, mm, ivl) match {
+          case Some(p) => (0 until SeedCount).iterator.map(i => (g, i, p.y, p.t0, p.tN))
+          case None    => Iterator.empty
+        }
+      }
+      // spread the restarts: hash on (group, seed) so every core gets work
+      .repartition(org.apache.spark.sql.functions.col("_1"),
+        org.apache.spark.sql.functions.col("_2"))
+    val fits = tasks.map { case (g, i, y, t0, tN) =>
+      val (sse, ps) = fitSeed(y, mm, initialParams(y, mm), i)
+      (g, i, sse, ps, y, t0, tN)
+    }
+    fits.groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        var bestSSE = Double.NaN
+        var bestIdx = Int.MaxValue
+        var bp: Array[Double] = null
+        var prep: Prepared = null
+        // seed order = idx order, matching the serial loop's tie behavior
+        it.toArray.sortBy(_._2).foreach { case (_, _, s, ps, y, t0, tN) =>
+          if (bp == null || (!s.isNaN && (bestSSE.isNaN || s < bestSSE))) {
+            bestSSE = s; bp = ps; prep = Prepared(y, t0, tN)
+          }
+        }
+        if (bp == null) Iterator.empty
+        else emitPoints(prep, bp, hh, mm, ivl, wf).iterator.map(p => (g, p.t, p.v))
+      }
+      .toDF(groupCol, tCol, vCol)
+  }
 
   /** Aggregator over (epochSeconds, value) rows; emits (t, v) points. */
   class HwAgg(h: Int, m: Int, intervalS: Long, withFit: Boolean)

@@ -48,15 +48,14 @@ object InfluxQL {
   /** median — exact: middle element, or mean of the two middles for even n
     * (InfluxQL median(); not the selector percentile). Encoded rank-wise so
     * the DuckDB oracle can state the identical algorithm. */
-  def median(p: Pipe, keys: Seq[String], field: String, as: String = "median"): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(field))
-    p.df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", org.apache.spark.sql.functions.count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .filter(col("__rn") === floor((col("__n") + 1) / 2) || col("__rn") === floor(col("__n") / 2) + 1)
-      .groupBy(keys.map(col): _*)
-      .agg(avg(col(field)).as(as))
-  }
+  def median(p: Pipe, keys: Seq[String], field: String, as: String = "median"): DataFrame =
+    // exact percentile(0.5) interpolates the two middles for even n — the
+    // same mean-of-middles InfluxQL computes — as ONE object-hash
+    // aggregate pass instead of two unbounded window functions over a
+    // per-key global sort (the windowed form was the bench's slowest
+    // aggregate; this is the partial/final shape every other agg uses)
+    p.df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($field, 0.5D)").as(as))
 
   /** mode — most frequent value; ties resolved to the smallest value so the
     * result is deterministic (InfluxQL mode() picks the lowest). */

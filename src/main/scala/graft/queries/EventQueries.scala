@@ -86,13 +86,9 @@ object EventQueries {
       .orderBy("event_type", "bucket_s")
   }
   val medianDaySql: String =
-    s"""$preludeSql, r AS (
-       SELECT event_type, ${bucketSql(86400)} AS bucket_s, value,
-              row_number() OVER (PARTITION BY event_type, ${bucketSql(86400)} ORDER BY value) AS rn,
-              count(*) OVER (PARTITION BY event_type, ${bucketSql(86400)}) AS n
-       FROM e)
-       SELECT event_type, bucket_s, round(avg(value),6) AS median_v FROM r
-       WHERE rn = (n+1)//2 OR rn = n//2 + 1 GROUP BY 1,2 ORDER BY 1,2"""
+    s"""$preludeSql SELECT event_type, ${bucketSql(86400)} AS bucket_s,
+       round(quantile_cont(value, 0.5),6) AS median_v
+       FROM e GROUP BY 1,2 ORDER BY 1,2"""
       .stripMargin.replaceAll("\\s+", " ")
 
   def modeDay(s: SparkSession, dir: String): DataFrame = {
@@ -299,15 +295,21 @@ object EventQueries {
        FROM events WHERE value > 50 AND event_type <> 'error' ORDER BY event_id"""
       .stripMargin.replaceAll("\\s+", " ")
 
-  /** holtWinters forecast (no SQL oracle — custom Aggregator). Forecast 3
-    * daily means ahead per event_type over the daily mean series. */
+  /** holtWinters forecast (no SQL oracle — custom numeric fit). Forecast 3
+    * daily means ahead per event_type over the daily mean series, m=7
+    * weekly seasonality. Uses the distributed-restart fit: with ~5 fat
+    * groups the serial Aggregator would keep 5 cores busy for the 256
+    * Nelder-Mead restarts each; spreading (group × seed) rows keeps the
+    * whole cluster busy and the result identical. */
   def holtWintersQ(s: SparkSession, dir: String): DataFrame = {
     val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
       .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))
-    d.groupBy("event_type")
-      .agg(HoltWinters.holtWinters(col("bucket_s"), col("mean_v"), 3, 7, 86400L).as("hw"))
-      .select(col("event_type"), posexplode(col("hw")).as(Seq("step", "p")))
-      .select(col("event_type"), col("step"), round(col("p.v"), 6).as("forecast"))
+    val fc = HoltWinters.holtWintersDistributed(
+      d, "event_type", "bucket_s", "mean_v", 3, 7, 86400L)
+    fc.withColumn("step",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bucket_s")) - 1).cast("int"))
+      .select(col("event_type"), col("step"), round(col("mean_v"), 6).as("forecast"))
       .orderBy("event_type", "step")
   }
 }

@@ -71,13 +71,13 @@ object LlmQueries {
   def dedupSimhashQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir), "doc_id", "text").orderBy("id_a", "id_b")
   val dedupSimhashSql: String = {
-    val bitSum = (0 until 32).map { b =>
+    val bitSum = (0 until 60).map { b =>
       s"(CASE WHEN list_sum(list_transform(ths, h -> ((h >> $b) & 1)*2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH $tokSql,
        sim AS (SELECT doc_id, $bitSum AS sh
                FROM (SELECT doc_id, list_transform(toks, t -> ${h60sql("t")}) AS ths FROM tok)),
-       blk AS (SELECT doc_id, sh, c, (sh >> (c*8)) % 256 AS chunk
+       blk AS (SELECT doc_id, sh, c, (sh >> (c*15)) % 32768 AS chunk
                FROM sim, (SELECT unnest(range(4)) AS c)),
        p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
