@@ -354,4 +354,180 @@ class TickScriptSpec extends SparkSpec {
       TickScript.compile("stream |nope()", source)
     }
   }
+
+  /** Replay fixture rebased to t=0 (the integration harness's convention). */
+  private def srpl(name: String) = {
+    val df = graft.sources.Replay.readSrpl(spark,
+      s"/root/reference/integrations/testdata/$name.srpl")
+    val mn = df.agg(min("ts_ns")).head.getLong(0)
+    df.withColumn("time", timestamp_seconds(col("ts_ns") - mn))
+  }
+
+  test("the reference TestStream_Flatten script compiles verbatim") {
+    // streamer_test.go:4379-4389
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('request_latency')
+        |		.groupBy('dc')
+        |	|flatten()
+        |		.on('service', 'host')
+        |		.tolerance(1s)
+        |    |httpOut('TestStream_Flatten')
+        |""".stripMargin
+    val pts = srpl("TestStream_Flatten")
+      .filter(col("measurement") === "request_latency")
+      .select(col("measurement"), col("time"),
+        expr("tags['dc']").as("dc"), expr("tags['service']").as("service"),
+        expr("tags['host']").as("host"), expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+    val a = out.filter($"dc" === "A" && $"bucket_s" === 0).head
+    // reference er columns: <service>.<host>.value (streamer_test.go:4396)
+    assert(a.getAs[Double]("auth.server01.value") == 700.0)
+    assert(a.getAs[Double]("auth.server02.value") == 702.0)
+    assert(a.getAs[Double]("log.server01.value") == 600.0)
+    assert(a.getAs[Double]("cart.server02.value") == 802.0)
+    val b = out.filter($"dc" === "B" && $"bucket_s" === 0).head
+    assert(b.getAs[Double]("auth.server01.value") == 750.0)
+  }
+
+  test("the reference TestStream_Combine_All script compiles verbatim") {
+    // streamer_test.go:4476-4491 (delimiter '.', tolerance 1s)
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('request_latency')
+        |		.groupBy('dc')
+        |	|combine(lambda: TRUE, lambda: TRUE)
+        |		.as('first', 'second')
+        |		.tolerance(1s)
+        |		.delimiter('.')
+        |    |httpOut('TestStream_Combine')
+        |""".stripMargin
+    val arrival = typedlit(Map("auth" -> 1L, "log" -> 2L, "cart" -> 3L))
+    val pts = srpl("TestStream_Combine")
+      .filter(col("measurement") === "request_latency")
+      .select(col("measurement"), col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("fieldsFloat['value']").as("value"),
+        arrival(expr("tags['service']")).as("id"))
+    val out = TickScript.compile(script, pts, idCol = Some("id"))
+      .filter($"bucket_s" === 0)
+      .withColumn("ratio", col("`first.value`") / col("`second.value`"))
+    val got = out.select($"dc", $"`first.service`", $"`second.service`", $"ratio")
+      .as[(String, String, String, Double)].collect().toSet
+    assert(got.contains(("A", "auth", "log", 700.0 / 600.0)))
+    assert(got.contains(("B", "log", "cart", 650.0 / 850.0)))
+    assert(got.size == 6)
+  }
+
+  test("the reference TestStream_HoltWinters script compiles verbatim") {
+    // streamer_test.go:483-495; forecasts within the documented tolerance
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('packets')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|holtWinters('value', 3, 0, 1s)
+        |	|where(lambda: "host" == 'serverA')
+        |	|httpOut('TestStream_HoltWinters')
+        |""".stripMargin
+    val pts = srpl("TestStream_HoltWinters")
+      .select(col("measurement"), col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+      .filter($"bucket_s" === 0).orderBy("time")
+      .select(unix_timestamp($"time"), $"holtWinters")
+      .as[(Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L, 11L, 12L))
+    val expected = Seq(1009.324690106368, 1009.7524349889708, 1010.105056042826)
+    out.map(_._2).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 0.1, s"$got vs $want")
+    }
+  }
+
+  test("the reference TestStream_Join_Delimiter script compiles verbatim") {
+    // streamer_test.go:4785-4858: '#' delimiter; er error_percent 0.01
+    val script =
+      """var errorCounts = stream
+        |	|from()
+        |		.measurement('errors')
+        |		.groupBy('service')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |		.align()
+        |	|sum('value')
+        |
+        |var viewCounts = stream
+        |	|from()
+        |		.measurement('views')
+        |		.groupBy('service')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |		.align()
+        |	|sum('value')
+        |
+        |errorCounts
+        |	|join(viewCounts)
+        |		.as('errors', 'views')
+        |		.delimiter('#')
+        |		.streamName('error_view')
+        |	|eval(lambda: "errors#sum" / "views#sum")
+        |		.as('error_percent')
+        |		.keep()
+        |	|httpOut('TestStream_Join')
+        |""".stripMargin
+    val pts = srpl("TestStream_Join")
+      .select(col("measurement"), col("time"),
+        expr("tags['service']").as("service"),
+        expr("fieldsFloat['value']").as("value"))
+      .filter(col("service").isNotNull)
+    val out = TickScript.compile(script, pts)
+      .filter($"bucket_s" === 0)
+      .select($"service", $"`errors#sum`", $"`views#sum`", $"error_percent")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "cartA" -> ((47.0, 4700.0, 0.01)),
+      "login" -> ((45.0, 4500.0, 0.01)),
+      "front" -> ((32.0, 3200.0, 0.01))))
+  }
+
+  test("the reference TestStream_Sideload script compiles verbatim") {
+    // streamer_test.go:12268-12339 (yml order; fields + tag defaults)
+    val script =
+      """stream
+        |	|from()
+        |		.database('dbname')
+        |		.retentionPolicy('rpname')
+        |		.measurement('m')
+        |		.groupBy('t0', 't1', 't2')
+        |	|sideload()
+        |		.source('file:///root/reference/integrations/testdata/sideload')
+        |		.order('t0/{{.t0}}.yml', 't1/{{.t1}}.yml', 't2/{{.t2}}.yml')
+        |		.field('f1', 0)
+        |		.field('f2', 0.0)
+        |		.tag('t3', 'one')
+        |	|log()
+        |	|httpOut('TestStream_Sideload')
+        |""".stripMargin
+    val pts = srpl("TestStream_Sideload")
+      .filter(col("measurement") === "m")
+      .select(col("measurement"), col("time"), expr("tags['t0']").as("t0"),
+        expr("tags['t1']").as("t1"), expr("tags['t2']").as("t2"),
+        expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+    val rows = out.collect().map(r => (
+      r.getAs[String]("t0"),
+      (r.getAs[String]("f1"), r.getAs[String]("f2"), r.getAs[String]("t3")))).toMap
+    assert(rows == Map(
+      "a" -> (("0", "0.0", "one")),
+      "b" -> (("2", "3.5", "why")),
+      "c" -> (("12", "13.5", "why"))))
+  }
 }
