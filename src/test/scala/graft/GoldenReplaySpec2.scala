@@ -394,6 +394,51 @@ class GoldenReplaySpec2 extends SparkSpec {
       (12L, "WARNING"), (13L, "INFO"), (14L, "OK")))
   }
 
+  // ---- batch-edge semantics (batcher_test.go:765-870, 2676-2750)
+
+  test("TestBatch_CountEmptyBatch/SumEmptyBatch golden: filtered-empty batches emit 0") {
+    // batch |query(mean)|where(mean<10)|count/sum: the where empties every
+    // batch, but the batch CONTAINER keeps flowing — count emits 0 and sum
+    // emits 0.0 per batch (batcher_test.go er at t=28). Relationally: the
+    // pre-filter batch frame left-joins the filtered aggregate.
+    val b = graft.sources.Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_CountEmptyBatch.0.brpl")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val batches = b.groupBy("batch_idx", "cpu").agg(max("time").as("tmax"))
+    val filtered = b.filter(col("mean") < 10)
+    val agged = batches.join(
+        filtered.groupBy("batch_idx", "cpu")
+          .agg(count("mean").as("count"), sum("mean").as("sum")),
+        Seq("batch_idx", "cpu"), "left")
+      .withColumn("count", coalesce(col("count"), lit(0L)))
+      .withColumn("sum", coalesce(col("sum"), lit(0.0)))
+    assert(agged.count() == batches.count() && agged.count() > 0)
+    assert(agged.filter(col("count") =!= 0L || col("sum") =!= 0.0).count() == 0)
+    assert(agged.select("cpu").distinct().count() == 3)
+  }
+
+  test("TestBatch_StateCount golden: run counters restart at each batch boundary") {
+    // batch stateCount resets per batch (batcher_test.go:2676-2749): the
+    // second batch starts at my_count=1 although the first ended passing
+    val b = graft.sources.Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_StateTracking.0.brpl")
+      .select(col("batch_idx"), expr("tags['host']").as("host"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull) // reference skips field-less points
+    val p = Pipe(b, "time", Seq("host", "batch_idx"))
+      .stateCount(col("value") > 95)
+    val lastIdx = b.groupBy("host").agg(max("batch_idx").as("batch_idx"))
+    val t0 = b.agg(min(unix_timestamp(col("time")))).head.getLong(0)
+    val out = p.df.join(lastIdx, Seq("host", "batch_idx"))
+      .select(col("host"), (unix_timestamp(col("time")) - t0).as("t"), col("state_count"))
+      .orderBy("host", "t")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("serverA", 4L, 1L), ("serverA", 5L, 2L), ("serverA", 6L, -1L), ("serverA", 7L, 1L),
+      ("serverB", 4L, -1L), ("serverB", 5L, 1L), ("serverB", 7L, 2L)))
+  }
+
   test("TestStream_Sideload_Multiple golden: chained sideloads add fields independently") {
     val cfg = graft.operators.Sideload.loadDir(spark,
       "/root/reference/integrations/testdata/sideload")
