@@ -61,6 +61,7 @@ object SparkEntry {
     "q_default_delete" -> (EQ2.defaultDeleteQ _),
     "q_union" -> (EQ2.unionQ _),
     "q_join_tolerance" -> (EQ2.joinToleranceQ _),
+    "q_join_ordered" -> (EQ2.joinOrderedQ _),
     "q_alert_levels" -> (EQ2.alertLevelsQ _),
     "q_alert_state_changes" -> (EQ2.alertStateChangesQ _),
     "q_window_sliding" -> (EQ2.windowSlidingQ _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "q_default_delete" -> EQ2.defaultDeleteSql,
     "q_union" -> EQ2.unionSql,
     "q_join_tolerance" -> EQ2.joinToleranceSql,
+    "q_join_ordered" -> EQ2.joinOrderedSql,
     "q_alert_levels" -> EQ2.alertLevelsSql,
     "q_alert_state_changes" -> EQ2.alertStateChangesSql,
     "q_window_sliding" -> EQ2.windowSlidingSql,

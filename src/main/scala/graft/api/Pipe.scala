@@ -593,8 +593,10 @@ final case class Pipe(
     def keyed(p: Pipe, nm: String) = {
       val bucket = (floor((unix_micros(col(p.timeCol)) / lit(1000000.0)) / toleranceSeconds + lit(0.5)) * toleranceSeconds).cast("long")
       val dataCols = p.df.columns.filterNot(c => on.contains(c) || c == p.timeCol)
+      // idCol tiebreak keeps the rank deterministic for same-time points
+      val ord = col(p.timeCol) +: p.idCol.map(col).toSeq
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy((Seq("__jt") ++ on).map(col): _*).orderBy(col(p.timeCol))
+        .partitionBy((Seq("__jt") ++ on).map(col): _*).orderBy(ord: _*)
       p.df.withColumn("__jt", bucket)
         .withColumn("__rk", row_number().over(w))
         .select((Seq("__jt", "__rk") ++ on).map(col) ++

@@ -145,6 +145,33 @@ object EventQueries2 {
        FROM p JOIN c USING (user_id, jt_s)
        ORDER BY 1, 2, 3, 4""".replaceAll("\\s+", " ")
 
+  /** joinToleranceOrdered: the reference's sequential joinset pairing —
+    * within a rounded bucket the i-th purchase pairs the i-th click
+    * (join.go; pinned by the JoinTolerance golden's two t=6 rows). */
+  def joinOrderedQ(s: SparkSession, dir: String): DataFrame = {
+    val base = pipe(s, dir)
+    val p = base.where(col("event_type") === "purchase").delete("props", "ts_ns", "event_type")
+    val c = base.where(col("event_type") === "click").delete("props", "ts_ns", "event_type")
+    p.joinToleranceOrdered(c, 600, ("p", "c"), Seq("user_id"))
+      .select(col("user_id"), col("jt_s"), col("p_event_id"), col("c_event_id"))
+      .orderBy("user_id", "jt_s", "p_event_id")
+  }
+  val joinOrderedSql: String =
+    s"""$preludeSql,
+       p AS (SELECT user_id, CAST(floor(tus/1000000.0/600 + 0.5)*600 AS BIGINT) AS jt_s,
+                    event_id AS p_event_id,
+                    row_number() OVER (PARTITION BY user_id, CAST(floor(tus/1000000.0/600 + 0.5)*600 AS BIGINT)
+                                       ORDER BY tus, event_id) AS rk
+             FROM e WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, CAST(floor(tus/1000000.0/600 + 0.5)*600 AS BIGINT) AS jt_s,
+                    event_id AS c_event_id,
+                    row_number() OVER (PARTITION BY user_id, CAST(floor(tus/1000000.0/600 + 0.5)*600 AS BIGINT)
+                                       ORDER BY tus, event_id) AS rk
+             FROM e WHERE event_type = 'click')
+       SELECT user_id, jt_s, p_event_id, c_event_id
+       FROM p JOIN c USING (user_id, jt_s, rk)
+       ORDER BY 1, 2, 3""".replaceAll("\\s+", " ")
+
   // ------------------------------------------------------------- alert
 
   /** 3-level alert classification info/warn/crit (reference
