@@ -449,6 +449,51 @@ class TickScriptSpec extends SparkSpec {
     }
   }
 
+  test("the reference TestStream_StateDuration/StateCount scripts compile verbatim") {
+    // streamer_test.go:13554-13693: .unit(1ms) durations and run counters
+    val durScript =
+      """var data = stream
+        |	|from().measurement('cpu')
+        |	|groupBy('host')
+        |data
+        |	|stateDuration(lambda: "value" > 95)
+        |		.unit(1ms)
+        |		.as('my_duration')
+        |	|window().period(4s).every(4s)
+        |	|httpOut('TestStream_StateTracking')
+        |""".stripMargin
+    val pts = srpl("TestStream_StateTracking")
+      .filter(col("measurement") === "cpu")
+      .select(col("measurement"), col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+      .filter(col("value").isNotNull)
+    val dur = TickScript.compile(durScript, pts)
+      .filter($"host" === "serverA" && $"bucket_s" === 0)
+      .orderBy("time")
+      .select(unix_timestamp($"time"), $"my_duration")
+      .as[(Long, Double)].collect().toSeq
+    // er serverA: 0ms at t=0, 1000ms at t=1, -1 at t=2, 0ms at t=3
+    assert(dur == Seq((0L, 0.0), (1L, 1000.0), (2L, -1.0), (3L, 0.0)))
+
+    val cntScript =
+      """var data = stream
+        |	|from().measurement('cpu')
+        |	|groupBy('host')
+        |data
+        |	|stateCount(lambda: "value" > 95)
+        |		.as('my_count')
+        |	|window().period(4s).every(4s)
+        |	|httpOut('TestStream_StateTracking')
+        |""".stripMargin
+    val cnt = TickScript.compile(cntScript, pts)
+      .filter($"host" === "serverB" && $"bucket_s" === 0)
+      .orderBy("time")
+      .select(unix_timestamp($"time"), $"my_count")
+      .as[(Long, Long)].collect().toSeq
+    // er serverB: -1 at t=0, 1 at t=1, 2 at t=3 (t=2 has no value)
+    assert(cnt == Seq((0L, -1L), (1L, 1L), (3L, 2L)))
+  }
+
   test("the reference TestStream_Join_Delimiter script compiles verbatim") {
     // streamer_test.go:4785-4858: '#' delimiter; er error_percent 0.01
     val script =
