@@ -439,6 +439,31 @@ class GoldenReplaySpec2 extends SparkSpec {
       ("serverB", 4L, -1L), ("serverB", 5L, 1L), ("serverB", 7L, 2L)))
   }
 
+  test("TestBatch_DoubleGroupBy golden: groupBy() merges groups; max carries the winner") {
+    // batch groupBy(time(2s),'cpu') |groupBy() |max('mean')
+    // (batcher_test.go:1071-1103): the empty groupBy() un-dimensions the
+    // stream so the per-cpu batches of one period merge; the max selector
+    // emits the winning point with its time and tags. er pins period 2:
+    // cpu1, t=18, 95.98484848485191.
+    val raw = graft.sources.Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_SimpleMR.0.brpl")
+      .filter(expr("tags['cpu']") =!= "cpu-total")
+      .select(expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val t0 = raw.agg(min(unix_timestamp(col("time")))).head.getLong(0)
+    val b = raw.withColumn("t", unix_timestamp(col("time")) - t0)
+      .withColumn("period", floor(col("t") / 10))
+    // without .usePointTimes() the selector stamps the BATCH time (TMax),
+    // while tags come from the winning point
+    val winner = b.filter(col("period") === 1)
+      .agg(max_by(col("cpu"), col("mean")).as("cpu"),
+        max(col("t")).as("t"), max(col("mean")).as("max"))
+      .head
+    assert(winner.getString(0) == "cpu1")
+    assert(winner.getLong(1) == 18L)
+    assert(winner.getDouble(2) == 95.98484848485191)
+  }
+
   test("TestStream_Sideload_Multiple golden: chained sideloads add fields independently") {
     val cfg = graft.operators.Sideload.loadDir(spark,
       "/root/reference/integrations/testdata/sideload")
