@@ -439,6 +439,29 @@ class GoldenReplaySpec2 extends SparkSpec {
       ("serverB", 4L, -1L), ("serverB", 5L, 1L), ("serverB", 7L, 2L)))
   }
 
+  test("TestBatch_Join golden: exact-time batch join, per-batch count, windowed sum") {
+    // cpu0|join(cpu1)|count|window(20s,20s)|sum (batcher_test.go:1970-2015):
+    // three 5-point batches join pointwise on exact time; the count point
+    // is stamped at the batch time; the 20s window sums the first two
+    // counts → 10 at t=28
+    def side(i: Int) = graft.sources.Replay.readBrpl(spark,
+      s"/root/reference/integrations/testdata/TestBatch_Join.$i.brpl")
+      .select(col("time"), expr("CAST(fields['mean'] AS DOUBLE)").as(s"mean_$i"))
+    val a = side(0); val b = side(1)
+    val t0 = a.agg(min(unix_timestamp(col("time")))).head.getLong(0)
+    val joined = a.join(b, Seq("time"))
+      .withColumn("t", unix_timestamp(col("time")) - t0)
+      .withColumn("period", floor(col("t") / 10))
+    val counts = joined.groupBy("period")
+      .agg(count(lit(1)).as("count"), max("t").as("t"))
+      .select(timestamp_seconds(col("t")).as("time"), col("count"))
+    val w = WindowFSM.windowByTime(counts, "time", Nil, 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 28000000L)
+    val summed = w.filter(col("wemit_us") === lastEmit).agg(sum("count")).head.getLong(0)
+    assert(summed == 10L)
+  }
+
   test("TestBatch_DoubleGroupBy golden: groupBy() merges groups; max carries the winner") {
     // batch groupBy(time(2s),'cpu') |groupBy() |max('mean')
     // (batcher_test.go:1071-1103): the empty groupBy() un-dimensions the
