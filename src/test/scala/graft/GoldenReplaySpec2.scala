@@ -439,6 +439,27 @@ class GoldenReplaySpec2 extends SparkSpec {
       ("serverB", 4L, -1L), ("serverB", 5L, 1L), ("serverB", 7L, 2L)))
   }
 
+  test("TestBatch_Default golden: field defaults patch null means before the sum") {
+    // default().field('mean', 90).tag('dc','sfc') |groupBy('dc')|sum
+    // (batcher_test.go:922-960): batch 0 means [null,86,91,87,null] →
+    // [90,86,91,87,90] → 444 at the batch time t=8
+    val b = graft.sources.Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_Default.0.brpl")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val t0 = b.agg(min(unix_timestamp(col("time")))).head.getLong(0)
+    val p = Pipe(b.withColumn("t", unix_timestamp(col("time")) - t0),
+      "time", Seq("batch_idx"))
+      .default("mean" -> 90.0)
+      .eval("dc" -> lit("sfc"))
+      .groupBy("dc", "batch_idx")
+    val first = p.df.filter(col("batch_idx") === 0)
+      .groupBy("dc").agg(sum("mean").as("sum"), max("t").as("t")).head
+    assert(first.getString(0) == "sfc")
+    assert(first.getDouble(1) == 444.0)
+    assert(first.getLong(2) == 8L)
+  }
+
   test("TestBatch_Join golden: exact-time batch join, per-batch count, windowed sum") {
     // cpu0|join(cpu1)|count|window(20s,20s)|sum (batcher_test.go:1970-2015):
     // three 5-point batches join pointwise on exact time; the count point
