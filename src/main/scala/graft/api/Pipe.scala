@@ -127,13 +127,44 @@ final case class Pipe(
     copy(df = df.withColumn(as, key), dims = Seq(as))
   }
 
+  /** Per-group 1-based time ordinals via TWO-PHASE ranking: local ranks
+    * within (dims, time-chunk) plus broadcast cumulative chunk offsets.
+    * `row_number().over(byGroupTime)` sorts each whole group in ONE task —
+    * with low-cardinality dims (events: 5 event_types) that is 5 tasks no
+    * matter the cluster; at 100 TB it never finishes. Chunking restores
+    * parallelism = |groups| × |chunks| while the offsets frame (one row
+    * per group-chunk) stays broadcastable. Ordering is identical: chunk is
+    * derived from time, so (chunk, time, id) sorts exactly like (time, id).
+    * Parity with the single-window form is pinned by PipeSpec. */
+  def withOrdinal(as: String, chunkSeconds: Long = 3600): Pipe = {
+    val chunk = floor(unix_micros(t) / 1000000.0 / chunkSeconds).cast("long")
+    val d = df.withColumn("__chunk", chunk)
+    val gcols = if (dims.isEmpty) Seq(lit(0).as("__g")) else dims.map(col)
+    val gnames = if (dims.isEmpty) Seq("__g") else dims
+    val dd = if (dims.isEmpty) d.withColumn("__g", lit(0)) else d
+    val localW = Window.partitionBy((gnames :+ "__chunk").map(col): _*).orderBy(orderCols: _*)
+    val offsets = dd.groupBy((gnames :+ "__chunk").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum("__n").over(
+          Window.partitionBy(gnames.map(col): _*).orderBy(col("__chunk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((gnames :+ "__chunk" :+ "__off").map(col): _*)
+    val out = dd.withColumn("__rnl", row_number().over(localW))
+      .join(broadcast(offsets), gnames :+ "__chunk")
+      .withColumn(as, (col("__off") + col("__rnl")).cast("long"))
+      .drop("__chunk", "__rnl", "__g")
+    copy(df = out)
+  }
+
   /** sample(n): keep every Nth point per group, counting from the FIRST
     * (reference sample.go:97-104: `count%n==0` with count starting at 0, so
     * the 1st, n+1th, 2n+1th… points are kept — pinned by the
-    * TestStream_Sample golden fixture). */
+    * TestStream_Sample golden fixture). Uses the two-phase ordinal so a
+    * low-cardinality grouping never funnels whole groups through single
+    * sort tasks. */
   def sampleN(n: Int): Pipe =
-    copy(df = df
-      .withColumn("__rn", row_number().over(byGroupTime))
+    copy(df = withOrdinal("__rn").df
       .filter(col("__rn") % n === 1)
       .drop("__rn"))
 

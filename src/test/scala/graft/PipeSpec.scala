@@ -188,6 +188,21 @@ class PipeSpec extends SparkSpec {
     assert(dropped.df.columns.toSet == Set("bucket_s", "click", "view"))
   }
 
+  test("withOrdinal two-phase ranking equals the single-window row_number") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map { i =>
+      (s"g${i % 3}", ts(rnd.nextInt(20000)), i.toLong)
+    }.toDF("g", "time", "id")
+    val p = Pipe(df, dims = Seq("g"), idCol = Some("id"))
+    val twoPhase = p.withOrdinal("rn", chunkSeconds = 600).df
+      .select("g", "id", "rn").as[(String, Long, Long)].collect().toSet
+    val single = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("time", "id")).cast("long"))
+      .select("g", "id", "rn").as[(String, Long, Long)].collect().toSet
+    assert(twoPhase == single)
+  }
+
   test("joinTolerance buckets on rounded time per key") {
     val l = Pipe(Seq((1L, ts(0), 1.0)).toDF("k", "time", "x"), dims = Nil)
     val r = Pipe(Seq((1L, ts(25), 2.0)).toDF("k", "time", "y"), dims = Nil)
