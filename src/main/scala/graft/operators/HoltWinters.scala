@@ -81,6 +81,46 @@ object HoltWinters {
     Some(Prepared(yb.toArray, sorted(0).t, sorted(l - 1).t))
   }
 
+  private[graft] sealed trait PrepareResult
+  private[graft] object PrepareResult {
+    case object TooShort extends PrepareResult
+    /** The gridded series would exceed the caller's cap — reported WITHOUT
+      * allocating it (a sparse series over a long span grids to far more
+      * slots than its point count). */
+    final case class OverCap(gridded: Long) extends PrepareResult
+    final case class Ok(p: Prepared) extends PrepareResult
+  }
+
+  /** [[prepare]] with an allocation guard: computes the gridded length from
+    * the raw time span FIRST and refuses to materialize a series longer than
+    * `maxLen`. */
+  private[graft] def prepareBounded(points: Array[TV], m: Int, intervalS: Long,
+      maxLen: Long): PrepareResult = {
+    val seasonal = m >= 2
+    val l = points.length
+    if (l < 2 || (seasonal && l < m)) return PrepareResult.TooShort
+    var tMin = Long.MaxValue; var tMax = Long.MinValue
+    var i = 0
+    while (i < l) {
+      val t = points(i).t
+      if (t < tMin) tMin = t
+      if (t > tMax) tMax = t
+      i += 1
+    }
+    val half = intervalS / 2
+    def roundT(t: Long): Long = {
+      val rem = t % intervalS
+      if (rem > half) (t / intervalS + 1) * intervalS
+      else (t / intervalS) * intervalS
+    }
+    val gridded = (roundT(tMax) - roundT(tMin)) / intervalS + 1
+    if (gridded > maxLen) PrepareResult.OverCap(gridded)
+    else prepare(points, m, intervalS) match {
+      case Some(p) => PrepareResult.Ok(p)
+      case None    => PrepareResult.TooShort
+    }
+  }
+
   /** Initial [alpha, beta, gamma, phi, l0, b0, seasonals…] guess vector
     * (smoothing slots left 0 for the seed grid to fill). Seasonal missing
     * leading slots contribute nothing to l0/b0; NaN seasonal slots fall
@@ -329,13 +369,14 @@ object HoltWinters {
       withFit: Boolean = false): org.apache.spark.sql.DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val mm = m; val hh = h; val ivl = intervalS; val wf = withFit
+    val mm = m; val ivl = intervalS
     val typed = points.select(
       org.apache.spark.sql.functions.col(groupCol).cast("string"),
       org.apache.spark.sql.functions.col(tCol).cast("long"),
       org.apache.spark.sql.functions.col(vCol).cast("double"))
       .as[(String, Long, Double)]
-    // grid-prepare executor-side, collect only the gridded series
+    // grid-prepare executor-side, collect only the gridded series; null
+    // group keys sort first (the serial Aggregator branch accepts them too)
     val prepared: Array[(String, Prepared, Array[Double])] = typed
       .groupByKey(_._1)
       .mapGroups { (g, it) =>
@@ -346,10 +387,33 @@ object HoltWinters {
       }
       .collect()
       .filter(_._2.nonEmpty)
-      .sortBy(_._1)
+      .sortBy(r => Option(r._1))
       .map { case (g, y, t0, tN, p0) => (g, Prepared(y, t0, tN), p0) }
     if (prepared.isEmpty)
       return Seq.empty[(String, Long, Double)].toDF(groupCol, tCol, vCol)
+    val (df, bc) = fanOutFromPrepared(
+      spark, prepared, groupCol, tCol, vCol, h, m, intervalS, withFit)
+    // materialize the (tiny) forecast so the series broadcast can be
+    // destroyed immediately — leaving it resident leaked one broadcast
+    // (plus its pinned blocks) per invocation
+    val out = df.localCheckpoint(true)
+    bc.destroy()
+    out
+  }
+
+  /** Restart fan-out over already-prepared per-group series: broadcasts the
+    * series, runs one task row per (group, seed), argmin-reduces per group.
+    * Returns the un-materialized plan plus the broadcast the caller MUST
+    * destroy once the plan has been materialized. */
+  private def fanOutFromPrepared(
+      spark: org.apache.spark.sql.SparkSession,
+      prepared: Array[(String, Prepared, Array[Double])],
+      groupCol: String, tCol: String, vCol: String,
+      h: Int, m: Int, intervalS: Long,
+      withFit: Boolean): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.broadcast.Broadcast[Array[(String, Prepared, Array[Double])]]) = {
+    import spark.implicits._
+    val mm = m; val hh = h; val ivl = intervalS; val wf = withFit
     val bc = spark.sparkContext.broadcast(prepared)
     val nG = prepared.length
     val total = nG.toLong * SeedCount
@@ -364,7 +428,7 @@ object HoltWinters {
     // argmin with ties → lowest seed, NaN never beating a finite SSE:
     // associative, and equal to the serial loop's first-strictly-smaller
     // scan in seed order
-    fits.groupByKey(_._1)
+    val out = fits.groupByKey(_._1)
       .reduceGroups { (a, b) =>
         val (lo, hi) = if (a._2 < b._2) (a, b) else (b, a)
         if (!hi._3.isNaN && (lo._3.isNaN || hi._3 < lo._3)) hi else lo
@@ -374,57 +438,152 @@ object HoltWinters {
         emitPoints(prep, ps, hh, mm, ivl, wf).iterator.map(p => (g, p.t, p.v))
       }
       .toDF(groupCol, tCol, vCol)
+    (out, bc)
   }
 
-  /** Auto-dispatching fit: one cheap stats pass over the (persisted) input
-    * picks the serial Aggregator or the distributed restart fan-out.
+  /** Driver-side fit over already-collected per-group series: the restart
+    * grid runs on the driver's thread pool. Used when the TOTAL fit work is
+    * tiny (a few groups × short series) — the same regime where a broadcast
+    * join would collect its build side — because even an optimal cluster
+    * fan-out then pays more in job/task scheduling than the whole fit costs.
+    * Same argmin scan as [[run]], so results are bit-identical. */
+  private def driverFit(
+      spark: org.apache.spark.sql.SparkSession,
+      prepared: Array[(String, Prepared, Array[Double])],
+      groupCol: String, tCol: String, vCol: String,
+      h: Int, m: Int, intervalS: Long,
+      withFit: Boolean): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val nG = prepared.length
+    val total = nG * SeedCount
+    val all = new Array[(Double, Array[Double])](total)
+    // distinct indices; the terminal op joins before returning, so the
+    // subsequent reads see every write
+    java.util.stream.IntStream.range(0, total).parallel().forEach { id =>
+      val gi = id % nG
+      val seed = id / nG
+      val (_, prep, p0) = prepared(gi)
+      all(id) = fitSeed(prep.y, m, p0, seed)
+    }
+    val rows = prepared.iterator.zipWithIndex.flatMap { case ((g, prep, _), gi) =>
+      var minSSE = Double.PositiveInfinity
+      var best: Array[Double] = null
+      var seed = 0
+      while (seed < SeedCount) {
+        val (sse, ps) = all(seed * nG + gi)
+        if (best == null || (!sse.isNaN && (minSSE.isNaN || sse < minSSE))) {
+          minSSE = sse; best = ps
+        }
+        seed += 1
+      }
+      emitPoints(prep, best, h, m, intervalS, withFit).iterator.map(p => (g, p.t, p.v))
+    }.toSeq
+    rows.toDF(groupCol, tCol, vCol)
+  }
+
+  /** Auto-dispatching fit. ONE probe job grid-prepares every group
+    * executor-side and collects at most `cores` of them (each series capped,
+    * so the driver intake is bounded at ~maxBroadcastPoints × 8 B even in
+    * the worst case), then picks one of three shapes:
     *
-    * The 4^4-restart Nelder-Mead fit is expensive for any non-trivial
-    * series (~0.5 core-seconds at 150 gridded points), so whenever the
-    * group count is well below the core count the serial per-group
-    * Aggregator idles most of the cluster for the whole fit — that is the
-    * distributed fan-out's regime (measured 2.3 s serial vs 0.5 s
-    * fan-out at sf0.1's 5 groups × ~150 points on 32 cores). Conversely,
-    * at many groups the Aggregator tasks already saturate the cluster and
-    * the fan-out's broadcast + reduce is pure overhead; likewise for
-    * trivially short series where a fit costs less than a task launch.
-    * The fan-out collects the per-group gridded series to the driver for
-    * broadcast, so it is additionally gated on a total-points cap.
+    *  - **driver fit** — every group seen, total gridded work tiny
+    *    (≤ driverFitMaxPoints): the restart grid runs on the driver's
+    *    thread pool with ZERO further Spark jobs. The same regime where a
+    *    broadcast join collects its build side; cluster scheduling would
+    *    cost more than the whole fit.
+    *  - **restart fan-out** — every group seen, total gridded series fit in
+    *    a broadcast (≤ maxBroadcastPoints): one task row per (group, seed)
+    *    spreads the 4^4 Nelder-Mead restarts across the cluster (few fat
+    *    groups would idle it under the serial Aggregator — measured 2.3 s
+    *    serial vs 0.5 s fan-out at 5 groups × ~150 points on 32 cores).
+    *    The probe's prepared series are reused; no second prepare pass.
+    *  - **serial Aggregator** — many groups (the probe's limit(cores) came
+    *    back full) or any series over the broadcast cap: per-group fits
+    *    already saturate the cluster. The input is EXPLICITLY repartitioned
+    *    by group (a user-specified partition count AQE will not coalesce):
+    *    a series table is tiny in bytes but carries ~0.2 core-SECONDS of
+    *    fit per group, so AQE's size-based coalescing would otherwise fold
+    *    thousands of fits into one task (measured 4× on 5 groups).
     *
-    * The input is persisted around the stats pass so the upstream pipeline
-    * (a 100 TB scan + aggregation, typically) is never recomputed for the
-    * dispatch decision; the (small) series table is the thing cached. */
+    * The probe's prepare runs once per group either way; for the serial
+    * branch that one extra pass over the series table is noise next to the
+    * fit cost it routes (fits are ~10^4× the bytes-cost of their series).
+    *
+    * The input is persisted around the probe so the upstream pipeline (a
+    * 100 TB scan + aggregation, typically) is never recomputed; a
+    * caller-managed persist is respected and left untouched. Spark-side
+    * branches materialize eagerly (localCheckpoint) before that cache is
+    * released — executor-local blocks are lost on executor failure, an
+    * acknowledged trade for a small, cheap-to-recompute forecast. */
   def holtWintersAuto(
       points: org.apache.spark.sql.DataFrame,
       groupCol: String, tCol: String, vCol: String,
       h: Int, m: Int, intervalS: Long,
       withFit: Boolean = false,
-      minSeriesLen: Long = 64L,
+      driverFitMaxPoints: Long = 64L * 1024,
       maxBroadcastPoints: Long = 16L * 1024 * 1024): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, explode, lit}
+    import org.apache.spark.sql.functions.{col, explode}
     val spark = points.sparkSession
-    val cached = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = cached
-      .agg(count(lit(1)).as("n"), approx_count_distinct(col(groupCol)).as("g"))
-      .collect()(0)
-    val n = stats.getLong(0)
-    val g = math.max(stats.getLong(1), 1L)
+    import spark.implicits._
+    // respect a caller-managed cache: persisting again would be a no-op but
+    // our unpersist below would silently evict the caller's blocks
+    val callerPersisted =
+      points.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (callerPersisted) points
+      else points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cores = math.max(spark.sparkContext.defaultParallelism, 1)
-    val fewFatGroups = g < cores / 2 && n / g >= minSeriesLen && n <= maxBroadcastPoints
-    val fitted =
-      if (fewFatGroups)
-        holtWintersDistributed(cached, groupCol, tCol, vCol, h, m, intervalS, withFit)
-      else
-        cached.groupBy(col(groupCol).cast("string").as(groupCol))
-          .agg(holtWinters(col(tCol).cast("long"), col(vCol).cast("double"),
-            h, m, intervalS, withFit).as("_hw"))
+    val perGroupCap = math.max(1024L, maxBroadcastPoints / math.max(8L, cores.toLong))
+    val mm = m; val ivl = intervalS; val cap = perGroupCap
+    val typed = cached.select(
+      col(groupCol).cast("string"), col(tCol).cast("long"), col(vCol).cast("double"))
+      .as[(String, Long, Double)]
+    // too-short groups emit nothing (they produce no forecast on any path);
+    // over-cap groups emit a marker row with an empty series
+    val probe: Array[(String, Array[Double], Long, Long, Array[Double], Long)] =
+      typed.groupByKey(_._1)
+        .flatMapGroups { (g, it) =>
+          prepareBounded(it.map(r => TV(r._2, r._3)).toArray, mm, ivl, cap) match {
+            case PrepareResult.TooShort => Iterator.empty
+            case PrepareResult.OverCap(len) =>
+              Iterator.single((g, Array.empty[Double], 0L, 0L, Array.empty[Double], len))
+            case PrepareResult.Ok(p) =>
+              Iterator.single((g, p.y, p.t0, p.tN, initialParams(p.y, mm), p.y.length.toLong))
+          }
+        }
+        .limit(cores)
+        .collect()
+    val sawAllGroups = probe.length < cores
+    val anyOverCap = probe.exists(_._2.isEmpty)
+    val totalGridded = probe.iterator.map(_._6).sum
+    val prepared = probe.filter(_._2.nonEmpty)
+      .sortBy(r => Option(r._1))
+      .map { case (g, y, t0, tN, p0, _) => (g, Prepared(y, t0, tN), p0) }
+    val out =
+      if (sawAllGroups && probe.isEmpty) {
+        Seq.empty[(String, Long, Double)].toDF(groupCol, tCol, vCol)
+      } else if (sawAllGroups && !anyOverCap && totalGridded <= driverFitMaxPoints) {
+        driverFit(spark, prepared, groupCol, tCol, vCol, h, m, intervalS, withFit)
+      } else if (sawAllGroups && !anyOverCap && totalGridded <= maxBroadcastPoints) {
+        val (df, bc) = fanOutFromPrepared(
+          spark, prepared, groupCol, tCol, vCol, h, m, intervalS, withFit)
+        val fitted = df.localCheckpoint(true)
+        bc.destroy()
+        fitted
+      } else {
+        val p = math.max(4 * cores, spark.sessionState.conf.numShufflePartitions)
+        cached.select(
+            col(groupCol).cast("string").as(groupCol),
+            col(tCol).cast("long").as(tCol),
+            col(vCol).cast("double").as(vCol))
+          .repartition(p, col(groupCol))
+          .groupBy(col(groupCol))
+          .agg(holtWinters(col(tCol), col(vCol), h, m, intervalS, withFit).as("_hw"))
           .select(col(groupCol), explode(col("_hw")).as("_p"))
           .select(col(groupCol), col("_p.t").as(tCol), col("_p.v").as(vCol))
-    // pin the (tiny) forecast and release the series cache immediately —
-    // same trade as Dedup.eagerRelease: without it each invocation leaks
-    // one cached series table into the session
-    val out = fitted.localCheckpoint(true)
-    cached.unpersist(false)
+          .localCheckpoint(true)
+      }
+    if (!callerPersisted) cached.unpersist(false)
     out
   }
 

@@ -297,10 +297,11 @@ object EventQueries {
 
   /** holtWinters forecast (no SQL oracle — custom numeric fit). Forecast 3
     * daily means ahead per event_type over the daily mean series, m=7
-    * weekly seasonality. Auto-dispatched: the serial per-group Aggregator
-    * when groups saturate the cluster or the fits are cheap (this SF's
-    * 5 groups × ~150-point series), the distributed (group × seed) restart
-    * fan-out only for few fat groups where serial would idle the cluster. */
+    * weekly seasonality. Auto-dispatched three ways (one probe job): a
+    * driver-pool fit when total work is tiny (this SF's 5 groups × ~30
+    * points), the (group × seed) restart fan-out for few fat groups that
+    * would idle the cluster under per-group tasks, the repartitioned serial
+    * Aggregator when groups alone saturate the cluster. */
   def holtWintersQ(s: SparkSession, dir: String): DataFrame = {
     val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
       .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))

@@ -100,21 +100,58 @@ class HoltWintersSpec extends SparkSpec {
     assert(dist == serial)
   }
 
-  test("holtWintersAuto matches the serial fit on both dispatch branches") {
+  test("holtWintersAuto matches the serial fit on all three dispatch branches") {
     val df = series.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
       .toDF("g", "t", "v").repartition(8)
     val serial = HoltWinters.run(
       series.zipWithIndex.map { case (v, i) => HoltWinters.TV(i.toLong, v) }.toArray,
       5, m, 1L, withFit = false).map(p => (p.t, p.v)).toSeq
-    // short series (24 < minSeriesLen) → serial Aggregator branch
+    // 24 gridded points ≤ driverFitMaxPoints → driver-fit branch
     val auto = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L)
       .orderBy("t").select("t", "v").as[(Long, Double)].collect().toSeq
     assert(auto == serial)
-    // threshold forced to 1 → few-fat-groups branch (distributed fan-out)
-    val autoDist = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L,
-        minSeriesLen = 1L)
+    // driver fit disabled → restart fan-out branch
+    val autoFan = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L,
+        driverFitMaxPoints = 0L)
       .orderBy("t").select("t", "v").as[(Long, Double)].collect().toSeq
-    assert(autoDist == serial)
+    assert(autoFan == serial)
+    // both caps zero → serial Aggregator branch
+    val autoSerial = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L,
+        driverFitMaxPoints = 0L, maxBroadcastPoints = 0L)
+      .orderBy("t").select("t", "v").as[(Long, Double)].collect().toSeq
+    assert(autoSerial == serial)
+  }
+
+  test("holtWintersAuto handles null group keys on every branch") {
+    val rows = series.zipWithIndex.flatMap { case (v, i) =>
+      Seq(("g", i.toLong, v), (null: String, i.toLong, v + 1.0)) }
+    val df = rows.toDF("g", "t", "v").repartition(8)
+    val expG = HoltWinters.run(
+      series.zipWithIndex.map { case (v, i) => HoltWinters.TV(i.toLong, v) }.toArray,
+      5, m, 1L, withFit = false).map(p => (p.t, p.v)).toSeq
+    val expNull = HoltWinters.run(
+      series.zipWithIndex.map { case (v, i) => HoltWinters.TV(i.toLong, v + 1.0) }.toArray,
+      5, m, 1L, withFit = false).map(p => (p.t, p.v)).toSeq
+    for (dmp <- Seq(64L * 1024, 0L)) {
+      val got = HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L,
+        driverFitMaxPoints = dmp)
+      val gotG = got.where(col("g") === "g").orderBy("t")
+        .select("t", "v").as[(Long, Double)].collect().toSeq
+      val gotNull = got.where(col("g").isNull).orderBy("t")
+        .select("t", "v").as[(Long, Double)].collect().toSeq
+      assert(gotG == expG, s"driverFitMaxPoints=$dmp")
+      assert(gotNull == expNull, s"driverFitMaxPoints=$dmp")
+    }
+  }
+
+  test("holtWintersAuto leaves a caller-managed persist in place") {
+    val df = series.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "t", "v").persist()
+    try {
+      df.count()
+      HoltWinters.holtWintersAuto(df, "g", "t", "v", 5, m, 1L).count()
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    } finally df.unpersist()
   }
 
   test("randLambda is reproducible for a fixed seed and bounded by n") {
