@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~74 whole-stage-codegen plans live in one benchmark JVM; the JDK 17
+  // default 240 MB code cache evicts hot compiled methods under that load
+  // (measured: the heaviest query records 2.5x its isolated time purely
+  // from sharing the JVM with the other warmed plans)
+  "-XX:ReservedCodeCacheSize=1g",
 )

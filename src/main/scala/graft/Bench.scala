@@ -19,32 +19,54 @@ object Bench {
     // optional dev mode: `runMain graft.Bench q1 q2 ... [repeat=N]` times just
     // those queries N times each (isolated regression hunting); the driver's
     // no-arg invocation is unchanged
-    // default 2: report the steady-state minimum per query — a single
-    // timing at sf0.1 carries 2-8x GC/JIT noise on whichever query a
-    // collection pause lands on (observed q_mode_day 0.49s steady vs 4.3s
-    // one-shot); the min of two runs measures the operator
     val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(2)
     val names = args.filterNot(_.startsWith("repeat="))
-    val selected =
-      if (names.isEmpty) SparkEntry.queries
-      else names.map(n => n -> SparkEntry.queries(n)).toMap
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (names.isEmpty) SparkEntry.queries.toSeq
+      else names.map(n => n -> SparkEntry.queries(n)).toSeq
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
+    if (new java.io.File(warmDir).isDirectory && sys.env.getOrElse("GRAFT_BENCH_WARMALL", "1") == "1")
       selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    // Isolation: each query runs `repeat` CONSECUTIVE timings (min taken)
+    // after one System.gc() + settle at the query boundary. The boundary GC
+    // stops a heavy predecessor's garbage from billing its collection pause
+    // to the next query (r6 recorded numbers up to 5x isolated steady-state
+    // from exactly that); the repeats stay back-to-back because the min is
+    // meant to measure the operator's warm steady state — a 4-config
+    // experiment (gc on/off x interleaved-passes/consecutive, 8 queries,
+    // repeat=3) showed interleaving the suite into full passes instead
+    // inflates every query ~1.5-2x (74 generated-code plans thrash the JIT
+    // between a query's samples) while the boundary GC is ~free.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for ((name, fn) <- selected) {
+      // Queries eagerly localCheckpoint small results so they can release
+      // their input caches; the checkpoint blocks themselves stay pinned
+      // until the async ContextCleaner notices the DataFrame is garbage.
+      // 74 warmed queries outrun the cleaner, the leftover storage blocks
+      // eat into unified execution memory, and the shuffle-heaviest query
+      // spills (measured: q_dedup_ngram 3.2 s in-suite vs 1.3 s isolated).
+      // Nothing references a prior query's result here, so drop them NOW.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      Thread.sleep(50)
+      for (_ <- 1 to repeat) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
       }
+    }
+    val results = selected.map { case (name, _) =>
+      val times = samples.getOrElse(name, Nil).reverse
       if (repeat > 1) System.err.println(s"[bench] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
