@@ -531,4 +531,425 @@ class GoldenReplaySpec2 extends SparkSpec {
       "b" -> (("2", "56")),
       "c" -> (("12", "56"))))
   }
+
+  // ================= round-8 batch tranche (batcher_test.go) =================
+  // One .brpl JSON doc = one BeginBatch..EndBatch message; batch_idx is the
+  // doc ordinal. Times are rebased so the replay's first point is t=0, as the
+  // reference harness does.
+
+  private def brplRebased(name: String) = {
+    val df = graft.sources.Replay.readBrpl(spark,
+      s"/root/reference/integrations/testdata/$name.brpl")
+    val mn = df.agg(min(unix_micros(col("time")))).head.getLong(0)
+    df.withColumn("time", timestamp_micros(unix_micros(col("time")) - mn))
+  }
+
+  /** Rebase several .brpl files against their GLOBAL min time so the sides
+    * of a join keep their relative offsets, as a shared replay clock does.
+    * The shift is truncated to whole seconds: tolerance rounding is not
+    * shift-invariant, and the reference's replay clock shift preserves the
+    * fixtures' sub-second fractions (x.5 must still round up). */
+  private def brplRebasedJoint(names: String*): Seq[org.apache.spark.sql.DataFrame] = {
+    val dfs = names.map(n => graft.sources.Replay.readBrpl(spark,
+      s"/root/reference/integrations/testdata/$n.brpl"))
+    val mn = dfs.map(_.agg(min(unix_micros(col("time")))).head.getLong(0)).min
+    val shift = (mn / 1000000L) * 1000000L
+    dfs.map(_.withColumn("time", timestamp_micros(unix_micros(col("time")) - shift)))
+  }
+
+  test("TestBatch_ChangeDetect golden: emit only on value change within the batch") {
+    // batcher_test.go:103-147; the value2-only point is skipped
+    val b = brplRebased("TestBatch_ChangeDetect.0")
+      .select(col("batch_idx"), col("time"), expr("fields['value']").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx")).changeDetect("value").df
+      .orderBy("time").select(unix_timestamp(col("time")), col("value"))
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(0L -> "bad", 2L -> "good", 6L -> "bad", 8L -> "good"))
+  }
+
+  test("TestBatch_ChangeDetect_Many golden: any tracked field change emits both") {
+    // batcher_test.go:149-197: changeDetect('a','b') — t=8 emits because b
+    // changed even though a did not
+    val b = brplRebased("TestBatch_ChangeDetect_Many.0")
+      .select(col("batch_idx"), col("time"), expr("fields['a']").as("a"),
+        expr("CAST(fields['b'] AS DOUBLE)").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx")).changeDetect("a", "b").df
+      .orderBy("time").select(unix_timestamp(col("time")), col("a"), col("b"))
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((0L, "bad", 0.0), (2L, "good", 0.0), (6L, "bad", 1.0),
+      (8L, "bad", 0.0)))
+  }
+
+  test("TestBatch_DerivativeNN golden: negative rate dropped, predecessor kept") {
+    // batcher_test.go:389-430: value2-only point skipped; the big drop at
+    // t=6 is suppressed by nonNegative but still feeds t=8's rate
+    val b = brplRebased("TestBatch_DerivativeNN.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx"))
+      .derivative("value", nonNegative = true).df
+      .orderBy("time").select(unix_timestamp(col("time")), col("derivative"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 0.5, 4L -> 0.5, 8L -> 0.5))
+  }
+
+  test("TestBatch_Elapsed golden: inter-point gap in the 1ms unit") {
+    // batcher_test.go:432-475: elapsed('value', 1ms) → 2s gaps = 2000
+    val b = brplRebased("TestBatch_Elapsed.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx")).elapsed(unitSeconds = 0.001).df
+      .orderBy("time").select(unix_timestamp(col("time")), col("elapsed"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 2000.0, 4L -> 2000.0, 6L -> 2000.0, 8L -> 2000.0))
+  }
+
+  test("TestBatch_Difference golden: consecutive deltas within the batch") {
+    // batcher_test.go:477-520
+    val b = brplRebased("TestBatch_Difference.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+    val out = Pipe(b, "time", Seq("batch_idx")).difference("value").df
+      .orderBy("time").select(unix_timestamp(col("time")), col("difference"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 5.0, 4L -> 3.0, 6L -> 1.0, 8L -> -5.0))
+  }
+
+  test("TestBatch_MovingAverage golden: window-2 mean once full") {
+    // batcher_test.go:522-564
+    val b = brplRebased("TestBatch_MovingAverage.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+    val out = Pipe(b, "time", Seq("batch_idx")).movingAverage("value", 2).df
+      .orderBy("time").select(unix_timestamp(col("time")), col("movingAverage"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 1002.5, 4L -> 1006.5, 6L -> 1008.5, 8L -> 1006.5))
+  }
+
+  test("TestBatch_DefaultEmptyTag golden: empty-string tag gets the default") {
+    // batcher_test.go:960-992: default().field('mean',90).tag('dc','sfc');
+    // dc is present-but-empty in the fixture and still defaulted; sum over
+    // the second batch = 90+86+91+85+89 = 441 at the batch TMax 18
+    val b = brplRebased("TestBatch_DefaultEmptyTag.0")
+      .select(col("batch_idx"), col("time"), expr("tags['cpu']").as("cpu"),
+        expr("tags['dc']").as("dc"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val p = Pipe(b, "time", Seq("cpu", "dc", "batch_idx"))
+      .default("mean" -> 90.0).defaultTags("dc" -> "sfc")
+    val out = p.df.groupBy("batch_idx", "cpu", "dc")
+      .agg(sum("mean").as("sum"), max(unix_timestamp(col("time"))).as("t"))
+      .filter(col("batch_idx") === 1).head
+    assert(out.getAs[String]("cpu") == "cpu-total")
+    assert(out.getAs[String]("dc") == "sfc")
+    assert(out.getAs[Double]("sum") == 441.0)
+    assert(out.getAs[Long]("t") == 18L)
+  }
+
+  test("TestBatch_Delete golden: deleted field+tag, then defaulted and regrouped") {
+    // batcher_test.go:994-1032: delete mean+dc, default mean=10 dc=sfc,
+    // groupBy dc, sum → 50 per batch at the batch TMax
+    val b = brplRebased("TestBatch_Delete.0")
+      .select(col("batch_idx"), col("time"), expr("tags['cpu']").as("cpu"),
+        expr("tags['dc']").as("dc"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val p = Pipe(b, "time", Seq("cpu", "dc", "batch_idx"))
+      .delete("mean", "dc")
+      .default("mean" -> 10.0).defaultTags("dc" -> "sfc")
+      .groupBy("dc", "batch_idx")
+    val rows = p.df.groupBy("batch_idx", "dc")
+      .agg(sum("mean").as("sum"), max(unix_timestamp(col("time"))).as("t"))
+      .orderBy("batch_idx")
+      .select("dc", "sum", "t").as[(String, Double, Long)].collect().toSeq
+    assert(rows == Seq(("sfc", 50.0, 8L), ("sfc", 50.0, 18L)))
+  }
+
+  test("TestBatch_Delete_GroupBy golden: deleting a grouped tag merges groups") {
+    // batcher_test.go:1033-1069: groupBy(dc) upstream, delete tag dc →
+    // regroup to the empty group; default mean=10; sum → 50 at t=18 untagged
+    val b = brplRebased("TestBatch_Delete.0")
+      .select(col("batch_idx"), col("time"), expr("tags['dc']").as("dc"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val p = Pipe(b, "time", Seq("dc", "batch_idx"))
+      .delete("mean", "dc")
+      .default("mean" -> 10.0)
+    assert(!p.dims.contains("dc")) // deleting a dim regroups
+    val rows = p.df.groupBy("batch_idx")
+      .agg(sum("mean").as("sum"), max(unix_timestamp(col("time"))).as("t"))
+      .filter(col("batch_idx") === 1)
+      .select("sum", "t").as[(Double, Long)].collect().toSeq
+    assert(rows == Seq((50.0, 18L)))
+  }
+
+  test("TestBatch_Flatten golden: per-dc service columns within 5s buckets") {
+    // batcher_test.go:1724-1782: groupBy(dc) |flatten().on('service')
+    // .tolerance(5s) over the t∈[10,20) batch era
+    val b = brplRebased("TestBatch_Flatten.0")
+      .withColumn("t", unix_timestamp(col("time")))
+      .filter(col("t") >= 10 && col("t") < 20)
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+    val out = Pipe(b, "time", Seq("dc", "service"))
+      .flattenOn("service", Seq("auth", "cart", "log"), "value", 5)
+      .df.orderBy("dc", "bucket_s")
+      .select(col("dc"), col("bucket_s"), col("auth_value"), col("cart_value"),
+        col("log_value"))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", 10L, 4.0, 8.0, 7.0), ("A", 15L, 2.0, 3.0, 1.0),
+      ("B", 10L, 9.0, 3.0, 5.0), ("B", 15L, 6.0, 7.0, 4.0)))
+  }
+
+  /** Batch combine era: points of the t∈[10,20) era with an arrival-order id
+    * (the reference buffers per batch in point order). */
+  private def combineEra(authFirst: Boolean) = {
+    val order =
+      if (authFirst) typedlit(Map("auth" -> 1L, "cart" -> 2L, "log" -> 3L))
+      else null
+    val base = brplRebased("TestBatch_Flatten.0")
+      .withColumn("t", unix_timestamp(col("time")))
+      .filter(col("t") >= 10 && col("t") < 20)
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+    val withId =
+      if (authFirst) base.withColumn("pid", order(col("service")))
+      else base.withColumn("pid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("dc").orderBy("time")))
+    Pipe(withId, "time", Seq("dc"), idCol = Some("pid"))
+  }
+
+  test("TestBatch_Combine_All golden: ordered pairs and their ratios at t=15") {
+    // batcher_test.go:1784-1862: combine(TRUE,TRUE) over the era's second
+    // 5s bucket (cart@15, auth@16, log@17 in arrival order)
+    val pairs = combineEra(authFirst = false)
+      .combinePairs(lit(true), lit(true), 5, ("first", "second"))
+      .filter(col("bucket_s") === 15)
+      .withColumn("ratio", col("first_value") / col("second_value"))
+    val got = pairs.select("dc", "first_service", "second_service", "ratio")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("A", "cart", "auth", 3.0 / 2.0), ("A", "cart", "log", 3.0),
+      ("A", "auth", "log", 2.0),
+      ("B", "cart", "auth", 7.0 / 6.0), ("B", "cart", "log", 7.0 / 4.0),
+      ("B", "auth", "log", 6.0 / 4.0)))
+  }
+
+  test("TestBatch_Combine_Filtered golden: the auth point owns the first slot") {
+    // batcher_test.go:1864-1924: combine(service=='auth', TRUE) — the
+    // reference's greedy slot fill (combine.go:173-190) always lands the
+    // auth point in slot 0 of any combination containing it, which the id
+    // ordering encodes (same device as the stream Combine_Filtered golden)
+    val pairs = combineEra(authFirst = true)
+      .combinePairs(col("service") === "auth", lit(true), 5, ("auth", "other"))
+      .filter(col("bucket_s") === 15)
+      .withColumn("ratio", col("auth_value") / col("other_value"))
+    val got = pairs.select("dc", "other_service", "ratio")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("A", "log", 2.0), ("A", "cart", 2.0 / 3.0),
+      ("B", "log", 6.0 / 4.0), ("B", "cart", 6.0 / 7.0)))
+  }
+
+  test("TestBatch_Combine_All_Triples golden: one ordered triple per dc") {
+    // batcher_test.go:1926-1968: combine(TRUE×3) → the era bucket's single
+    // arrival-ordered triple, summed
+    val triples = combineEra(authFirst = false)
+      .combineK(Seq(lit(true), lit(true), lit(true)), 5,
+        Seq("first", "second", "third"))
+      .filter(col("bucket_s") === 15)
+      .withColumn("sum",
+        col("first_value") + col("second_value") + col("third_value"))
+    val got = triples
+      .select("dc", "first_service", "second_service", "third_service", "sum")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      ("A", "cart", "auth", "log", 6.0), ("B", "cart", "auth", "log", 17.0)))
+  }
+
+  test("TestBatch_JoinTolerance golden: offset batch clocks pair within 1s") {
+    // batcher_test.go:2120-2169: cpu0 points at x.1/.3/.5 vs cpu1 at
+    // x.2/.4/.6 — tolerance(1s) pairs them; count per batch; the 20s window
+    // over counts 5,5,5 sums the first two → 10 at emit 28
+    val Seq(c0, c1) = brplRebasedJoint(
+      "TestBatch_JoinTolerance.0", "TestBatch_JoinTolerance.1")
+    def side(df: org.apache.spark.sql.DataFrame) = Pipe(
+      df.select(col("time"), expr("CAST(fields['mean'] AS DOUBLE)").as("mean")),
+      "time", Nil)
+    val joined = side(c0).joinMulti("cpu0", Seq((side(c1), "cpu1")),
+      toleranceSeconds = 1, on = Nil, fill = Pipe.FillNone)
+      .filter(col("cpu0_mean").isNotNull && col("cpu1_mean").isNotNull)
+    val counts = joined
+      .withColumn("era", floor(col("jt_us") / 10000000L))
+      .groupBy("era").agg(count(lit(1)).as("count"), max("jt_us").as("t_us"))
+      .select(timestamp_micros(col("t_us")).as("time"), col("count"))
+    val w = WindowFSM.windowByTime(counts, "time", Nil, 20, 20)
+    // the reference stops the replay at 30s, so its last completed window
+    // is the one emitted at 28; era 2's count (rounded to t=29) belongs to
+    // the next, never-completed window
+    assert(w.filter(col("wemit_us") === 28000000L)
+      .agg(sum("count")).head.getLong(0) == 10L)
+  }
+
+  /** Join_Fill era sums: join cpu0×cpu1 with the given fill, eval the pair
+    * sum, sum per batch era, 20s window → (lastEmit, windowSum). */
+  private def joinFillWindowSum(fill: Pipe.JoinFill): (Long, Double) = {
+    val Seq(c0, c1) = brplRebasedJoint(
+      "TestBatch_Join_Fill.0", "TestBatch_Join_Fill.1")
+    def side(df: org.apache.spark.sql.DataFrame) = Pipe(
+      df.select(col("time"), expr("CAST(fields['mean'] AS DOUBLE)").as("mean")),
+      "time", Nil)
+    val joined = side(c0).joinMulti("cpu0", Seq((side(c1), "cpu1")),
+      toleranceSeconds = 0, on = Nil, fill = fill)
+      .withColumn("cpu", col("cpu0_mean") + col("cpu1_mean"))
+      .filter(col("cpu").isNotNull)
+    val sums = joined
+      .withColumn("era", floor(col("jt_us") / 10000000L))
+      .groupBy("era").agg(sum("cpu").as("s"), max("jt_us").as("t_us"))
+      .select(timestamp_micros(col("t_us")).as("time"), col("s"))
+    val w = WindowFSM.windowByTime(sums, "time", Nil, 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    (lastEmit, w.filter(col("wemit_us") === lastEmit)
+      .agg(sum("s")).head.getDouble(0))
+  }
+
+  test("TestBatch_Join_NoFill golden: inner join drops unmatched slots") {
+    // batcher_test.go:2171-2221: eras 396+480 in the emitted window → 876
+    assert(joinFillWindowSum(Pipe.FillNone) == ((28000000L, 876.0)))
+  }
+
+  test("TestBatch_Join_Fill_Num golden: numeric fill completes the pairs") {
+    // batcher_test.go:2223-2274: missing slots become 100 → 548+630 = 1178
+    assert(joinFillWindowSum(Pipe.FillValue(100.0)) == ((28000000L, 1178.0)))
+  }
+
+  test("TestBatch_JoinOn golden: differently-grouped sides join on a tag subset") {
+    // batcher_test.go:2276-2390: global per-service sums × per-(dc,service)
+    // firsts, on('service'); value = dc.value / service.sum
+    val Seq(dcDf, glDf) = brplRebasedJoint(
+      "TestBatch_JoinOn.0", "TestBatch_JoinOn.1")
+    val global = Pipe(glDf.select(col("time"),
+        expr("tags['service']").as("service"),
+        expr("CAST(fields['sum'] AS DOUBLE)").as("sum")),
+      "time", Seq("service"))
+    val byDc = Pipe(dcDf.select(col("time"),
+        expr("tags['service']").as("service"), expr("tags['dc']").as("dc"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value")),
+      "time", Seq("dc", "service"))
+    val joined = global.joinMulti("service", Seq((byDc, "dc")),
+        toleranceSeconds = 0, on = Seq("service"), fill = Pipe.FillNone)
+      .withColumn("value", col("dc_value") / col("service_sum"))
+    val got = joined
+      .select(col("service"), col("dc"), (col("jt_us") / 1000000L).cast("long"),
+        col("dc_value"), col("service_sum"), col("value"))
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(got == Set(
+      ("cart", "slc", 0L, 8.0, 11.0, 8.0 / 11.0),
+      ("cart", "slc", 5L, 3.0, 10.0, 3.0 / 10.0),
+      ("cart", "nyc", 0L, 3.0, 11.0, 3.0 / 11.0),
+      ("cart", "nyc", 5L, 7.0, 10.0, 7.0 / 10.0),
+      ("login", "slc", 0L, 4.0, 13.0, 4.0 / 13.0),
+      ("login", "slc", 5L, 2.0, 8.0, 2.0 / 8.0),
+      ("login", "nyc", 0L, 9.0, 13.0, 9.0 / 13.0),
+      ("login", "nyc", 5L, 6.0, 8.0, 6.0 / 8.0)))
+  }
+
+  /** JoinOn_Fill shape shared by the Num and Null variants. */
+  private def joinOnFillRows(fill: Pipe.JoinFill): Set[(String, Long, Double, Double)] = {
+    val Seq(diskDf, maintDf) = brplRebasedJoint(
+      "TestBatch_JoinOn_Fill.0", "TestBatch_JoinOn_Fill.1")
+    val disk = Pipe(diskDf.select(col("time"), expr("tags['host']").as("host"),
+        expr("tags['path']").as("path"),
+        expr("CAST(fields['used_percent'] AS DOUBLE)").as("used_percent")),
+      "time", Seq("host", "path"))
+    val maint = Pipe(maintDf.select(col("time"), expr("tags['host']").as("host"),
+        expr("CAST(fields['count'] AS DOUBLE)").as("count")),
+      "time", Seq("host"))
+    val joined = disk.joinMulti("disk", Seq((maint, "maintlock")),
+        toleranceSeconds = 1, on = Seq("host"), fill = fill)
+      // default().field('maintlock.count', 0) — a no-op for the numeric
+      // fill, the thing that closes the nulls for fill('null')
+      .withColumn("maintlock_count", coalesce(col("maintlock_count"), lit(0.0)))
+      .filter(col("disk_used_percent").isNotNull)
+    joined.select(col("path"), (col("jt_us") / 1000000L).cast("long"),
+        col("disk_used_percent"), col("maintlock_count"))
+      .as[(String, Long, Double, Double)].collect().toSet
+  }
+
+  private val joinOnFillExpected = Set[(String, Long, Double, Double)](
+    ("/", 0L, 50.0, 0.0), ("/", 1L, 60.0, 0.0), ("/", 2L, 70.0, 0.0),
+    ("/", 3L, 80.0, 1.0),
+    ("/tmp", 0L, 40.0, 0.0), ("/tmp", 1L, 30.0, 0.0), ("/tmp", 2L, 20.0, 0.0),
+    ("/tmp", 3L, 10.0, 1.0))
+
+  test("TestBatch_JoinOn_Fill_Num golden: per-host lock fans to every path") {
+    // batcher_test.go:2392-2478
+    assert(joinOnFillRows(Pipe.FillValue(0.0)) == joinOnFillExpected)
+  }
+
+  test("TestBatch_JoinOn_Fill_Null golden: null fill closed by default()") {
+    // batcher_test.go:2480-2566
+    assert(joinOnFillRows(Pipe.FillNull) == joinOnFillExpected)
+  }
+
+  test("TestBatch_Trickle golden: batches stream through unchanged") {
+    // batcher_test.go:2640-2674: trickle() re-emits batch points as stream
+    // points — groups, times and values pass through intact
+    val b = brplRebased("TestBatch_Trickle.0")
+      .select(col("batch_idx"), col("time"), expr("tags['cpu']").as("cpu"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val out = Pipe(b, "time", Seq("cpu")).trickle().df
+      .orderBy("cpu", "time")
+      .select(col("cpu"), unix_timestamp(col("time")), col("mean"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("cpu-total", 0L, 90.38281469458698), ("cpu-total", 1L, 80.38281469458698),
+      ("cpu0", 0L, 83.56930693069836)))
+  }
+
+  /** Batch alert events over the AlertStateChangesOnly fixture: level per
+    * batch = highest point level, event time = first highest point (batch
+    * TMax when OK) — reference alert.go:1022-1090. */
+  private def alertStateChangesEvents(maxIntervalUs: Long) = {
+    import graft.streaming.AlertStream
+    val b = brplRebased("TestBatch_AlertStateChangesOnly.0")
+      .select(col("batch_idx"), col("time"), expr("tags['cpu']").as("cpu"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+      .withColumn("batch_us", max(unix_micros(col("time")))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("batch_idx")))
+    val lvl = AlertStream.levelColumn(lit(false), lit(false), col("mean") > 90)
+    val batches = AlertStream.batchLevels(
+      b, groupCol = col("cpu"), batchTimeUs = col("batch_us"),
+      pointTimeUs = unix_micros(col("time")), idTiebreak = lit(0L),
+      level = lvl, all = false)
+    AlertStream.runBatchLevels(
+      batches.select(col("group"), col("time_us").as("timeUs"), col("level"))
+        .as[AlertStream.LevelPoint],
+      AlertStream.AlertConfig(stateChangesOnly = true,
+        stateChangesOnlyMaxIntervalUs = maxIntervalUs))
+      .collect().toSeq
+      .map(e => (e.timeUs / 1000000L, e.level, e.durationUs / 1000000L))
+  }
+
+  test("TestBatch_AlertStateChangesOnly golden: one CRIT, one recovery") {
+    // batcher_test.go:1575-1642: CRIT at the first >90 point (t=0), OK at
+    // the last batch's TMax (t=38, duration 38s); the critical batches in
+    // between are suppressed
+    assert(alertStateChangesEvents(0L) == Seq((0L, 3, 0L), (38L, 0, 38L)))
+  }
+
+  test("TestBatch_AlertStateChangesOnlyExpired golden: 15s re-emit interval") {
+    // batcher_test.go:1644-1722: the unchanged CRIT re-fires at t=20 (20s
+    // since the last emitted event ≥ 15s), then recovery at 38
+    assert(alertStateChangesEvents(15000000L) ==
+      Seq((0L, 3, 0L), (20L, 3, 20L), (38L, 0, 38L)))
+  }
+
 }
