@@ -92,4 +92,204 @@ object AlertHandlers {
       lit(s"From: $from\r\nTo: $to\r\nSubject: "), message,
       lit("\r\nMIME-Version: 1.0\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
       details)
+
+  // -------------------------------------------------------------------------
+  // Round-8 handler sweep. The reference builds most of these payloads as Go
+  // maps through encoding/json, which emits keys in SORTED order — each
+  // formatter below lists its keys alphabetically (or in declared struct
+  // order for struct payloads) so the bytes match the reference's wire
+  // format, as pinned by AlertHandlersSpec against the integration-test
+  // expectations in integrations/streamer_test.go.
+
+  /** An omitted-when-empty JSON member: `,"key":"v"` or nothing
+    * (Go `omitempty` / conditional map insert). */
+  private def optStr(key: String, c: Column): Column =
+    when(c.isNull || c === "", lit(""))
+      .otherwise(concat(lit(s""","$key":"""), jsonStr(c)))
+
+  /** VictorOps alert (services/victorops/service.go:131-171): a Go map →
+    * alphabetical keys; `data` is the rendered Result JSON as a STRING
+    * (the non-JSONData default), timestamp in Unix seconds. */
+  def victorops(messageType: Column, entityId: Column, stateMessage: Column,
+      timestampS: Column, dataJson: Column): Column =
+    concat(
+      lit("{\"data\":"), jsonStr(dataJson),
+      lit(",\"entity_id\":"), jsonStr(entityId),
+      lit(",\"message_type\":"), jsonStr(messageType),
+      lit(",\"monitoring_tool\":\"kapacitor\""),
+      lit(",\"state_message\":"), jsonStr(stateMessage),
+      lit(",\"timestamp\":"), timestampS.cast("long").cast("string"),
+      lit("}"))
+
+  /** Telegram sendMessage body (services/telegram/service.go:137-170):
+    * chat_id and text always; parse_mode only when set; the two disable
+    * flags only when true. */
+  def telegram(chatId: String, text: Column, parseMode: String = "",
+      disableWebPagePreview: Boolean = false,
+      disableNotification: Boolean = false): Column =
+    concat(
+      lit(s"""{"chat_id":"$chatId""""),
+      lit(if (disableNotification) ",\"disable_notification\":true" else ""),
+      lit(if (disableWebPagePreview) ",\"disable_web_page_preview\":true" else ""),
+      lit(if (parseMode.nonEmpty) s""","parse_mode":"$parseMode"""" else ""),
+      lit(",\"text\":"), jsonStr(text),
+      lit("}"))
+
+  /** Microsoft Teams MessageCard (services/teams/service.go:128-182):
+    * struct-ordered members; title `LEVEL: [id]`, summary truncated at 70
+    * chars + "...", theme color by level. */
+  def teams(alertId: Column, message: Column, level: Column): Column = {
+    val title = concat(level, lit(": ["), alertId, lit("]"))
+    val summary = concat(substring(concat(title, lit(" - "), message), 1, 70), lit("..."))
+    val color = when(level === "WARNING", "FFA533")
+      .when(level === "CRITICAL", "CC4A31")
+      .otherwise("34CC25")
+    concat(
+      lit("{\"@type\":\"MessageCard\""),
+      lit(",\"@context\":\"http://schema.org/extensions\""),
+      lit(",\"title\":"), jsonStr(title),
+      lit(",\"text\":"), jsonStr(message),
+      lit(",\"summary\":"), jsonStr(summary),
+      lit(",\"themeColor\":"), jsonStr(color),
+      lit("}"))
+  }
+
+  /** ServiceNow em event (services/servicenow/service.go:163-300): one
+    * `{"records":[Event]}` wrapper; Event members in struct order with
+    * omitempty on everything but source; severity OK→5 WARNING→4
+    * CRITICAL→1 else 0; additional_info is a JSON object of STRING values
+    * marshaled into a string, keys sorted. */
+  def serviceNow(source: String, node: Column, eventType: Column,
+      resource: Column, metricName: Column, messageKey: Column, level: Column,
+      description: Column, additionalInfo: Seq[(String, Column)] = Nil): Column = {
+    val severity = when(level === "OK", "5").when(level === "WARNING", "4")
+      .when(level === "CRITICAL", "1").otherwise("0")
+    val info =
+      if (additionalInfo.isEmpty) lit("")
+      else {
+        val obj = concat(
+          lit("{") +:
+            additionalInfo.sortBy(_._1).zipWithIndex.flatMap { case ((k, v), i) =>
+              Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v))
+            } :+ lit("}"): _*)
+        concat(lit(",\"additional_info\":"), jsonStr(obj))
+      }
+    concat(
+      lit(s"""{"records":[{"source":"$source""""),
+      optStr("node", node),
+      optStr("type", eventType),
+      optStr("resource", resource),
+      optStr("metric_name", metricName),
+      optStr("message_key", messageKey),
+      lit(",\"severity\":"), jsonStr(severity),
+      optStr("description", description),
+      info,
+      lit("}]}"))
+  }
+
+  /** OpsGenie v2 alert (services/opsgenie2/service.go:145-260): Go map →
+    * alphabetical keys; alias is the URL-safe base64 of the id; priority
+    * INFO→P5 WARNING→P3 CRITICAL→P1; details carries the first row's tags
+    * plus the Kapacitor markers (key-sorted); responders keep teams-then-
+    * recipients insertion order (each entry its own key-sorted map). */
+  def opsgenie2(teamNames: Seq[String], recipients: Seq[String],
+      message: Column, entityId: Column, level: Column, descriptionJson: Column,
+      taskName: Column, tags: Seq[(String, Column)] = Nil): Column = {
+    val alias = translate(base64(entityId.cast("binary")), "+/", "-_")
+    val priority = when(level === "INFO", "P5").when(level === "WARNING", "P3")
+      .when(level === "CRITICAL", "P1").otherwise("")
+    val detailPairs: Seq[(String, Column)] =
+      (tags ++ Seq("Kapacitor Task Name" -> taskName,
+        "Level" -> level, "Monitoring Tool" -> lit("Kapacitor"))).sortBy(_._1)
+    val details = concat(
+      lit("{") +:
+        detailPairs.zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v))
+        } :+ lit("}"): _*)
+    val responders = (teamNames.map(t => s"""{"name":"$t","type":"team"}""") ++
+      recipients.map(r => s"""{"type":"user","username":"$r"}"""))
+      .mkString("[", ",", "]")
+    concat(
+      lit("{\"alias\":"), jsonStr(alias),
+      lit(",\"description\":"), jsonStr(descriptionJson),
+      lit(",\"details\":"), details,
+      lit(",\"entity\":"), jsonStr(entityId),
+      lit(",\"message\":"), jsonStr(message),
+      lit(",\"note\":\"\""),
+      lit(",\"priority\":"), jsonStr(priority),
+      lit(if (teamNames.nonEmpty || recipients.nonEmpty)
+        s""","responders":$responders""" else ""),
+      lit("}"))
+  }
+
+  /** OpsGenie v2 recovery (level OK): the body is just the note; the alert
+    * is addressed by `<alias>/<close|notes>?identifierType=alias` in the
+    * URL (service.go:156-175). */
+  def opsgenie2Recovery(message: Column): Column =
+    concat(lit("{\"note\":"), jsonStr(message), lit("}"))
+
+  /** Discord webhook (services/discord/service.go:283-330): map keys
+    * alphabetical; one embed in struct order (color, title, description,
+    * timestamp); colors CRITICAL→0xF95F53 WARNING→0xF48D38 else 0x7A65F2. */
+  def discord(username: String, avatarUrl: String, embedTitle: String,
+      message: Column, level: Column, timestamp: Column = lit("")): Column = {
+    val color = when(level === "CRITICAL", 0xF95F53)
+      .when(level === "WARNING", 0xF48D38).otherwise(0x7A65F2)
+    concat(
+      lit(s"""{"avatar_url":"$avatarUrl","embeds":[{"color":"""),
+      color.cast("string"),
+      lit(s""","title":"$embedTitle","description":"""), jsonStr(message),
+      lit(",\"timestamp\":"), jsonStr(timestamp),
+      lit(s"""}],"username":"$username"}"""))
+  }
+
+  /** Alerta alert (services/alerta/service.go:176-240): Go map →
+    * alphabetical keys; severity by level (alert.go:516-528); service/
+    * correlate/attributes omitted when empty; timeout in whole seconds;
+    * tags always present (possibly empty) as `k=v` strings. Attribute
+    * values are raw JSON fragments (the reference passes through typed
+    * lambda results). */
+  def alerta(resource: Column, event: Column, environment: Column,
+      level: Column, group: Column, value: Column, text: Column,
+      origin: Column, services: Seq[Column] = Nil, correlate: Seq[Column] = Nil,
+      attributes: Seq[(String, Column)] = Nil, timeoutS: Long = 86400L,
+      tags: Seq[Column] = Nil, rawDataJson: Column = lit("{}")): Column = {
+    val severity = when(level === "OK", "ok").when(level === "INFO", "informational")
+      .when(level === "WARNING", "warning").when(level === "CRITICAL", "critical")
+      .otherwise("indeterminate")
+    def strArray(cs: Seq[Column]): Column =
+      if (cs.isEmpty) lit("[]")
+      else concat(lit("[") +: cs.zipWithIndex.flatMap { case (c, i) =>
+        Seq(lit(if (i == 0) "" else ","), jsonStr(c))
+      } :+ lit("]"): _*)
+    val attrs = concat(
+      lit("{") +:
+        attributes.sortBy(_._1).zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), v)
+        } :+ lit("}"): _*)
+    // member presence is static (Scala params), so the alphabetical member
+    // list is assembled statically and joined with commas
+    val members: Seq[(String, Column)] =
+      (if (attributes.nonEmpty) Seq("attributes" -> attrs) else Nil) ++
+      (if (correlate.nonEmpty) Seq("correlate" -> strArray(correlate)) else Nil) ++
+      Seq(
+        "environment" -> jsonStr(environment),
+        "event" -> jsonStr(event),
+        "group" -> jsonStr(group),
+        "origin" -> jsonStr(origin),
+        "rawData" -> rawDataJson,
+        "resource" -> jsonStr(resource)) ++
+      (if (services.nonEmpty) Seq("service" -> strArray(services)) else Nil) ++
+      Seq(
+        "severity" -> jsonStr(severity),
+        "tags" -> strArray(tags),
+        "text" -> jsonStr(text),
+        "timeout" -> lit(timeoutS.toString),
+        "value" -> jsonStr(value))
+    concat(
+      lit("{") +:
+        members.zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), v)
+        } :+ lit("}"): _*)
+  }
 }

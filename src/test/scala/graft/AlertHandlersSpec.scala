@@ -61,4 +61,142 @@ class AlertHandlersSpec extends SparkSpec {
     assert(out.startsWith("From: kapacitor@example.com\r\nTo: ops@example.com\r\nSubject: cpu:a is \"CRITICAL\"\r\n"))
     assert(out.endsWith("\r\n\r\n<b>details</b>"))
   }
+
+  // ------------- round-8 sweep: payloads byte-matched to the reference's
+  // integration-test expectations (integrations/streamer_test.go, the
+  // TestStream_Alert<Service> cases) for the canonical CRITICAL alert
+  // id "kapacitor/cpu/serverA" with one cpu/serverA count row.
+
+  private val critRow = Seq((
+    "kapacitor/cpu/serverA",
+    "kapacitor/cpu/serverA is CRITICAL",
+    "CRITICAL",
+    31536010L,
+    """{"series":[{"name":"cpu","tags":{"host":"serverA"},"columns":["time","count"],"values":[["1971-01-01T00:00:10Z",10]]}]}"""))
+    .toDF("id", "message", "level", "ts_s", "data")
+
+  test("victorops payload matches TestStream_AlertVictorOps") {
+    val out = critRow.select(AlertHandlers.victorops(
+      $"level", $"id", $"message", $"ts_s", $"data")).as[String].head()
+    assert(out ==
+      """{"data":"{\"series\":[{\"name\":\"cpu\",\"tags\":{\"host\":\"serverA\"},\"columns\":[\"time\",\"count\"],\"values\":[[\"1971-01-01T00:00:10Z\",10]]}]}",""" +
+      """"entity_id":"kapacitor/cpu/serverA","message_type":"CRITICAL",""" +
+      """"monitoring_tool":"kapacitor",""" +
+      """"state_message":"kapacitor/cpu/serverA is CRITICAL","timestamp":31536010}""")
+  }
+
+  test("telegram payload matches TestStream_AlertTelegram (both variants)") {
+    val first = critRow.select(AlertHandlers.telegram(
+      "12345678", $"message", parseMode = "HTML",
+      disableWebPagePreview = true, disableNotification = true)).as[String].head()
+    assert(first ==
+      """{"chat_id":"12345678","disable_notification":true,""" +
+      """"disable_web_page_preview":true,"parse_mode":"HTML",""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL"}""")
+    val second = critRow.select(AlertHandlers.telegram(
+      "87654321", $"message", disableWebPagePreview = true)).as[String].head()
+    assert(second ==
+      """{"chat_id":"87654321","disable_web_page_preview":true,""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL"}""")
+  }
+
+  test("teams card matches TestStream_AlertTeams") {
+    val out = critRow.select(AlertHandlers.teams($"id", $"message", $"level"))
+      .as[String].head()
+    assert(out ==
+      """{"@type":"MessageCard","@context":"http://schema.org/extensions",""" +
+      """"title":"CRITICAL: [kapacitor/cpu/serverA]",""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"summary":"CRITICAL: [kapacitor/cpu/serverA] - kapacitor/cpu/serverA is CRITICAL...",""" +
+      """"themeColor":"CC4A31"}""")
+  }
+
+  test("serviceNow records match TestStream_AlertServiceNow (both variants)") {
+    val full = critRow.select(AlertHandlers.serviceNow(
+      "Kapacitor", lit("serverA"), lit("CPU"), lit("CPU-Total"), lit("idle"),
+      concat(lit("Alert: "), $"id"), $"level", $"message",
+      additionalInfo = Seq(
+        "link" -> concat(lit("http://push/alert?id="), $"id"),
+        "ticks" -> lit("666")))).as[String].head()
+    assert(full ==
+      """{"records":[{"source":"Kapacitor","node":"serverA","type":"CPU",""" +
+      """"resource":"CPU-Total","metric_name":"idle",""" +
+      """"message_key":"Alert: kapacitor/cpu/serverA","severity":"1",""" +
+      """"description":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"additional_info":"{\"link\":\"http://push/alert?id=kapacitor/cpu/serverA\",\"ticks\":\"666\"}"}]}""")
+    val minimal = critRow.select(AlertHandlers.serviceNow(
+      "Kapacitor", lit(""), lit(""), lit(""), lit(""), $"id", $"level",
+      $"message")).as[String].head()
+    assert(minimal ==
+      """{"records":[{"source":"Kapacitor","message_key":"kapacitor/cpu/serverA",""" +
+      """"severity":"1","description":"kapacitor/cpu/serverA is CRITICAL"}]}""")
+  }
+
+  test("opsgenie2 payload matches TestStream_AlertOpsGenie2") {
+    val out = critRow.select(AlertHandlers.opsgenie2(
+      Seq("test_team", "another_team"),
+      Seq("test_recipient", "another_recipient"),
+      $"message", $"id", $"level", $"data", lit("cpu"),
+      tags = Seq("host" -> lit("serverA")))).as[String].head()
+    assert(out ==
+      """{"alias":"a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB",""" +
+      """"description":"{\"series\":[{\"name\":\"cpu\",\"tags\":{\"host\":\"serverA\"},\"columns\":[\"time\",\"count\"],\"values\":[[\"1971-01-01T00:00:10Z\",10]]}]}",""" +
+      """"details":{"Kapacitor Task Name":"cpu","Level":"CRITICAL",""" +
+      """"Monitoring Tool":"Kapacitor","host":"serverA"},""" +
+      """"entity":"kapacitor/cpu/serverA",""" +
+      """"message":"kapacitor/cpu/serverA is CRITICAL","note":"","priority":"P1",""" +
+      """"responders":[{"name":"test_team","type":"team"},""" +
+      """{"name":"another_team","type":"team"},""" +
+      """{"type":"user","username":"test_recipient"},""" +
+      """{"type":"user","username":"another_recipient"}]}""")
+    // recovery path: note-only body, alias-addressed URL
+    val rec = critRow.select(AlertHandlers.opsgenie2Recovery($"message")).as[String].head()
+    assert(rec == """{"note":"kapacitor/cpu/serverA is CRITICAL"}""")
+  }
+
+  test("discord payload matches TestStream_AlertDiscord") {
+    val out = critRow.select(AlertHandlers.discord(
+      "testy", "", "", $"message", $"level")).as[String].head()
+    assert(out ==
+      """{"avatar_url":"","embeds":[{"color":16342867,"title":"",""" +
+      """"description":"kapacitor/cpu/serverA is CRITICAL","timestamp":""}],""" +
+      """"username":"testy"}""")
+  }
+
+  test("alerta payload matches TestStream_AlertAlerta (both variants)") {
+    val msg = lit("kapacitor/cpu/serverA is CRITICAL @1971-01-01 00:00:10 +0000 UTC")
+    val simple = critRow.select(AlertHandlers.alerta(
+      resource = lit("cpu"), event = lit("serverA"),
+      environment = lit("production"), level = $"level",
+      group = lit("host=serverA"), value = lit(""), text = msg,
+      origin = lit("Kapacitor"), services = Seq(lit("cpu")),
+      correlate = Seq(lit("cpu")), timeoutS = 3600L,
+      rawDataJson = lit("{}"))).as[String].head()
+    assert(simple ==
+      """{"correlate":["cpu"],"environment":"production","event":"serverA",""" +
+      """"group":"host=serverA","origin":"Kapacitor","rawData":{},""" +
+      """"resource":"cpu","service":["cpu"],"severity":"critical","tags":[],""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL @1971-01-01 00:00:10 +0000 UTC",""" +
+      """"timeout":3600,"value":""}""")
+    val custom = critRow.select(AlertHandlers.alerta(
+      resource = lit("resource: serverA"), event = lit("event: TestStream_Alert"),
+      environment = lit("serverA"), level = $"level",
+      group = lit("serverA"), value = lit("10"), text = msg,
+      origin = lit("override"),
+      services = Seq(lit("serviceA"), lit("serviceB"), lit("cpu")),
+      correlate = Seq(lit("cpu")),
+      attributes = Seq(
+        "attributeA" -> lit("\"cpu\""), "attributeB" -> lit("true"),
+        "attributeC" -> lit("9001")),
+      timeoutS = 86400L)).as[String].head()
+    assert(custom ==
+      """{"attributes":{"attributeA":"cpu","attributeB":true,"attributeC":9001},""" +
+      """"correlate":["cpu"],"environment":"serverA","event":"event: TestStream_Alert",""" +
+      """"group":"serverA","origin":"override","rawData":{},""" +
+      """"resource":"resource: serverA","service":["serviceA","serviceB","cpu"],""" +
+      """"severity":"critical","tags":[],""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL @1971-01-01 00:00:10 +0000 UTC",""" +
+      """"timeout":86400,"value":"10"}""")
+  }
+
 }
