@@ -232,4 +232,187 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
   }
+
+  // --------------------------------------------------------- k-means(||)
+
+  /** Spherical k-means trainer for the IVF coarse quantizer, seeded
+    * k-means||-style (Bahmani et al., VLDB 2012) and refined with
+    * DataFrame-only Lloyd iterations — the missing piece that lets
+    * [[knnIvf]] run from data-derived centroids instead of caller-supplied
+    * seeds.
+    *
+    * Scale shape (the 100 TB audit):
+    *  - the corpus is touched only through broadcast-join passes — centers
+    *    are a model object (O(k·dim)), never a shuffle key;
+    *  - each oversampling round is one pass: best-cosine via the codegen'd
+    *    dot product + `max_by`, threshold sampling on a deterministic
+    *    xxhash64 uniform (no `rand()`, so retries/speculation can't skew
+    *    the sample);
+    *  - the candidate set (≤ 1 + rounds·oversample points) collapses to k
+    *    on the driver with weighted k-means++ — the same
+    *    collect-the-tiny-side trade as a broadcast join's build side;
+    *  - each Lloyd iteration is assignment (broadcast + `max_by`) followed
+    *    by a per-(cid, dimension) partial-aggregated sum: `posexplode`
+    *    multiplies ROWS only before the map-side combine — the shuffle
+    *    carries k·dim partial sums per partition, not data;
+    *  - empty clusters keep their previous center.
+    *
+    * Cosine (spherical) assignment matches [[knnIvf]]'s probe metric.
+    * Deterministic for a fixed (data, k, seed): sampling and all argmax
+    * tie-breaks hash or order on the vector id.
+    *
+    * Returns (cid int, cvec array<double>) ready to pass to [[knnIvf]].
+    * Note the correctness-gate query q_knn_ivf keeps its deterministic
+    * first-n seeds — a trained quantizer cannot be restated in the SQL
+    * oracle — so the trainer's quality is pinned by KMeansSpec's
+    * recall@10-on-planted-clusters bound instead. */
+  def kmeansTrain(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 8,
+      rounds: Int = 3,
+      oversample: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k-means needs k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.expressions.DotProduct.register(spark)
+    val ell = if (oversample > 0) oversample else 2 * k
+    val callerPersisted = emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val n = emb.select(col(idCol).cast("string").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+    val cached =
+      if (callerPersisted) n
+      else n.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def centsDf(cs: Seq[Array[Double]]): DataFrame =
+      broadcast(cs.zipWithIndex
+        .map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
+        .toDF("cid", "cvec", "cnrm"))
+    /** Per point: (vid, v, nrm, cid of best center, its cosine). */
+    def assign(cs: Seq[Array[Double]]): DataFrame = {
+      val sim = round(cosineWithNorms(col("v"), col("cvec"), col("nrm"), col("cnrm")), 9)
+      cached.join(centsDf(cs))
+        .groupBy("vid")
+        .agg(
+          max_by(struct(col("cid"), sim.as("cos")),
+            struct(sim.as("s"), (-col("cid")).as("t"))).as("best"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vid"), col("v"), col("nrm"),
+          col("best.cid").as("cid"), col("best.cos").as("cos"))
+    }
+
+    // ---- k-means|| oversampling: first center = min-hash point, then
+    // `rounds` passes sampling each point with prob ~ ell * d^2 / sum(d^2)
+    // where d^2 is the spherical distance to the nearest current candidate
+    val c0 = cached
+      .withColumn("h", xxhash64(col("vid"), lit(seed)))
+      .orderBy(col("h"), col("vid")).limit(1)
+      .select("v").as[Array[Double]].head()
+    var cands = scala.collection.immutable.Vector[Array[Double]](c0)
+    for (r <- 1 to rounds) {
+      val a = assign(cands)
+        .withColumn("d2", greatest(lit(0.0), lit(1.0) - col("cos")))
+      val sum = a.agg(org.apache.spark.sql.functions.sum("d2")).head.getDouble(0)
+      if (sum > 0) {
+        val u = (pmod(xxhash64(col("vid"), lit(seed + r)), lit(1000000000L))
+          .cast("double") / 1e9)
+        val picked = a.filter(u < lit(ell.toDouble) * col("d2") / lit(sum))
+          .select("v").as[Array[Double]].collect()
+        cands = cands ++ picked
+      }
+    }
+    // weights: how many points each candidate currently owns
+    val weights = assign(cands).groupBy("cid").agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val seeds = localWeightedKMeansPlusPlus(
+      cands.toArray, cands.indices.map(i => weights.getOrElse(i, 0L).toDouble.max(1.0)).toArray,
+      k, seed)
+
+    // ---- distributed Lloyd refinement
+    var centers = seeds
+    val dim = centers(0).length
+    for (_ <- 1 to iterations) {
+      val a = assign(centers.toIndexedSeq)
+      val sums = a.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(org.apache.spark.sql.functions.sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val acc = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Long](k)
+      sums.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        acc(c)(p) = r.getDouble(2); cnt(c) = r.getLong(3)
+      }
+      centers = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) centers(c) // empty cluster keeps its center
+        else acc(c).map(_ / cnt(c))
+      }
+    }
+    if (!callerPersisted) cached.unpersist(false)
+    centers.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("cid", "cvec")
+  }
+
+  /** Driver-side weighted k-means++ over the (tiny) k-means|| candidate
+    * set — the standard recluster step (MLlib does the same locally).
+    * Deterministic: seeding hashes indices, Lloyd runs a fixed 20 rounds
+    * with index tie-breaks. */
+  private[llm] def localWeightedKMeansPlusPlus(
+      pts: Array[Array[Double]], w: Array[Double], k: Int, seed: Long): Array[Array[Double]] = {
+    val m = pts.length
+    if (m <= k) return Array.tabulate(math.max(k, 1))(i => pts(math.min(i, m - 1)).clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val c = if (na == 0 || nb == 0) 0.0 else s / math.sqrt(na * nb)
+      math.max(0.0, 1.0 - c)
+    }
+    // deterministic pseudo-uniforms from a splitmix-style hash of the step
+    def uni(step: Int): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L * (step + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](0)
+    val minD = Array.tabulate(m)(i => d2(pts(i), pts(0)))
+    var step = 0
+    while (chosen.size < k) {
+      step += 1
+      val total = minD.indices.map(i => w(i) * minD(i)).sum
+      val target = uni(step) * total
+      var accu = 0.0; var pick = -1; var i = 0
+      while (i < m && pick < 0) {
+        accu += w(i) * minD(i)
+        if (accu >= target && !chosen.contains(i)) pick = i
+        i += 1
+      }
+      if (pick < 0) pick = (0 until m).find(!chosen.contains(_)).getOrElse(0)
+      chosen += pick
+      var j = 0
+      while (j < m) { val d = d2(pts(j), pts(pick)); if (d < minD(j)) minD(j) = d; j += 1 }
+    }
+    // weighted Lloyd over the candidates
+    var centers = chosen.map(pts(_).clone()).toArray
+    for (_ <- 1 to 20) {
+      val acc = Array.fill(k)(new Array[Double](pts(0).length))
+      val cw = new Array[Double](k)
+      var i = 0
+      while (i < m) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = d2(pts(i), centers(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        var p = 0
+        while (p < pts(i).length) { acc(best)(p) += w(i) * pts(i)(p); p += 1 }
+        cw(best) += w(i)
+        i += 1
+      }
+      centers = Array.tabulate(k)(c =>
+        if (cw(c) == 0) centers(c) else acc(c).map(_ / cw(c)))
+    }
+    centers
+  }
 }
