@@ -31,4 +31,52 @@ class MediaSpec extends SparkSpec {
     // image/audio rows decode to a single frame each
     assert(byKind.filter(_._1 != "video").values.forall(_ > 0))
   }
+
+  // ---- real javax.imageio decode behind the featurize seam (round 8)
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage decodes real PNG bytes: true dims + luminance strips") {
+    val white = Media.MediaBlob(1L, "image", pngBytes(40, 20, 0xFFFFFF),
+      declared_width = 999, declared_height = 999, sample_rate = 0, duration_ms = 0L)
+    val black = Media.MediaBlob(2L, "image", pngBytes(8, 8, 0x000000),
+      declared_width = 999, declared_height = 999, sample_rate = 0, duration_ms = 0L)
+    val fw = Media.decodeImage(white, featureDim = 4)
+    assert(fw.width == 40 && fw.height == 20 && fw.n_frames == 1)
+    assert(fw.feature.length == 4 && fw.feature.forall(f => f > 0.99f))
+    val fb = Media.decodeImage(black, featureDim = 4)
+    assert(fb.width == 8 && fb.height == 8)
+    assert(fb.feature.forall(f => f < 0.01f))
+  }
+
+  test("decodeImage falls back to the stub on undecodable payloads") {
+    def flat(f: Media.MediaFeatures) =
+      (f.media_id, f.kind, f.width, f.height, f.n_frames, f.feature.toSeq)
+    val junk = Media.MediaBlob(3L, "image", Array[Byte](1, 2, 3, 4),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(flat(Media.decodeImage(junk)) == flat(Media.decodeStub(junk)))
+    val audio = Media.MediaBlob(4L, "audio", pngBytes(4, 4, 0),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(flat(Media.decodeImage(audio)) == flat(Media.decodeStub(audio)))
+  }
+
+  test("featurize runs the real decoder distributed over partitions") {
+    import spark.implicits._
+    val blobs = (1L to 12L).map(i => Media.MediaBlob(
+      i, "image", pngBytes(10 + i.toInt, 10, 0x808080),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L))
+      .toDS().repartition(4)
+    val feats = Media.featurize(blobs, featureDim = 4, decoder = Media.decodeImage _)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.width).toSeq == (11 to 22).toSeq)
+    assert(feats.forall(f => f.feature.forall(v => v > 0.4f && v < 0.6f)))
+  }
+
 }
