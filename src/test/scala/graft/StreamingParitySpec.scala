@@ -1,0 +1,147 @@
+package graft
+
+import graft.api.Pipe
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch ≡ streaming parity for the three operators whose batch forms are
+  * closed-form DataFrame plans: windowAligned (aligned sliding-window agg),
+  * combinePairs (stream-stream SELF-join on the tolerance bucket), and
+  * joinMulti (two-stream tolerance join). Each case drives a REAL
+  * Structured Streaming query (MemoryStream → watermark → append sink) and
+  * compares its finalized output set against the batch operator over the
+  * same rows. */
+case class ParityP(group: String, timeUs: Long, value: Double, pid: Long)
+
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us = 1000000L
+  private type P = ParityP
+  private val P = ParityP
+
+  test("windowAligned(6,2,fillPeriod) ≡ streaming aligned sliding-window agg") {
+    implicit val ctx = spark.sqlContext
+    // dense per-second points so every boundary in range is armed — the
+    // regime where the batch arming rule and the epoch-aligned streaming
+    // window grid coincide (sparse-arming corners are pinned against
+    // WindowFSM in PropertySpec)
+    val rows = (0L until 20L).map(t => P("g", t * us, t.toDouble, t))
+    val df = rows.toDF().withColumn("time", timestamp_micros($"timeUs"))
+    val batch = Pipe(df, "time", Seq("group"))
+      .windowAligned(6, 2, fillPeriod = true).df
+      .groupBy($"group", $"wemit_s")
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sv"))
+      .select($"group", $"wemit_s", $"cnt", $"sv")
+      .as[(String, Long, Long, Double)].collect().toSet
+
+    val ms = MemoryStream[P]
+    val stream = ms.toDS().toDF()
+      .withColumn("time", timestamp_micros($"timeUs"))
+      .withWatermark("time", "0 seconds")
+      .groupBy($"group", window($"time", "6 seconds", "2 seconds").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum($"value").as("sv"))
+      .select($"group", unix_timestamp($"w.end").as("wemit_s"), $"cnt", $"sv")
+    val q = stream.writeStream.format("memory").queryName("wa_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      // sentinel far in the future advances the watermark so every real
+      // window finalizes; its own windows are filtered below
+      ms.addData(Seq(P("zz", 10000L * us, 0.0, 999L)))
+      q.processAllAvailable()
+      val streamed = spark.table("wa_par")
+        .filter($"group" === "g")
+        .select($"group", $"wemit_s", $"cnt", $"sv")
+        .as[(String, Long, Long, Double)].collect().toSet
+      val batchBoundaries = batch.map(_._2)
+      // every batch-emitted boundary matches the streaming window exactly
+      assert(streamed.filter(r => batchBoundaries.contains(r._2)) == batch)
+      // streaming extras are exactly the leading partials fillPeriod
+      // suppresses (boundaries before the first full-period one, = 8 here)
+      // and trailing windows past the last point (batch requires a point
+      // at or after the boundary)
+      val extras = streamed.filterNot(r => batchBoundaries.contains(r._2))
+      assert(extras.forall(r =>
+        r._2 < batchBoundaries.min || r._2 > batchBoundaries.max), extras.toString)
+      assert(batchBoundaries.min == 8L && batchBoundaries.max == 18L)
+    } finally q.stop()
+  }
+
+  test("combinePairs ≡ streaming stream-stream self-join on the tolerance bucket") {
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      P("A", 10 * us, 1.0, 1), P("A", 11 * us, 2.0, 2), P("A", 12 * us, 3.0, 3),
+      P("A", 16 * us, 4.0, 4),
+      P("B", 10 * us, 5.0, 5), P("B", 13 * us, 6.0, 6))
+    val df = rows.toDF().withColumn("time", timestamp_micros($"timeUs"))
+    val batch = Pipe(df, "time", Seq("group"), idCol = Some("pid"))
+      .combinePairs(lit(true), lit(true), 5, ("a", "b"))
+      .select($"group", $"bucket_s", $"a_pid", $"b_pid", $"a_value", $"b_value")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+
+    val ms = MemoryStream[P]
+    def side(nm: String) = ms.toDS().toDF()
+      .withColumn("time", timestamp_micros($"timeUs"))
+      .withWatermark("time", "0 seconds")
+      .withColumn("bucket_s",
+        (floor(unix_micros($"time") / 1000000.0 / 5) * 5).cast("long"))
+      .select($"group", $"bucket_s", $"pid".as(s"${nm}_pid"),
+        $"value".as(s"${nm}_value"))
+    val joined = side("a").join(side("b"), Seq("group", "bucket_s"))
+      .filter($"a_pid" < $"b_pid")
+    val q = joined.writeStream.format("memory").queryName("cp_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("cp_par")
+        .select($"group", $"bucket_s", $"a_pid", $"b_pid", $"a_value", $"b_value")
+        .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size == 4) // A@10s: 3 pairs, B@10s: 1
+    } finally q.stop()
+  }
+
+  test("joinMulti ≡ streaming two-stream tolerance join") {
+    implicit val ctx = spark.sqlContext
+    val errs = Seq(
+      P("cart", 10 * us, 7.0, 1), P("cart", 12 * us, 9.0, 2),
+      P("login", 11 * us, 3.0, 3))
+    val views = Seq(
+      P("cart", 10 * us, 700.0, 4), P("cart", 13 * us, 900.0, 5),
+      P("login", 11 * us, 300.0, 6))
+    def pipeOf(rs: Seq[P]) = Pipe(
+      rs.toDF().withColumn("time", timestamp_micros($"timeUs"))
+        .select($"time", $"group".as("service"), $"value"),
+      "time", Seq("service"))
+    val batch = pipeOf(errs).joinMulti("errors", Seq((pipeOf(views), "views")),
+        toleranceSeconds = 2, on = Seq("service"), fill = Pipe.FillNone)
+      .select($"service", $"jt_us", $"errors_value", $"views_value")
+      .as[(String, Long, Double, Double)].collect().toSet
+
+    val mErr = MemoryStream[P]
+    val mView = MemoryStream[P]
+    // the same Go-round bucket joinMulti keys on: floor(t/tol + 0.5) * tol
+    def side(ms: MemoryStream[P], nm: String) = ms.toDS().toDF()
+      .withColumn("time", timestamp_micros($"timeUs"))
+      .withWatermark("time", "0 seconds")
+      .withColumn("jt_us",
+        (floor(unix_micros($"time") / 1000000.0 / 2 + 0.5) * 2 * 1000000L).cast("long"))
+      .select($"jt_us", $"group".as("service"), $"value".as(s"${nm}_value"))
+    val joined = side(mErr, "errors").join(side(mView, "views"), Seq("jt_us", "service"))
+    val q = joined.writeStream.format("memory").queryName("jm_par")
+      .outputMode("append").start()
+    try {
+      mErr.addData(errs)
+      mView.addData(views)
+      q.processAllAvailable()
+      val streamed = spark.table("jm_par")
+        .select($"service", $"jt_us", $"errors_value", $"views_value")
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
