@@ -575,4 +575,172 @@ class TickScriptSpec extends SparkSpec {
       "b" -> (("2", "3.5", "why")),
       "c" -> (("12", "13.5", "why"))))
   }
+
+  // ================= round-8: align/fillPeriod, handler chains, inhibit
+
+  test("window().align().fillPeriod() compiles to the windowAligned derivation") {
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('m')
+        |	|window()
+        |		.period(6s)
+        |		.every(2s)
+        |		.align()
+        |		.fillPeriod()
+        |	|httpOut('w')
+        |""".stripMargin
+    val rows = (0L until 20L).map(t => ("m", ts(t), t.toDouble))
+    val pts = rows.toDF("measurement", "time", "value")
+    val out = TickScript.compile(script, pts)
+      .groupBy("bucket_s").count()
+      .as[(Long, Long)].collect().toMap
+    val direct = graft.api.Pipe(pts, "time", Nil)
+      .windowAligned(6, 2, fillPeriod = true).df
+      .groupBy("wemit_s").count()
+      .as[(Long, Long)].collect().toMap
+    assert(out == direct && out.nonEmpty)
+    assert(out.keys.min == 8L) // fillPeriod suppresses boundaries before t0+period
+  }
+
+  private def alertFixture = srpl("TestStream_Alert")
+    .filter(col("measurement") === "cpu")
+    .select(col("measurement"), col("time"), col("tags"),
+      expr("tags['host']").as("host"), expr("fieldsFloat['value']").as("value"))
+
+  test("the reference TestStream_AlertVictorOps script compiles verbatim; payloads render") {
+    // streamer_test.go:10258-10330. Service config (URL, api key, routing
+    // keys) is transport-side; the two chained .victorOps() handlers render
+    // the same body. Times are replay-rebased (the reference's 31536010 is
+    // the same window boundary on the un-rebased clock) and data is the
+    // caller's pre-rendered Result JSON ({} here).
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.info(lambda: "count" > 6.0)
+        |		.warn(lambda: "count" > 7.0)
+        |		.crit(lambda: "count" > 8.0)
+        |		.victorOps()
+        |			.routingKey('test_key')
+        |		.victorOps()
+        |			.routingKey('test_key2')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val crit = out.filter($"level" === 3).orderBy("bucket_s").head
+    assert(crit.getAs[String]("id") == "kapacitor/cpu/serverA")
+    val expected =
+      """{"data":"{}","entity_id":"kapacitor/cpu/serverA",""" +
+      """"message_type":"CRITICAL","monitoring_tool":"kapacitor",""" +
+      """"state_message":"kapacitor/cpu/serverA is CRITICAL","timestamp":0}"""
+    assert(crit.getAs[String]("payload_victorOps") == expected)
+    assert(crit.getAs[String]("payload_victorOps_2") == expected)
+  }
+
+  test("the reference TestStream_AlertTelegram script compiles verbatim; chat ids split") {
+    // streamer_test.go:8987-9059. Config-level defaults (the service's
+    // disable-web-page-preview) are transport-side; the rendered bodies
+    // carry exactly what each script handler declares.
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.info(lambda: "count" > 6.0)
+        |		.warn(lambda: "count" > 7.0)
+        |		.crit(lambda: "count" > 8.0)
+        |		.telegram()
+        |			.chatId('12345678')
+        |				.disableNotification()
+        |				.parseMode('HTML')
+        |		.telegram()
+        |			.chatId('87654321')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val crit = out.filter($"level" === 3).orderBy("bucket_s").head
+    assert(crit.getAs[String]("payload_telegram") ==
+      """{"chat_id":"12345678","disable_notification":true,"parse_mode":"HTML",""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL"}""")
+    assert(crit.getAs[String]("payload_telegram_2") ==
+      """{"chat_id":"87654321","text":"kapacitor/cpu/serverA is CRITICAL"}""")
+  }
+
+  test("the reference TestStream_AlertTeams script compiles verbatim; card bytes match") {
+    // streamer_test.go:10458-10530 — the card is config-independent, so
+    // the bytes match the integration expectation exactly
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.info(lambda: "count" > 6.0)
+        |		.warn(lambda: "count" > 7.0)
+        |		.crit(lambda: "count" > 8.0)
+        |		.teams()
+        |		.teams()
+        |			.channelURL('http://example.test/hook')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val crit = out.filter($"level" === 3).orderBy("bucket_s").head
+    val card =
+      """{"@type":"MessageCard","@context":"http://schema.org/extensions",""" +
+      """"title":"CRITICAL: [kapacitor/cpu/serverA]",""" +
+      """"text":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"summary":"CRITICAL: [kapacitor/cpu/serverA] - kapacitor/cpu/serverA is CRITICAL...",""" +
+      """"themeColor":"CC4A31"}"""
+    assert(crit.getAs[String]("payload_teams") == card)
+    assert(crit.getAs[String]("payload_teams_2") == card)
+  }
+
+  test("the reference inhibit/category script compiles verbatim (server_test.go:12688)") {
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('region')
+        |		.groupBy(*)
+        |	|alert()
+        |		.category('region_alert')
+        |		.id('region')
+        |		.message('region')
+        |		.details('')
+        |		.crit(lambda: "v")
+        |		.inhibit('host_alert', 'region')
+        |		.inhibit('system', 'region')
+        |""".stripMargin
+    val pts = Seq(
+      ("region", ts(1), Map("region" -> "west"), true),
+      ("region", ts(2), Map("region" -> "east"), false))
+      .toDF("measurement", "time", "tags", "v")
+    val out = TickScript.compile(script, pts)
+    val r = out.filter($"level" === 3).head
+    assert(r.getAs[String]("alert_category") == "region_alert")
+    val inh = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("inhibits"))
+    assert(inh.map(x => (x.getString(0), x.getSeq[String](1).toList)) ==
+      Seq(("host_alert", List("region")), ("system", List("region"))))
+    // and the metadata drives AlertTopics.applyInhibitors downstream
+    assert(out.columns.contains("inhibits"))
+  }
+
 }
