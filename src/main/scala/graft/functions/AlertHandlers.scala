@@ -292,4 +292,208 @@ object AlertHandlers {
           Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), v)
         } :+ lit("}"): _*)
   }
+
+  // -------------------------------------------------------------------------
+  // Round-8 completion sweep: the remaining reference handlers. Same rules
+  // as above — Go map payloads emit keys in sorted order, struct payloads
+  // in declared order; each shape is pinned to the corresponding
+  // TestStream_Alert<Service> expectation in AlertHandlersSpec.
+
+  /** OpsGenie v1 alert (services/opsgenie/service.go:120-180): Go map →
+    * alphabetical keys; alias = raw id (v1 has no base64), details only
+    * carries Level + Monitoring Tool, teams/recipients are plain string
+    * arrays, apiKey rides in the body. */
+  def opsgenie(apiKey: String, teamNames: Seq[String], recipients: Seq[String],
+      message: Column, entityId: Column, level: Column,
+      descriptionJson: Column): Column =
+    concat(
+      lit("{\"alias\":"), jsonStr(entityId),
+      lit(s""","apiKey":"$apiKey""""),
+      lit(",\"description\":"), jsonStr(descriptionJson),
+      lit(",\"details\":{\"Level\":"), jsonStr(level),
+      lit(",\"Monitoring Tool\":\"Kapacitor\"}"),
+      lit(",\"entity\":"), jsonStr(entityId),
+      lit(",\"message\":"), jsonStr(message),
+      lit(",\"monitoring_tool\":\"kapacitor\""),
+      lit(",\"note\":\"\""),
+      lit(if (recipients.nonEmpty)
+        recipients.map(r => s""""$r"""").mkString(",\"recipients\":[", ",", "]") else ""),
+      lit(if (teamNames.nonEmpty)
+        teamNames.map(t => s""""$t"""").mkString(",\"teams\":[", ",", "]") else ""),
+      lit("}"))
+
+  /** PagerDuty v1 event (services/pagerduty/service.go:125-165): a
+    * map[string]string → alphabetical keys; trigger on WARNING/CRITICAL,
+    * resolve otherwise (the reference ERRORS on INFO — callers filter);
+    * details is the rendered Result JSON as a string. */
+  def pagerduty1(serviceKey: String, clientUrl: String, incidentKey: Column,
+      description: Column, level: Column, detailsJson: Column): Column = {
+    val eventType = when(level === "WARNING" || level === "CRITICAL", "trigger")
+      .otherwise("resolve")
+    concat(
+      lit("{\"client\":\"kapacitor\""),
+      lit(s""","client_url":"$clientUrl""""),
+      lit(",\"description\":"), jsonStr(description),
+      lit(",\"details\":"), jsonStr(detailsJson),
+      lit(",\"event_type\":"), jsonStr(eventType),
+      lit(",\"incident_key\":"), jsonStr(incidentKey),
+      lit(s""","service_key":"$serviceKey""""),
+      lit("}"))
+  }
+
+  /** Sensu check result (services/sensu/service.go:128-172): a Go map over
+    * a TCP socket — alphabetical keys; status OK/INFO→0 WARNING→1
+    * CRITICAL→2 else 3; metadata entries merge in at top level (existing
+    * keys win). Metadata values are raw JSON fragments. */
+  def sensu(source: String, handlers: Seq[String], name: Column, output: Column,
+      level: Column, metadata: Seq[(String, Column)] = Nil): Column = {
+    val status = when(level === "WARNING", 1).when(level === "CRITICAL", 2)
+      .when(level === "OK" || level === "INFO", 0).otherwise(3)
+    val reserved = Set("name", "source", "output", "status", "handlers")
+    val members: Seq[(String, Column)] = (Seq(
+      "handlers" -> lit(handlers.map(h => s""""$h"""").mkString("[", ",", "]")),
+      "name" -> jsonStr(name),
+      "output" -> jsonStr(output),
+      "source" -> lit(s""""$source""""),
+      "status" -> status.cast("string")) ++
+      metadata.filterNot(kv => reserved(kv._1))).sortBy(_._1)
+    concat(
+      lit("{") +:
+        members.zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), v)
+        } :+ lit("}"): _*)
+  }
+
+  /** Pushover message (services/pushover/service.go:135-225): a FORM body —
+    * url.Values.Encode emits keys alphabetically, empty optionals omitted;
+    * priority OK→-2 INFO→-1 WARNING→0 CRITICAL→1. */
+  def pushover(token: String, userKey: String, message: Column, level: Column,
+      device: String = "", title: String = "", url: String = "",
+      urlTitle: String = "", sound: String = ""): Column = {
+    val priority = when(level === "OK", -2).when(level === "INFO", -1)
+      .when(level === "WARNING", 0).when(level === "CRITICAL", 1).otherwise(0)
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    val encMsg = regexp_replace(
+      // minimal x-www-form-urlencoded escaping for the message column;
+      // static params are encoded driver-side
+      regexp_replace(regexp_replace(message, "%", "%25"), " ", "+"), "/", "%2F")
+    concat(
+      lit(if (device.nonEmpty) s"device=${enc(device)}&" else ""),
+      lit("message="), encMsg,
+      lit("&priority="), priority.cast("string"),
+      lit(if (sound.nonEmpty) s"&sound=${enc(sound)}" else ""),
+      lit(if (title.nonEmpty) s"&title=${enc(title)}" else ""),
+      lit(s"&token=${enc(token)}"),
+      lit(if (url.nonEmpty) s"&url=${enc(url)}" else ""),
+      lit(if (urlTitle.nonEmpty) s"&url_title=${enc(urlTitle)}" else ""),
+      lit(s"&user=${enc(userKey)}"))
+  }
+
+  /** HipChat room notification (services/hipchat/service.go:140-160): Go
+    * map → alphabetical keys; color WARNING→yellow CRITICAL→red else
+    * green; notify always true. */
+  def hipchat(message: Column, level: Column): Column = {
+    val color = when(level === "WARNING", "yellow")
+      .when(level === "CRITICAL", "red").otherwise("green")
+    concat(
+      lit("{\"color\":"), jsonStr(color),
+      lit(",\"from\":\"kapacitor\""),
+      lit(",\"message\":"), jsonStr(message),
+      lit(",\"notify\":true}"))
+  }
+
+  /** BigPanda alert (services/bigpanda/service.go:190-285): Go map →
+    * alphabetical keys; status OK/INFO→ok WARNING→warning CRITICAL→critical;
+    * task is "TaskName:Name"; timestamp Unix seconds; extra attributes are
+    * raw JSON fragments merged at top level. */
+  def bigpanda(appKey: String, check: Column, description: Column,
+      level: Column, timestampS: Column, taskName: Column, name: Column,
+      host: Column = lit(""), detailsUrl: String = "",
+      primaryProperty: String = "", secondaryProperty: String = "",
+      attributes: Seq[(String, Column)] = Nil): Column = {
+    val status = when(level === "WARNING", "warning")
+      .when(level === "CRITICAL", "critical").otherwise("ok")
+    val members: Seq[(String, Column)] = (Seq(
+      "app_key" -> lit(s""""$appKey""""),
+      "check" -> jsonStr(check),
+      "description" -> jsonStr(description),
+      "status" -> jsonStr(status),
+      "task" -> jsonStr(concat(taskName, lit(":"), name)),
+      "timestamp" -> timestampS.cast("long").cast("string")) ++
+      (if (detailsUrl.nonEmpty) Seq("details" -> lit(s""""$detailsUrl"""")) else Nil) ++
+      Seq("host" -> jsonStr(host)) ++
+      (if (primaryProperty.nonEmpty) Seq("primary_property" -> lit(s""""$primaryProperty"""")) else Nil) ++
+      (if (secondaryProperty.nonEmpty) Seq("secondary_property" -> lit(s""""$secondaryProperty"""")) else Nil) ++
+      attributes).sortBy(_._1)
+    concat(
+      lit("{") +:
+        members.zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), v)
+        } :+ lit("}"): _*)
+  }
+
+  /** Zenoss evconsole event (services/zenoss/service.go:180-260): struct-
+    * ordered envelope {action, method, data:[...], type, tid}; the data
+    * map's keys sort; severity by level (Clear/Info/Warning/Critical). */
+  def zenoss(summary: Column, level: Column, device: Column, component: Column,
+      evClassKey: Column = lit(""), evClass: Column = lit(""),
+      action: String = "EventsRouter", method: String = "add_event",
+      eventType: String = "rpc", tid: Long = 1L): Column = {
+    val severity = when(level === "CRITICAL", "Critical")
+      .when(level === "WARNING", "Warning").when(level === "INFO", "Info")
+      .otherwise("Clear")
+    concat(
+      lit(s"""{"action":"$action","method":"$method","data":[{"""),
+      lit("\"component\":"), jsonStr(component),
+      lit(",\"device\":"), jsonStr(device),
+      lit(",\"evclass\":"), jsonStr(evClass),
+      lit(",\"evclasskey\":"), jsonStr(evClassKey),
+      lit(",\"severity\":"), jsonStr(severity),
+      lit(",\"summary\":"), jsonStr(summary),
+      lit(s"""}],"type":"$eventType","tid":$tid}"""))
+  }
+
+  /** Kafka message body (services/kafka/service.go:396-412): the rendered
+    * handler template when one is set, else the canonical alert.Data JSON;
+    * the message key is the alert id and topic/cluster are transport
+    * routing. This helper is the no-template default. */
+  def kafkaBody(id: Column, message: Column, details: Column, timeUs: Column,
+      durationUs: Column, level: Column): Column =
+    alertData(id, message, details, timeUs, durationUs, level, lit("OK"), lit(true))
+
+  /** MQTT payload (services/mqtt/service.go:250-258): the body IS the
+    * rendered alert message; topic/QoS/retained are transport routing. */
+  def mqttBody(message: Column): Column = message
+
+  /** SNMP trap (services/snmptrap/service.go): rendered as the trap
+    * document — trap OID plus typed varbinds after the standard sysUpTime
+    * and snmpTrapOID binds; type codes c/s/i/n/t map to their SNMP types.
+    * The BER/transport encoding is the caller's. */
+  def snmpTrap(trapOid: String, data: Seq[(String, String, Column)]): Column = {
+    val typeName = Map("c" -> "Counter64", "s" -> "OctetString",
+      "i" -> "Integer", "n" -> "Null", "t" -> "TimeTicks")
+    val binds: Seq[Column] =
+      Seq(lit("""{"oid":"1.3.6.1.2.1.1.3.0","type":"TimeTicks"}"""),
+        lit(s"""{"oid":"1.3.6.1.6.3.1.1.4.1.0","type":"Oid","value":"$trapOid"}""")) ++
+      data.map { case (oid, tc, v) =>
+        val tn = typeName.getOrElse(tc,
+          throw new IllegalArgumentException(s"unknown snmp type code $tc"))
+        if (tc == "n") lit(s"""{"oid":"$oid","type":"Null"}""")
+        else concat(lit(s"""{"oid":"$oid","type":"$tn","value":"""),
+          jsonStr(v), lit("}"))
+      }
+    concat(
+      lit(s"""{"trap_oid":"$trapOid","varbinds":[""") +:
+        binds.zipWithIndex.flatMap { case (b, i) =>
+          if (i == 0) Seq(b) else Seq(lit(","), b)
+        } :+ lit("]}"): _*)
+  }
+
+  /** Talk message (services/talk/service.go:105-125): Go map →
+    * alphabetical keys; title is the alert id, text the message. */
+  def talk(authorName: String, id: Column, message: Column): Column =
+    concat(
+      lit(s"""{"authorName":"$authorName","text":"""), jsonStr(message),
+      lit(",\"title\":"), jsonStr(id),
+      lit("}"))
 }

@@ -199,4 +199,123 @@ class AlertHandlersSpec extends SparkSpec {
       """"timeout":86400,"value":"10"}""")
   }
 
+
+  // ------------- round-8 completion sweep: the remaining 11 handlers
+
+  test("opsgenie v1 payload matches TestStream_AlertOpsGenie") {
+    val out = critRow.select(AlertHandlers.opsgenie(
+      "api_key", Seq("test_team", "another_team"),
+      Seq("test_recipient", "another_recipient"),
+      $"message", $"id", $"level", $"data")).as[String].head()
+    assert(out ==
+      """{"alias":"kapacitor/cpu/serverA","apiKey":"api_key",""" +
+      """"description":"{\"series\":[{\"name\":\"cpu\",\"tags\":{\"host\":\"serverA\"},\"columns\":[\"time\",\"count\"],\"values\":[[\"1971-01-01T00:00:10Z\",10]]}]}",""" +
+      """"details":{"Level":"CRITICAL","Monitoring Tool":"Kapacitor"},""" +
+      """"entity":"kapacitor/cpu/serverA",""" +
+      """"message":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"monitoring_tool":"kapacitor","note":"",""" +
+      """"recipients":["test_recipient","another_recipient"],""" +
+      """"teams":["test_team","another_team"]}""")
+  }
+
+  test("pagerduty v1 triggers on CRITICAL, resolves on OK") {
+    val out = critRow.select(AlertHandlers.pagerduty1(
+      "service_key", "http://kapacitor.example", $"id", $"message", $"level",
+      $"data")).as[String].head()
+    assert(out.startsWith("""{"client":"kapacitor","client_url":"http://kapacitor.example","""))
+    assert(out.contains(""""event_type":"trigger""""))
+    assert(out.contains(""""incident_key":"kapacitor/cpu/serverA""""))
+    assert(out.contains(""""service_key":"service_key""""))
+    val ok = critRow.select(AlertHandlers.pagerduty1(
+      "sk", "u", $"id", $"message", lit("OK"), lit("{}"))).as[String].head()
+    assert(ok.contains(""""event_type":"resolve""""))
+  }
+
+  test("sensu payload matches TestStream_AlertSensu (metadata merged, sorted)") {
+    val out = critRow.select(AlertHandlers.sensu(
+      "Kapacitor", Nil, $"id", $"message", $"level",
+      metadata = Seq("k1" -> lit("\"v1\""), "k2" -> lit("5"))))
+      .as[String].head()
+    assert(out ==
+      """{"handlers":[],"k1":"v1","k2":5,"name":"kapacitor/cpu/serverA",""" +
+      """"output":"kapacitor/cpu/serverA is CRITICAL","source":"Kapacitor",""" +
+      """"status":2}""")
+  }
+
+  test("pushover form body matches TestStream_AlertPushover field set") {
+    val out = critRow.select(AlertHandlers.pushover(
+      "KzGDORePKggMaC0QOYAMyEEuzJnyUi", "user", lit("alert msg"), $"level",
+      device = "mydev", title = "mytitle", url = "http://example.com",
+      urlTitle = "myurltitle", sound = "siren")).as[String].head()
+    assert(out ==
+      "device=mydev&message=alert+msg&priority=1&sound=siren&title=mytitle" +
+      "&token=KzGDORePKggMaC0QOYAMyEEuzJnyUi&url=http%3A%2F%2Fexample.com" +
+      "&url_title=myurltitle&user=user")
+  }
+
+  test("hipchat payload matches TestStream_AlertHipChat") {
+    val out = critRow.select(AlertHandlers.hipchat($"message", $"level"))
+      .as[String].head()
+    assert(out ==
+      """{"color":"red","from":"kapacitor",""" +
+      """"message":"kapacitor/cpu/serverA is CRITICAL","notify":true}""")
+  }
+
+  test("bigpanda payload matches TestStream_AlertBigPanda") {
+    val out = critRow.select(AlertHandlers.bigpanda(
+      "111111", $"id", $"message", $"level", $"ts_s",
+      lit("TestStream_Alert"), lit("cpu"), host = lit("serverA"),
+      detailsUrl = "https://example.org/link", primaryProperty = "host"))
+      .as[String].head()
+    assert(out ==
+      """{"app_key":"111111","check":"kapacitor/cpu/serverA",""" +
+      """"description":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"details":"https://example.org/link","host":"serverA",""" +
+      """"primary_property":"host","status":"critical",""" +
+      """"task":"TestStream_Alert:cpu","timestamp":31536010}""")
+  }
+
+  test("zenoss event matches TestStream_AlertZenoss") {
+    val out = critRow.select(AlertHandlers.zenoss(
+      $"message", $"level", lit("#DEVICE001"), lit("CPU"),
+      evClass = lit("/App"))).as[String].head()
+    assert(out ==
+      """{"action":"EventsRouter","method":"add_event","data":[{""" +
+      """"component":"CPU","device":"#DEVICE001","evclass":"/App",""" +
+      """"evclasskey":"","severity":"Critical",""" +
+      """"summary":"kapacitor/cpu/serverA is CRITICAL"}],"type":"rpc","tid":1}""")
+  }
+
+  test("kafka body defaults to alert.Data; mqtt body is the message") {
+    val kb = critRow.select(AlertHandlers.kafkaBody(
+      $"id", $"message", lit(""), $"ts_s" * 1000000L, lit(0L), $"level"))
+      .as[String].head()
+    assert(kb.startsWith("""{"id":"kapacitor/cpu/serverA","""))
+    assert(kb.contains(""""level":"CRITICAL""""))
+    val mb = critRow.select(AlertHandlers.mqttBody($"message")).as[String].head()
+    assert(mb == "kapacitor/cpu/serverA is CRITICAL")
+  }
+
+  test("snmpTrap varbinds match TestStream_AlertSNMPTrap (first trap)") {
+    val out = critRow.select(AlertHandlers.snmpTrap("1.1.1", Seq(
+      ("1.1.1.2", "c", lit("1")),
+      ("1.1.1.2", "s", lit("SNMP ALERT")),
+      ("1.1.1.2", "s", $"message")))).as[String].head()
+    assert(out ==
+      """{"trap_oid":"1.1.1","varbinds":[""" +
+      """{"oid":"1.3.6.1.2.1.1.3.0","type":"TimeTicks"},""" +
+      """{"oid":"1.3.6.1.6.3.1.1.4.1.0","type":"Oid","value":"1.1.1"},""" +
+      """{"oid":"1.1.1.2","type":"Counter64","value":"1"},""" +
+      """{"oid":"1.1.1.2","type":"OctetString","value":"SNMP ALERT"},""" +
+      """{"oid":"1.1.1.2","type":"OctetString","value":"kapacitor/cpu/serverA is CRITICAL"}]}""")
+  }
+
+  test("talk payload matches the reference talk handler mapping") {
+    val out = critRow.select(AlertHandlers.talk("Kapacitor", $"id", $"message"))
+      .as[String].head()
+    assert(out ==
+      """{"authorName":"Kapacitor","text":"kapacitor/cpu/serverA is CRITICAL",""" +
+      """"title":"kapacitor/cpu/serverA"}""")
+  }
+
 }
