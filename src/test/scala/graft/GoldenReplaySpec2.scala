@@ -952,4 +952,61 @@ class GoldenReplaySpec2 extends SparkSpec {
       Seq((0L, 3, 0L), (20L, 3, 20L), (38L, 0, 38L)))
   }
 
+
+  // ---- InfluxQL missing-field semantics (streamer_test.go:126-167)
+
+  test("TestStream_InfluxQLNodeMissingValue_Stream golden: agg skips absent-field points") {
+    // mean('is_missing_value') sees exactly one point carrying the field
+    val pts = srplRebased("TestStream_InfluxQLNodeMissingValue")
+      .filter(col("measurement") === "packets")
+      .select(col("time"), expr("fieldsFloat['is_missing_value']").as("v"))
+      .filter(col("v").isNotNull)
+    val got = pts.agg(avg("v"), max(unix_timestamp(col("time"))))
+      .as[(Double, Long)].head()
+    assert(got == ((1011.0, 10L)))
+  }
+
+  test("TestStream_InfluxQLNodeMissingValue_Batch golden: derivative drops the field entirely") {
+    // derivative('value') drops points without `value` (including the one
+    // carrying is_missing_value), so the downstream mean sees nothing
+    val base = srplRebased("TestStream_InfluxQLNodeMissingValue")
+      .filter(col("measurement") === "packets")
+    val der = Pipe(base
+        .select(col("time"), expr("fieldsFloat['value']").as("value"),
+          expr("fieldsFloat['is_missing_value']").as("is_missing_value"))
+        .filter(col("value").isNotNull), "time", Nil)
+      .derivative("value").df
+    assert(der.filter(col("is_missing_value").isNotNull).count() == 0)
+  }
+
+  // ---- stream JoinOn fill variants (streamer_test.go:5631-5804) — the
+  // same per-host lock fan-out as the batch goldens, from the .srpl replay
+
+  private def joinOnFillStreamRows(fill: Pipe.JoinFill): Set[(String, Long, Double, Double)] = {
+    val base = srplRebased("TestStream_JoinOn_Fill")
+    def side(meas: String, cols: Seq[(String, String)], dims: Seq[String]) = Pipe(
+      base.filter(col("measurement") === meas)
+        .select(col("time") +: cols.map { case (src, as) => expr(src).as(as) }: _*),
+      "time", dims)
+    val disk = side("disk", Seq("tags['host']" -> "host", "tags['path']" -> "path",
+      "fieldsFloat['used_percent']" -> "used_percent"), Seq("host", "path"))
+    val maint = side("maintlock", Seq("tags['host']" -> "host",
+      "fieldsFloat['count']" -> "count"), Seq("host"))
+    disk.joinMulti("disk", Seq((maint, "maintlock")),
+        toleranceSeconds = 1, on = Seq("host"), fill = fill)
+      .withColumn("maintlock_count", coalesce(col("maintlock_count"), lit(0.0)))
+      .filter(col("disk_used_percent").isNotNull && col("jt_us") < 4000000L)
+      .select(col("path"), (col("jt_us") / 1000000L).cast("long"),
+        col("disk_used_percent"), col("maintlock_count"))
+      .as[(String, Long, Double, Double)].collect().toSet
+  }
+
+  test("TestStream_JoinOn_Fill_Num golden: stream replay matches the batch shape") {
+    assert(joinOnFillStreamRows(Pipe.FillValue(0.0)) == joinOnFillExpected)
+  }
+
+  test("TestStream_JoinOn_Fill_Null golden: null fill closed by default()") {
+    assert(joinOnFillStreamRows(Pipe.FillNull) == joinOnFillExpected)
+  }
+
 }

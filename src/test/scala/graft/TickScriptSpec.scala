@@ -743,4 +743,67 @@ class TickScriptSpec extends SparkSpec {
     assert(out.columns.contains("inhibits"))
   }
 
+
+  test("the reference TestStream_LambdaNow script compiles verbatim (now()/unixNano)") {
+    // streamer_test.go:11581-11627: ownerB's 2100 expiration is filtered
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('account')
+        |	|where(lambda: "expiration" < unixNano(now()))
+        |	|groupBy('owner')
+        |	|httpOut('TestStream_LambdaNow')
+        |""".stripMargin
+    val pts = srpl("TestStream_LambdaNow")
+      .filter(col("measurement") === "account")
+      .select(col("measurement"), col("time"), expr("tags['owner']").as("owner"),
+        expr("fieldsInt['expiration']").as("expiration"))
+    val out = TickScript.compile(script, pts)
+      .select("owner").as[String].collect().toSet
+    assert(out == Set("ownerA", "ownerC"))
+  }
+
+  test("the reference TestStream_EvalNow script compiles verbatim (year(now()))") {
+    // streamer_test.go:11629-11656
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('account')
+        |	|eval(lambda: year(now()))
+        |		.as('currentYear')
+        |	|httpOut('TestStream_EvalNow')
+        |""".stripMargin
+    val pts = srpl("TestStream_LambdaNow")
+      .filter(col("measurement") === "account")
+      .select(col("measurement"), col("time"), expr("tags['owner']").as("owner"),
+        expr("fieldsInt['expiration']").as("expiration"))
+    val out = TickScript.compile(script, pts).select("currentYear")
+      .as[Int].collect()
+    assert(out.nonEmpty && out.forall(_ == java.time.Year.now.getValue))
+  }
+
+  test("the reference TestStream_EvalRand script compiles verbatim (seeded rand)") {
+    // streamer_test.go:11658-11700. The reference reseeds its process mwc
+    // rng for determinism; our per-partition generator is deterministic
+    // too but a different stream — rand(0)/rand(1) are exact, the others
+    // bounded (documented deviation).
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('data')
+        |	|eval(lambda: rand(0), lambda: rand(20), lambda: rand(1), lambda: rand())
+        |		.as('rand0', 'rand20','rand1','rand')
+        |	|httpOut('TestStream_EvalRand')
+        |""".stripMargin
+    val pts = srpl("TestStream_EvalRand")
+      .filter(col("measurement") === "data")
+      .select(col("measurement"), col("time"), expr("tags['owner']").as("owner"),
+        expr("fieldsInt['value']").as("value"))
+    val r = TickScript.compile(script, pts)
+      .select("rand0", "rand20", "rand1", "rand").head
+    assert(r.getLong(0) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < 20L)
+    assert(r.getLong(3) >= 0L)
+  }
+
 }
