@@ -79,4 +79,49 @@ class MediaSpec extends SparkSpec {
     assert(feats.forall(f => f.feature.forall(v => v > 0.4f && v < 0.6f)))
   }
 
+
+  private def wavBytes(samples: Array[Short], rate: Float = 16000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio decodes real WAV bytes: rate, channels, frames, RMS slices") {
+    // first half silence, second half full-scale square wave
+    val n = 1600
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) 0.toShort
+      else (if (i % 2 == 0) 30000 else -30000).toShort)
+    val blob = Media.MediaBlob(5L, "audio", wavBytes(samples),
+      declared_width = 0, declared_height = 0, sample_rate = 16000, duration_ms = 100L)
+    val f = Media.decodeAudio(blob, featureDim = 4)
+    assert(f.width == 16000 && f.height == 1 && f.n_frames == n)
+    assert(f.feature.length == 4)
+    assert(f.feature(0) < 0.01f && f.feature(1) < 0.01f) // silent half
+    assert(f.feature(2) > 0.8f && f.feature(3) > 0.8f)   // loud half
+  }
+
+  test("decodeReal dispatches by kind; audio junk falls back to the stub") {
+    def flat(f: Media.MediaFeatures) =
+      (f.media_id, f.kind, f.width, f.height, f.n_frames, f.feature.toSeq)
+    val junk = Media.MediaBlob(6L, "audio", Array[Byte](9, 9, 9),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(flat(Media.decodeReal(junk)) == flat(Media.decodeStub(junk)))
+    val img = Media.MediaBlob(7L, "image", pngBytes(6, 6, 0xFFFFFF),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(Media.decodeReal(img).width == 6)
+    val vid = Media.MediaBlob(8L, "video", Array[Byte](1),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(flat(Media.decodeReal(vid)) == flat(Media.decodeStub(vid)))
+  }
+
 }
