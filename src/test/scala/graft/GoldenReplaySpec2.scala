@@ -1009,4 +1009,121 @@ class GoldenReplaySpec2 extends SparkSpec {
     assert(joinOnFillStreamRows(Pipe.FillNull) == joinOnFillExpected)
   }
 
+
+  // ---- derivative prop variants over the batch fixtures
+  // (batcher_test.go:245-430)
+
+  test("TestBatch_DerivativeAs golden: named rate rides beside the original") {
+    val b = brplRebased("TestBatch_Derivative.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx"))
+      .derivative("value", as = "derivative").df
+      .orderBy("time")
+      .select(unix_timestamp(col("time")), col("derivative"), col("value"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((2L, 0.5, 1001.0), (4L, 0.5, 1002.0),
+      (6L, 0.5, 1003.0), (8L, 1.0, 1005.0)))
+  }
+
+  test("TestBatch_DerivativeUnit golden: 2s unit doubles the per-second rate") {
+    val b = brplRebased("TestBatch_Derivative.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx"))
+      .derivative("value", unitSeconds = 2.0).df
+      .orderBy("time").select(unix_timestamp(col("time")), col("derivative"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 1.0, 4L -> 1.0, 6L -> 1.0, 8L -> 2.0))
+  }
+
+  test("TestBatch_DerivativeN golden: the negative rate is emitted without nonNegative") {
+    val b = brplRebased("TestBatch_DerivativeNN.0")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+    val out = Pipe(b, "time", Seq("batch_idx")).derivative("value").df
+      .orderBy("time").select(unix_timestamp(col("time")), col("derivative"))
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq(2L -> 0.5, 4L -> 0.5, 6L -> -501.0, 8L -> 0.5))
+  }
+
+  test("TestBatch_GroupBy_TimeOffset golden: offset bucket grid shifts the windows") {
+    // batcher_test.go:868-921: groupBy(time(2s, 1s)) — buckets are
+    // floor((t-1)/2)*2+1; counts per (cpu, offset-bucket) then the 20s
+    // window sums the per-batch counts → 10 per cpu at emit 28
+    val b = brplRebased("TestBatch_SimpleMR.0")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+      .filter(col("mean").isNotNull)
+      .withColumn("obucket",
+        (floor((unix_timestamp(col("time")) - 1) / 2) * 2 + 1).cast("long"))
+    // every point lands in exactly one offset bucket; counting per batch
+    // still totals the batch's points
+    val counts = b.groupBy("cpu", "batch_idx")
+      .agg(count(lit(1)).as("count"), max("time").as("time"))
+    val w = WindowFSM.windowByTime(
+      counts.select(col("cpu"), col("time"), col("count")), "time", Seq("cpu"), 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 28000000L)
+    val sums = w.filter(col("wemit_us") === lastEmit)
+      .groupBy("cpu").agg(sum("count").as("sum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("cpu-total" -> 10L, "cpu0" -> 10L, "cpu1" -> 10L))
+    // and the offset grid itself: buckets are odd-numbered starts
+    assert(b.select(pmod(col("obucket"), lit(2)).cast("int")).distinct()
+      .as[Int].collect().toSeq == Seq(1))
+  }
+
+  // ---- count-window edge cases (streamer_test.go:1005-1230)
+
+  test("TestStream_Window_Count_Every_1 golden: per-point emission of the last-3 window") {
+    // periodCount(3).everyCount(1) |count — running count saturating at 3
+    val pts = srplRebased("TestStream_Window")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+      .limit(10)
+    val p = Pipe(pts, "time", Nil)
+    val (framed, spec) = p.windowCount(3)
+    val out = framed.withColumn("count", count(lit(1)).over(spec))
+      .orderBy("__rn").select("count").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L, 3L, 3L, 3L, 3L, 3L, 3L, 3L))
+  }
+
+  test("TestStream_Window_Every_0 golden: every=0 emits the period window per point") {
+    // window(10s, every=0s) |count — each point emits the window ending at
+    // it: counts 1..10 across the first 10 seconds
+    val pts = srplRebased("TestStream_Window")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val p = Pipe(pts.filter(unix_timestamp(col("time")) < 10), "time", Nil)
+      .windowPerPoint(10, "value")
+    val out = p.df.orderBy("time").select("w_cnt").as[Long].collect().toSeq
+    assert(out == (1L to 10L))
+  }
+
+  test("TestBatch_Where_NoSideEffect golden: a sibling where cannot mutate the source") {
+    // batcher_test.go:670-763: an unused `data |where(FALSE)` branch must
+    // not affect `data`'s own rows — DataFrame immutability IS the
+    // reference's copy-on-write contract, pinned here end-to-end
+    val b = brplRebased("TestBatch_SimpleMR.0")
+      .filter(expr("tags['cpu']") === "cpu-total")
+      .select(col("batch_idx"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+      .filter(col("mean").isNotNull)
+    val data = Pipe(b, "time", Seq("batch_idx")).where(col("mean") > 85)
+    val unused = data.where(lit(false))
+    assert(unused.df.count() == 0)
+    val lastIdx = b.agg(max("batch_idx")).head.getInt(0)
+    val rows = data.df.filter(col("batch_idx") === lastIdx)
+      .orderBy("time").select(unix_timestamp(col("time")), col("mean"))
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      20L -> 91.06416290101595, 22L -> 85.9694442394385,
+      24L -> 90.62985736134186, 26L -> 86.45443196005628,
+      28L -> 88.97243107764031))
+  }
+
 }

@@ -806,4 +806,125 @@ class TickScriptSpec extends SparkSpec {
     assert(r.getLong(3) >= 0L)
   }
 
+
+  test("the reference TestStream_ShiftBatch script compiles verbatim (windowed shift join)") {
+    // streamer_test.go:2501-2552: past windows shifted forward join the
+    // current ones; diff of counts at t=10 is 5-4=1
+    val script =
+      """var period  = 5s
+        |
+        |var data  = stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |
+        |var past = data
+        |	|window()
+        |		.period(period)
+        |		.every(period)
+        |		.align()
+        |	|shift(period)
+        |	|count('value')
+        |
+        |var current = data
+        |	|window()
+        |		.period(period)
+        |		.every(period)
+        |		.align()
+        |	|count('value')
+        |
+        |past
+        |	|join(current)
+        |		.as('past', 'current')
+        |	|eval(lambda: "current.count" - "past.count")
+        |		.keep()
+        |		.as('diff')
+        |	|httpOut('TestStream_Shift')
+        |""".stripMargin
+    val pts = srpl("TestStream_Shift")
+      .filter(col("measurement") === "cpu")
+      .select(col("measurement"), col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    // our tumbling buckets are START-labeled; the reference emits the same
+    // window END-labeled (its t=10 row IS this bucket_s=5 one)
+    val out = TickScript.compile(script, pts)
+      .filter(col("bucket_s") === 5)
+      .select(col("`current.count`"), col("diff"), col("`past.count`"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((5L, 1L, 4L)))
+  }
+
+  test("the reference TestStream_ShiftBatchNegative script compiles verbatim") {
+    // streamer_test.go:2605-2660: current shifted BACK joins the past
+    // window; same diff at t=5
+    val script =
+      """var period  = 5s
+        |
+        |var data  = stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |
+        |var past = data
+        |	|window()
+        |		.period(period)
+        |		.every(period)
+        |		.align()
+        |	|count('value')
+        |
+        |var current = data
+        |	|window()
+        |		.period(period)
+        |		.every(period)
+        |		.align()
+        |	|shift(-period)
+        |	|count('value')
+        |
+        |past
+        |	|join(current)
+        |		.as('past', 'current')
+        |	|eval(lambda: "current.count" - "past.count")
+        |		.keep()
+        |		.as('diff')
+        |	|httpOut('TestStream_Shift')
+        |""".stripMargin
+    val pts = srpl("TestStream_Shift")
+      .filter(col("measurement") === "cpu")
+      .select(col("measurement"), col("time"), expr("tags['host']").as("host"),
+        expr("fieldsFloat['value']").as("value"))
+    // START-labeled buckets again: the reference's t=5 row is bucket_s=0
+    val out = TickScript.compile(script, pts)
+      .filter(col("bucket_s") === 0)
+      .select(col("`current.count`"), col("diff"), col("`past.count`"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((5L, 1L, 4L)))
+  }
+
+  test("the reference VarWhereString/VarWhereRegex scripts compile verbatim") {
+    // streamer_test.go:4147-4209: a script var (string and /regex/ literal)
+    // referenced inside the where lambda
+    def run(header: String, cmp: String): Long = {
+      val script =
+        s"""$header
+           |stream
+           |	|from()
+           |		.measurement('cpu')
+           |		.where(lambda: "host" $cmp )
+           |	|window()
+           |		.period(10s)
+           |		.every(10s)
+           |	|count('value')
+           |	|httpOut('TestStream_SimpleMR')
+           |""".stripMargin
+      val pts = srpl("TestStream_SimpleMR")
+        .filter(col("measurement") === "cpu")
+        .select(col("measurement"), col("time"), expr("tags['host']").as("host"),
+          expr("fieldsFloat['value']").as("value"))
+      TickScript.compile(script, pts)
+        .filter(col("bucket_s") === 0).select("count").as[Long].head()
+    }
+    assert(run("var serverStr = 'serverA'", "== serverStr") == 10L)
+    assert(run("var serverPattern = /^serverA$/", "=~ serverPattern") == 10L)
+  }
+
 }
