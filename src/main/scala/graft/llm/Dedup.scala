@@ -39,7 +39,7 @@ object Dedup {
     * set, computed by the fused native expression
     * (graft.expressions.ShingleHashes) — one JVM pass per document instead
     * of the interpreted tokens→shingles→md5→distinct HOF chain. */
-  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private[graft] def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // register on the frame's own session — resolution happens there, and
     // the caller's thread-local active session is not guaranteed to match
     val fn = graft.expressions.ShingleHashes.register(docs.sparkSession, n)
