@@ -1126,4 +1126,79 @@ class GoldenReplaySpec2 extends SparkSpec {
       28L -> 88.97243107764031))
   }
 
+
+  // ---- batch alert emission shape (batcher_test.go:1263-1575): the WHOLE
+  // batch re-emits with the batch's level stamped per point; level = highest
+  // point level (lowest with .all()), event time = first highest point (TMax
+  // when OK), duration measured from the run's first non-OK batch event.
+
+  private def simpleMrAlertPoints = {
+    val b = brplRebased("TestBatch_SimpleMR.0")
+      .filter(expr("tags['cpu']") =!= "cpu-total")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+      .filter(col("mean").isNotNull)
+    b.withColumn("batch_us", max(unix_micros(col("time")))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("cpu", "batch_idx")))
+  }
+
+  /** Batch alert events for crit=`mean > thr`; returns (cpu, eventTimeS,
+    * level, durationS) per emitted batch event. */
+  private def batchAlertEvents(pts: org.apache.spark.sql.DataFrame,
+      thr: Double, all: Boolean) = {
+    import graft.streaming.AlertStream
+    val lvl = AlertStream.levelColumn(lit(false), lit(false), col("mean") > thr)
+    val batches = AlertStream.batchLevels(
+      pts, groupCol = col("cpu"), batchTimeUs = col("batch_us"),
+      pointTimeUs = unix_micros(col("time")), idTiebreak = lit(0L),
+      level = lvl, all = all)
+    AlertStream.runBatchLevels(
+      batches.select(col("group"), col("time_us").as("timeUs"), col("level"))
+        .as[AlertStream.LevelPoint],
+      AlertStream.AlertConfig())
+      .collect().toSeq
+      .map(e => (e.group, e.timeUs / 1000000L, e.level, e.durationUs / 1000000L))
+  }
+
+  test("TestBatch_AlertLevelField/Tag/Duration/Message golden: last batch re-emits stamped") {
+    val pts = simpleMrAlertPoints
+    val events = batchAlertEvents(pts, 95.0, all = false)
+    // the cpu1 run: CRIT from its first >95 point, still CRIT at the last
+    // batch's event (t=20, duration 14s — reference er values)
+    val last = events.filter(e => e._1 == "cpu1").maxBy(_._2)
+    assert(last == (("cpu1", 20L, 3, 14L)))
+    // per-point emission: the event's batch re-emits, each point stamped
+    // with the batch level, default id Name:Group, rendered message
+    val lastBatch = pts.filter(col("cpu") === "cpu1" && col("batch_us") === 28000000L)
+      .withColumn("level", lit("CRITICAL"))
+      .withColumn("id", concat(lit("cpu_usage_idle:cpu="), col("cpu")))
+      .withColumn("msg", concat(col("id"), lit(" is "), col("level")))
+      .withColumn("duration", lit(last._4 * 1000000000L).cast("double"))
+      .orderBy("time")
+      .select(unix_timestamp(col("time")), col("id"), col("level"),
+        col("duration"), col("msg"), col("mean"))
+      .as[(Long, String, String, Double, String, Double)].collect().toSeq
+    assert(lastBatch.map(r => (r._1, r._6)) == Seq(
+      20L -> 96.49999999996908, 22L -> 93.46464646468584,
+      24L -> 95.00950095007724, 26L -> 92.99999999998636,
+      28L -> 90.99999999998545))
+    assert(lastBatch.forall(r => r._2 == "cpu_usage_idle:cpu=cpu1" &&
+      r._3 == "CRITICAL" && r._4 == 14e9 &&
+      r._5 == "cpu_usage_idle:cpu=cpu1 is CRITICAL"))
+    // cpu0 never crosses 95 → stays OK → no emitted events
+    assert(!events.exists(_._1 == "cpu0"))
+  }
+
+  test("TestBatch_AlertAll golden: .all() requires every point over the line") {
+    val pts = simpleMrAlertPoints
+    // crit > 92 with all(): cpu1's last batch has a 91.0 → not all → OK,
+    // and OK-without-change never emits (the reference's empty er)
+    assert(batchAlertEvents(pts, 92.0, all = true).isEmpty)
+    // crit > 90 with all(): every cpu1 last-batch point is over → CRIT at
+    // the batch time (all() stamps the batch time, not the highest point)
+    val ev = batchAlertEvents(pts, 90.0, all = true)
+    val cpu1 = ev.filter(_._1 == "cpu1").maxBy(_._2)
+    assert(cpu1._2 == 28L && cpu1._3 == 3)
+  }
+
 }
