@@ -927,4 +927,58 @@ class TickScriptSpec extends SparkSpec {
     assert(run("var serverPattern = /^serverA$/", "=~ serverPattern") == 10L)
   }
 
+
+  test("the reference TestStream_JoinOnGap script compiles verbatim (dims gap join)") {
+    // streamer_test.go:5370-5470: per-(dc,service,rack) sums join the
+    // global per-service sums on('service'); the finer tags ride through
+    val script =
+      """var errorsByServiceDCRack = stream
+        |	|from()
+        |		.measurement('errors')
+        |		.groupBy('dc', 'service', 'rack')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |		.align()
+        |	|sum('value')
+        |
+        |var errorsByServiceGlobal = stream
+        |	|from()
+        |		.measurement('errors')
+        |		.groupBy('service')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |		.align()
+        |	|sum('value')
+        |
+        |errorsByServiceGlobal
+        |	|join(errorsByServiceDCRack)
+        |		.as('service', 'loc')
+        |		.on('service')
+        |		.streamName('loc_error_percent')
+        |	|eval(lambda: "loc.sum" / "service.sum")
+        |		.keep()
+        |		.as('value')
+        |	|httpOut('TestStream_JoinOn')
+        |""".stripMargin
+    val pts = srpl("TestStream_JoinOn")
+      .filter(col("measurement") === "errors")
+      .select(col("measurement"), col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"), expr("tags['rack']").as("rack"),
+        expr("fieldsFloat['value']").as("value"))
+    val out = TickScript.compile(script, pts)
+      .filter(col("bucket_s") === 0 && col("service") === "cartA")
+      .orderBy("dc", "rack")
+      .select(col("dc"), col("rack"), col("`loc.sum`"), col("`service.sum`"),
+        col("value"))
+      .as[(String, String, Double, Double, Double)].collect().toSeq
+    // reference er pins (dc=A, rack=0): 10/47 at the [0,10) window
+    assert(out.nonEmpty)
+    val a0 = out.find(r => r._1 == "A" && r._2 == "0").get
+    assert(a0 == (("A", "0", 10.0, 47.0, 10.0 / 47.0)))
+    // every row shares the same global denominator
+    assert(out.forall(_._4 == 47.0))
+  }
+
 }
