@@ -131,4 +131,53 @@ object Sinks {
     payloads.select(mimeCol).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) => it.foreach(r => send(r.getString(0)))
     }
+
+  /** httppost RowTemplate rendering (reference services/httppost
+    * Endpoint.RowTemplate, integration-pinned by
+    * TestStream_HttpPostEndpoint_CustomBody): a Go template over one row —
+    * `{{.Name}}`, `{{index .Tags "k"}}`, and a `{{range .Values}}…{{end}}`
+    * block whose body may reference `{{index . "time"}}` (Go time.String
+    * format) and `{{index . "<field>"}}`. A streaming point renders its
+    * range over exactly one value row, so the whole template compiles to a
+    * single codegen'd concat — no per-row template interpreter. */
+  def rowTemplate(
+      template: String,
+      name: Column,
+      tags: Map[String, Column],
+      timeCol: Column,
+      fields: Map[String, Column]): Column = {
+    val goTime = date_format(timeCol, "yyyy-MM-dd HH:mm:ss '+0000 UTC'")
+    val rangeRe = """(?s)\{\{\s*range \.Values\s*\}\}(.*?)\{\{\s*end\s*\}\}""".r
+    def compilePart(part: String): Seq[Column] = {
+      val actionRe = """\{\{\s*(?:\.(\w+)|index \.Tags "([^"]+)"|index \. "([^"]+)")\s*\}\}""".r
+      val out = Seq.newBuilder[Column]
+      var pos = 0
+      actionRe.findAllMatchIn(part).foreach { m =>
+        if (m.start > pos) out += lit(part.substring(pos, m.start))
+        if (m.group(1) != null) m.group(1) match {
+          case "Name" => out += name
+          case other  => out += lit("") // unsupported scope var
+        }
+        else if (m.group(2) != null)
+          out += coalesce(tags.getOrElse(m.group(2), lit(null)).cast("string"), lit(""))
+        else m.group(3) match {
+          case "time" => out += goTime
+          case f      => out += coalesce(fields.getOrElse(f, lit(null)).cast("string"), lit(""))
+        }
+        pos = m.end
+      }
+      if (pos < part.length) out += lit(part.substring(pos))
+      out.result()
+    }
+    val parts = Seq.newBuilder[Column]
+    var pos = 0
+    rangeRe.findAllMatchIn(template).foreach { m =>
+      parts ++= compilePart(template.substring(pos, m.start))
+      parts ++= compilePart(m.group(1)) // one value row per streamed point
+      pos = m.end
+    }
+    if (pos < template.length) parts ++= compilePart(template.substring(pos))
+    val ps = parts.result()
+    if (ps.isEmpty) lit("") else concat(ps: _*)
+  }
 }

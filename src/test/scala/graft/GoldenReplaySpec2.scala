@@ -1201,4 +1201,25 @@ class GoldenReplaySpec2 extends SparkSpec {
     assert(cpu1._2 == 28L && cpu1._3 == 3)
   }
 
+
+  test("TestStream_HttpPostEndpoint_CustomBody golden: row template bytes match") {
+    // streamer_test.go:3694-3772: the endpoint RowTemplate renders one
+    // line per streamed point; first point of the fixture pins the bytes
+    val pts = srplRebased("TestStream_HttpPost")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("measurement"), col("time"), col("tags"),
+        expr("fieldsFloat['value']").as("value"))
+    val tpl = """{{.Name}} host={{index .Tags "host"}} type={{index .Tags "type"}}{{range .Values}} {{index . "time"}} {{index . "value"}}{{end}}"""
+    val rendered = pts.withColumn("body", graft.sources.Sinks.rowTemplate(
+        tpl, col("measurement"),
+        Map("host" -> expr("tags['host']"), "type" -> expr("tags['type']")),
+        col("time"), Map("value" -> col("value"))))
+      .orderBy("time").select("body").as[String].collect().toSeq
+    assert(rendered.head ==
+      "cpu host=serverA type=idle 1971-01-01 00:00:00 +0000 UTC 97.1"
+        .replace("1971-01-01", "1970-01-01")) // replay rebased to epoch
+    assert(rendered(1).endsWith("00:00:01 +0000 UTC 92.6"))
+    assert(rendered(2).endsWith("00:00:02 +0000 UTC 95.6"))
+  }
+
 }
