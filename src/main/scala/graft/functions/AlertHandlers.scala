@@ -372,11 +372,13 @@ object AlertHandlers {
       urlTitle: String = "", sound: String = ""): Column = {
     val priority = when(level === "OK", -2).when(level === "INFO", -1)
       .when(level === "WARNING", 0).when(level === "CRITICAL", 1).otherwise(0)
-    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-    val encMsg = regexp_replace(
-      // minimal x-www-form-urlencoded escaping for the message column;
-      // static params are encoded driver-side
-      regexp_replace(regexp_replace(message, "%", "%25"), " ", "+"), "/", "%2F")
+    def enc(v: String) =
+      java.net.URLEncoder.encode(v, "UTF-8").replace("*", "%2A").replace("%7E", "~")
+    // full x-www-form-urlencoded escaping of the message column; url_encode
+    // is URLEncoder semantics, fixed up on the two bytes where Go's
+    // url.QueryEscape disagrees ('*' encoded, '~' kept)
+    val encMsg =
+      regexp_replace(regexp_replace(url_encode(message), "\\*", "%2A"), "%7E", "~")
     concat(
       lit(if (device.nonEmpty) s"device=${enc(device)}&" else ""),
       lit("message="), encMsg,

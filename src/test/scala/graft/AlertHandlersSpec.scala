@@ -253,6 +253,16 @@ class AlertHandlersSpec extends SparkSpec {
       "&url_title=myurltitle&user=user")
   }
 
+  test("pushover percent-encodes reserved bytes like Go url.Values.Encode") {
+    // services/pushover/service.go body is url.Values.Encode output: '&',
+    // '=', '+', '%' in the message must be percent-encoded (space → '+',
+    // '*' → %2A, '~' kept — Go QueryEscape byte set)
+    val out = critRow.select(AlertHandlers.pushover(
+      "tok", "user", lit("a&b=c+d%e ~f*g/h"), $"level")).as[String].head()
+    assert(out ==
+      "message=a%26b%3Dc%2Bd%25e+~f%2Ag%2Fh&priority=1&token=tok&user=user")
+  }
+
   test("hipchat payload matches TestStream_AlertHipChat") {
     val out = critRow.select(AlertHandlers.hipchat($"message", $"level"))
       .as[String].head()

@@ -981,4 +981,76 @@ class TickScriptSpec extends SparkSpec {
     assert(out.forall(_._4 == 47.0))
   }
 
+  test("victorOps maps OK-level events to message_type RECOVERY") {
+    // services/victorops/service.go:193-200: alert.OK → "RECOVERY"; every
+    // other level passes its name through
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.crit(lambda: "count" > 8.0)
+        |		.victorOps()
+        |			.routingKey('test_key')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val ok = out.filter($"level" === 0).head
+    assert(ok.getAs[String]("payload_victorOps").contains(""""message_type":"RECOVERY""""))
+    val crit = out.filter($"level" === 3).head
+    assert(crit.getAs[String]("payload_victorOps").contains(""""message_type":"CRITICAL""""))
+  }
+
+  test("default alert id is {{ .Name }}:{{ .Group }}; Group binds in templates") {
+    // pipeline/alert.go:18 (default id template) + alert.go:1349-1357 (the
+    // nil group renders "nil"; a grouped stream renders sorted k=v pairs)
+    val grouped =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.crit(lambda: "count" > 8.0)
+        |""".stripMargin
+    val g = TickScript.compile(grouped, alertFixture)
+      .filter($"host" === "serverA").head
+    assert(g.getAs[String]("id") == "cpu:host=serverA")
+    val ungrouped = grouped.replace("\t\t.groupBy('host')\n", "")
+    val u = TickScript.compile(ungrouped, alertFixture).head
+    assert(u.getAs[String]("id") == "cpu:nil")
+    val explicit = grouped.replace(".crit(",
+      ".id('{{ .Group }}@{{ .Name }}')\n\t\t.crit(")
+    val e = TickScript.compile(explicit, alertFixture)
+      .filter($"host" === "serverA").head
+    assert(e.getAs[String]("id") == "host=serverA@cpu")
+  }
+
+  test("regex literals lex through backslash-escaped slashes") {
+    // tick/ast/lex.go regex scanning honors \/ — the pattern /a\/b/ is one
+    // literal matching "a/b", not a truncated /a\/
+    val toks = TickScript.lex("""var p = /^serverA\/disk[0-9]+$/""")
+    assert(toks.contains(TickScript.TStr("^serverA/disk[0-9]+$")))
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" =~ /^server[AB]\/?$/)
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    assert(out.count() > 0) // serverA matches the optional-slash pattern
+  }
+
 }
