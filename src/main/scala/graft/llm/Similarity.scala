@@ -83,11 +83,11 @@ object Similarity {
     *
     * `centroids` is the coarse quantizer — (cid, cvec) rows, normally
     * k-means output; any deterministic seeding works and the oracle entry
-    * seeds with the first-nlist vectors. Scale shape: centroids broadcast
-    * (a model object, O(nlist·dim)); assignment is a map-side broadcast
-    * join + partial `max_by` per vector (one hash-agg keyed by the vector
-    * id, no explode-rank, no collect); the probe join is an equi-join on
-    * cid whose right side shrank to ~|corpus|/nlist·nprobe. */
+    * seeds with the first-nlist vectors. Scale shape: the centroid model
+    * (O(nlist·dim)) is a task literal; assignment is a shuffle-free
+    * per-row argmax fold ([[assignToCenters]] — no join, no agg); the
+    * probe join is an equi-join on cid whose right side shrank to
+    * ~|corpus|/nlist·nprobe. */
   def knnIvf(
       emb: DataFrame,
       idCol: String,
@@ -98,14 +98,17 @@ object Similarity {
       nprobe: Int = 2): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // the coarse quantizer is a model object (O(nlist·dim)) — pull it to
+    // the driver once and ride it into every task as a literal, so
+    // assignment is a per-row argmax with NO join and NO shuffle (the
+    // former broadcast-fanout + groupBy(vid) reshuffled the whole corpus)
+    val model = collectCenters(centroids)
     val cents = centroids.select(col("cid"), col("cvec"), norm(col("cvec")).as("cnrm"))
     val sim = round(cosineWithNorms(col("v"), col("cvec"), col("nrm"), col("cnrm")), 6)
-    // assignment: best centroid per vector — max_by over the broadcast fan-out
-    val assigned = n.join(broadcast(cents))
-      .groupBy("vid")
-      .agg(max_by(col("cid"), struct(sim.as("s"), (-col("cid")).as("t"))).as("cid"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-    // probes: nprobe best centroids per query vector
+    val assigned = assignToCenters(n, model, prec = 6)
+      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+    // probes: nprobe best centroids per query vector (query side is small —
+    // the window over the broadcast fan-out shuffles only queries×nlist rows)
     val probes = n.filter(queryPred).join(broadcast(cents))
       .withColumn("prk", row_number().over(
         Window.partitionBy(col("vid")).orderBy(sim.desc, col("cid"))))
@@ -118,6 +121,44 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid"))).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /** Driver-side centers model from a (cid, cvec) DataFrame: (cid, vector,
+    * norm) sorted by cid ascending. The norm is the same left-to-right
+    * double fold [[norm]] computes, so literal-side and column-side
+    * arithmetic agree bit-for-bit. */
+  private[graft] def collectCenters(centroids: DataFrame): Seq[(Int, Array[Double], Double)] =
+    centroids.select(col("cid").cast("int"), col("cvec").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        (r.getInt(0), v, math.sqrt(v.map(x => x * x).sum))
+      }.toSeq.sortBy(_._1)
+
+  /** Nearest-center assignment as a pure per-row expression: a left fold
+    * over the literal centers array — argmax of rounded cosine, first
+    * (lowest-cid) winner on ties, matching `max_by(cid, (sim, -cid))`.
+    * ZERO shuffle: no join, no aggregation — the centers are a literal in
+    * the task binary, each row computes its own argmax. At 100 TB this is
+    * the difference between a free map pass and reshuffling the corpus
+    * once per call (×11 passes in the trainer). Input df needs (vid, v,
+    * nrm); output adds (cid, cos). */
+  private[graft] def assignToCenters(
+      df: DataFrame, centers: Seq[(Int, Array[Double], Double)], prec: Int): DataFrame = {
+    val centersLit = typedlit(centers)
+    val best = aggregate(
+      centersLit,
+      struct(lit(-1).as("cid"), lit(Double.NegativeInfinity).as("cos")),
+      (acc, ct) => {
+        val sim = round(
+          dot(col("v"), ct.getField("_2")) / (col("nrm") * ct.getField("_3")), prec)
+        when(sim > acc.getField("cos"),
+          struct(ct.getField("_1").as("cid"), sim.as("cos"))).otherwise(acc)
+      })
+    df.withColumn("best", best)
+      .withColumn("cid", col("best.cid"))
+      .withColumn("cos", col("best.cos"))
+      .drop("best")
   }
 
   // ------------------------------------------------------------ LSH ANN
@@ -242,17 +283,17 @@ object Similarity {
     * seeds.
     *
     * Scale shape (the 100 TB audit):
-    *  - the corpus is touched only through broadcast-join passes — centers
-    *    are a model object (O(k·dim)), never a shuffle key;
-    *  - each oversampling round is one pass: best-cosine via the codegen'd
-    *    dot product + `max_by`, threshold sampling on a deterministic
-    *    xxhash64 uniform (no `rand()`, so retries/speculation can't skew
-    *    the sample);
+    *  - assignment is SHUFFLE-FREE: centers ride into every task as a
+    *    literal and each row folds its own argmax ([[assignToCenters]]) —
+    *    no join, no aggregation, the corpus never moves;
+    *  - each oversampling round is one map pass + threshold sampling on a
+    *    deterministic xxhash64 uniform (no `rand()`, so retries/
+    *    speculation can't skew the sample);
     *  - the candidate set (≤ 1 + rounds·oversample points) collapses to k
     *    on the driver with weighted k-means++ — the same
     *    collect-the-tiny-side trade as a broadcast join's build side;
-    *  - each Lloyd iteration is assignment (broadcast + `max_by`) followed
-    *    by a per-(cid, dimension) partial-aggregated sum: `posexplode`
+    *  - each Lloyd iteration is the map-pass assignment followed by a
+    *    per-(cid, dimension) partial-aggregated sum: `posexplode`
     *    multiplies ROWS only before the map-side combine — the shuffle
     *    carries k·dim partial sums per partition, not data;
     *  - empty clusters keep their previous center.
@@ -289,22 +330,14 @@ object Similarity {
       if (callerPersisted) n
       else n.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def centsDf(cs: Seq[Array[Double]]): DataFrame =
-      broadcast(cs.zipWithIndex
-        .map { case (v, i) => (i, v, math.sqrt(v.map(x => x * x).sum)) }
-        .toDF("cid", "cvec", "cnrm"))
-    /** Per point: (vid, v, nrm, cid of best center, its cosine). */
-    def assign(cs: Seq[Array[Double]]): DataFrame = {
-      val sim = round(cosineWithNorms(col("v"), col("cvec"), col("nrm"), col("cnrm")), 9)
-      cached.join(centsDf(cs))
-        .groupBy("vid")
-        .agg(
-          max_by(struct(col("cid"), sim.as("cos")),
-            struct(sim.as("s"), (-col("cid")).as("t"))).as("best"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vid"), col("v"), col("nrm"),
-          col("best.cid").as("cid"), col("best.cos").as("cos"))
-    }
+    /** Per point: (vid, v, nrm, cid of best center, its cosine) — the
+      * shuffle-free literal-fold assignment (see [[assignToCenters]]). */
+    def assign(cs: Seq[Array[Double]]): DataFrame =
+      assignToCenters(
+        cached,
+        cs.zipWithIndex.map { case (v, i) =>
+          (i, v, math.sqrt(v.map(x => x * x).sum)) },
+        prec = 9)
 
     // ---- k-means|| oversampling: first center = min-hash point, then
     // `rounds` passes sampling each point with prob ~ ell * d^2 / sum(d^2)

@@ -71,6 +71,26 @@ class KMeansSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 $mean")
   }
 
+  test("centroid assignment is shuffle-free (no Exchange in the plan)") {
+    // the literal-fold argmax (Similarity.assignToCenters) must not join
+    // or aggregate — at 100 TB an exchange here reshuffles the corpus once
+    // per trainer pass (×11) — so the physical plan is exchange-free
+    val (centers, df) = planted
+    val n = df.select(col("vec_id").cast("string").as("vid"),
+        col("embedding").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val model = centers.zipWithIndex.map { case (v, i) =>
+      (i, v, math.sqrt(v.map(x => x * x).sum)) }.toSeq
+    val assigned = Similarity.assignToCenters(n, model, prec = 9)
+    val physical = assigned.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), physical)
+    // and it still computes the right answer
+    val byCluster = assigned
+      .withColumn("planted", (col("vid").cast("long") / nPerCluster).cast("int"))
+      .filter(col("cid") =!= col("planted")).count()
+    assert(byCluster == 0)
+  }
+
   test("training is deterministic for a fixed seed") {
     val (_, df) = planted
     def run() = Similarity.kmeansTrain(df, "vec_id", "embedding", k = 4,
