@@ -19,7 +19,7 @@ object Bench {
     // optional dev mode: `runMain graft.Bench q1 q2 ... [repeat=N]` times just
     // those queries N times each (isolated regression hunting); the driver's
     // no-arg invocation is unchanged
-    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(2)
+    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(3)
     val names = args.filterNot(_.startsWith("repeat="))
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (names.isEmpty) SparkEntry.queries.toSeq
@@ -59,10 +59,15 @@ object Bench {
         samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
       }
     }
+    // discard-first-then-min: the first post-GC run pays cold input I/O +
+    // JIT re-warm (r8 recorded q_join_fill 0.92 s vs 0.55 s steady-state
+    // because repeat=2's min kept much of it); with ≥3 samples the min of
+    // the warm tail is the operator's steady state
     val results = selected.map { case (name, _) =>
       val times = samples.getOrElse(name, Nil).reverse
       if (repeat > 1) System.err.println(s"[bench] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      val steady = if (times.length >= 3) times.tail else times
+      name -> (if (steady.nonEmpty) steady.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
