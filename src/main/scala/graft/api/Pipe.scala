@@ -663,7 +663,8 @@ final case class Pipe(
       others: Seq[(Pipe, String)],
       toleranceSeconds: Long = 0L,
       on: Seq[String] = Nil,
-      fill: Pipe.JoinFill = Pipe.FillNone): DataFrame = {
+      fill: Pipe.JoinFill = Pipe.FillNone,
+      delimiter: String = "_"): DataFrame = {
     val sides = (this, thisName) +: others
     // tolerance 0 keys on the raw time VALUE (not a derived epoch): when a
     // side was just aggregated on its time column, the join key is then the
@@ -677,9 +678,11 @@ final case class Pipe(
       val extraDims = p.dims.filterNot(on.contains)
       val dataCols = p.df.columns
         .filterNot(c => on.contains(c) || extraDims.contains(c) || c == p.timeCol)
+      // .delimiter(d) (pipeline/join.go StreamNameFlag/Delimiter; default
+      // "."): the rendered field prefix separator — '' concatenates
       p.df.select(
         (jt.as("__jtk") +: (on ++ extraDims).map(col)) ++
-          dataCols.map(c => col(c).as(s"${nm}_$c")): _*)
+          dataCols.map(c => col(c).as(s"$nm$delimiter$c")): _*)
     }
     val how = fill match { case Pipe.FillNone => "inner"; case _ => "full_outer" }
     val joined0 = sides.map { case (p, nm) => keyed(p, nm) }

@@ -47,20 +47,25 @@ object WindowFSM {
       align: Boolean = false,
       fillPeriod: Boolean = false,
       idCol: Option[String] = None,
-      as: String = "wemit_us"): DataFrame = {
+      as: String = "wemit_us",
+      barrierCol: Option[String] = None,
+      orderCol: Option[String] = None): DataFrame = {
     require(everySeconds > 0, "every=0 is the per-point window (Pipe.windowPerPoint)")
     val periodUs = periodSeconds * 1000000L
     val everyUs = everySeconds * 1000000L
 
     val staged = df.withColumn("__us", unix_micros(col(timeCol)))
     val part = if (dims.isEmpty) staged.repartition(lit(0)) else staged.repartition(dims.map(col): _*)
-    val sortCols = dims.map(col) ++ Seq(col("__us")) ++ idCol.map(col)
+    // barrier inputs (Barrier.idle/periodic output) order by wall event
+    // time — a replayed point's data time can lag the barrier clock
+    val sortCols = dims.map(col) ++ orderCol.map(col).toSeq ++ Seq(col("__us")) ++ idCol.map(col)
     val sorted = part.sortWithinPartitions(sortCols: _*)
 
     val inSchema = sorted.schema
     val outSchema = inSchema.add(as, LongType)
     val usIdx = inSchema.fieldIndex("__us")
     val dimIdx = dims.map(inSchema.fieldIndex)
+    val barIdx = barrierCol.map(inSchema.fieldIndex)
 
     val out = sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null
@@ -69,6 +74,7 @@ object WindowFSM {
       it.flatMap { row =>
         val key = dimIdx.map(row.get)
         val tUs = row.getLong(usIdx)
+        val isBarrier = barIdx.exists(row.getBoolean)
         if (key != curKey) { // new group: reset FSM (edge/grouped.go lazy state)
           curKey = key
           buf.clear()
@@ -91,7 +97,9 @@ object WindowFSM {
             nextEmit = if (align) (tUs + everyUs) / everyUs * everyUs else tUs + everyUs
             batch
           } else Vector.empty
-        buf.append(row) // insert after emit (window.go:197-227)
+        // insert after emit (window.go:197-227); a barrier only triggers —
+        // it never joins the buffer (window.go Barrier path :149-181)
+        if (!isBarrier) buf.append(row)
         emitted
       }
     }(Encoders.row(outSchema))
