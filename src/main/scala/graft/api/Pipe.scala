@@ -72,7 +72,10 @@ final case class Pipe(
     * golden). List an evaluated name in `keepCols` to keep it. */
   def evalKeep(keepCols: Seq[String], exprs: (String, Column)*): Pipe = {
     val evaluated = eval(exprs: _*).df
-    val out = (Seq(timeCol) ++ dims ++ keepCols).distinct
+    // the row-id tiebreak column survives the projection (it is pipeline
+    // metadata, not a field — downstream selectors still need their order)
+    val out = (Seq(timeCol) ++ dims ++ idCol.toSeq ++ keepCols).distinct
+      .filter(evaluated.columns.contains)
     copy(df = evaluated.select(out.map(col): _*))
   }
 

@@ -60,7 +60,13 @@ object TickScript {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '/' && peek(1) == '/') { while (i < s.length && s.charAt(i) != '\n') i += 1 }
-      else if (c == '\'') {
+      else if (c == '\'' && peek(1) == '\'' && peek(2) == '\'') {
+        // triple-quoted string (tick/ast lex.go lexTripleString) — the
+        // examples' InfluxQL queries with embedded single quotes
+        val j = s.indexOf("'''", i + 3)
+        require(j > 0, s"unterminated triple-quoted string at $i")
+        out += TStr(s.substring(i + 3, j)); i = j + 3
+      } else if (c == '\'') {
         val j = s.indexOf('\'', i + 1)
         require(j > 0, s"unterminated string at $i")
         out += TStr(s.substring(i + 1, j)); i = j + 1
@@ -130,6 +136,26 @@ object TickScript {
     * compile time from the template/default scope. */
   case class EVar(name: String) extends Expr
 
+  /** Chaining-method names (nodes) — used to disambiguate the deprecated
+    * dot-chaining syntax from property calls. */
+  private val chainNodeNames: Set[String] = Set(
+    "from", "query", "window", "where", "eval", "groupBy", "default", "delete",
+    "shift", "sample", "flatten", "combine", "union", "join", "barrier",
+    "count", "sum", "mean", "median", "mode", "spread", "stddev", "distinct",
+    "first", "last", "min", "max", "percentile", "top", "bottom", "elapsed",
+    "difference", "movingAverage", "cumulativeSum", "holtWinters",
+    "holtWintersWithFit", "derivative", "changeDetect", "stateDuration",
+    "stateCount", "stats", "deadman", "sideload", "alert", "httpOut",
+    "httpPost", "influxDBOut", "kapacitorLoopback", "log", "noOp", "trickle")
+
+  /** Node properties whose names collide with chaining methods — on these
+    * nodes a dot call with this name stays a property. */
+  private val shadowedProps: Map[String, Set[String]] = Map(
+    "from" -> Set("where", "groupBy"),
+    "query" -> Set("groupBy"),
+    "alert" -> Set("log"),
+    "barrier" -> Set("delete"))
+
   private class P(var toks: List[Tok]) {
     def peek: Option[Tok] = toks.headOption
     def next(): Tok = { val t = toks.head; toks = toks.tail; t }
@@ -145,7 +171,7 @@ object TickScript {
         expectOp("."); next() // rp
       }
       val chains = Seq.newBuilder[Chain]
-      val defaults = Map.newBuilder[String, Any]
+      val defaults = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       val declared = Map.newBuilder[String, String]
       val typeNames = Set("string", "lambda", "duration", "int", "float")
       while (toks.nonEmpty) {
@@ -164,51 +190,89 @@ object TickScript {
               peek match {
                 case Some(TIdent("stream")) | Some(TIdent("batch")) =>
                   varName = Some(nm)
-                case Some(TIdent(_)) if toks.tail.headOption.contains(TOp("|")) =>
+                case Some(TIdent(_)) if toks.tail.headOption.contains(TOp("|")) ||
+                    toks.tail.headOption.contains(TOp(".")) =>
                   varName = Some(nm) // chain rooted at a prior var
                 case _ =>
-                  defaults += nm -> parseTemplateValue()
+                  defaults += nm -> parseTemplateValue(defaults.get)
                   isTemplateValue = true
               }
           }
         }
         if (!isTemplateValue) {
         val TIdent(root) = next(): @unchecked
+        // `|name(...)` always opens a node; the DEPRECATED dot-chaining
+        // syntax (`stream.from().window()...`, tick/ast deprecated method
+        // syntax — the examples/scores and examples/telegraf corpus) makes
+        // `.name(...)` a node too when `name` is a chaining method that the
+        // current node does not shadow with a property of the same name
+        // (from().where/.groupBy, alert().log, barrier().delete)
         val nodes = Seq.newBuilder[Node]
-        while (peek.contains(TOp("|"))) {
+        var curName: String = null
+        var curArgs: Seq[Any] = Nil
+        var curProps = Seq.newBuilder[Call]
+        def flushNode(): Unit = if (curName != null) {
+          nodes += Node(curName, curArgs, curProps.result())
+          curProps = Seq.newBuilder[Call]
+        }
+        while (peek.contains(TOp("|")) || peek.contains(TOp("."))) {
+          val pipe = peek.contains(TOp("|"))
           next()
           val TIdent(name) = next(): @unchecked
           val args = parseArgList()
-          val props = Seq.newBuilder[Call]
-          while (peek.contains(TOp("."))) {
-            next()
-            val TIdent(p) = next(): @unchecked
-            props += Call(p, parseArgList())
-          }
-          nodes += Node(name, args, props.result())
+          val opensNode = pipe || curName == null ||
+            (chainNodeNames(name) && !shadowedProps.getOrElse(curName, Set.empty)(name))
+          if (opensNode) { flushNode(); curName = name; curArgs = args }
+          else curProps += Call(name, args)
         }
+        flushNode()
         chains += Chain(varName, root, nodes.result())
         }
       }
-      Script(defaults.result(), declared.result(), chains.result())
+      Script(defaults.toMap, declared.result(), chains.result())
     }
 
-    /** A template var default: literal, lambda, or [list]. */
-    def parseTemplateValue(): Any = peek match {
-      case Some(TLambda) => next(); parseOr()
-      case Some(TStr(v)) => next(); v
-      case Some(TNum(v, i)) => next(); if (i) v.toLong else v
-      case Some(TDur(v)) => next(); v
-      case Some(TOp("[")) =>
-        next()
-        val items = Seq.newBuilder[Any]
-        while (!peek.contains(TOp("]"))) {
-          items += parseArg()
-          if (peek.contains(TOp(","))) next()
+    /** A template var default: literal, lambda, [list], or constant
+      * arithmetic over literals and prior vars (`var gb = 1024 * mb` —
+      * tick/eval.go evaluates var declarations eagerly). `resolve` looks up
+      * previously declared vars. */
+    def parseTemplateValue(resolve: String => Option[Any]): Any = {
+      def primary(): Any = peek match {
+        case Some(TLambda) => next(); return parseOr()
+        case Some(TStr(v)) => next(); v
+        case Some(TNum(v, i)) => next(); if (i) v.toLong else v
+        case Some(TDur(v)) => next(); v
+        case Some(TIdent(nm)) if resolve(nm).isDefined => next(); resolve(nm).get
+        case Some(TOp("[")) =>
+          next()
+          val items = Seq.newBuilder[Any]
+          while (!peek.contains(TOp("]"))) {
+            items += parseArg()
+            if (peek.contains(TOp(","))) next()
+          }
+          next()
+          return items.result()
+        case t => throw new IllegalArgumentException(s"unexpected template value $t")
+      }
+      var v = primary()
+      def asD(x: Any): Double = x match {
+        case l: Long => l.toDouble; case d: Double => d
+        case other => throw new IllegalArgumentException(s"non-numeric operand $other")
+      }
+      while (peek.exists { case TOp("*" | "+" | "-" | "/") => true; case _ => false }) {
+        val TOp(op) = next(): @unchecked
+        val r = primary()
+        v = (v, r) match {
+          case (a: Long, b: Long) if op != "/" =>
+            op match { case "*" => a * b; case "+" => a + b; case _ => a - b }
+          case (a, b) =>
+            val (x, y) = (asD(a), asD(b))
+            op match {
+              case "*" => x * y; case "+" => x + y; case "-" => x - y; case "/" => x / y
+            }
         }
-        next()
-        items.result()
-      case t => throw new IllegalArgumentException(s"unexpected template value $t")
+      }
+      v
     }
 
     def parseArgList(): Seq[Any] = {
@@ -314,6 +378,7 @@ object TickScript {
 
   def exprToColumn(e: Expr): Column = e match {
     case EField(f) => if (f.contains(".")) col(s"`$f`") else col(f)
+    case ELit(c: Column) => c // pre-compiled stateful sub-expression
     case ELit(v) => lit(v)
     case ENeg(x) => -exprToColumn(x)
     case EBin(op, l, r) =>
@@ -456,7 +521,14 @@ object TickScript {
       // the window bucket survives the aggregation as the row's time axis
       // (the reference emits the aggregate at the window time), so it stays
       // a join/grouping key downstream
-      st = St(st.pipe.copy(df = fn(st.pipe, keys, field, as), dims = st.pipe.dims), bucketed = st.bucketed)
+      var out = fn(st.pipe, keys, field, as)
+      // the aggregate point's time IS the window emit time — rematerialize
+      // the time column so downstream stateful nodes (sigma, derivative…)
+      // keep their order axis; the pre-agg row id is gone, drop it
+      if (!out.columns.contains(st.pipe.timeCol) && out.columns.contains("bucket_s"))
+        out = out.withColumn(st.pipe.timeCol, timestamp_seconds(col("bucket_s")))
+      st = St(st.pipe.copy(df = out, dims = st.pipe.dims,
+        idCol = st.pipe.idCol.filter(out.columns.contains)), bucketed = st.bucketed)
     }
 
     nodes.foreach { n =>
@@ -523,7 +595,21 @@ object TickScript {
           val names = n.props.find(_.name == "as")
             .map(_.args.map(_.toString))
             .getOrElse(throw new IllegalArgumentException("eval needs .as()"))
-          val exprs = n.args.map(a => exprToColumn(a.asInstanceOf[Expr]))
+          // sigma(f) is STATEFUL (running mean/std per group, tick/stateful
+          // functions.go sigma) — substituted here where the group context
+          // (dims, time order) is known, before the pure-expression compile
+          def subSigma(e: Expr): Expr = e match {
+            case EFn("sigma", Seq(inner)) =>
+              val c = graft.functions.TickFunctions.sigma(
+                exprToColumn(subSigma(inner)), st.pipe.dims.map(col),
+                col(st.pipe.timeCol), st.pipe.idCol.map(col).toSeq)
+              ELit(c)
+            case EBin(op, l, r) => EBin(op, subSigma(l), subSigma(r))
+            case ENeg(x) => ENeg(subSigma(x))
+            case EFn(f, as) => EFn(f, as.map(subSigma))
+            case other => other
+          }
+          val exprs = n.args.map(a => exprToColumn(subSigma(a.asInstanceOf[Expr])))
           st = St(st.pipe.eval(names.zip(exprs): _*), st.bucketed)
         case "mean" => aggCall(graft.operators.InfluxQL.mean, n.args.head.toString, asName("mean"))
         case "count" => aggCall(graft.operators.InfluxQL.count, n.args.head.toString, asName("count"))
@@ -549,7 +635,7 @@ object TickScript {
           else graft.operators.InfluxQL.bottom _
           st = St(st.pipe.copy(df = fn(
             st.pipe, keys, field.toString, num(cnt).toInt,
-            asName(n.name), Nil)), bucketed = st.bucketed)
+            asName(n.name), n.args.drop(2).map(_.toString))), bucketed = st.bucketed)
         case "holtWinters" | "holtWintersWithFit" =>
           // holtWinters(field, h, m, interval) (pipeline/influxql.go:555-581);
           // always point times (PointTimes=true in the reference), per
@@ -636,9 +722,10 @@ object TickScript {
           st = St(st.pipe.copy(df = graft.operators.Deadman.stats(
             withTus, "__tus", groupCol, interval)), bucketed = false)
         case "derivative" =>
-          var p = st.pipe.derivative(n.args.head.toString,
+          val p = st.pipe.derivative(n.args.head.toString,
             prop("unit").map(c => num(c.args.head)).getOrElse(1.0),
-            nonNegative = prop("nonNegative").isDefined)
+            nonNegative = prop("nonNegative").isDefined,
+            as = prop("as").map(_.args.head.toString).getOrElse("derivative"))
           st = St(p, st.bucketed)
         case "difference" => st = St(st.pipe.difference(n.args.head.toString), st.bucketed)
         case "movingAverage" =>
@@ -744,10 +831,14 @@ object TickScript {
           val measurement = "(?i)FROM\\s+(\\S+)".r.findFirstMatchIn(sql)
             .map(_.group(1).split('.').last.replaceAll("\"", ""))
             .getOrElse(throw new IllegalArgumentException(s"query needs FROM: $sql"))
-          val (fn, field) = "(?i)SELECT\\s+(\\w+)\\(\"?(\\w+)\"?\\)".r.findFirstMatchIn(sql)
-            .map(m => (m.group(1).toLowerCase, m.group(2)))
-            .getOrElse(throw new IllegalArgumentException(s"query needs SELECT fn(field): $sql"))
           var p = st.pipe.where(col(measurementCol) === lit(measurement))
+          // WHERE tag = 'v' [AND ...] — the equality-conjunction subset the
+          // examples corpus uses
+          "(?i)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
+            .foreach { m =>
+              "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r.findAllMatchIn(m.group(1))
+                .foreach(eq => p = p.where(col(eq.group(1)) === lit(eq.group(2))))
+            }
           var bucketSecs: Option[Long] = None
           prop("groupBy").foreach(_.args.foreach {
             case FnArg("time", ds) if ds.nonEmpty => bucketSecs = Some(num(ds.head).toLong)
@@ -755,29 +846,64 @@ object TickScript {
             case s: String => p = p.groupBy((p.dims :+ s): _*)
             case _ => ()
           })
+          // no groupBy(time(d)): each .every(e) batch is one aggregation
+          // window (batch.go — the query result is per batch period)
+          if (bucketSecs.isEmpty)
+            bucketSecs = prop("every").map(c => num(c.args.head).toLong)
           bucketSecs.foreach(bs => p = p.windowTumbling(bs))
-          val keys = p.dims ++ bucketSecs.map(_ => "bucket_s").toSeq
-          val aggCol = fn match {
-            case "sum" => sum(col(field))
-            case "mean" => avg(col(field))
-            case "count" => count(lit(1))
-            case "min" => min(col(field))
-            case "max" => max(col(field))
-            case other => throw new IllegalArgumentException(s"unsupported query agg $other")
+          // SELECT list: `fn(field) [AS alias]`, `expr op fn(field) AS alias`,
+          // a bare field list, or `*` (raw pass-through — no aggregation)
+          val selectSrc = "(?i)SELECT\\s+(.*?)\\s+FROM".r.findFirstMatchIn(sql)
+            .map(_.group(1).trim)
+            .getOrElse(throw new IllegalArgumentException(s"query needs SELECT: $sql"))
+          val aggRe = "(?i)(?:(\\d+(?:\\.\\d+)?)\\s*-\\s*)?(\\w+)\\(\"?(\\w+)\"?\\)(?:\\s+AS\\s+\"?(\\w+)\"?)?".r
+          aggRe.findFirstMatchIn(selectSrc) match {
+            case Some(m) =>
+              val fn = m.group(2).toLowerCase
+              val field = m.group(3)
+              val alias = Option(m.group(4)).getOrElse(fn)
+              val keys = p.dims ++ bucketSecs.map(_ => "bucket_s").toSeq
+              val agg0 = fn match {
+                case "sum" => sum(col(field))
+                case "mean" => avg(col(field))
+                case "count" => count(lit(1))
+                case "min" => min(col(field))
+                case "max" => max(col(field))
+                case other => throw new IllegalArgumentException(s"unsupported query agg $other")
+              }
+              // `100 - mean(f) AS stat` prefix arithmetic
+              val aggCol = Option(m.group(1)).map(c => lit(c.toDouble) - agg0).getOrElse(agg0)
+              var out = p.df.groupBy(keys.map(col): _*).agg(aggCol.as(alias))
+              // fill(v): complete per-group bucket axis, constant for gaps
+              prop("fill").foreach { c =>
+                bucketSecs.foreach { bs =>
+                  val range = out.agg(min(col("bucket_s")).as("b0"), max(col("bucket_s")).as("b1"))
+                    .select(explode(sequence(col("b0"), col("b1"), lit(bs))).as("bucket_s"))
+                  val groups = out.select(p.dims.map(col): _*).distinct()
+                  out = groups.crossJoin(range)
+                    .join(out, (p.dims :+ "bucket_s").toSeq, "left")
+                    .withColumn(alias, coalesce(col(alias), lit(c.args.head)))
+                }
+              }
+              // aggregate points carry the bucket time (see aggCall)
+              if (!out.columns.contains(p.timeCol) && out.columns.contains("bucket_s"))
+                out = out.withColumn(p.timeCol, timestamp_seconds(col("bucket_s")))
+              st = St(p.copy(df = out, idCol = p.idCol.filter(out.columns.contains)),
+                bucketed = bucketSecs.isDefined)
+            case None =>
+              // raw selection: `*` keeps every column; a field list prunes
+              // to (time, dims, fields) — no aggregation, rows pass through
+              val out =
+                if (selectSrc == "*") p.df
+                else {
+                  val fields = selectSrc.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                  val keep = (Seq(p.timeCol) ++ p.dims ++ p.idCol.toSeq ++
+                    Seq("bucket_s") ++ fields).distinct
+                    .filter(p.df.columns.contains)
+                  p.df.select(keep.map(col): _*)
+                }
+              st = St(p.copy(df = out), bucketed = bucketSecs.isDefined)
           }
-          var out = p.df.groupBy(keys.map(col): _*).agg(aggCol.as(fn))
-          // fill(v): complete per-group bucket axis, constant for gaps
-          prop("fill").foreach { c =>
-            bucketSecs.foreach { bs =>
-              val range = out.agg(min(col("bucket_s")).as("b0"), max(col("bucket_s")).as("b1"))
-                .select(explode(sequence(col("b0"), col("b1"), lit(bs))).as("bucket_s"))
-              val groups = out.select(p.dims.map(col): _*).distinct()
-              out = groups.crossJoin(range)
-                .join(out, (p.dims :+ "bucket_s").toSeq, "left")
-                .withColumn(fn, coalesce(col(fn), lit(c.args.head)))
-            }
-          }
-          st = St(p.copy(df = out), bucketed = bucketSecs.isDefined)
         case "join" =>
           // join(o1, o2, ...).as('n0', 'n1', ...)[.tolerance(d)][.fill(v)]:
           // equi-join on (dims, bucket) — or (dims, tolerance-rounded time)
