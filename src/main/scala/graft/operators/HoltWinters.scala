@@ -393,12 +393,25 @@ object HoltWinters {
       return Seq.empty[(String, Long, Double)].toDF(groupCol, tCol, vCol)
     val (df, bc) = fanOutFromPrepared(
       spark, prepared, groupCol, tCol, vCol, h, m, intervalS, withFit)
-    // materialize the (tiny) forecast so the series broadcast can be
-    // destroyed immediately — leaving it resident leaked one broadcast
-    // (plus its pinned blocks) per invocation
-    val out = df.localCheckpoint(true)
+    // pull the (tiny, ≤ prepared-groups × (fit+h) rows) forecast to the
+    // DRIVER: the series broadcast can then be destroyed immediately, and
+    // unlike localCheckpoint(true) the result survives executor loss —
+    // a local relation has no executor-resident blocks to lose
+    val out = driverLocal(spark, df)
     bc.destroy()
     out
+  }
+
+  /** Collect a small result and rebuild it as a driver-local DataFrame
+    * (LocalRelation): downstream consumers no longer depend on any executor
+    * state or upstream lineage. Only for results already known to be
+    * driver-bounded (the callers collected their whole input to the driver
+    * to plan the fit — the forecast is strictly smaller). */
+  private def driverLocal(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toSeq.asJava, df.schema)
   }
 
   /** Restart fan-out over already-prepared per-group series: broadcasts the
@@ -511,10 +524,14 @@ object HoltWinters {
     *
     * The input is persisted around the probe so the upstream pipeline (a
     * 100 TB scan + aggregation, typically) is never recomputed; a
-    * caller-managed persist is respected and left untouched. Spark-side
-    * branches materialize eagerly (localCheckpoint) before that cache is
-    * released — executor-local blocks are lost on executor failure, an
-    * acknowledged trade for a small, cheap-to-recompute forecast. */
+    * caller-managed persist is respected and left untouched. The driver and
+    * fan-out branches return DRIVER-LOCAL results (a LocalRelation — their
+    * inputs were already driver-collected to plan the fit, so the smaller
+    * forecast collects for free and survives executor loss). Only the
+    * serial branch, whose result is #groups×h and unbounded, still
+    * materializes via localCheckpoint — executor-local blocks are lost on
+    * executor failure there, an acknowledged trade (a reliable `checkpoint`
+    * would need a configured HDFS checkpoint dir). */
   def holtWintersAuto(
       points: org.apache.spark.sql.DataFrame,
       groupCol: String, tCol: String, vCol: String,
@@ -567,7 +584,9 @@ object HoltWinters {
       } else if (sawAllGroups && !anyOverCap && totalGridded <= maxBroadcastPoints) {
         val (df, bc) = fanOutFromPrepared(
           spark, prepared, groupCol, tCol, vCol, h, m, intervalS, withFit)
-        val fitted = df.localCheckpoint(true)
+        // driver-local result (≤ cores groups × (fit+h) rows): survives
+        // executor loss, unlike the former localCheckpoint(true)
+        val fitted = driverLocal(spark, df)
         bc.destroy()
         fitted
       } else {
