@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * typed transforms.
   *
   * The Spark-side plumbing — schema, encoders, batch shape, partitioning —
-  * is real and tested. The codec step itself is STUBBED (this environment
-  * ships no image/audio libraries): [[decodeStub]] produces a deterministic
-  * fake decode derived from the payload bytes, clearly marked, with the
-  * exact signature a libjpeg/ffmpeg-backed implementation would have.
+  * is real and tested. Image and audio decode are REAL (JDK codecs:
+  * javax.imageio, javax.sound); video gets REAL container metadata
+  * ([[probeVideo]]: MP4 `moov/mvhd/tkhd/stsz` + AVI `avih` header parsing)
+  * while its frame-content features stay STUBBED ([[decodeStub]] — the JDK
+  * ships no video codec), clearly marked, with the exact signature an
+  * ffmpeg-backed implementation would have.
   *
   * Scale posture: all transforms are `mapPartitions`-shaped (one JVM-local
   * pass, no shuffle); heavy payloads should be read with a small
@@ -184,12 +186,124 @@ object Media {
     } finally in.close()
   }
 
-  /** Dispatch decoder: real image and audio codecs where the JDK has them,
-    * stub for video (no JDK codec exists). */
+  /** Parsed video container metadata (header-only — no frame decode). */
+  case class VideoMeta(width: Int, height: Int, nFrames: Int, durationMs: Long)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 <= b.length) new String(b, o, 4, "ISO-8859-1") else ""
+
+  /** ISO-BMFF (MP4/MOV) box children of [from, to): (type, payloadStart,
+    * end). Handles 64-bit largesize and size==0 (to end of enclosing). */
+  private def mp4Children(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = from
+    while (o + 8 <= to) {
+      var size = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      var hdr = 8
+      if (size == 1 && o + 16 <= to) { size = be64(b, o + 8); hdr = 16 }
+      else if (size == 0) size = (to - o).toLong
+      if (size < hdr || o + size > to) return out.result() // malformed tail
+      out += ((typ, o + hdr, o + size.toInt))
+      o += size.toInt
+    }
+    out.result()
+  }
+
+  /** MP4/MOV metadata from `moov`: `mvhd` timescale+duration,
+    * the video `trak`'s `tkhd` 16.16-fixed dims, and its
+    * `stbl/stsz` sample (frame) count. Returns None when the payload is
+    * not a parseable ISO-BMFF file. */
+  def parseMp4(b: Array[Byte]): Option[VideoMeta] =
+    try {
+      val top = mp4Children(b, 0, b.length)
+      // a real MP4 leads with ftyp; accept bare moov too (some .mov)
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val inMoov = mp4Children(b, moov._2, moov._3)
+      val durationMs = inMoov.find(_._1 == "mvhd").map { case (_, s, _) =>
+        val v = b(s) & 0xff
+        val (ts, dur) =
+          if (v == 1) (be32(b, s + 20), be64(b, s + 24))
+          else (be32(b, s + 12), be32(b, s + 16))
+        if (ts > 0) dur * 1000L / ts else 0L
+      }.getOrElse(0L)
+      val traks = inMoov.filter(_._1 == "trak").map { case (_, s, e) =>
+        val kids = mp4Children(b, s, e)
+        val (w, h) = kids.find(_._1 == "tkhd").map { case (_, ts, _) =>
+          val v = b(ts) & 0xff
+          val off = if (v == 1) ts + 88 else ts + 76
+          ((be32(b, off) >> 16).toInt, (be32(b, off + 4) >> 16).toInt)
+        }.getOrElse((0, 0))
+        val frames = (for {
+          mdia <- kids.find(_._1 == "mdia")
+          minf <- mp4Children(b, mdia._2, mdia._3).find(_._1 == "minf")
+          stbl <- mp4Children(b, minf._2, minf._3).find(_._1 == "stbl")
+          stsz <- mp4Children(b, stbl._2, stbl._3).find(_._1 == "stsz")
+        } yield be32(b, stsz._2 + 8).toInt).getOrElse(0)
+        (w, h, frames)
+      }
+      // the video track is the one with pixel dims
+      traks.find(_._1 > 0).orElse(traks.headOption)
+        .map { case (w, h, f) => VideoMeta(w, h, f, durationMs) }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** AVI metadata from the RIFF `avih` MainAVIHeader: µs-per-frame, total
+    * frames, dims — scanned within the first 64 KiB (the header LIST leads
+    * the file). */
+  def parseAvi(b: Array[Byte]): Option[VideoMeta] =
+    try {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      val bound = math.min(b.length - 48, 64 * 1024)
+      var i = 12
+      while (i < bound) {
+        if (fourcc(b, i) == "avih") {
+          val p = i + 8 // chunk payload: MainAVIHeader
+          val usPerFrame = le32(b, p)
+          val totalFrames = le32(b, p + 16).toInt
+          val w = le32(b, p + 32).toInt
+          val h = le32(b, p + 36).toInt
+          return Some(VideoMeta(w, h, totalFrames, totalFrames * usPerFrame / 1000L))
+        }
+        i += 4
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL video container metadata — the JDK ships no video CODEC, but
+    * dims/duration/frame-count live in plain container headers, so this
+    * parses MP4/MOV (`moov/mvhd/tkhd/stsz`) and AVI RIFF (`avih`) directly:
+    * header-only probing, exactly how binaryFile pipelines qualify video at
+    * scale without paying a decode. The feature vector stays the
+    * deterministic stub (an honest marker — content features need an
+    * ffmpeg-class codec this environment doesn't ship). Unparseable
+    * payloads fall back to [[decodeStub]] entirely. */
+  def probeVideo(blob: MediaBlob, featureDim: Int = 8): MediaFeatures = {
+    if (blob.kind != "video") return decodeStub(blob, featureDim)
+    parseMp4(blob.bytes).orElse(parseAvi(blob.bytes)) match {
+      case Some(meta) =>
+        decodeStub(blob, featureDim).copy(
+          width = meta.width, height = meta.height,
+          n_frames = math.max(meta.nFrames, 1))
+      case None => decodeStub(blob, featureDim)
+    }
+  }
+
+  /** Dispatch decoder: real image and audio codecs where the JDK has them;
+    * header-parsed container metadata for video (no JDK codec exists — the
+    * frame features stay stubbed, the dims/frame-count are real). */
   def decodeReal(blob: MediaBlob, featureDim: Int = 8): MediaFeatures =
     blob.kind match {
       case "image" => decodeImage(blob, featureDim)
       case "audio" => decodeAudio(blob, featureDim)
+      case "video" => probeVideo(blob, featureDim)
       case _       => decodeStub(blob, featureDim)
     }
 

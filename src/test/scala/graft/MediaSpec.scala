@@ -124,4 +124,71 @@ class MediaSpec extends SparkSpec {
     assert(flat(Media.decodeReal(vid)) == flat(Media.decodeStub(vid)))
   }
 
+  /** Minimal valid ISO-BMFF: ftyp + moov[mvhd, trak[tkhd, mdia[minf[stbl[
+    * stsz]]]]] — the boxes probeVideo reads, with real sizes/offsets. */
+  private def mp4Bytes(w: Int, h: Int, frames: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("tkhd", bb.array())
+    }
+    val stsz = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0).putInt(0).putInt(frames) // ver/flags, sample_size=0, count
+      box("stsz", bb.array())
+    }
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++ box("moov", mvhd ++ trak)
+  }
+
+  /** Minimal AVI RIFF with an avih MainAVIHeader. */
+  private def aviBytes(w: Int, h: Int, frames: Int, usPerFrame: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(8 + 56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("ISO-8859-1")).putInt(56)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames).putInt(0).putInt(1).putInt(0)
+    avih.putInt(w).putInt(h)
+    val body = "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "hdrl".getBytes("ISO-8859-1") ++ avih.array()
+    val riff = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length)
+    riff.array() ++ body
+  }
+
+  test("probeVideo parses a real MP4 header: dims, frame count, duration") {
+    val blob = Media.MediaBlob(9L, "video", mp4Bytes(320, 240, 48, 1000, 2000),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    val meta = Media.parseMp4(blob.bytes).get
+    assert(meta == Media.VideoMeta(320, 240, 48, 2000L))
+    val f = Media.probeVideo(blob)
+    assert(f.width == 320 && f.height == 240 && f.n_frames == 48)
+  }
+
+  test("probeVideo parses an AVI RIFF header; junk falls back to the stub") {
+    val blob = Media.MediaBlob(10L, "video", aviBytes(640, 360, 90, 33333),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    val meta = Media.parseAvi(blob.bytes).get
+    assert(meta == Media.VideoMeta(640, 360, 90, 90L * 33333 / 1000))
+    val f = Media.probeVideo(blob)
+    assert(f.width == 640 && f.height == 360 && f.n_frames == 90)
+    // dims come from the container, content features stay the honest stub
+    assert(f.feature.toSeq == Media.decodeStub(blob).feature.toSeq)
+    val junk = Media.MediaBlob(11L, "video", Array[Byte](0, 1, 2, 3),
+      declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    assert(Media.probeVideo(junk).width == Media.decodeStub(junk).width)
+  }
+
 }
