@@ -144,4 +144,62 @@ class StreamingParitySpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("alert handler chain ≡ streaming: slack + opsGenie2 payload bytes match") {
+    // The reference fires handlers from the streaming FSM (alert.go:874-913)
+    // with the same rendered payloads the batch path carries. The SAME
+    // TickScript — a 2-handler chain — compiles onto both a batch frame and
+    // a MemoryStream; the streaming query (complete mode: the tumbling
+    // bucket is a plain grouping column) must emit byte-identical
+    // payload_slack / payload_opsGenie2 columns.
+    implicit val ctx = spark.sqlContext
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.crit(lambda: "count" > 8.0)
+        |		.slack()
+        |			.channel('#alerts')
+        |		.opsGenie2()
+        |			.teams('rocket')
+        |""".stripMargin
+    val rows = for (h <- Seq("serverA", "serverB"); t <- 0L until 20L)
+      yield ("cpu", h, t, 1.0)
+    val mk = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("time", timestamp_seconds($"t"))
+      .select($"measurement", $"time", $"host", $"value")
+    val batchDf = mk(rows.toDF("measurement", "host", "t", "value"))
+    val cols = Seq("host", "bucket_s", "level", "id", "payload_slack", "payload_opsGenie2")
+    val batch = graft.tick.TickScript.compile(script, batchDf)
+      .select(cols.map(col): _*)
+      .as[(String, Long, Int, String, String, String)].collect().toSet
+
+    val ms = MemoryStream[(String, String, Long, Double)]
+    val streamDf = mk(ms.toDS().toDF("measurement", "host", "t", "value"))
+    val out = graft.tick.TickScript.compile(script, streamDf)
+      .select(cols.map(col): _*)
+    val q = out.writeStream.format("memory").queryName("hc_par")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("hc_par")
+        .as[(String, Long, Int, String, String, String)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.forall(_._3 == 3)) // both windows CRITICAL
+      val a0 = batch.find(r => r._1 == "serverA" && r._2 == 0L).get
+      assert(a0._4 == "kapacitor/cpu/serverA")
+      assert(a0._5.contains(""""channel":"#alerts"""") &&
+        a0._5.contains("kapacitor/cpu/serverA is CRITICAL"))
+      assert(a0._6.contains(""""responders":[{"name":"rocket","type":"team"}]""") ||
+        a0._6.contains("rocket")) // opsgenie2 team rides the payload
+    } finally q.stop()
+  }
 }
