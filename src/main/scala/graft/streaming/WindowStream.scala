@@ -108,8 +108,12 @@ object WindowStream {
   }
 
   /** barrier().idle(d) [.delete()] (reference barrier.go:86-229): when a
-    * group has been idle for `idleUs` of event time, emit a barrier event;
-    * with `delete`, also retire the group's state (DeleteGroup →
+    * group has been idle for `idleMs` of wall clock, emit a barrier whose
+    * DATA time is lastPointTime + idle — and that barrier becomes the new
+    * lastPointTime, so continued silence yields barriers every `idle`
+    * apart in data time (emitBarrier barrier.go:196-209; the same law the
+    * batch Barrier simulator and the Barrier_Idle goldens pin). With
+    * `delete`, the first barrier retires the group's state (DeleteGroup →
     * GroupState.remove). Timeout-driven via the processing-time clock, the
     * streaming analog of the reference's idle timers. */
   def idleBarrier(
@@ -118,15 +122,20 @@ object WindowStream {
       deleteGroups: Boolean): Dataset[BarrierEvent] = {
     val spark = points.sparkSession
     import spark.implicits._
+    val idleUs = idleMs * 1000L
     points.groupByKey(_.group)
       .flatMapGroupsWithState[IdleState, BarrierEvent](
         OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (group: String, it: Iterator[CountPoint], gs: GroupState[IdleState]) =>
           if (gs.hasTimedOut) {
             val last = gs.getOption.map(_.lastSeenUs).getOrElse(0L)
+            val bt = last + idleUs // barrier data time = lastPointT + idle
             if (deleteGroups) gs.remove()
-            else gs.setTimeoutDuration(idleMs)
-            Iterator.single(BarrierEvent(group, last, if (deleteGroups) "delete" else "barrier"))
+            else {
+              gs.update(IdleState(bt)) // the barrier advances lastPointT
+              gs.setTimeoutDuration(idleMs)
+            }
+            Iterator.single(BarrierEvent(group, bt, if (deleteGroups) "delete" else "barrier"))
           } else {
             val maxT = it.map(_.timeUs).foldLeft(
               gs.getOption.map(_.lastSeenUs).getOrElse(0L))(math.max)

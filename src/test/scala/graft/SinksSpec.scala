@@ -120,6 +120,30 @@ class SinksSpec extends SparkSpec {
       assert(ok, "no periodic barrier for idle group g within 20s")
     } finally q.stop()
   }
+
+  test("idle barrier times match the golden-pinned law: lastPoint+idle, stepping by idle") {
+    // Barrier_Idle_No_Data golden (GoldenReplaySpec3): one point then
+    // silence → barriers at t0+idle, t0+2·idle in DATA time, regardless of
+    // wall clock (barrier.go emitBarrier:196-209 advances lastPointT by
+    // idle on every fire). The streaming FSM must emit the same times.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[CountPoint]
+    val t0 = 20000000L // data time 20 s
+    val q = WindowStream.idleBarrier(ms.toDS(), idleMs = 400, deleteGroups = false)
+      .writeStream.format("memory").queryName("ib_par").outputMode("update").start()
+    try {
+      ms.addData(CountPoint("g", t0, 1.0))
+      val deadline = System.currentTimeMillis + 20000
+      var times = Seq.empty[Long]
+      while (times.length < 2 && System.currentTimeMillis < deadline) {
+        times = spark.table("ib_par").filter($"group" === "g")
+          .orderBy("emittedAtUs").select("emittedAtUs").as[Long].collect().toSeq
+        if (times.length < 2) Thread.sleep(200)
+      }
+      assert(times.length >= 2, s"expected 2+ idle barriers, got $times")
+      assert(times.take(2) == Seq(t0 + 400000L, t0 + 800000L), times.toString)
+    } finally q.stop()
+  }
 }
 
 /** JVM-static recorder for sink transports: executor closures in local mode
