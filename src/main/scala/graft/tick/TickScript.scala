@@ -1056,11 +1056,15 @@ object TickScript {
           AlertHandlers.discord(subStr(g, "username", ""), "",
             subStr(g, "embedTitle", ""), col("message"), levelName)
         case "opsGenie2" =>
-          AlertHandlers.opsgenie2(
+          // OK-level events recover: the body is the note-only close
+          // payload (services/opsgenie2/service.go:156-176)
+          when(col("level") === 0,
+            AlertHandlers.opsgenie2Recovery(col("message")))
+          .otherwise(AlertHandlers.opsgenie2(
             sub(g, "teams").map(_.args.map(_.toString)).getOrElse(Nil),
             sub(g, "recipients").map(_.args.map(_.toString)).getOrElse(Nil),
             col("message"), col("id"), levelName, lit("{}"),
-            scope.getOrElse("Name", lit("")))
+            scope.getOrElse("Name", lit(""))))
         case "serviceNow" =>
           AlertHandlers.serviceNow(
             subStr(g, "source", "Kapacitor"),

@@ -981,6 +981,33 @@ class TickScriptSpec extends SparkSpec {
     assert(out.forall(_._4 == 47.0))
   }
 
+  test("opsGenie2 renders the note-only recovery body on OK-level events") {
+    // services/opsgenie2/service.go:156-176: level OK → note-only payload
+    // (the close action rides in the URL, not the body)
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.crit(lambda: "count" > 8.0)
+        |		.opsGenie2()
+        |			.teams('rocket')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val ok = out.filter($"level" === 0).head
+    assert(ok.getAs[String]("payload_opsGenie2") ==
+      s"""{"note":"${ok.getAs[String]("message")}"}""")
+    val crit = out.filter($"level" === 3).head
+    assert(crit.getAs[String]("payload_opsGenie2").contains(""""priority":"P1""""))
+    assert(crit.getAs[String]("payload_opsGenie2").contains(
+      """"responders":[{"name":"rocket","type":"team"}]"""))
+  }
+
   test("victorOps maps OK-level events to message_type RECOVERY") {
     // services/victorops/service.go:193-200: alert.OK → "RECOVERY"; every
     // other level passes its name through
