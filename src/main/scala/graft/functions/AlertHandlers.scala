@@ -222,6 +222,55 @@ object AlertHandlers {
       lit("}"))
   }
 
+  /** Go-style JSON number: json.Marshal renders integral float64s without
+    * a fractional part (10.0 → "10"). */
+  private def goNum(c: Column): Column =
+    when(c === floor(c) && abs(c) < 1e15,
+      c.cast("long").cast("string")).otherwise(c.cast("string"))
+
+  /** Single-point models.Result JSON for an alert row — the `data` payload
+    * the reference attaches to handlers (alert.Data / VictorOps JSONData,
+    * services/victorops/service.go:90-128): the Result of the triggering
+    * batch, which for a windowed aggregate is one series with one value
+    * row `[RFC3339-time, field…]`. Pure column concat — renders
+    * distributed, no driver involvement. */
+  def rowResultJson(
+      name: Column, tags: Seq[(String, Column)], timeUs: Column,
+      fields: Seq[(String, Column)],
+      fieldJson: ((String, Column)) => Column): Column = {
+    val tagsJson =
+      if (tags.isEmpty) lit("{}")
+      else concat(
+        lit("{") +: tags.sortBy(_._1).zipWithIndex.flatMap { case ((k, v), i) =>
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v.cast("string")))
+        } :+ lit("}"): _*)
+    val colsJson = ("time" +: fields.map(_._1)).map(c => s""""$c"""").mkString("[", ",", "]")
+    val timeJson = concat(lit("\""),
+      date_format(timestamp_micros(timeUs), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\""))
+    val valueJson = concat(
+      (lit("[") +: timeJson +: fields.flatMap(f => Seq(lit(","), fieldJson(f)))) :+ lit("]"): _*)
+    concat(
+      lit("""{"series":[{"name":"""), jsonStr(name),
+      lit(""","tags":"""), tagsJson,
+      lit(""","columns":"""), lit(colsJson),
+      lit(""","values":["""), valueJson,
+      lit("]}]}"))
+  }
+
+  /** Field-value JSON renderer by Spark type (Go json.Marshal semantics
+    * for the types a point carries). */
+  def fieldJsonFor(schema: org.apache.spark.sql.types.StructType): ((String, Column)) => Column = {
+    case (nm, c) =>
+      schema.find(_.name == nm).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) =>
+          goNum(c)
+        case Some(org.apache.spark.sql.types.BooleanType) => c.cast("string")
+        case Some(t) if t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+          c.cast("string")
+        case _ => jsonStr(c.cast("string"))
+      }
+  }
+
   /** OpsGenie v2 recovery (level OK): the body is just the note; the alert
     * is addressed by `<alias>/<close|notes>?identifierType=alias` in the
     * URL (service.go:156-175). */

@@ -1019,6 +1019,22 @@ object TickScript {
       // any other prop is an alert-level prop handled by the alert case
     }
     val scopeWithId = scope + ("ID" -> col("id"))
+    // the triggering batch's Result JSON (models.Result) — what handlers
+    // with JSONData attach as `data`: the alert row's field columns as a
+    // one-point series (alert.go event data; victorops JSONData)
+    val metaCols = Set(p0.timeCol, "bucket_s", "wemit_s", "level", "id",
+      "message", "alert_category", "inhibits", "tags", "group_id") ++ p0.dims
+    val fieldCols = p0.df.schema.fields
+      .map(_.name)
+      .filterNot(c => metaCols.contains(c) || c.startsWith("payload_") ||
+        c == "measurement")
+      .toSeq
+    val dataJson = AlertHandlers.rowResultJson(
+      scope.getOrElse("Name", lit("")),
+      p0.dims.map(d => d -> col(d)),
+      timeUsC,
+      fieldCols.map(c => c -> col(c)),
+      AlertHandlers.fieldJsonFor(p0.df.schema))
     def tpl(v: Any): Column = v match {
       case s: String => graft.functions.AlertTemplates.compile(s, scopeWithId, tagsCol)
       case other => lit(other)
@@ -1041,10 +1057,11 @@ object TickScript {
           AlertHandlers.slack(col("message"), levelName, subStr(g, "channel", "#alerts"))
         case "victorOps" =>
           // OK-level events recover: message_type "RECOVERY", not "OK"
-          // (reference services/victorops/service.go:193-200)
+          // (reference services/victorops/service.go:193-200); data is the
+          // triggering batch's Result JSON (JSONData, service.go:90-128)
           AlertHandlers.victorops(
             when(col("level") === 0, lit("RECOVERY")).otherwise(levelName),
-            col("id"), col("message"), timeUsC / 1000000L, lit("{}"))
+            col("id"), col("message"), timeUsC / 1000000L, dataJson)
         case "telegram" =>
           AlertHandlers.telegram(
             subStr(g, "chatId", ""), col("message"), subStr(g, "parseMode", ""),

@@ -637,8 +637,15 @@ class TickScriptSpec extends SparkSpec {
     val out = TickScript.compile(script, alertFixture)
     val crit = out.filter($"level" === 3).orderBy("bucket_s").head
     assert(crit.getAs[String]("id") == "kapacitor/cpu/serverA")
+    // data = the triggering batch's marshaled Result (the reference's
+    // TestStream_AlertVictorOps_JSON_Data series shape: name/tags/columns/
+    // values with the window count; Go ints render bare)
+    val data =
+      """{\"series\":[{\"name\":\"cpu\",\"tags\":{\"host\":\"serverA\"},""" +
+      """\"columns\":[\"time\",\"count\"],""" +
+      """\"values\":[[\"1970-01-01T00:00:00Z\",10]]}]}"""
     val expected =
-      """{"data":"{}","entity_id":"kapacitor/cpu/serverA",""" +
+      s"""{"data":"$data","entity_id":"kapacitor/cpu/serverA",""" +
       """"message_type":"CRITICAL","monitoring_tool":"kapacitor",""" +
       """"state_message":"kapacitor/cpu/serverA is CRITICAL","timestamp":0}"""
     assert(crit.getAs[String]("payload_victorOps") == expected)
