@@ -1050,9 +1050,10 @@ object TickScript {
       val colName = if (idx == 1) s"payload_$h" else s"payload_${h}_$idx"
       val payload: Column = h match {
         case "post" | "tcp" | "log" | "exec" | "email" =>
-          // alert.Data transports: the canonical JSON document
+          // alert.Data transports: the canonical JSON document; `data` is
+          // the nested Result object of the triggering batch
           AlertHandlers.alertData(col("id"), col("message"), lit(""),
-            timeUsC, lit(0L), levelName, lit("OK"), lit(true))
+            timeUsC, lit(0L), levelName, lit("OK"), lit(true), dataJson)
         case "slack" =>
           AlertHandlers.slack(col("message"), levelName, subStr(g, "channel", "#alerts"))
         case "victorOps" =>
