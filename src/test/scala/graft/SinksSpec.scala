@@ -121,6 +121,28 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TestStream_HttpPost_URL_Template golden: per-row URL rendering") {
+    // httpPost('…/{{ .Name }}/?host={{ index .Tags "host"}}&cpu={{ index
+    // .Tags "cpu" }}') — the URL is a Go row template rendered per point
+    // (streamer_test.go TestStream_HttpPost_URL_Template expects
+    // /cpu/?host=serverA&cpu=a,b,b,c,c for the first five posts)
+    val df = graft.sources.Replay.readSrpl(spark,
+        "/root/reference/integrations/testdata/TestStream_HttpPost_URL_Template.srpl")
+      .filter(col("measurement") === "cpu")
+      .orderBy("ts_ns")
+    val url = graft.sources.Sinks.rowTemplate(
+      """/{{ .Name }}/?host={{ index .Tags "host"}}&cpu={{ index .Tags "cpu" }}""",
+      name = col("measurement"),
+      tags = Map("host" -> expr("tags['host']"), "cpu" -> expr("tags['cpu']")),
+      timeCol = col("time"),
+      fields = Map("value" -> expr("fieldsFloat['value']")))
+    val urls = df.select(url).as[String].collect().toSeq
+    assert(urls.take(5) == Seq(
+      "/cpu/?host=serverA&cpu=a", "/cpu/?host=serverA&cpu=b",
+      "/cpu/?host=serverA&cpu=b", "/cpu/?host=serverA&cpu=c",
+      "/cpu/?host=serverA&cpu=c"))
+  }
+
   test("idle barrier times match the golden-pinned law: lastPoint+idle, stepping by idle") {
     // Barrier_Idle_No_Data golden (GoldenReplaySpec3): one point then
     // silence → barriers at t0+idle, t0+2·idle in DATA time, regardless of
