@@ -125,7 +125,8 @@ object TickScript {
   case class NegArg(v: Any)
   /** A parsed script: template var defaults (literals/lambdas/lists),
     * declared-but-unbound template vars (name → type), and the chains. */
-  case class Script(defaults: Map[String, Any], declared: Map[String, String], chains: Seq[Chain])
+  case class Script(defaults: Map[String, Any], declared: Map[String, String], chains: Seq[Chain],
+      dbrps: Seq[(String, String)] = Nil)
   sealed trait Expr
   case class EField(name: String) extends Expr
   case class ELit(v: Any) extends Expr
@@ -165,10 +166,20 @@ object TickScript {
     }
 
     def parseScript(): Script = {
-      // dbrp "db"."rp" declarations (reference load service task headers)
+      // dbrp "db"."rp" declarations (reference load service task headers) —
+      // captured: they are the dbrps the task SUBSCRIBES to, which the
+      // loopback-loop validation needs
+      val dbrps = Seq.newBuilder[(String, String)]
+      def strTok(): String = next() match {
+        case TStr(v) => v
+        case TFieldRef(v) => v // "db" lexes as a double-quoted ref
+        case t => throw new IllegalArgumentException(s"expected dbrp name, got $t")
+      }
       while (peek.contains(TIdent("dbrp"))) {
-        next(); next() // db
-        expectOp("."); next() // rp
+        next()
+        val db = strTok()
+        expectOp(".")
+        dbrps += ((db, strTok()))
       }
       val chains = Seq.newBuilder[Chain]
       val defaults = scala.collection.mutable.LinkedHashMap.empty[String, Any]
@@ -229,7 +240,7 @@ object TickScript {
         chains += Chain(varName, root, nodes.result())
         }
       }
-      Script(defaults.toMap, declared.result(), chains.result())
+      Script(defaults.toMap, declared.result(), chains.result(), dbrps.result())
     }
 
     /** A template var default: literal, lambda, [list], or constant
@@ -478,6 +489,18 @@ object TickScript {
     val chains = parsed.chains.map(ch => ch.copy(nodes = ch.nodes.map(n =>
       n.copy(args = resolveArgs(n.args),
         props = n.props.map(c => c.copy(args = resolveArgs(c.args)))))))
+    // kapacitorLoopback() writing a dbrp this task subscribes to would
+    // loop the task into itself — refuse at definition, like the
+    // reference's start-time validation (TestStream_KapacitorLoopback_
+    // PreventLoop; task.go loop check)
+    for {
+      ch <- chains
+      n <- ch.nodes if n.name == "kapacitorLoopback"
+      db <- n.props.find(_.name == "database").map(_.args.head.toString)
+      rp <- n.props.find(_.name == "retentionPolicy").map(_.args.head.toString)
+      if parsed.dbrps.contains((db, rp))
+    } throw new IllegalArgumentException(
+      s"kapacitorLoopback into $db.$rp would create a loop: the task subscribes to that dbrp")
     val vars = scala.collection.mutable.Map.empty[String, St]
     var last: Option[St] = None
     chains.foreach { ch =>

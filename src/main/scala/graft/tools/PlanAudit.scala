@@ -11,8 +11,9 @@ package graft.tools
   *   - q_sideload: the constant "default" hierarchy level joins on a
   *     literal key — a broadcast of a 4-row config table.
   *   - q_knn_ivf: the nlist-row centroid table fans out via broadcast for
-  *     assignment/probing — the IVF coarse quantizer is a model object,
-  *     not a data-sized side.
+  *     the PROBE side only (queries × nlist rows); corpus assignment is
+  *     the shuffle-free literal fold (Similarity.assignToCenters) — the
+  *     IVF coarse quantizer is a model object, not a data-sized side.
   *   - q_batch_periods / q_fill_*: the generated period/bucket axis is a
   *     single-partition sequence by construction (tiny).
   */

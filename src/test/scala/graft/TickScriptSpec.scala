@@ -1068,6 +1068,28 @@ class TickScriptSpec extends SparkSpec {
     assert(e.getAs[String]("id") == "host=serverA@cpu")
   }
 
+  test("kapacitorLoopback into a subscribed dbrp is refused (PreventLoop)") {
+    // streamer_test.go TestStream_KapacitorLoopback_PreventLoop: a task
+    // whose loopback writes the dbrp it subscribes to must fail to define
+    val loop =
+      """dbrp "dbname"."rpname"
+        |
+        |stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |	|kapacitorLoopback()
+        |		.database('dbname')
+        |		.retentionPolicy('rpname')
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      TickScript.compile(loop, alertFixture))
+    assert(e.getMessage.contains("loop"))
+    // a loopback into a DIFFERENT dbrp is fine
+    val ok = loop.replace(".database('dbname')", ".database('otherdb')")
+    assert(TickScript.compile(ok, alertFixture).columns.nonEmpty)
+  }
+
   test("regex literals lex through backslash-escaped slashes") {
     // tick/ast/lex.go regex scanning honors \/ — the pattern /a\/b/ is one
     // literal matching "a/b", not a truncated /a\/
