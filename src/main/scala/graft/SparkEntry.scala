@@ -92,6 +92,7 @@ object SparkEntry {
     // -- training-data pipeline operators (dedup / similarity / text / media)
     "q_dedup_exact" -> (LQ.dedupExactQ _),
     "q_dedup_minhash" -> (LQ.dedupMinhashQ _),
+    "q_dedup_clusters" -> (LQ.dedupClustersQ _),
     "q_dedup_simhash" -> (LQ.dedupSimhashQ _),
     "q_dedup_ngram" -> (LQ.dedupNgramQ _),
     "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_flatten_multi" -> EQ4.flattenMultiSql,
     "q_dedup_exact" -> LQ.dedupExactSql,
     "q_dedup_minhash" -> LQ.dedupMinhashSql,
+    "q_dedup_clusters" -> LQ.dedupClustersSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,
     "q_dedup_ngram" -> LQ.dedupNgramSql,
     "q_dedup_embedding" -> LQ.dedupEmbeddingSql,

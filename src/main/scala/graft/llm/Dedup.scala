@@ -199,4 +199,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
     eagerRelease(verified, sets, pos)
   }
+
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * PAIR graph — the step that turns pairwise reports into "keep one doc
+    * per cluster". Returns (doc_id, cluster_id) for every doc appearing in
+    * a pair, cluster_id = the smallest doc_id in its component.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the min of its own and its neighbors' labels. Rounds needed =
+    * the component diameter; near-dup clusters are shallow (duplicates of
+    * a common source), so convergence is fast, and the early-stop check
+    * ends the loop the first round nothing changes.
+    *
+    * Scale shape: the graph is the PAIR table (≪ corpus — candidates
+    * already survived LSH + verification); each round is one equi-join of
+    * the label table against the symmetrized edges plus a min-aggregate,
+    * both shuffled on node id so the partitioning is reused across rounds.
+    * Labels persist per round and release the previous round eagerly; the
+    * only driver values are the per-round changed-count (one long). The
+    * O(log n)-round alternating-star variant (Kiveris et al., "Connected
+    * Components in MapReduce", SoCC'14) is the drop-in upgrade if a
+    * pathological diameter ever shows up. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(cur, sym("b") === cur("node"))
+        .groupBy(sym("a").as("node")).agg(min("label").as("nbr"))
+      val next = cur.select("node", "label").join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(col("label") < col("prev")).count()
+      cur.unpersist(false) // the count above materialized `next`
+      cur = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    val out = cur.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    cur.unpersist(false)
+    sym.unpersist(false)
+    out
+  }
 }

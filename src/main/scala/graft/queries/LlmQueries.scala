@@ -66,6 +66,32 @@ object LlmQueries {
       .replaceAll("\\s+", " ")
   }
 
+  // ------------------------------------------------------- dedup clusters
+
+  /** q_dedup_clusters: duplicate-cluster assignment — connected components
+    * over the MinHash near-dup pair graph (Dedup.connectedComponents);
+    * every doc in a pair gets cluster_id = min doc_id of its component.
+    * The oracle recomputes the same pair set (the q_dedup_minhash CTE) and
+    * closes it transitively with a recursive CTE. */
+  def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text"), "id_a", "id_b")
+      .orderBy("doc_id")
+  val dedupClustersSql: String = {
+    val pairs = dedupMinhashSql
+      .replaceAll("ORDER BY 1, 2", "")
+      .replaceAll("^WITH ", "")
+      .replaceAll("SELECT id_a, id_b, est_jaccard FROM p WHERE est_jaccard >= 0.5",
+        ", pe AS (SELECT id_a, id_b FROM p WHERE est_jaccard >= 0.5)")
+    s"""WITH RECURSIVE $pairs,
+       e AS (SELECT id_a AS a, id_b AS b FROM pe
+             UNION ALL SELECT id_b, id_a FROM pe),
+       reach(a, b) AS (SELECT a, b FROM e
+                       UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       FROM reach GROUP BY a ORDER BY 1""".replaceAll("\\s+", " ")
+  }
+
   // --------------------------------------------------------------- simhash
 
   def dedupSimhashQ(s: SparkSession, dir: String): DataFrame =

@@ -173,4 +173,21 @@ class LlmSpec extends SparkSpec {
       .toDF("t").select(TextOps.fingerprint(col("t"), 4)).as[Seq[Long]].collect()
     assert(fp(0) == fp(1) && fp(0).length == 4 && fp(0) == fp(0).sorted)
   }
+
+  test("connectedComponents labels each pair-graph component with its min doc id") {
+    // two chains (1-2-3, 10-11) and an isolated pair (20,21): transitive
+    // closure through shared neighbors, no cross-component bleed
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a long path needs diameter rounds — exercise the iteration
+    val path = (0L until 12L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val chained = Dedup.connectedComponents(path, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(chained.forall(_._2 == 0L) && chained.size == 12)
+  }
 }
