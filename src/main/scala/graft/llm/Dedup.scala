@@ -225,9 +225,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // every round CHECKPOINTS (lazily — the changed-count materializes it):
+    // an iterative plan otherwise compounds its lineage each round and the
+    // optimizer/AQE walk an exponentially-growing tree. The checkpoint cuts
+    // the logical plan to a leaf; superseded round blocks are released by
+    // the context cleaner when the previous frame is dropped.
     var cur = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -236,9 +241,8 @@ object Dedup {
       val next = cur.select("node", "label").join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val changed = next.filter(col("label") < col("prev")).count()
-      cur.unpersist(false) // the count above materialized `next`
       cur = next
       converged = changed == 0
       i += 1
@@ -246,7 +250,6 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     val out = cur.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
-    cur.unpersist(false)
     sym.unpersist(false)
     out
   }
