@@ -989,8 +989,9 @@ class TickScriptSpec extends SparkSpec {
   }
 
   test("opsGenie2 renders the note-only recovery body on OK-level events") {
-    // services/opsgenie2/service.go:156-176: level OK → note-only payload
-    // (the close action rides in the URL, not the body)
+    // TestStream_AlertOpsGenie2_Recovery semantics (services/opsgenie2/
+    // service.go:156-176): level OK → note-only payload (the close action
+    // rides in the URL, not the body)
     val script =
       """stream
         |	|from()
