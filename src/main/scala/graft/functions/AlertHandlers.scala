@@ -258,10 +258,12 @@ object AlertHandlers {
   }
 
   /** Field-value JSON renderer by Spark type (Go json.Marshal semantics
-    * for the types a point carries). */
+    * for the types a point carries). Nulls render as JSON null — a null
+    * operand would otherwise null the entire concat'd payload (a
+    * fill('null') join upstream of an alert is a normal shape). */
   def fieldJsonFor(schema: org.apache.spark.sql.types.StructType): ((String, Column)) => Column = {
     case (nm, c) =>
-      schema.find(_.name == nm).map(_.dataType) match {
+      val rendered = schema.find(_.name == nm).map(_.dataType) match {
         case Some(org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType) =>
           goNum(c)
         case Some(org.apache.spark.sql.types.BooleanType) => c.cast("string")
@@ -269,6 +271,7 @@ object AlertHandlers {
           c.cast("string")
         case _ => jsonStr(c.cast("string"))
       }
+      coalesce(rendered, lit("null"))
   }
 
   /** OpsGenie v2 recovery (level OK): the body is just the note; the alert

@@ -256,25 +256,33 @@ object Media {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** AVI metadata from the RIFF `avih` MainAVIHeader: µs-per-frame, total
-    * frames, dims — scanned within the first 64 KiB (the header LIST leads
-    * the file). */
+    * frames, dims. Walks the RIFF chunk structure properly (chunks are
+    * fourcc + le32 size + payload, padded to EVEN offsets; LIST chunks
+    * nest) instead of a byte scan — a scan both misses 2-byte-aligned
+    * headers and can false-match 'avih' inside chunk data. */
   def parseAvi(b: Array[Byte]): Option[VideoMeta] =
     try {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
-      val bound = math.min(b.length - 48, 64 * 1024)
-      var i = 12
-      while (i < bound) {
-        if (fourcc(b, i) == "avih") {
-          val p = i + 8 // chunk payload: MainAVIHeader
-          val usPerFrame = le32(b, p)
-          val totalFrames = le32(b, p + 16).toInt
-          val w = le32(b, p + 32).toInt
-          val h = le32(b, p + 36).toInt
-          return Some(VideoMeta(w, h, totalFrames, totalFrames * usPerFrame / 1000L))
+      def findAvih(from: Int, to: Int): Option[Int] = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(b, o)
+          val size = le32(b, o + 4).toInt
+          if (size < 0 || o + 8 + size > to) return None // malformed
+          if (id == "avih") return Some(o + 8)
+          val r = if (id == "LIST") findAvih(o + 12, o + 8 + size) else None
+          if (r.isDefined) return r
+          o += 8 + size + (size & 1) // chunks pad to even
         }
-        i += 4
+        None
       }
-      None
+      findAvih(12, b.length).map { p =>
+        val usPerFrame = le32(b, p)
+        val totalFrames = le32(b, p + 16).toInt
+        val w = le32(b, p + 32).toInt
+        val h = le32(b, p + 36).toInt
+        VideoMeta(w, h, totalFrames, totalFrames * usPerFrame / 1000L)
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL video container metadata — the JDK ships no video CODEC, but

@@ -66,7 +66,11 @@ object Barrier {
     require(everySeconds > 0, "barrier needs a positive idle/period")
     val everyUs = math.round(everySeconds * 1000000L)
 
-    val staged = df.withColumn("__us", unix_micros(col(timeCol)))
+    // arrival normalized to long µs so barrier rows can write the fire
+    // time into the same slot whatever the caller's integer width was
+    val staged = df
+      .withColumn(arrivalCol, col(arrivalCol).cast("long"))
+      .withColumn("__us", unix_micros(col(timeCol)))
     val part =
       if (dims.isEmpty) staged.repartition(lit(0)) else staged.repartition(dims.map(col): _*)
     val sorted = part.sortWithinPartitions(
@@ -123,11 +127,7 @@ object Barrier {
           while (pending.isEmpty && it.hasNext) {
             val row = it.next()
             val key = dimIdx.map(row.get)
-            val a = row.get(arrIdx) match {
-              case l: Long => l
-              case i: Int => i.toLong
-              case other => other.asInstanceOf[Number].longValue()
-            }
+            val a = row.getLong(arrIdx) // cast to long µs in `staged`
             val t = row.getLong(usIdx)
             if (key != curKey) {
               flushGroupTail() // emit the previous group's trailing barriers

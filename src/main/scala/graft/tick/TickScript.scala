@@ -147,7 +147,7 @@ object TickScript {
     "difference", "movingAverage", "cumulativeSum", "holtWinters",
     "holtWintersWithFit", "derivative", "changeDetect", "stateDuration",
     "stateCount", "stats", "deadman", "sideload", "alert", "httpOut",
-    "httpPost", "influxDBOut", "kapacitorLoopback", "log", "noOp", "trickle")
+    "httpPost", "influxDBOut", "kapacitorLoopback", "log", "noOp", "noop", "trickle")
 
   /** Node properties whose names collide with chaining methods — on these
     * nodes a dot call with this name stays a property. */
@@ -155,6 +155,7 @@ object TickScript {
     "from" -> Set("where", "groupBy"),
     "query" -> Set("groupBy"),
     "alert" -> Set("log"),
+    "combine" -> Set("max"), // combine().max(n) is the pair cap, not an agg
     "barrier" -> Set("delete"))
 
   private class P(var toks: List[Tok]) {
@@ -248,12 +249,8 @@ object TickScript {
       * tick/eval.go evaluates var declarations eagerly). `resolve` looks up
       * previously declared vars. */
     def parseTemplateValue(resolve: String => Option[Any]): Any = {
-      def primary(): Any = peek match {
+      peek match {
         case Some(TLambda) => next(); return parseOr()
-        case Some(TStr(v)) => next(); v
-        case Some(TNum(v, i)) => next(); if (i) v.toLong else v
-        case Some(TDur(v)) => next(); v
-        case Some(TIdent(nm)) if resolve(nm).isDefined => next(); resolve(nm).get
         case Some(TOp("[")) =>
           next()
           val items = Seq.newBuilder[Any]
@@ -263,26 +260,40 @@ object TickScript {
           }
           next()
           return items.result()
+        case _ => ()
+      }
+      // constant arithmetic with the reference's precedence (* / over + -,
+      // tick/ast parser); var references stay SYMBOLIC (EVar) so template
+      // overrides of a referenced var re-evaluate at compile time
+      def primary(): Any = peek match {
+        case Some(TStr(v)) => next(); v
+        case Some(TNum(v, i)) => next(); if (i) v.toLong else v
+        case Some(TDur(v)) => next(); v
+        case Some(TIdent(nm)) if resolve(nm).isDefined => next(); EVar(nm)
         case t => throw new IllegalArgumentException(s"unexpected template value $t")
       }
-      var v = primary()
-      def asD(x: Any): Double = x match {
-        case l: Long => l.toDouble; case d: Double => d
-        case other => throw new IllegalArgumentException(s"non-numeric operand $other")
+      def mk(op: String, l: Any, r: Any): Any = (l, r) match {
+        case (a: Long, b: Long) =>
+          // Go integer arithmetic: / truncates
+          op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
+                     case _ => a / b }
+        case (a: Double, b: Double) => op match {
+          case "*" => a * b; case "+" => a + b; case "-" => a - b; case _ => a / b }
+        case (a: Long, b: Double) => mk(op, a.toDouble, b)
+        case (a: Double, b: Long) => mk(op, a, b.toDouble)
+        case _ =>
+          def toE(x: Any): Expr = x match { case e: Expr => e; case v => ELit(v) }
+          EBin(op, toE(l), toE(r))
       }
-      while (peek.exists { case TOp("*" | "+" | "-" | "/") => true; case _ => false }) {
-        val TOp(op) = next(): @unchecked
-        val r = primary()
-        v = (v, r) match {
-          case (a: Long, b: Long) if op != "/" =>
-            op match { case "*" => a * b; case "+" => a + b; case _ => a - b }
-          case (a, b) =>
-            val (x, y) = (asD(a), asD(b))
-            op match {
-              case "*" => x * y; case "+" => x + y; case "-" => x - y; case "/" => x / y
-            }
-        }
+      def isOp(os: String*) = peek.exists { case TOp(o) => os.contains(o); case _ => false }
+      def term(): Any = {
+        var l = primary()
+        while (isOp("*", "/")) { val TOp(o) = next(): @unchecked; l = mk(o, l, term0()) }
+        l
       }
+      def term0(): Any = primary()
+      var v = term()
+      while (isOp("+", "-")) { val TOp(o) = next(): @unchecked; v = mk(o, v, term()) }
       v
     }
 
@@ -461,11 +472,45 @@ object TickScript {
     val parsed = parse(script)
     val missing = parsed.declared.keySet -- templateVars.keySet
     require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
-    val scope = parsed.defaults ++ templateVars
+    val rawScope = parsed.defaults ++ templateVars
+    // a var default may be a deferred arithmetic tree over OTHER vars
+    // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
+    // templateVars override of the referenced var propagates (the
+    // reference evaluates declarations in the overridden scope)
+    def constEval(v: Any, seen: Set[String]): Any = v match {
+      case EVar(n) =>
+        require(!seen(n), s"cyclic var reference through $n")
+        rawScope.get(n).map(constEval(_, seen + n))
+          .getOrElse(throw new IllegalArgumentException(s"unknown var $n"))
+      case ELit(x) => x
+      case EBin(op, l, r) =>
+        (constEval(l, seen), constEval(r, seen)) match {
+          case (a: Long, b: Long) =>
+            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
+                       case "/" => a / b
+                       case o => throw new IllegalArgumentException(s"non-constant op $o") }
+          case (a, b) =>
+            def d(x: Any): Double = x match {
+              case l: Long => l.toDouble; case dd: Double => dd
+              case other => throw new IllegalArgumentException(s"non-numeric operand $other")
+            }
+            op match { case "*" => d(a) * d(b); case "+" => d(a) + d(b)
+                       case "-" => d(a) - d(b); case "/" => d(a) / d(b)
+                       case o => throw new IllegalArgumentException(s"non-constant op $o") }
+        }
+      case other => other
+    }
+    val scope: Map[String, Any] = rawScope.map {
+      // fold var-arithmetic values now; lambdas (Exprs with fields/fns)
+      // stay symbolic — constEval throws past ELit/EVar/arith, so probe
+      case (k, e @ (EBin(_, _, _) | EVar(_))) =>
+        k -> (try constEval(e, Set.empty) catch { case _: IllegalArgumentException => e })
+      case kv => kv
+    }
     // substitute template vars into arg positions ([list] values splice)
     def substExpr(e: Expr): Expr = e match {
       case EVar(n) if scope.contains(n) => scope(n) match {
-        case ex: Expr => ex
+        case ex: Expr => substExpr(ex) // a var may reference further vars
         case v => ELit(v)
       }
       case EBin(op, l, r) => EBin(op, substExpr(l), substExpr(r))
@@ -856,10 +901,14 @@ object TickScript {
             .getOrElse(throw new IllegalArgumentException(s"query needs FROM: $sql"))
           var p = st.pipe.where(col(measurementCol) === lit(measurement))
           // WHERE tag = 'v' [AND ...] — the equality-conjunction subset the
-          // examples corpus uses
+          // examples corpus uses; disjunctions/negations would silently
+          // change semantics if chained as ANDs, so they fail loudly
           "(?i)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
             .foreach { m =>
-              "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r.findAllMatchIn(m.group(1))
+              val clause = m.group(1)
+              require("(?i)\\bOR\\b|!=|<>".r.findFirstIn(clause).isEmpty,
+                s"query WHERE supports only AND-ed equality filters, got: $clause")
+              "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r.findAllMatchIn(clause)
                 .foreach(eq => p = p.where(col(eq.group(1)) === lit(eq.group(2))))
             }
           var bucketSecs: Option[Long] = None
@@ -869,11 +918,26 @@ object TickScript {
             case s: String => p = p.groupBy((p.dims :+ s): _*)
             case _ => ()
           })
-          // no groupBy(time(d)): each .every(e) batch is one aggregation
-          // window (batch.go — the query result is per batch period)
-          if (bucketSecs.isEmpty)
-            bucketSecs = prop("every").map(c => num(c.args.head).toLong)
-          bucketSecs.foreach(bs => p = p.windowTumbling(bs))
+          // no groupBy(time(d)): each batch is one aggregation window of
+          // .period(p) width emitted every .every(e) (batch.go). Disjoint
+          // batches (p == e) bucket tumbling; overlapping batches (p > e)
+          // render as the sliding window generator keyed on the window end
+          // — each emission aggregates the full trailing period.
+          var slid = false
+          if (bucketSecs.isEmpty) {
+            val periodS = prop("period").map(c => num(c.args.head).toLong)
+            val everyS = prop("every").map(c => num(c.args.head).toLong)
+            (periodS, everyS) match {
+              case (Some(pd), Some(ev)) if pd != ev =>
+                p = p.copy(df = p.windowSliding(pd, ev).df
+                  .withColumn("bucket_s", col("wend_s"))
+                  .drop("wstart_s", "wend_s"))
+                slid = true
+                bucketSecs = Some(ev)
+              case (pd, ev) => bucketSecs = pd.orElse(ev)
+            }
+          }
+          if (!slid) bucketSecs.foreach(bs => p = p.windowTumbling(bs))
           // SELECT list: `fn(field) [AS alias]`, `expr op fn(field) AS alias`,
           // a bare field list, or `*` (raw pass-through — no aggregation)
           val selectSrc = "(?i)SELECT\\s+(.*?)\\s+FROM".r.findFirstMatchIn(sql)
@@ -994,7 +1058,7 @@ object TickScript {
           st = St(st.pipe.copy(df = graft.operators.Deadman.deadman(
             withTus, "__tus", groupCol, interval, threshold)), bucketed = false)
         case "httpOut" | "httpPost" | "influxDBOut" | "log" | "kapacitorLoopback"
-           | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
+           | "noOp" | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
         case other => throw new IllegalArgumentException(s"unsupported node $other")
       }
     }
@@ -1046,7 +1110,8 @@ object TickScript {
     // with JSONData attach as `data`: the alert row's field columns as a
     // one-point series (alert.go event data; victorops JSONData)
     val metaCols = Set(p0.timeCol, "bucket_s", "wemit_s", "level", "id",
-      "message", "alert_category", "inhibits", "tags", "group_id") ++ p0.dims
+      "message", "alert_category", "inhibits", "tags", "group_id") ++
+      p0.dims ++ p0.idCol // the row-id tiebreak is pipeline metadata
     val fieldCols = p0.df.schema.fields
       .map(_.name)
       .filterNot(c => metaCols.contains(c) || c.startsWith("payload_") ||

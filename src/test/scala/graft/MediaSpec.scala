@@ -160,8 +160,10 @@ class MediaSpec extends SparkSpec {
     avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
     avih.putInt(frames).putInt(0).putInt(1).putInt(0)
     avih.putInt(w).putInt(h)
+    val listSize = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4 + avih.capacity())
     val body = "AVI ".getBytes("ISO-8859-1") ++
-      "LIST".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "LIST".getBytes("ISO-8859-1") ++ listSize.array() ++
       "hdrl".getBytes("ISO-8859-1") ++ avih.array()
     val riff = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     riff.put("RIFF".getBytes("ISO-8859-1")).putInt(body.length)

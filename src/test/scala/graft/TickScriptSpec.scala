@@ -1069,6 +1069,66 @@ class TickScriptSpec extends SparkSpec {
     assert(e.getAs[String]("id") == "host=serverA@cpu")
   }
 
+  test("combine().max(n) stays the pair cap; noOp compiles; query WHERE rejects OR") {
+    // review findings: 'max' must not open an aggregation node as a
+    // combine sub-prop; noOp is the reference spelling; a WHERE
+    // disjunction would silently AND if accepted
+    val combineScript =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|combine(lambda: TRUE, lambda: TRUE)
+        |		.as('a', 'b')
+        |		.tolerance(10s)
+        |		.max(100)
+        |	|noOp()
+        |""".stripMargin
+    val src = alertFixture.withColumn("pid", monotonically_increasing_id())
+    val out = TickScript.compile(combineScript, src, idCol = Some("pid"))
+    assert(out.columns.contains("a.value") && out.columns.contains("b.value"))
+    val orScript =
+      """batch
+        |	|query('''SELECT mean(value) FROM "db"."rp".cpu WHERE host = 'a' OR host = 'b' ''')
+        |		.period(10s)
+        |		.every(10s)
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](TickScript.compile(orScript, alertFixture))
+    assert(e.getMessage.contains("AND-ed equality"))
+  }
+
+  test("template var arithmetic honors precedence, int division, and overrides") {
+    // review findings: `75 + 10 * 2` is 95 not 170; Long/Long divides like
+    // Go; a templateVars override of a referenced var re-evaluates the
+    // dependent default
+    val script =
+      """var base = 10
+        |var prec = 75 + 10 * 2
+        |var ratio = 7 / 2
+        |var crit = base * 2
+        |stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.crit(lambda: "count" > crit)
+        |		.warn(lambda: "count" > prec)
+        |		.info(lambda: "count" > ratio)
+        |""".stripMargin
+    val dflt = TickScript.compile(script, alertFixture)
+    // windows have 10 points; crit = 10*2 = 20 → not crit; ratio = 3 → info
+    assert(dflt.filter($"level" === 3).count() == 0)
+    assert(dflt.filter($"level" === 1).count() > 0)
+    val overridden = TickScript.compile(script, alertFixture,
+      templateVars = Map("base" -> 4L))
+    // crit re-evaluates to 8 → counts of 10 now fire CRITICAL
+    assert(overridden.filter($"level" === 3).count() > 0)
+  }
+
   test("kapacitorLoopback into a subscribed dbrp is refused (PreventLoop)") {
     // streamer_test.go TestStream_KapacitorLoopback_PreventLoop: a task
     // whose loopback writes the dbrp it subscribes to must fail to define
