@@ -242,7 +242,10 @@ object AlertHandlers {
       if (tags.isEmpty) lit("{}")
       else concat(
         lit("{") +: tags.sortBy(_._1).zipWithIndex.flatMap { case ((k, v), i) =>
-          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v.cast("string")))
+          // a null dim (fill('null') outer join riding a finer .on() dim)
+          // must not null the whole payload concat
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""),
+            coalesce(jsonStr(v.cast("string")), lit("null")))
         } :+ lit("}"): _*)
     val colsJson = ("time" +: fields.map(_._1)).map(c => s""""$c"""").mkString("[", ",", "]")
     val timeJson = concat(lit("\""),

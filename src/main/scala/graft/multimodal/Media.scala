@@ -269,7 +269,9 @@ object Media {
           val id = fourcc(b, o)
           val size = le32(b, o + 4).toInt
           if (size < 0 || o + 8 + size > to) return None // malformed
-          if (id == "avih") return Some(o + 8)
+          // MainAVIHeader is 56 bytes; a shorter avih would make the reads
+          // below spill into the next chunk's bytes
+          if (id == "avih") return if (size >= 56) Some(o + 8) else None
           val r = if (id == "LIST") findAvih(o + 12, o + 8 + size) else None
           if (r.isDefined) return r
           o += 8 + size + (size & 1) // chunks pad to even

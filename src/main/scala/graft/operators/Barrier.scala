@@ -66,15 +66,22 @@ object Barrier {
     require(everySeconds > 0, "barrier needs a positive idle/period")
     val everyUs = math.round(everySeconds * 1000000L)
 
-    // arrival normalized to long µs so barrier rows can write the fire
-    // time into the same slot whatever the caller's integer width was
+    // arrival must already be an epoch-µs integer — a timestamp or string
+    // would cast to the wrong unit silently, so refuse it loudly
+    df.schema(arrivalCol).dataType match {
+      case LongType | IntegerType => ()
+      case t => throw new IllegalArgumentException(
+        s"arrivalCol $arrivalCol must be an epoch-µs integer column, got $t")
+    }
+    // normalized to long so barrier rows can write the fire time into the
+    // same slot whatever the caller's integer width was
     val staged = df
       .withColumn(arrivalCol, col(arrivalCol).cast("long"))
       .withColumn("__us", unix_micros(col(timeCol)))
     val part =
       if (dims.isEmpty) staged.repartition(lit(0)) else staged.repartition(dims.map(col): _*)
     val sorted = part.sortWithinPartitions(
-      (dims.map(col) :+ col(arrivalCol).cast("long")) :+ col("__us"): _*)
+      (dims.map(col) :+ col(arrivalCol)) :+ col("__us"): _*)
 
     val inSchema = sorted.schema
     // barrier rows null out the non-dim data fields

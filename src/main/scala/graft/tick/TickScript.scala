@@ -477,36 +477,37 @@ object TickScript {
     // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
     // templateVars override of the referenced var propagates (the
     // reference evaluates declarations in the overridden scope)
-    def constEval(v: Any, seen: Set[String]): Any = v match {
+    // Resolve a scope value SYMBOLICALLY: var references chase through the
+    // raw scope (cycles fail loudly), pure numeric arithmetic folds with Go
+    // integer semantics, and anything lambda-shaped (field refs, fns,
+    // comparisons — or a var ALIASING a lambda) passes through as the Expr
+    // it is, to be substituted into lambda positions later.
+    def resolveVal(v: Any, seen: Set[String]): Any = v match {
       case EVar(n) =>
         require(!seen(n), s"cyclic var reference through $n")
-        rawScope.get(n).map(constEval(_, seen + n))
+        rawScope.get(n).map(resolveVal(_, seen + n))
           .getOrElse(throw new IllegalArgumentException(s"unknown var $n"))
       case ELit(x) => x
-      case EBin(op, l, r) =>
-        (constEval(l, seen), constEval(r, seen)) match {
+      case EBin(op @ ("*" | "+" | "-" | "/"), l, r) =>
+        (resolveVal(l, seen), resolveVal(r, seen)) match {
           case (a: Long, b: Long) =>
             op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
-                       case "/" => a / b
-                       case o => throw new IllegalArgumentException(s"non-constant op $o") }
-          case (a, b) =>
-            def d(x: Any): Double = x match {
-              case l: Long => l.toDouble; case dd: Double => dd
-              case other => throw new IllegalArgumentException(s"non-numeric operand $other")
-            }
-            op match { case "*" => d(a) * d(b); case "+" => d(a) + d(b)
-                       case "-" => d(a) - d(b); case "/" => d(a) / d(b)
-                       case o => throw new IllegalArgumentException(s"non-constant op $o") }
+                       case _ => a / b } // Go int division truncates
+          case (a: Double, b: Double) =>
+            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
+                       case _ => a / b }
+          case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
+          case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
+          case (a, b) => // a lambda operand — stays a symbolic tree
+            def toE(x: Any): Expr = x match { case e: Expr => e; case lv => ELit(lv) }
+            EBin(op, toE(a), toE(b))
         }
-      case other => other
+      case other => other // lambdas, strings, durations, lists
     }
-    val scope: Map[String, Any] = rawScope.map {
-      // fold var-arithmetic values now; lambdas (Exprs with fields/fns)
-      // stay symbolic — constEval throws past ELit/EVar/arith, so probe
-      case (k, e @ (EBin(_, _, _) | EVar(_))) =>
-        k -> (try constEval(e, Set.empty) catch { case _: IllegalArgumentException => e })
-      case kv => kv
-    }
+    def resolveBin(op: String, a: Double, b: Double): Double =
+      op match { case "*" => a * b; case "+" => a + b; case "-" => a - b; case _ => a / b }
+    val scope: Map[String, Any] =
+      rawScope.map { case (k, v) => k -> resolveVal(v, Set(k)) }
     // substitute template vars into arg positions ([list] values splice)
     def substExpr(e: Expr): Expr = e match {
       case EVar(n) if scope.contains(n) => scope(n) match {
@@ -564,6 +565,13 @@ object TickScript {
       .pipe.df
   }
 
+  /** A lambda-position argument: an Expr, or a scope-folded constant
+    * (e.g. `var t = lambda: 60 * 5` folds to 300) re-wrapped as a literal. */
+  private def asExpr(a: Any): Expr = a match {
+    case e: Expr => e
+    case v => ELit(v)
+  }
+
   /** TICKscript numerals surface as Long (integral literal) or Double
     * (float/duration); node params accept either. */
   private def num(a: Any): Double = a match {
@@ -610,7 +618,7 @@ object TickScript {
           prop("measurement").foreach { c =>
             p = p.where(col(measurementCol) === lit(c.args.head.toString))
           }
-          prop("where").foreach(c => p = p.where(exprToColumn(c.args.head.asInstanceOf[Expr])))
+          prop("where").foreach(c => p = p.where(exprToColumn(asExpr(c.args.head))))
           prop("groupBy").foreach { c =>
             // groupBy(*) = all tags of the dynamic tags map (reference
             // star dimension); otherwise the named dims
@@ -643,7 +651,7 @@ object TickScript {
             st = St(p.copy(df = p.df.withColumnRenamed("wstart_s", "bucket_s").drop("wend_s")), bucketed = true)
           }
         case "where" =>
-          st = St(st.pipe.where(exprToColumn(n.args.head.asInstanceOf[Expr])), st.bucketed)
+          st = St(st.pipe.where(exprToColumn(asExpr(n.args.head))), st.bucketed)
         case "groupBy" =>
           // standalone groupBy node (group_by.go): re-dimension mid-stream;
           // groupBy(*).exclude(tags…) filters the tag map before the star key
@@ -677,7 +685,7 @@ object TickScript {
             case EFn(f, as) => EFn(f, as.map(subSigma))
             case other => other
           }
-          val exprs = n.args.map(a => exprToColumn(subSigma(a.asInstanceOf[Expr])))
+          val exprs = n.args.map(a => exprToColumn(subSigma(asExpr(a))))
           st = St(st.pipe.eval(names.zip(exprs): _*), st.bucketed)
         case "mean" => aggCall(graft.operators.InfluxQL.mean, n.args.head.toString, asName("mean"))
         case "count" => aggCall(graft.operators.InfluxQL.count, n.args.head.toString, asName("count"))
@@ -743,7 +751,7 @@ object TickScript {
           st = St(p.flattenOnFields(flatDim, universe, fields.toSeq, tol, delim, dropName), bucketed = true)
         case "combine" =>
           // combine(lambda…).as(names…).tolerance(d)[.max(n)]
-          val preds = n.args.map(a => exprToColumn(a.asInstanceOf[Expr]))
+          val preds = n.args.map(a => exprToColumn(asExpr(a)))
           val names = prop("as").map(_.args.map(_.toString))
             .getOrElse(throw new IllegalArgumentException("combine needs .as()"))
           val tol = prop("tolerance").map(c => num(c.args.head).toLong).getOrElse(1L)
@@ -803,13 +811,13 @@ object TickScript {
           st = St(st.pipe.elapsed(n.args.lift(1).map(num).getOrElse(1.0)), st.bucketed)
         case "changeDetect" => st = St(st.pipe.changeDetect(n.args.head.toString), st.bucketed)
         case "stateCount" =>
-          st = St(st.pipe.stateCount(exprToColumn(n.args.head.asInstanceOf[Expr]),
+          st = St(st.pipe.stateCount(exprToColumn(asExpr(n.args.head)),
             asName("state_count")), st.bucketed)
         case "stateDuration" =>
           // .unit(d): reporting unit for the duration (reference
           // pipeline/state_tracking.go; default 1s)
           val unit = prop("unit").map(c => num(c.args.head)).getOrElse(1.0)
-          st = St(st.pipe.stateDuration(exprToColumn(n.args.head.asInstanceOf[Expr]),
+          st = St(st.pipe.stateDuration(exprToColumn(asExpr(n.args.head)),
             asName("state_duration"), unit), st.bucketed)
         case "shift" =>
           // shift(d) moves point times; a windowed stream's bucket axis
@@ -832,9 +840,9 @@ object TickScript {
             .map(_.args.head.toString)
           st = St(st.pipe.delete(cols: _*), st.bucketed)
         case "alert" =>
-          val info = prop("info").map(c => exprToColumn(c.args.head.asInstanceOf[Expr])).getOrElse(lit(false))
-          val warn = prop("warn").map(c => exprToColumn(c.args.head.asInstanceOf[Expr])).getOrElse(lit(false))
-          val crit = prop("crit").map(c => exprToColumn(c.args.head.asInstanceOf[Expr])).getOrElse(lit(false))
+          val info = prop("info").map(c => exprToColumn(asExpr(c.args.head))).getOrElse(lit(false))
+          val warn = prop("warn").map(c => exprToColumn(asExpr(c.args.head))).getOrElse(lit(false))
+          val crit = prop("crit").map(c => exprToColumn(asExpr(c.args.head))).getOrElse(lit(false))
           var p = st.pipe.eval("level" -> AlertStream.levelColumn(info, warn, crit))
           val levelName = element_at(
             typedlit(graft.streaming.AlertStream.levelNames), col("level") + 1)
@@ -901,14 +909,20 @@ object TickScript {
             .getOrElse(throw new IllegalArgumentException(s"query needs FROM: $sql"))
           var p = st.pipe.where(col(measurementCol) === lit(measurement))
           // WHERE tag = 'v' [AND ...] — the equality-conjunction subset the
-          // examples corpus uses; disjunctions/negations would silently
-          // change semantics if chained as ANDs, so they fail loudly
+          // examples corpus uses. Anything else (OR, !=, range comparisons,
+          // functions) would silently change semantics if dropped or
+          // AND-chained, so the clause must REDUCE to nothing once the
+          // recognized equalities and ANDs are removed — quoted values are
+          // consumed whole, so literals containing 'or'/'!=' can't trip it
+          val eqRe = "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r
           "(?i)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
             .foreach { m =>
               val clause = m.group(1)
-              require("(?i)\\bOR\\b|!=|<>".r.findFirstIn(clause).isEmpty,
+              val residue = eqRe.replaceAllIn(clause, " ")
+                .replaceAll("(?i)\\bAND\\b", " ").trim
+              require(residue.isEmpty,
                 s"query WHERE supports only AND-ed equality filters, got: $clause")
-              "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r.findAllMatchIn(clause)
+              eqRe.findAllMatchIn(clause)
                 .foreach(eq => p = p.where(col(eq.group(1)) === lit(eq.group(2))))
             }
           var bucketSecs: Option[Long] = None

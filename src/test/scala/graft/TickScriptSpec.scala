@@ -1129,6 +1129,46 @@ class TickScriptSpec extends SparkSpec {
     assert(overridden.filter($"level" === 3).count() > 0)
   }
 
+  test("var aliases of lambdas resolve; constant lambdas fold; WHERE range comparisons refuse") {
+    // review round 2: `var crit_l = base` (lambda alias) must substitute;
+    // `lambda: 60*5` folds to a constant that still compiles in lambda
+    // position; an unsupported WHERE range must not silently drop
+    val script =
+      """var base = lambda: "count" > 8.0
+        |var crit_l = base
+        |var always = lambda: 1 + 1
+        |stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.crit(crit_l)
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    assert(out.filter($"level" === 3).count() > 0)
+    val rangeScript =
+      """batch
+        |	|query('''SELECT mean(value) FROM "db"."rp".cpu WHERE "value" < 10''')
+        |		.period(10s)
+        |		.every(10s)
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](TickScript.compile(rangeScript, alertFixture))
+    assert(e.getMessage.contains("AND-ed equality"))
+    // quoted values containing OR must NOT trip the guard
+    val quotedOr =
+      """batch
+        |	|query('''SELECT mean(value) FROM "db"."rp".cpu WHERE state = 'on or off' ''')
+        |		.period(10s)
+        |		.every(10s)
+        |""".stripMargin
+    assert(TickScript.compile(quotedOr,
+      alertFixture.withColumn("state", lit("x"))).columns.nonEmpty)
+  }
+
   test("kapacitorLoopback into a subscribed dbrp is refused (PreventLoop)") {
     // streamer_test.go TestStream_KapacitorLoopback_PreventLoop: a task
     // whose loopback writes the dbrp it subscribes to must fail to define
