@@ -204,6 +204,25 @@ class GoldenReplaySpec4 extends SparkSpec {
       Seq((6L, 3, 0L), (10L, 3, 4L), (20L, 3, 14L)))
   }
 
+  test("TestBatch_HttpPost golden: each batch posts its Result JSON") {
+    // batcher_test.go TestBatch_HttpPost: request 1 is the cpu-total
+    // batch's models.Result — name/tags/columns/values, time-first
+    val b = brplRebased("TestBatch_HttpPost.0")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val first = b.filter(col("batch_idx") === 0 && col("cpu") === "cpu-total")
+      .select("cpu", "time", "mean").orderBy("time")
+    val json = graft.sources.ResultRenderer.httpOutJson(first, "cpu_usage_idle", Seq("cpu"))
+    assert(json ==
+      """{"series":[{"name":"cpu_usage_idle","tags":{"cpu":"cpu-total"},""" +
+      """"columns":["time","mean"],"values":[""" +
+      """["1970-01-01T00:00:00Z",90.38281469458698],""" +
+      """["1970-01-01T00:00:02Z",86.51447101892941],""" +
+      """["1970-01-01T00:00:04Z",91.71877558217454],""" +
+      """["1970-01-01T00:00:06Z",87.10524436107617],""" +
+      """["1970-01-01T00:00:08Z",90.3900735196668]]}]}""")
+  }
+
   test("TestBatch_AlertLevelTag golden: level and id promote to tags") {
     // .levelTag('level').idTag('id'): the firing series' tag set becomes
     // {cpu: cpu1, level: CRITICAL, id: cpu_usage_idle:cpu=cpu1}
