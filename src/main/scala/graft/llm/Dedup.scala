@@ -230,8 +230,11 @@ object Dedup {
     // optimizer/AQE walk an exponentially-growing tree. The checkpoint cuts
     // the logical plan to a leaf; superseded round blocks are released by
     // the context cleaner when the previous frame is dropped.
-    var cur = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed = min(self, direct neighbors) in ONE aggregate — this IS the
+    // first propagation round, so shallow components (the typical dup
+    // cluster) need only the confirm round after it.
+    var cur = sym.groupBy("a").agg(min("b").as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .localCheckpoint(false)
     var i = 0
     var converged = false
