@@ -253,6 +253,22 @@ class AlertHandlersSpec extends SparkSpec {
       "&url_title=myurltitle&user=user")
   }
 
+  test("rowResultJson renders null fields and null tags as JSON null, never a NULL payload") {
+    // a fill('null') outer join upstream of an alert leaves field/dim nulls
+    // — Go json.Marshal renders them as null; a SQL-NULL payload would
+    // silently drop the post
+    val df = Seq((7L, Some(1.5), Option.empty[Double], Option.empty[String]))
+      .toDF("t_us", "f1", "f2", "tag1")
+    val json = df.select(AlertHandlers.rowResultJson(
+      lit("m"), Seq("tag1" -> col("tag1")), col("t_us"),
+      Seq("f1" -> col("f1"), "f2" -> col("f2")),
+      AlertHandlers.fieldJsonFor(df.schema))).as[String].head()
+    assert(json ==
+      """{"series":[{"name":"m","tags":{"tag1":null},""" +
+      """"columns":["time","f1","f2"],""" +
+      """"values":[["1970-01-01T00:00:00Z",1.5,null]]}]}""")
+  }
+
   test("pushover percent-encodes reserved bytes like Go url.Values.Encode") {
     // services/pushover/service.go body is url.Values.Encode output: '&',
     // '=', '+', '%' in the message must be percent-encoded (space → '+',
