@@ -76,16 +76,12 @@ object Dedup {
     // materialize one h60 per shingle in its own projection, then derive
     // the k families arithmetically — the md5s are computed exactly once
     // (CollapseProject keeps multi-referenced non-trivial columns apart)
-    graft.expressions.MinHashSig.register(docs.sparkSession, k)
-    val sigs = shingleHashes(docs, idCol, textCol, 3)
-      .select(col("doc_id"), TextOps.minhashSigFromHashes(col("sh"), k).as("sig"))
     // materialize the tiny signature+band table before the self-join:
     // both join sides would otherwise recompute the full text→signature
     // pipeline, and generators re-evaluate interpreted expression chains
     // per output row. Signatures are O(k) longs per doc — at 100 TB of
     // text this is the table you keep, not the corpus.
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(TextOps.minhashBands(col("sig"), bands, rows)).as(Seq("band", "bh")))
+    val banded = signatureBands(docs, idCol, textCol, k, bands, rows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
@@ -96,6 +92,21 @@ object Dedup {
       .distinct() // a pair may collide on several bands
       .filter(col("est_jaccard") >= threshold)
     eagerRelease(pairs, banded)
+  }
+
+  /** The (doc_id, sig, band, bh) signature+band table — the shared front
+    * half of MinHash LSH, used by the batch self-join ([[minhashLsh]]) and
+    * the incremental streaming detector
+    * (graft.streaming.DedupStream.nearDupPairs). */
+  def signatureBands(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, rows: Int = 4): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal k")
+    graft.expressions.MinHashSig.register(docs.sparkSession, k)
+    val sigs = shingleHashes(docs, idCol, textCol, 3)
+      .select(col("doc_id"), TextOps.minhashSigFromHashes(col("sh"), k).as("sig"))
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(TextOps.minhashBands(col("sig"), bands, rows)).as(Seq("band", "bh")))
   }
 
   /** SimHash near-duplicate pairs: 32-bit simhash, `chunks`-way blocking,

@@ -202,4 +202,42 @@ class StreamingParitySpec extends SparkSpec {
         a0._6.contains("rocket")) // opsgenie2 team rides the payload
     } finally q.stop()
   }
+
+  test("minhash near-dup pairs ≡ incremental streaming LSH over the same signatures") {
+    // the batch self-join (Dedup.minhashLsh) and the streaming bucket-state
+    // detector (DedupStream.nearDupPairs) consume the SAME signatureBands
+    // front-end and must report the identical pair set — streamed across
+    // two micro-batches so cross-batch state is exercised
+    implicit val ctx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different content about spark structured streaming state"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (5L, "unrelated text regarding connected components over pair graphs"))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.minhashLsh(docs, "doc_id", "text")
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val sigRows = graft.llm.Dedup.signatureBands(docs, "doc_id", "text")
+      .select($"doc_id".as("docId"), $"band", $"bh", $"sig")
+      .as[graft.streaming.DedupStream.BandedSig].collect().toSeq
+    val ms = MemoryStream[graft.streaming.DedupStream.BandedSig]
+    val q = graft.streaming.DedupStream.nearDupPairs(ms.toDS(), k = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("dd_par").outputMode("update").start()
+    try {
+      val (first, second) = sigRows.partition(_.docId <= 2)
+      ms.addData(first)
+      q.processAllAvailable()
+      ms.addData(second) // doc 4's twin (doc 1) arrived in the PREVIOUS batch
+      q.processAllAvailable()
+      val streamed = spark.table("dd_par")
+        .select($"idA", $"idB", $"estJaccard").distinct() // cross-band repeats
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0)) // exact twin
+      assert(batch.exists(p => p._1 == 1L && p._2 == 2L)) // near-dup
+    } finally q.stop()
+  }
 }
