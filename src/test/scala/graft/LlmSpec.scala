@@ -174,6 +174,25 @@ class LlmSpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(0).length == 4 && fp(0) == fp(0).sorted)
   }
 
+  test("minhash pairs → connectedComponents recovers the planted duplicate clusters") {
+    // the end-to-end dedup-cluster pipeline: near-dup PAIRS from LSH, then
+    // cluster assignment — a 3-doc near-dup family plus an exact twin pair
+    // land in two clusters keyed by their min doc ids
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (10L, "completely unrelated text about catalyst expression code generation"),
+      (11L, "completely unrelated text about catalyst expression code generation"),
+      (20L, "a lone document with no duplicate partner anywhere in this corpus"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.connectedComponents(
+      Dedup.minhashLsh(docs, "doc_id", "text"), "id_a", "id_b")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(clusters == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // doc 20 pairs with nothing → absent (keep-policy: no cluster, keep it)
+  }
+
   test("connectedComponents labels each pair-graph component with its min doc id") {
     // two chains (1-2-3, 10-11) and an isolated pair (20,21): transitive
     // closure through shared neighbors, no cross-component bleed
