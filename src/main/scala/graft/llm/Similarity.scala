@@ -103,17 +103,22 @@ object Similarity {
     // assignment is a per-row argmax with NO join and NO shuffle (the
     // former broadcast-fanout + groupBy(vid) reshuffled the whole corpus)
     val model = collectCenters(centroids)
-    val cents = centroids.select(col("cid"), col("cvec"), norm(col("cvec")).as("cnrm"))
-    val sim = round(cosineWithNorms(col("v"), col("cvec"), col("nrm"), col("cnrm")), 6)
     val assigned = assignToCenters(n, model, prec = 6)
       .select(col("vid"), col("v"), col("nrm"), col("cid"))
-    // probes: nprobe best centroids per query vector (query side is small —
-    // the window over the broadcast fan-out shuffles only queries×nlist rows)
-    val probes = n.filter(queryPred).join(broadcast(cents))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy(col("vid")).orderBy(sim.desc, col("cid"))))
-      .filter(col("prk") <= nprobe)
-      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+    // probes: the nprobe best centroids per query vector — same literal
+    // centers model, ranked per row by a sort+slice over the (−sim, cid)
+    // struct array (desc sim, cid tiebreak — the row_number order) and
+    // exploded. No join, no window, no exchange anywhere on the model side.
+    val centersLit = typedlit(model)
+    val simStructs = transform(centersLit, ct => struct(
+      (-round(dot(col("v"), ct.getField("_2")) / (col("nrm") * ct.getField("_3")), 6))
+        .as("negsim"),
+      ct.getField("_1").as("cid")))
+    val topProbes = slice(array_sort(simStructs), 1, nprobe)
+    val probes = n.filter(queryPred)
+      .withColumn("__pc", explode(topProbes))
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("__pc.cid").as("cid"))
     assigned.join(probes, "cid")
       .filter(col("vid") =!= col("query_id"))
       .withColumn("cos", round(cosineWithNorms(col("qv"), col("v"), col("qn"), col("nrm")), 6))
