@@ -170,7 +170,8 @@ object AlertHandlers {
         val obj = concat(
           lit("{") +:
             additionalInfo.sortBy(_._1).zipWithIndex.flatMap { case ((k, v), i) =>
-              Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v))
+              Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""),
+                coalesce(jsonStr(v), lit("null")))
             } :+ lit("}"): _*)
         concat(lit(",\"additional_info\":"), jsonStr(obj))
       }
@@ -204,7 +205,9 @@ object AlertHandlers {
     val details = concat(
       lit("{") +:
         detailPairs.zipWithIndex.flatMap { case ((k, v), i) =>
-          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""), jsonStr(v))
+          // a null tag must not null the whole payload concat
+          Seq(lit(if (i == 0) s""""$k":""" else s""","$k":"""),
+            coalesce(jsonStr(v), lit("null")))
         } :+ lit("}"): _*)
     val responders = (teamNames.map(t => s"""{"name":"$t","type":"team"}""") ++
       recipients.map(r => s"""{"type":"user","username":"$r"}"""))

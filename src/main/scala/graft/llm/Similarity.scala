@@ -111,7 +111,7 @@ object Similarity {
     // exploded. No join, no window, no exchange anywhere on the model side.
     val centersLit = typedlit(model)
     val simStructs = transform(centersLit, ct => struct(
-      (-round(dot(col("v"), ct.getField("_2")) / (col("nrm") * ct.getField("_3")), 6))
+      (-round(cosineWithNorms(col("v"), ct.getField("_2"), col("nrm"), ct.getField("_3")), 6))
         .as("negsim"),
       ct.getField("_1").as("cid")))
     val topProbes = slice(array_sort(simStructs), 1, nprobe)

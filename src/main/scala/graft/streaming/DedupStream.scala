@@ -43,6 +43,8 @@ object DedupStream {
           val out = Seq.newBuilder[CandPair]
           // arrival order within the micro-batch: doc id (deterministic)
           it.toSeq.sortBy(_.docId).foreach { p =>
+            require(p.sig.length == k,
+              s"signature length ${p.sig.length} != k=$k — signatureBands and nearDupPairs must agree on k")
             if (!st.ids.contains(p.docId)) {
               var i = 0
               while (i < st.ids.length) {
@@ -50,7 +52,10 @@ object DedupStream {
                 var agree = 0
                 var j = 0
                 while (j < k) { if (sig(j) == p.sig(j)) agree += 1; j += 1 }
-                val est = math.rint(agree.toDouble / k * 1e6) / 1e6
+                // HALF_UP like Spark's round(), so streamed estimates are
+                // byte-identical to the batch self-join's
+                val est = BigDecimal(agree.toDouble / k)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 if (est >= threshold) {
                   val (lo, hi) =
                     if (st.ids(i) < p.docId) (st.ids(i), p.docId) else (p.docId, st.ids(i))

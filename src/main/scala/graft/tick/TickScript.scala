@@ -915,11 +915,15 @@ object TickScript {
           // recognized equalities and ANDs are removed — quoted values are
           // consumed whole, so literals containing 'or'/'!=' can't trip it
           val eqRe = "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r
-          "(?i)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
+          // (?s): InfluxQL queries span lines — the clause must still be
+          // found (and validated) when WHERE and GROUP BY sit on
+          // different lines
+          "(?is)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
             .foreach { m =>
               val clause = m.group(1)
               val residue = eqRe.replaceAllIn(clause, " ")
-                .replaceAll("(?i)\\bAND\\b", " ").trim
+                .replaceAll("(?i)\\bAND\\b", " ")
+                .replaceAll("[()]", " ").trim // parenthesized conjunctions are fine
               require(residue.isEmpty,
                 s"query WHERE supports only AND-ed equality filters, got: $clause")
               eqRe.findAllMatchIn(clause)
