@@ -914,6 +914,7 @@ object TickScript {
           // AND-chained, so the clause must REDUCE to nothing once the
           // recognized equalities and ANDs are removed — quoted values are
           // consumed whole, so literals containing 'or'/'!=' can't trip it
+          val neqRe = "\"?([\\w.]+)\"?\\s*(?:!=|<>)\\s*'([^']*)'".r
           val eqRe = "\"?([\\w.]+)\"?\\s*=\\s*'([^']*)'".r
           // (?s): InfluxQL queries span lines — the clause must still be
           // found (and validated) when WHERE and GROUP BY sit on
@@ -921,12 +922,17 @@ object TickScript {
           "(?is)WHERE\\s+(.*?)(?:GROUP\\s+BY|ORDER\\s+BY|$)".r.findFirstMatchIn(sql)
             .foreach { m =>
               val clause = m.group(1)
-              val residue = eqRe.replaceAllIn(clause, " ")
+              // inequalities first: their tail would otherwise half-match
+              // as an equality
+              val afterNeq = neqRe.replaceAllIn(clause, " ")
+              val residue = eqRe.replaceAllIn(afterNeq, " ")
                 .replaceAll("(?i)\\bAND\\b", " ")
                 .replaceAll("[()]", " ").trim // parenthesized conjunctions are fine
               require(residue.isEmpty,
-                s"query WHERE supports only AND-ed equality filters, got: $clause")
-              eqRe.findAllMatchIn(clause)
+                s"query WHERE supports only AND-ed (in)equality filters, got: $clause")
+              neqRe.findAllMatchIn(clause)
+                .foreach(ne => p = p.where(col(ne.group(1)) =!= lit(ne.group(2))))
+              eqRe.findAllMatchIn(afterNeq)
                 .foreach(eq => p = p.where(col(eq.group(1)) === lit(eq.group(2))))
             }
           var bucketSecs: Option[Long] = None

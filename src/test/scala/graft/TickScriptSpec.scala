@@ -1094,7 +1094,7 @@ class TickScriptSpec extends SparkSpec {
         |		.every(10s)
         |""".stripMargin
     val e = intercept[IllegalArgumentException](TickScript.compile(orScript, alertFixture))
-    assert(e.getMessage.contains("AND-ed equality"))
+    assert(e.getMessage.contains("AND-ed"))
   }
 
   test("template var arithmetic honors precedence, int division, and overrides") {
@@ -1157,7 +1157,23 @@ class TickScriptSpec extends SparkSpec {
         |		.every(10s)
         |""".stripMargin
     val e = intercept[IllegalArgumentException](TickScript.compile(rangeScript, alertFixture))
-    assert(e.getMessage.contains("AND-ed equality"))
+    assert(e.getMessage.contains("AND-ed"))
+    // the reference's own batch-test WHERE shape — multi-line, equality
+    // AND inequality — compiles and filters (batcher_test.go AlertMessage)
+    val tq = "'" * 3
+    val refWhere =
+      s"""batch
+         |	|query($tq
+         |		SELECT mean("value")
+         |		FROM "telegraf"."default".cpu
+         |		WHERE "host" = 'serverA' AND "host" != 'serverC'
+         |$tq)
+         |		.period(10s)
+         |		.every(10s)
+         |		.groupBy(time(2s), 'host')
+         |""".stripMargin
+    val filtered = TickScript.compile(refWhere, alertFixture)
+    assert(filtered.select("host").distinct().as[String].collect().toSeq == Seq("serverA"))
     // quoted values containing OR must NOT trip the guard
     val quotedOr =
       """batch
