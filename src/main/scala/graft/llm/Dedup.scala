@@ -216,55 +216,91 @@ object Dedup {
     * per cluster". Returns (doc_id, cluster_id) for every doc appearing in
     * a pair, cluster_id = the smallest doc_id in its component.
     *
-    * Algorithm: min-label propagation to fixpoint — each round every node
-    * takes the min of its own and its neighbors' labels. Rounds needed =
-    * the component diameter; near-dup clusters are shallow (duplicates of
-    * a common source), so convergence is fast, and the early-stop check
-    * ends the loop the first round nothing changes.
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * contracts the graph toward star graphs rooted at the component
+    * minimum; round count is O(log n) **independent of component
+    * diameter** — a pathological chain-shaped component (diameter ≫ 50)
+    * that would exhaust a diameter-bound label-propagation loop converges
+    * in ~log₂(diameter) rounds here.
     *
     * Scale shape: the graph is the PAIR table (≪ corpus — candidates
-    * already survived LSH + verification); each round is one equi-join of
-    * the label table against the symmetrized edges plus a min-aggregate,
-    * both shuffled on node id so the partitioning is reused across rounds.
-    * Labels persist per round and release the previous round eagerly; the
-    * only driver values are the per-round changed-count (one long). The
-    * O(log n)-round alternating-star variant (Kiveris et al., "Connected
-    * Components in MapReduce", SoCC'14) is the drop-in upgrade if a
-    * pathological diameter ever shows up. */
+    * already survived LSH + verification); each star step is one
+    * window-min over the node partition plus a distinct, shuffled on node
+    * id. Every round lazily checkpoints (cutting the compounding iterative
+    * lineage) and runs exactly ONE Spark action: the symmetric-difference
+    * count that decides convergence ALSO materializes the checkpoint — no
+    * separate changed-check job. If maxIter is ever hit the method
+    * degrades gracefully: it logs a warning and returns the best labels
+    * derived from the partially-contracted graph instead of discarding the
+    * completed rounds. */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    // canonical oriented edge set (a > b), self-loops dropped
+    val raw = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges0 = raw
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // every round CHECKPOINTS (lazily — the changed-count materializes it):
-    // an iterative plan otherwise compounds its lineage each round and the
-    // optimizer/AQE walk an exponentially-growing tree. The checkpoint cuts
-    // the logical plan to a leaf; superseded round blocks are released by
-    // the context cleaner when the previous frame is dropped.
-    // Seed = min(self, direct neighbors) in ONE aggregate — this IS the
-    // first propagation round, so shallow components (the typical dup
-    // cluster) need only the confirm round after it.
-    var cur = sym.groupBy("a").agg(min("b").as("nb"))
-      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
-      .localCheckpoint(false)
+    var cur = edges0
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(cur, sym("b") === cur("node"))
-        .groupBy(sym("a").as("node")).agg(min("label").as("nbr"))
-      val next = cur.select("node", "label").join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      val changed = next.filter(col("label") < col("prev")).count()
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
+      // ONE action: count edges in exactly one of {cur, next}. It is
+      // downstream of next's lazy checkpoint, so the same job materializes
+      // the round and measures change.
+      val changed = next.select(col("a"), col("b"), lit(1).as("src"))
+        .union(cur.select(col("a"), col("b"), lit(2).as("src")))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1).count()
       cur = next
       converged = changed == 0
       i += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    val out = cur.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not reach a fixpoint in $maxIter rounds; " +
+          "returning best-effort labels from the partially-contracted graph")
+    // At the star fixpoint every non-root node carries exactly one edge to
+    // its component min and roots appear only as targets, so label
+    // extraction is min-of-targets with self as fallback. The same
+    // extraction is the best-effort answer on the degraded path.
+    val nodes = edges0.select(col("a").as("node"))
+      .union(edges0.select(col("b").as("node"))).distinct()
+    val lbl = cur.groupBy(col("a").as("node")).agg(min("b").as("lbl"))
+    val out = nodes.join(lbl, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("lbl"), col("node")).as("cluster_id"))
       .localCheckpoint(true)
-    sym.unpersist(false)
+    edges0.unpersist(false)
     out
+  }
+
+  /** Large-star step: every node u connects its strictly-larger neighbors
+    * to m = min(Γ(u) ∪ {u}). One window-min over the symmetrized edges
+    * partitioned by node. Preserves connectivity; never increases any
+    * node's smallest reachable label. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    sym.withColumn("m", least(col("a"), min(col("b")).over(Window.partitionBy("a"))))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star step: orient edges toward the larger endpoint, then every
+    * node u connects its smaller neighbors AND ITSELF to m = min of the
+    * smaller neighborhood. Output stays oriented (a > b). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+    val withMin = oriented.withColumn("m", min(col("b")).over(Window.partitionBy("a")))
+    withMin.select(col("b").as("node"), col("m"))
+      .union(withMin.select(col("a").as("node"), col("m")))
+      .filter(col("node") =!= col("m"))
+      .select(col("node").as("a"), col("m").as("b"))
+      .distinct()
   }
 }

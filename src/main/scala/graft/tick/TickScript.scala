@@ -968,32 +968,49 @@ object TickScript {
             .map(_.group(1).trim)
             .getOrElse(throw new IllegalArgumentException(s"query needs SELECT: $sql"))
           val aggRe = "(?i)(?:(\\d+(?:\\.\\d+)?)\\s*-\\s*)?(\\w+)\\(\"?(\\w+)\"?\\)(?:\\s+AS\\s+\"?(\\w+)\"?)?".r
-          aggRe.findFirstMatchIn(selectSrc) match {
-            case Some(m) =>
-              val fn = m.group(2).toLowerCase
-              val field = m.group(3)
-              val alias = Option(m.group(4)).getOrElse(fn)
+          val aggMatches = aggRe.findAllMatchIn(selectSrc).toList
+          if (aggMatches.nonEmpty) {
+              // residue validation, mirroring the WHERE clause: strip each
+              // recognized `fn(field) [AS alias]` term; anything left beyond
+              // commas/whitespace would otherwise be computed by InfluxDB
+              // but silently dropped here → reject loudly
+              val residue = aggMatches.foldLeft(selectSrc)((s, m) => s.replace(m.matched, ""))
+              require(residue.matches("[\\s,]*"),
+                s"unsupported SELECT term(s) '${residue.trim}' in: $sql")
               val keys = p.dims ++ bucketSecs.map(_ => "bucket_s").toSeq
-              val agg0 = fn match {
-                case "sum" => sum(col(field))
-                case "mean" => avg(col(field))
-                case "count" => count(lit(1))
-                case "min" => min(col(field))
-                case "max" => max(col(field))
-                case other => throw new IllegalArgumentException(s"unsupported query agg $other")
+              // default aliases repeat per InfluxDB's mean, mean_1, … rule
+              val seen = scala.collection.mutable.Map.empty[String, Int]
+              val aliased = aggMatches.map { m =>
+                val fn = m.group(2).toLowerCase
+                val field = m.group(3)
+                val alias0 = Option(m.group(4)).getOrElse(fn)
+                val n = seen.getOrElse(alias0, 0)
+                seen(alias0) = n + 1
+                val alias = if (n == 0) alias0 else s"${alias0}_$n"
+                val agg0 = fn match {
+                  case "sum" => sum(col(field))
+                  case "mean" => avg(col(field))
+                  case "count" => count(lit(1))
+                  case "min" => min(col(field))
+                  case "max" => max(col(field))
+                  case other => throw new IllegalArgumentException(s"unsupported query agg $other")
+                }
+                // `100 - mean(f) AS stat` prefix arithmetic
+                alias -> Option(m.group(1)).map(c => lit(c.toDouble) - agg0).getOrElse(agg0)
               }
-              // `100 - mean(f) AS stat` prefix arithmetic
-              val aggCol = Option(m.group(1)).map(c => lit(c.toDouble) - agg0).getOrElse(agg0)
-              var out = p.df.groupBy(keys.map(col): _*).agg(aggCol.as(alias))
+              val aggCols = aliased.map { case (a, c) => c.as(a) }
+              var out = p.df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
               // fill(v): complete per-group bucket axis, constant for gaps
               prop("fill").foreach { c =>
                 bucketSecs.foreach { bs =>
                   val range = out.agg(min(col("bucket_s")).as("b0"), max(col("bucket_s")).as("b1"))
                     .select(explode(sequence(col("b0"), col("b1"), lit(bs))).as("bucket_s"))
                   val groups = out.select(p.dims.map(col): _*).distinct()
-                  out = groups.crossJoin(range)
-                    .join(out, (p.dims :+ "bucket_s").toSeq, "left")
-                    .withColumn(alias, coalesce(col(alias), lit(c.args.head)))
+                  out = aliased.map(_._1).foldLeft(
+                    groups.crossJoin(range)
+                      .join(out, (p.dims :+ "bucket_s").toSeq, "left")) {
+                    (d, a) => d.withColumn(a, coalesce(col(a), lit(c.args.head)))
+                  }
                 }
               }
               // aggregate points carry the bucket time (see aggCall)
@@ -1001,7 +1018,7 @@ object TickScript {
                 out = out.withColumn(p.timeCol, timestamp_seconds(col("bucket_s")))
               st = St(p.copy(df = out, idCol = p.idCol.filter(out.columns.contains)),
                 bucketed = bucketSecs.isDefined)
-            case None =>
+          } else {
               // raw selection: `*` keeps every column; a field list prunes
               // to (time, dims, fields) — no aggregation, rows pass through
               val out =
@@ -1015,6 +1032,7 @@ object TickScript {
                 }
               st = St(p.copy(df = out), bucketed = bucketSecs.isDefined)
           }
+          () // end SELECT dispatch
         case "join" =>
           // join(o1, o2, ...).as('n0', 'n1', ...)[.tolerance(d)][.fill(v)]:
           // equi-join on (dims, bucket) — or (dims, tolerance-rounded time)

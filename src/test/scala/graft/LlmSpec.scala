@@ -209,4 +209,28 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(chained.forall(_._2 == 0L) && chained.size == 12)
   }
+
+  test("connectedComponents converges on a 100-node chain within O(log n) rounds") {
+    // diameter 99 ≫ the 12-round budget — only the alternating-star
+    // contraction (rounds ~ log₂ diameter) can converge here; a
+    // diameter-bound label-propagation loop cannot
+    val path = (0L until 100L).sliding(2).map(w => (w(1), w(0))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 12)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.size == 100 && out.forall(_._2 == 0L))
+    assert(out.map(_._1).sorted == (0L until 100L))
+  }
+
+  test("connectedComponents degrades gracefully at maxIter instead of throwing") {
+    // maxIter=1 cannot finish a 40-node chain; the contract is best-effort
+    // labels for every node (never discard completed rounds), not a crash
+    val path = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.size == 40)
+    // labels only ever move downward and stay within the component
+    assert(out.forall { case (n, l) => l <= n && l >= 0L })
+  }
 }
