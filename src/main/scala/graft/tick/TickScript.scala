@@ -904,6 +904,16 @@ object TickScript {
           // the InfluxQL SELECT subset the reference's examples use —
           // aggregate + measurement, .groupBy(time(d), dims…), .fill(v).
           val sql = n.args.head.toString
+          // task-start validation (reference task.go/batch.go via
+          // TestBatch_InvalidQuery, batcher_test.go:64-101): the query must
+          // be exactly one SELECT — a second statement or a DDL verb is a
+          // loud task error, never silently dropped
+          val stmts = sql.split(";").map(_.trim).filter(_.nonEmpty)
+          if (stmts.length != 1) throw new IllegalArgumentException(
+            s"query must be a single select statement, got ${stmts.length} statements")
+          if (!stmts.head.toUpperCase.startsWith("SELECT"))
+            throw new IllegalArgumentException(
+              s"""query is not a select statement "${stmts.head}"""")
           val measurement = "(?i)FROM\\s+(\\S+)".r.findFirstMatchIn(sql)
             .map(_.group(1).split('.').last.replaceAll("\"", ""))
             .getOrElse(throw new IllegalArgumentException(s"query needs FROM: $sql"))

@@ -483,6 +483,62 @@ class GoldenReplaySpec2 extends SparkSpec {
     assert(summed == 10L)
   }
 
+  // join(cpu1).as('cpu0','cpu1').delimiter(d) |count('cpu0<d>mean')
+  // |window(20s,20s)|sum — same data and expectation as TestBatch_Join;
+  // what the delimiter variants pin is the RENDERED COLUMN NAME the
+  // downstream count consumes (batcher_test.go:2019-2116, join.go:547-720)
+  private def batchJoinDelimiterGolden(delimiter: String): Unit = {
+    def side(i: Int) = Pipe(graft.sources.Replay.readBrpl(spark,
+      s"/root/reference/integrations/testdata/TestBatch_Join.$i.brpl")
+      .select(col("time"), expr("CAST(fields['mean'] AS DOUBLE)").as("mean")),
+      "time", Nil)
+    val joined = side(0).joinMulti(
+      "cpu0", Seq((side(1), "cpu1")), delimiter = delimiter)
+    val countedField = s"cpu0${delimiter}mean"
+    assert(joined.columns.contains(countedField) &&
+      joined.columns.contains(s"cpu1${delimiter}mean"))
+    val t0 = joined.agg(min(col("jt_us"))).head.getLong(0) / 1000000L
+    val counts = joined
+      .withColumn("t", col("jt_us") / 1000000L - t0)
+      .withColumn("period", floor(col("t") / 10))
+      .filter(col(countedField).isNotNull)
+      .groupBy("period").agg(count(countedField).as("count"), max("t").as("t"))
+      .select(timestamp_seconds(col("t")).as("time"), col("count"))
+    val w = WindowFSM.windowByTime(counts, "time", Nil, 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 28000000L)
+    assert(w.filter(col("wemit_us") === lastEmit)
+      .agg(sum("count")).head.getLong(0) == 10L)
+  }
+
+  test("TestBatch_Join_Delimiter golden: '~' renders cpu0~mean for the count") {
+    batchJoinDelimiterGolden("~")
+  }
+
+  test("TestBatch_Join_DelimiterEmpty golden: '' concatenates prefix and field") {
+    batchJoinDelimiterGolden("")
+  }
+
+  test("TestBatch_InvalidQuery golden: task refuses multi-statement and non-SELECT queries") {
+    // batcher_test.go:64-101: starting the task errors with the exact
+    // message; the reference never silently truncates the query
+    import graft.tick.TickScript
+    val multi = intercept[IllegalArgumentException] {
+      TickScript.compile(
+        "batch|query('SELECT value FROM db.rp.m; DROP DATABASE _internal').every(1s)",
+        srplRebased("TestStream_SimpleMR"))
+    }
+    assert(multi.getMessage.contains(
+      "query must be a single select statement, got 2 statements"))
+    val ddl = intercept[IllegalArgumentException] {
+      TickScript.compile(
+        "batch|query('DROP DATABASE _internal').every(1s)",
+        srplRebased("TestStream_SimpleMR"))
+    }
+    assert(ddl.getMessage.contains(
+      """query is not a select statement "DROP DATABASE _internal""""))
+  }
+
   test("TestBatch_DoubleGroupBy golden: groupBy() merges groups; max carries the winner") {
     // batch groupBy(time(2s),'cpu') |groupBy() |max('mean')
     // (batcher_test.go:1071-1103): the empty groupBy() un-dimensions the
