@@ -27,6 +27,47 @@ class GoldenReplaySpec4 extends SparkSpec {
     df.withColumn("time", timestamp_micros(unix_micros(col("time")) - mn))
   }
 
+  test("TestStream_KapacitorLoopback golden: task A's loopback feeds task B's stream") {
+    // streamer_test.go:12007-12126 (positive path; PreventLoop's refusal is
+    // TickScriptSpec:1188): task A subscribes dbname.rpname and loops cpu
+    // into new-dbname.new-rpname; task B subscribes ONLY the new dbrp and
+    // counts a 10s window. er: count=4 at t=10 — the replay rebases the
+    // first point to t=0 and the unaligned window anchors there
+    // (window.go:122 nextEmit = first+every), so the t=10 emission covers
+    // [0,10) = the rebased points {0,1,2,9}.
+    val raw = graft.sources.Replay.readSrpl(spark,
+      "/root/reference/integrations/testdata/TestStream_KapacitorLoopback.srpl")
+    val mn = raw.agg(min("ts_ns")).head.getLong(0)
+    val src = raw.withColumn("time", timestamp_seconds(col("ts_ns") - mn))
+    val scriptLoop =
+      """dbrp "dbname"."rpname"
+        |
+        |stream
+        |    |from()
+        |        .measurement('cpu')
+        |    |kapacitorLoopback()
+        |        .database('new-dbname')
+        |        .retentionPolicy('new-rpname')
+        |""".stripMargin
+    // task A: the compiled frame IS what kapacitorLoopback re-injects,
+    // restamped to the loopback's target dbrp (kapacitor_loopback.go:89-104)
+    val aIn = src.filter(col("db") === "dbname" && col("rp") === "rpname")
+    val aOut = graft.tick.TickScript.compile(scriptLoop, aIn)
+    val dir = java.nio.file.Files.createTempDirectory("graft_loopback").toString
+    graft.sources.Sinks.loopback(
+      aOut.withColumn("db", lit("new-dbname")).withColumn("rp", lit("new-rpname")), dir)
+    // task B: subscription routing — it sees ONLY the looped-back dbrp
+    val bIn = spark.read.parquet(dir)
+      .filter(col("db") === "new-dbname" && col("rp") === "new-rpname")
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    assert(bIn.count() == 7) // all 7 cpu points arrived through the loop
+    val w = WindowFSM.windowByTime(bIn, "time", Nil, 10, 10)
+    val emits = w.groupBy("wemit_us").agg(count("value").as("count"))
+      .as[(Long, Long)].collect().toMap
+    assert(emits == Map(10000000L -> 4L))
+  }
+
   test("TestStream_StateCount golden: run counter with -1 resets, field-less points skipped") {
     // stateCount(value > 95).as('my_count') over the stream fixture
     // (streamer_test.go TestStream_StateCount): serverA 1,2,-1,1;
