@@ -72,10 +72,15 @@ final case class Pipe(
     * golden). List an evaluated name in `keepCols` to keep it. */
   def evalKeep(keepCols: Seq[String], exprs: (String, Column)*): Pipe = {
     val evaluated = eval(exprs: _*).df
-    // the row-id tiebreak column survives the projection (it is pipeline
-    // metadata, not a field — downstream selectors still need their order)
-    val out = (Seq(timeCol) ++ dims ++ idCol.toSeq ++ keepCols).distinct
-      .filter(evaluated.columns.contains)
+    // a typo'd user keep column must fail loudly (the reference errors on
+    // unknown fields); only pipeline METADATA may be absent — the row-id
+    // tiebreak column (and a time/dim dropped by an upstream agg), which
+    // the projection tolerates because it is not a user-named field
+    val missing = keepCols.filterNot(evaluated.columns.contains)
+    require(missing.isEmpty, s"eval().keep() of unknown column(s): ${missing.mkString(", ")}")
+    val out = (Seq(timeCol) ++ dims ++ idCol.toSeq).distinct
+      .filter(evaluated.columns.contains) ++ keepCols.filterNot(c =>
+      (Seq(timeCol) ++ dims ++ idCol.toSeq).contains(c))
     copy(df = evaluated.select(out.map(col): _*))
   }
 

@@ -225,11 +225,36 @@ object AlertHandlers {
       lit("}"))
   }
 
-  /** Go-style JSON number: json.Marshal renders integral float64s without
-    * a fractional part (10.0 → "10"). */
-  private def goNum(c: Column): Column =
-    when(c === floor(c) && abs(c) < 1e15,
-      c.cast("long").cast("string")).otherwise(c.cast("string"))
+  /** Go json.Marshal float64 rendering (encoding/json floatEncoder):
+    * shortest round-trip digits; plain decimal for 1e-6 ≤ |x| < 1e21
+    * (10.0 → "10", 1e20 → "100000000000000000000"), otherwise 'e' form
+    * with Go's e-0X → e-X cleanup (2.5e-7 → "2.5e-07" → "2.5e-7",
+    * 1e21 → "1e+21"). NaN/±Inf — which json.Marshal refuses outright —
+    * render as JSON null so one bad field cannot invalidate the payload.
+    * Built on Double.toString's round-trip-unique digits. */
+  private[graft] def goJsonFloat(d: Double): String = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) "null"
+    else if (d == 0.0) { if (1.0 / d < 0) "-0" else "0" }
+    else {
+      val abs = math.abs(d)
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(d)).stripTrailingZeros
+      if (abs < 1e-6 || abs >= 1e21) {
+        val digits = bd.unscaledValue.abs.toString
+        val exp = digits.length - 1 - bd.scale
+        val mant = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
+        s"${if (d < 0) "-" else ""}${mant}e${if (exp < 0) "-" else "+"}${math.abs(exp)}"
+      } else bd.toPlainString
+    }
+  }
+
+  private val goNumUdf = udf((d: java.lang.Double) =>
+    if (d == null) null else goJsonFloat(d.doubleValue))
+
+  /** Go-style JSON number column. A UDF by necessity: Go's shortest-repr
+    * float grammar has no Column-expression equivalent, and this sits on
+    * the alert-payload render path (per-event, not per-point hot path);
+    * it still renders distributed on the executors. */
+  private def goNum(c: Column): Column = goNumUdf(c.cast("double"))
 
   /** Single-point models.Result JSON for an alert row — the `data` payload
     * the reference attaches to handlers (alert.Data / VictorOps JSONData,

@@ -28,13 +28,22 @@ object DedupStream {
   case class CandPair(idA: Long, idB: Long, estJaccard: Double)
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
 
+  /** @param overflow incremented once per document NOT added to a capped
+    *   bucket roster — after overflow two NEW near-duplicates that both
+    *   arrive late can no longer pair with each other, so parity with the
+    *   batch self-join silently narrows; this counter (named in the Spark
+    *   UI as `graft.dedup.bucketOverflow` when defaulted) makes that loss
+    *   observable instead of silent. */
   def nearDupPairs(
       points: Dataset[BandedSig],
       k: Int,
       threshold: Double,
-      maxBucketDocs: Int = 1024): Dataset[CandPair] = {
+      maxBucketDocs: Int = 1024,
+      overflow: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[CandPair] = {
     val spark = points.sparkSession
     import spark.implicits._
+    val overflowAcc = overflow.getOrElse(
+      spark.sparkContext.longAccumulator("graft.dedup.bucketOverflow"))
     points.groupByKey(p => (p.band, p.bh))
       .flatMapGroupsWithState[BucketState, CandPair](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -65,6 +74,7 @@ object DedupStream {
               }
               if (st.ids.length < maxBucketDocs)
                 st = BucketState(st.ids :+ p.docId, st.sigs :+ p.sig)
+              else overflowAcc.add(1L)
             }
           }
           gs.update(st)

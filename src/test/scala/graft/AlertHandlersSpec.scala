@@ -336,6 +336,40 @@ class AlertHandlersSpec extends SparkSpec {
       """{"oid":"1.1.1.2","type":"OctetString","value":"kapacitor/cpu/serverA is CRITICAL"}]}""")
   }
 
+  test("goJsonFloat matches Go json.Marshal float64 rendering") {
+    // Go: integral → no fraction; |x| in [1e-6, 1e21) → plain decimal;
+    // outside → 'e' with the e-0X→e-X cleanup; NaN/Inf (json.Marshal
+    // errors) → null so one bad field can't invalidate the payload
+    val cases = Seq(
+      10.0 -> "10",
+      0.1 -> "0.1",
+      -12.5 -> "-12.5",
+      1e20 -> "100000000000000000000",
+      1e15 -> "1000000000000000",
+      1e21 -> "1e+21",
+      -3.25e22 -> "-3.25e+22",
+      2.5e-7 -> "2.5e-7",
+      1.5e-10 -> "1.5e-10",
+      1e-6 -> "0.000001",
+      0.0 -> "0",
+      -0.0 -> "-0",
+      Double.NaN -> "null",
+      Double.PositiveInfinity -> "null",
+      Double.NegativeInfinity -> "null")
+    cases.foreach { case (d, exp) =>
+      assert(AlertHandlers.goJsonFloat(d) == exp, s"for $d")
+    }
+  }
+
+  test("fieldJsonFor renders NaN/Inf double fields as JSON null in the payload") {
+    val df = Seq((Double.NaN, 1.0)).toDF("bad", "good")
+    val fj = AlertHandlers.fieldJsonFor(df.schema)
+    val out = df.select(
+      concat(lit("{\"bad\":"), fj(("bad", $"bad")),
+        lit(",\"good\":"), fj(("good", $"good")), lit("}"))).as[String].head()
+    assert(out == """{"bad":null,"good":1}""")
+  }
+
   test("talk payload matches the reference talk handler mapping") {
     val out = critRow.select(AlertHandlers.talk("Kapacitor", $"id", $"message"))
       .as[String].head()

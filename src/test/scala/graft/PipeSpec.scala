@@ -210,4 +210,16 @@ class PipeSpec extends SparkSpec {
     assert(l.joinTolerance(r, 60, ("l", "r"), Seq("k")).count() == 1)
     assert(l.joinTolerance(r, 10, ("l", "r"), Seq("k")).count() == 0)
   }
+
+  test("evalKeep fails loudly on a typo'd keep column; tolerates absent idCol metadata") {
+    val df = Seq((new java.sql.Timestamp(0L), 1.0)).toDF("time", "value")
+    // idCol metadata may be absent after an upstream agg — still fine
+    val p = Pipe(df, "time", Nil, None, idCol = Some("rid"))
+    assert(p.evalKeep(Seq("value")).df.columns.toSeq == Seq("time", "value"))
+    // but a USER keep column that doesn't exist is an error, not a silent drop
+    val err = intercept[IllegalArgumentException] {
+      p.evalKeep(Seq("valeu"))
+    }
+    assert(err.getMessage.contains("valeu"))
+  }
 }

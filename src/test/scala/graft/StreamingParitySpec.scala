@@ -240,4 +240,31 @@ class StreamingParitySpec extends SparkSpec {
       assert(batch.exists(p => p._1 == 1L && p._2 == 2L)) // near-dup
     } finally q.stop()
   }
+
+  test("bucket overflow at maxBucketDocs is observable via the counter") {
+    // after the cap, late docs still probe the frozen roster but are not
+    // added — two new near-dups arriving post-overflow never pair with
+    // each other. That parity loss must be counted, not silent.
+    implicit val ctx = spark.sqlContext
+    val sig = Seq.fill(16)(7L) // identical signatures → same bucket, est 1.0
+    val rows = (1L to 5L).map(i =>
+      graft.streaming.DedupStream.BandedSig(i, 0, "b0", sig))
+    val acc = spark.sparkContext.longAccumulator("test.dedup.overflow")
+    val ms = MemoryStream[graft.streaming.DedupStream.BandedSig]
+    val q = graft.streaming.DedupStream.nearDupPairs(
+        ms.toDS(), k = 16, threshold = 0.5, maxBucketDocs = 2, overflow = Some(acc))
+      .writeStream.format("memory").queryName("dd_ovf").outputMode("update").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      // docs 3,4,5 overflow the 2-doc roster
+      assert(acc.value == 3L)
+      // they still paired against the frozen roster {1,2}…
+      val pairs = spark.table("dd_ovf").select($"idA", $"idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 5L)))
+      // …but not with each other — the documented, now-observable gap
+      assert(!pairs.contains((3L, 4L)))
+    } finally q.stop()
+  }
 }
