@@ -16,6 +16,23 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // q_holt_winters is the one no_oracle entry (DuckDB cannot state the
+    // Nelder-Mead fit). Assert value equality HERE against the serial
+    // exact recursion; on mismatch delete the dump so the driver's
+    // rows>0 gate fails loudly instead of recording a hollow pass.
+    try {
+      if (!graft.queries.EventQueries.holtWintersCrossCheck(spark, sfDir)) {
+        System.err.println("[verify] q_holt_winters value cross-check FAILED")
+        val dir = Paths.get(s"$outDir/q_holt_winters")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+      } else println("[verify] q_holt_winters value cross-check passed")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] holtWinters cross-check errored: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -313,4 +313,33 @@ object EventQueries {
       .select(col("event_type"), col("step"), round(col("mean_v"), 6).as("forecast"))
       .orderBy("event_type", "step")
   }
+
+  /** Value-equality cross-check for [[holtWintersQ]] — the one query DuckDB
+    * cannot oracle (the Nelder-Mead fit is not SQL-expressible). Recomputes
+    * every group's forecast with the serial exact recursion
+    * ([[HoltWinters.run]]) on the driver-collected daily-mean series and
+    * compares against what the auto-dispatched distributed query emitted.
+    * Verify calls this so the correctness gate asserts VALUES for
+    * q_holt_winters, not just rows>0. */
+  def holtWintersCrossCheck(s: SparkSession, dir: String): Boolean = {
+    val d = withT(pipe(s, dir)).withColumn("bucket_s", bucketS(86400))
+      .groupBy("event_type", "bucket_s").agg(avg("value").as("mean_v"))
+    val series = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val expected = series.toSeq.flatMap { case (g, rows) =>
+      val tvs = rows.sortBy(_._2).map(r => HoltWinters.TV(r._2, r._3)).toArray
+      HoltWinters.run(tvs, 3, 7, 86400L, withFit = false)
+        .zipWithIndex.map { case (tv, i) =>
+          (g, i, BigDecimal(tv.v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = holtWintersQ(s, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val ok = got == expected
+    if (!ok) {
+      val diff = (got diff expected) ++ (expected diff got)
+      System.err.println(s"[verify] holtWinters mismatch rows: ${diff.take(10).mkString(", ")}")
+    }
+    ok
+  }
 }
