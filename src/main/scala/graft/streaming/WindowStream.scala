@@ -77,12 +77,19 @@ object WindowStream {
 
   case class BarrierEvent(group: String, emittedAtUs: Long, kind: String)
   case class IdleState(lastSeenUs: Long)
-  case class PeriodicState(lastSeenUs: Long, armed: Boolean)
+  case class PeriodicState(armWallUs: Long, fired: Long)
 
   /** barrier().period(d) (reference barrier.go:230-320): emit a barrier for
     * every group each `periodMs` of wall-clock regardless of traffic. The
     * timer re-arms on expiry instead of resetting on data (that's the
-    * difference from [[idleBarrier]]). */
+    * difference from [[idleBarrier]]).
+    *
+    * The barrier's DATA time is the wall TICK time — `emitBarrier`
+    * stamps time.Now() (barrier.go:312-314), never the last point's data
+    * time. A Go time.Ticker fires on the grid arm+k·period, so the stamp
+    * is derived deterministically from the arming wall time and the fire
+    * ordinal: the same law the batch simulator replays (Barrier.simulate's
+    * `deadline` grid), which the streaming-vs-batch parity spec pins. */
   def periodicBarrier(
       points: Dataset[CountPoint],
       periodMs: Long): Dataset[BarrierEvent] = {
@@ -93,15 +100,20 @@ object WindowStream {
         OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (group: String, it: Iterator[CountPoint], gs: GroupState[PeriodicState]) =>
           if (gs.hasTimedOut) {
-            val st = gs.getOption.getOrElse(PeriodicState(0L, armed = false))
-            gs.update(st.copy(armed = true))
+            val st = gs.get
+            val k = st.fired + 1
+            gs.update(st.copy(fired = k))
             gs.setTimeoutDuration(periodMs)
-            Iterator.single(BarrierEvent(group, st.lastSeenUs, "periodic"))
+            Iterator.single(
+              BarrierEvent(group, st.armWallUs + k * periodMs * 1000L, "periodic"))
           } else {
-            val st = gs.getOption.getOrElse(PeriodicState(0L, armed = false))
-            val maxT = it.map(_.timeUs).foldLeft(st.lastSeenUs)(math.max)
-            gs.update(PeriodicState(maxT, armed = true))
-            if (!st.armed) gs.setTimeoutDuration(periodMs)
+            it.foreach(_ => ()) // drain; periodic ticks ignore data times
+            if (gs.getOption.isEmpty) {
+              // first message for the group starts its ticker (the batch
+              // simulator anchors `deadline` at first arrival the same way)
+              gs.update(PeriodicState(gs.getCurrentProcessingTimeMs() * 1000L, 0L))
+              gs.setTimeoutDuration(periodMs)
+            }
             Iterator.empty
           }
       }

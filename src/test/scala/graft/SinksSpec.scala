@@ -143,6 +143,44 @@ class SinksSpec extends SparkSpec {
       "/cpu/?host=serverA&cpu=c"))
   }
 
+  test("periodic barrier ticks match the batch simulator's wall grid") {
+    // Barrier.simulate (periodic): ticker anchored at the group's first
+    // arrival, barrier DATA time = the wall tick arm+k·period — never the
+    // point's data time (barrier.go emitBarrier stamps time.Now()). The
+    // streaming FSM must produce the identical rebased grid.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[CountPoint]
+    val q = WindowStream.periodicBarrier(ms.toDS(), 300).writeStream
+      .format("memory").queryName("pb_par").outputMode("update").start()
+    try {
+      // data time 20s epoch — nowhere near the wall clock, so any leak of
+      // data time into the stamps breaks the grid assertion below
+      ms.addData(CountPoint("g", 20000000L, 1.0))
+      val deadline = System.currentTimeMillis + 20000
+      var stamps = Seq.empty[Long]
+      while (stamps.length < 3 && System.currentTimeMillis < deadline) {
+        stamps = spark.table("pb_par").filter($"group" === "g")
+          .orderBy("emittedAtUs").select("emittedAtUs").as[Long].collect().toSeq
+        if (stamps.length < 3) Thread.sleep(200)
+      }
+      assert(stamps.length >= 3, s"expected 3+ periodic barriers, got $stamps")
+      val streamedGrid = stamps.take(3).map(_ - stamps.head)
+      // batch simulator, same shape: one point arriving at wall 0, watch
+      // until 3 ticks elapse
+      val one = Seq((new java.sql.Timestamp(20000L), 0L, 1.0))
+        .toDF("time", "arrival_us", "value")
+      val batchGrid = graft.operators.Barrier
+        .periodic(one, "time", "arrival_us", Nil, 0.3, endWallUs = 900000L)
+        .filter($"__barrier").orderBy("__evt_us")
+        .select("__evt_us").as[Long].collect().toSeq
+        .map(_ - 300000L) // rebase tick 1 to 0, as streamedGrid does
+      assert(batchGrid == Seq(0L, 300000L, 600000L))
+      assert(streamedGrid == batchGrid, s"streamed $streamedGrid vs batch $batchGrid")
+      // and the stamps are wall-derived, not the 20s data time
+      assert(stamps.head > 1000000000L * 1000000L)
+    } finally q.stop()
+  }
+
   test("idle barrier times match the golden-pinned law: lastPoint+idle, stepping by idle") {
     // Barrier_Idle_No_Data golden (GoldenReplaySpec3): one point then
     // silence → barriers at t0+idle, t0+2·idle in DATA time, regardless of
