@@ -468,7 +468,8 @@ object TickScript {
     * ResultRenderer / Sinks). */
   def compile(script: String, source: DataFrame, timeCol: String = "time",
       measurementCol: String = "measurement", idCol: Option[String] = None,
-      templateVars: Map[String, Any] = Map.empty): DataFrame = {
+      templateVars: Map[String, Any] = Map.empty,
+      stageTap: Option[(String, Pipe) => Unit] = None): DataFrame = {
     val parsed = parse(script)
     val missing = parsed.declared.keySet -- templateVars.keySet
     require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
@@ -549,12 +550,20 @@ object TickScript {
       s"kapacitorLoopback into $db.$rp would create a loop: the task subscribes to that dbrp")
     val vars = scala.collection.mutable.Map.empty[String, St]
     var last: Option[St] = None
+    // node-stats tap (stats.go): nodes are numbered <name><ordinal> across
+    // the whole DAG — stream0, from1, derivative2 ... — roots included
+    val ord = new java.util.concurrent.atomic.AtomicInteger(0)
     chains.foreach { ch =>
       val st0 = ch.root match {
         case "stream" | "batch" => St(Pipe(source, timeCol = timeCol, idCol = idCol), bucketed = false)
         case ref => vars.getOrElse(ref, throw new IllegalArgumentException(s"unknown var $ref"))
       }
-      val stN = compileNodes(st0, ch.nodes, vars, measurementCol, timeCol)
+      stageTap.foreach { tap =>
+        if (ch.root == "stream" || ch.root == "batch")
+          tap(s"${ch.root}${ord.getAndIncrement()}", st0.pipe)
+      }
+      val stN = compileNodes(st0, ch.nodes, vars, measurementCol, timeCol,
+        stageTap.map(tap => (n: Node, p: Pipe) => tap(s"${n.name}${ord.getAndIncrement()}", p)))
       ch.varName match {
         case Some(nm) => vars(nm) = stN
         case None => last = Some(stN)
@@ -584,7 +593,8 @@ object TickScript {
   private def compileNodes(
       st0: St, nodes: Seq[Node],
       vars: scala.collection.mutable.Map[String, St],
-      measurementCol: String, timeCol: String): St = {
+      measurementCol: String, timeCol: String,
+      nodeTap: Option[(Node, Pipe) => Unit] = None): St = {
     var st = st0
 
     def aggCall(fn: (Pipe, Seq[String], String, String) => DataFrame, field: String, as: String): Unit = {
@@ -1113,6 +1123,7 @@ object TickScript {
            | "noOp" | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
         case other => throw new IllegalArgumentException(s"unsupported node $other")
       }
+      nodeTap.foreach(_(n, st.pipe))
     }
     st
   }
