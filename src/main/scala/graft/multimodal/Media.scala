@@ -291,18 +291,23 @@ object Media {
     * dims/duration/frame-count live in plain container headers, so this
     * parses MP4/MOV (`moov/mvhd/tkhd/stsz`) and AVI RIFF (`avih`) directly:
     * header-only probing, exactly how binaryFile pipelines qualify video at
-    * scale without paying a decode. The feature vector stays the
-    * deterministic stub (an honest marker — content features need an
-    * ffmpeg-class codec this environment doesn't ship). Unparseable
-    * payloads fall back to [[decodeStub]] entirely. */
+    * scale without paying a decode.
+    *
+    * DEPENDENCY POLICY (settled): no external codec will be added — the
+    * build is zero-egress and the JDK ships none — so on this REAL path
+    * the video content-feature slot is NULL, never fabricated. Downstream
+    * consumers null-check (MediaSpec pins it); [[decodeStub]] remains the
+    * explicitly-fake test decoder for pipeline-shape work. Unparseable
+    * payloads keep the stub's fake dims (the pipeline stays total) but
+    * still carry a null feature: content was not decoded either way. */
   def probeVideo(blob: MediaBlob, featureDim: Int = 8): MediaFeatures = {
     if (blob.kind != "video") return decodeStub(blob, featureDim)
     parseMp4(blob.bytes).orElse(parseAvi(blob.bytes)) match {
       case Some(meta) =>
         decodeStub(blob, featureDim).copy(
           width = meta.width, height = meta.height,
-          n_frames = math.max(meta.nFrames, 1))
-      case None => decodeStub(blob, featureDim)
+          n_frames = math.max(meta.nFrames, 1), feature = null)
+      case None => decodeStub(blob, featureDim).copy(feature = null)
     }
   }
 

@@ -121,7 +121,12 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeReal(img).width == 6)
     val vid = Media.MediaBlob(8L, "video", Array[Byte](1),
       declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
-    assert(flat(Media.decodeReal(vid)) == flat(Media.decodeStub(vid)))
+    // video on the REAL path never fabricates content features — null, not
+    // stub values, even when the container is unparseable
+    val vf = Media.decodeReal(vid)
+    assert(vf.feature == null)
+    assert((vf.media_id, vf.width, vf.height, vf.n_frames) ==
+      { val s0 = Media.decodeStub(vid); (s0.media_id, s0.width, s0.height, s0.n_frames) })
   }
 
   /** Minimal valid ISO-BMFF: ftyp + moov[mvhd, trak[tkhd, mdia[minf[stbl[
@@ -186,11 +191,32 @@ class MediaSpec extends SparkSpec {
     assert(meta == Media.VideoMeta(640, 360, 90, 90L * 33333 / 1000))
     val f = Media.probeVideo(blob)
     assert(f.width == 640 && f.height == 360 && f.n_frames == 90)
-    // dims come from the container, content features stay the honest stub
-    assert(f.feature.toSeq == Media.decodeStub(blob).feature.toSeq)
+    // dims come from the container; content features are NULL by policy —
+    // there is no codec, so nothing may fabricate them
+    assert(f.feature == null)
     val junk = Media.MediaBlob(11L, "video", Array[Byte](0, 1, 2, 3),
       declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
     assert(Media.probeVideo(junk).width == Media.decodeStub(junk).width)
+    assert(Media.probeVideo(junk).feature == null)
+  }
+
+  test("distributed featurize: video features null-not-fabricated, image/audio real") {
+    import spark.implicits._
+    val blobs = Seq(
+      Media.MediaBlob(20L, "video", mp4Bytes(320, 240, 48, 1000, 2000),
+        declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L),
+      Media.MediaBlob(21L, "image", pngBytes(6, 6, 0xFFFFFF),
+        declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
+    ).toDS().repartition(2)
+    val out = Media.featurize(blobs, decoder = Media.decodeReal)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(20L).feature == null && out(20L).width == 320)
+    assert(out(21L).feature != null && out(21L).width == 6)
+    // downstream consumers select features WHERE feature IS NOT NULL —
+    // a null video row drops out instead of polluting similarity math
+    val usable = Media.featurize(blobs, decoder = Media.decodeReal).toDF()
+      .filter(org.apache.spark.sql.functions.col("feature").isNotNull).count()
+    assert(usable == 1L)
   }
 
 }
