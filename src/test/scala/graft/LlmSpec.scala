@@ -211,9 +211,11 @@ class LlmSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a 100-node chain within O(log n) rounds") {
-    // diameter 99 ≫ the 12-round budget — only the alternating-star
-    // contraction (rounds ~ log₂ diameter) can converge here; a
-    // diameter-bound label-propagation loop cannot
+    // diameter 99 ≫ the 12-round star budget (plus the fixed ≤4-round
+    // propagation prelude) — only the alternating-star contraction
+    // (rounds ~ log₂ diameter) can converge here; a diameter-bound
+    // label-propagation loop cannot, so this pins the phase-2 path AND
+    // the star∘propagation label composition
     val path = (0L until 100L).sliding(2).map(w => (w(1), w(0))).toSeq
       .toDF("id_a", "id_b")
     val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 12)
