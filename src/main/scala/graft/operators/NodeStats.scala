@@ -34,7 +34,7 @@ object NodeStats {
     "window", "where", "sample", "derivative", "difference", "elapsed",
     "movingAverage", "cumulativeSum", "changeDetect", "stateDuration",
     "stateCount", "flatten", "combine", "join", "barrier", "holtWinters",
-    "sigma", "alert")
+    "sigma", "alert", "eval", "groupBy")
 
   /** Per-node stats for a compiled chain, in chain order. Counts run here
     * (bounded: one job per stage); the result is a small local frame. */

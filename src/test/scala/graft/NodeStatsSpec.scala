@@ -74,6 +74,33 @@ class NodeStatsSpec extends SparkSpec {
     assert(st("window2") == ((90L, 0L, 9L)))
   }
 
+  test("TestStream_SampleCardinality semantics: sample2 counts per group") {
+    val st = statsFor(
+      """stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy('host','cpu')
+        |    |sample(2)
+        |""".stripMargin)
+    assert(st("stream0") == ((90L, 90L, 0L)))
+    assert(st("from1") == ((90L, 90L, 0L)))
+    assert(st("sample2") == ((90L, 0L, 9L)))
+  }
+
+  test("TestStream_EvalCardinality semantics: eval2 holds sigma state per group") {
+    val st = statsFor(
+      """stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy('host','cpu')
+        |    |eval(lambda: sigma("usage_user"))
+        |      .as('sigma')
+        |""".stripMargin)
+    assert(st("stream0") == ((90L, 90L, 0L)))
+    assert(st("from1") == ((90L, 90L, 0L)))
+    assert(st("eval2") == ((90L, 0L, 9L)))
+  }
+
   test("streaming listener bridge reports collected and state cardinality") {
     implicit val ctx = spark.sqlContext
     val listener = new NodeStats.StreamingStats
