@@ -68,6 +68,36 @@ class GoldenReplaySpec4 extends SparkSpec {
     assert(emits == Map(10000000L -> 4L))
   }
 
+  test("TestBatch_KapacitorLoopback golden: windowed batches flatten back to points through the loop") {
+    // streamer_test.go:12136-12233: task A windows (5s,5s) before the
+    // loopback — batches re-enter as their POINTS with original times
+    // (kapacitor_loopback.go BatchPoint handling) — and task B's 10s count
+    // still sees {0,1,2,9} → 4 at t=10, the same er as the stream variant.
+    // A's emissions: trigger at t=9 flushes [0,5) = {0,1,2}; trigger at
+    // t=15 flushes [9,14) = {9,10,11}; t=15 itself never flushes.
+    val raw = graft.sources.Replay.readSrpl(spark,
+      "/root/reference/integrations/testdata/TestStream_KapacitorLoopback.srpl")
+    val mn = raw.agg(min("ts_ns")).head.getLong(0)
+    val src = raw.withColumn("time", timestamp_seconds(col("ts_ns") - mn))
+      .filter(col("measurement") === "cpu")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val aWindows = WindowFSM.windowByTime(src, "time", Nil, 5, 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_loopback_b").toString
+    // the loopback ships the batch's points, not the batch container —
+    // drop the window bookkeeping, keep original times
+    graft.sources.Sinks.loopback(
+      aWindows.select(col("time"), col("value"))
+        .withColumn("db", lit("new-dbname")).withColumn("rp", lit("new-rpname")), dir)
+    val bIn = spark.read.parquet(dir)
+      .filter(col("db") === "new-dbname" && col("rp") === "new-rpname")
+      .select("time", "value")
+    assert(bIn.count() == 6) // {0,1,2} + {9,10,11}; 15 never flushed
+    val w = WindowFSM.windowByTime(bIn, "time", Nil, 10, 10)
+    val emits = w.groupBy("wemit_us").agg(count("value").as("count"))
+      .as[(Long, Long)].collect().toMap
+    assert(emits == Map(10000000L -> 4L))
+  }
+
   test("TestStream_StateCount golden: run counter with -1 resets, field-less points skipped") {
     // stateCount(value > 95).as('my_count') over the stream fixture
     // (streamer_test.go TestStream_StateCount): serverA 1,2,-1,1;
@@ -262,6 +292,31 @@ class GoldenReplaySpec4 extends SparkSpec {
       """["1970-01-01T00:00:04Z",91.71877558217454],""" +
       """["1970-01-01T00:00:06Z",87.10524436107617],""" +
       """["1970-01-01T00:00:08Z",90.3900735196668]]}]}""")
+  }
+
+  test("TestBatch_HttpPost_URL_Template golden: per-batch URL renders name and tags") {
+    // batcher_test.go:3159-3262: '…/{{.Name}}?cpu={{ index .Tags "cpu" }}'
+    // renders once per posted BATCH — the three first-emission groups post
+    // to /cpu_usage_idle?cpu={cpu-total,cpu0,cpu1} (bodies are the Result
+    // JSONs the TestBatch_HttpPost golden pins)
+    val b = brplRebased("TestBatch_HttpPost.0")
+      .select(col("batch_idx"), expr("tags['cpu']").as("cpu"), col("time"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    // one .brpl doc = one emitted batch: docs 0-2 are the first emission's
+    // three groups
+    val batches = b.filter(col("batch_idx") <= 2)
+      .groupBy("batch_idx", "cpu").agg(max("time").as("time"), avg("mean").as("mean"))
+    val url = graft.sources.Sinks.rowTemplate(
+      """/{{ .Name }}?cpu={{ index .Tags "cpu" }}""",
+      name = lit("cpu_usage_idle"),
+      tags = Map("cpu" -> col("cpu")),
+      timeCol = col("time"),
+      fields = Map("mean" -> col("mean")))
+    val urls = batches.select(url).as[String].collect().toSet
+    assert(urls == Set(
+      "/cpu_usage_idle?cpu=cpu-total",
+      "/cpu_usage_idle?cpu=cpu0",
+      "/cpu_usage_idle?cpu=cpu1"))
   }
 
   test("TestBatch_AlertLevelTag golden: level and id promote to tags") {

@@ -18,13 +18,15 @@ class NodeStatsSpec extends SparkSpec {
       "/root/reference/integrations/testdata/TestStream_Cardinality.srpl")
     .select(col("time"), col("measurement"),
       expr("tags['host']").as("host"), expr("tags['cpu']").as("cpu"),
-      expr("fieldsFloat['usage_user']").as("usage_user"))
+      expr("fieldsFloat['usage_user']").as("usage_user"),
+      monotonically_increasing_id().as("id"))
 
   private def statsFor(script: String): Map[String, (Long, Long, Long)] = {
     val stages = Seq.newBuilder[NodeStats.Stage]
-    graft.tick.TickScript.compile(script, source, stageTap = Some((name, p) =>
+    graft.tick.TickScript.compile(script, source, idCol = Some("id"),
+      stageTap = Some((name, p) =>
       stages += NodeStats.Stage(name, p.df, p.dims,
-        NodeStats.statefulNodes.contains(name.replaceAll("\\d+$", "")))))
+        NodeStats.statefulNodes.contains(name.replaceAll("\\d+$","")))))
     NodeStats.stats(spark, stages.result())
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
@@ -99,6 +101,33 @@ class NodeStatsSpec extends SparkSpec {
     assert(st("stream0") == ((90L, 90L, 0L)))
     assert(st("from1") == ((90L, 90L, 0L)))
     assert(st("eval2") == ((90L, 0L, 9L)))
+  }
+
+  test("TestStream_AlertCardinality semantics: alert2 tracks 9 groups") {
+    val st = statsFor(
+      """stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy('host','cpu')
+        |    |alert()
+        |""".stripMargin)
+    assert(st("stream0") == ((90L, 90L, 0L)))
+    assert(st("from1") == ((90L, 90L, 0L)))
+    assert(st("alert2") == ((90L, 0L, 9L)))
+  }
+
+  test("TestStream_CombineCardinality semantics: combine2 buffers 9 groups") {
+    val st = statsFor(
+      """var s1 = stream
+        |    |from()
+        |        .measurement('cpu')
+        |        .groupBy('cpu','host')
+        |    |combine(lambda: TRUE, lambda: TRUE)
+        |        .as('total','true')
+        |""".stripMargin)
+    assert(st("stream0") == ((90L, 90L, 0L)))
+    assert(st("from1") == ((90L, 90L, 0L)))
+    assert(st("combine2")._1 == 90L && st("combine2")._2 == 0L && st("combine2")._3 == 9L)
   }
 
   test("streaming listener bridge reports collected and state cardinality") {
