@@ -126,6 +126,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // ------------------- sliding-window covering-k arithmetic ---------------
+
+  test("windowSliding pmod arithmetic yields exactly the covering k·every grid") {
+    // Pipe.windowSliding derives covering window starts as k·e for
+    // k ∈ [floor((t−p)/e)+1, floor(t/e)] (floor via pmod). The defining
+    // property (Spark's window() generator semantics): start ≤ t < start+p
+    // over the epoch-anchored k·e grid. Negative epochs included.
+    val gen = for {
+      t <- Gen.chooseNum(-4000000L, 4000000L)
+      e <- Gen.chooseNum(1L, 900L)
+      p <- Gen.chooseNum(1L, 2700L)
+    } yield (t, p, e)
+    holds(Prop.forAll(gen) { case (t, p, e) =>
+      val lo = (t - p - Math.floorMod(t - p, e)) / e + 1
+      val hi = (t - Math.floorMod(t, e)) / e
+      val arith = (lo to hi).map(_ * e).toSet
+      val brute = (((t - p) / e - 2) to (t / e + 2))
+        .map(_ * e).filter(s => s <= t && t < s + p).toSet
+      arith == brute
+    })
+  }
+
   // ------------------------- percentile rank bounds -----------------------
 
   test("nearest-rank percentile index stays within [0, n] and is monotone in pct") {

@@ -79,6 +79,42 @@ class StreamingSpec2 extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("dedup LSH bucket rosters survive a checkpointed restart") {
+    // the state store holds each bucket's signature roster — doc 1 arrives
+    // before the restart, its twin doc 2 after: the (1,2) pair can only be
+    // reported if the roster persisted through the checkpoint
+    implicit val ctx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_dd_ckpt").toString
+    val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val sig = Seq.fill(16)(11L)
+    def row(id: Long) = graft.streaming.DedupStream.BandedSig(id, 0, "bk", sig)
+    def sink(df: org.apache.spark.sql.Dataset[graft.streaming.DedupStream.CandPair],
+        id: Long): Unit =
+      df.collect().foreach(p => pairs.add((p.idA, p.idB)))
+
+    val ms1 = MemoryStream[graft.streaming.DedupStream.BandedSig]
+    val q1 = graft.streaming.DedupStream.nearDupPairs(ms1.toDS(), k = 16, threshold = 0.5)
+      .writeStream.outputMode("update").option("checkpointLocation", ckpt)
+      .foreachBatch(sink _).start()
+    try {
+      ms1.addData(row(1L)) // roster seed: no pair yet
+      q1.processAllAvailable()
+      assert(pairs.isEmpty)
+    } finally q1.stop()
+
+    val ms2 = MemoryStream[graft.streaming.DedupStream.BandedSig]
+    ms2.addData(row(1L)) // batch 0 re-definition for offset-log replay
+    val q2 = graft.streaming.DedupStream.nearDupPairs(ms2.toDS(), k = 16, threshold = 0.5)
+      .writeStream.outputMode("update").option("checkpointLocation", ckpt)
+      .foreachBatch(sink _).start()
+    try {
+      ms2.addData(row(2L)) // twin — pairs iff the roster survived
+      q2.processAllAvailable()
+      val out = pairs.toArray(Array.empty[(Long, Long)]).toSet
+      assert(out == Set((1L, 2L)), s"got $out")
+    } finally q2.stop()
+  }
+
   test("influxOut partitioned layout prunes by measurement at read time") {
     val dir = Files.createTempDirectory("graft_prune").toString
     val df = Seq(
