@@ -1152,6 +1152,7 @@ object TickScript {
       "teams" -> Set("channelURL"),
       "discord" -> Set("username", "workspace", "embedTitle", "timestamp"),
       "opsGenie2" -> Set("teams", "recipients", "recoveryAction"),
+      "pagerDuty2" -> Set("routingKey", "serviceKey", "link"),
       "serviceNow" -> Set("node", "type", "resource", "metricName", "messageKey", "additionalInfo", "source"),
       "alerta" -> Set("token", "tokenPrefix", "environment", "origin", "resource", "event", "group", "value", "services", "correlated", "attribute", "timeout"),
       "email" -> Set("to"),
@@ -1221,6 +1222,12 @@ object TickScript {
             disableNotification = sub(g, "disableNotification").isDefined)
         case "teams" =>
           AlertHandlers.teams(col("id"), col("message"), levelName)
+        case "pagerDuty2" =>
+          // .serviceKey() is the backwards-compatible routing-key setter
+          // (pipeline/alert.go:1144-1148); explicit routingKey/serviceKey
+          // beats the service default "routing_key"
+          AlertHandlers.pagerduty(col("id"), col("message"), levelName,
+            subStr(g, "serviceKey", subStr(g, "routingKey", "routing_key")))
         case "discord" =>
           AlertHandlers.discord(subStr(g, "username", ""), "",
             subStr(g, "embedTitle", ""), col("message"), levelName)

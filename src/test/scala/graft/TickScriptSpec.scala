@@ -1016,6 +1016,45 @@ class TickScriptSpec extends SparkSpec {
       """"responders":[{"name":"rocket","type":"team"}]"""))
   }
 
+  test("pagerDuty2 serviceKey overrides the routing key per handler (ServiceKey test)") {
+    // TestStream_AlertPagerDuty2_ServiceKey (streamer_test.go:10040-10073):
+    // two chained .pagerDuty2() handlers — the first uses the service
+    // default routing key, the second overrides it via the
+    // backwards-compatible .serviceKey() setter (pipeline/alert.go:1144-48)
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |		.groupBy('host')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|alert()
+        |		.id('kapacitor/{{ .Name }}/{{ index .Tags "host" }}')
+        |		.message('{{ .Level }} alert for {{ .ID }}')
+        |		.info(lambda: "count" > 6.0)
+        |		.warn(lambda: "count" > 7.0)
+        |		.crit(lambda: "count" > 8.0)
+        |		.pagerDuty2()
+        |		.pagerDuty2()
+        |		    .serviceKey('test_override_key')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    val crit = out.filter($"level" === 3).head
+    val p1 = crit.getAs[String]("payload_pagerDuty2")
+    val p2 = crit.getAs[String]("payload_pagerDuty2_2")
+    assert(p1.contains(""""routing_key":"routing_key""""))
+    assert(p2.contains(""""routing_key":"test_override_key""""))
+    assert(p1.contains(""""event_action":"trigger"""") &&
+      p1.contains(""""severity":"critical""""))
+    assert(p1.contains(""""dedup_key":"kapacitor/cpu/serverA""""))
+    // OK-level events resolve
+    val ok = out.filter($"level" === 0).head
+    assert(ok.getAs[String]("payload_pagerDuty2").contains(""""event_action":"resolve""""))
+  }
+
   test("victorOps maps OK-level events to message_type RECOVERY") {
     // services/victorops/service.go:193-200: alert.OK → "RECOVERY"; every
     // other level passes its name through
