@@ -95,6 +95,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (LQ.dedupClustersQ _),
     "q_dedup_simhash" -> (LQ.dedupSimhashQ _),
     "q_dedup_ngram" -> (LQ.dedupNgramQ _),
+    "q_decontaminate" -> (LQ.decontaminateQ _),
     "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
     "q_knn_bruteforce" -> (LQ.knnBruteQ _),
     "q_knn_lsh" -> (LQ.knnLshQ _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "q_dedup_clusters" -> LQ.dedupClustersSql,
     "q_dedup_simhash" -> LQ.dedupSimhashSql,
     "q_dedup_ngram" -> LQ.dedupNgramSql,
+    "q_decontaminate" -> LQ.decontaminateSql,
     "q_dedup_embedding" -> LQ.dedupEmbeddingSql,
     "q_knn_bruteforce" -> LQ.knnBruteSql,
     "q_knn_lsh" -> LQ.knnLshSql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Graft
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Decontaminate, Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,30 @@ object LlmQueries {
        SELECT id_a, id_b, common, n_a, n_b,
               round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
        FROM p WHERE round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) >= 0.5 ORDER BY 1, 2"""
+      .replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: docs sharing ≥3 distinct word-3-grams with
+    * the held-out "benchmark" slice (doc_id % 97 == 0). (Real pipelines use
+    * 8-13-grams; the synthetic corpus's ~30-word vocabulary needs short
+    * grams for a non-empty result at every SF.) */
+  def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Decontaminate.contamination(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minOverlap = 3L)
+      .orderBy("doc_id", "bench_id")
+  }
+  val decontaminateSql: String =
+    // range(1, len-1) is end-exclusive → i ∈ [1, len-2], the 3-gram starts
+    s"""WITH $tokSql,
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
+       g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM pos)
+       SELECT d.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS overlap
+       FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) d
+       JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (gram)
+       GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2"""
       .replaceAll("\\s+", " ")
 
   // ---------------------------------------------------- embedding near-dup

@@ -210,6 +210,28 @@ class LlmSpec extends SparkSpec {
     assert(chained.forall(_._2 == 0L) && chained.size == 12)
   }
 
+  test("decontamination flags a planted benchmark span and only it") {
+    // doc 10 copies an 8-word span of benchmark doc 1 → 4 distinct 5-gram
+    // overlaps; doc 11 shares nothing; doc 12 shares a 5-word span → exactly
+    // 1 overlap, below minOverlap=2
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+      (11L, "completely different content with no shared spans at all here"),
+      (12L, "prefix alpha beta gamma delta epsilon suffix tail words end"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Decontaminate
+      .contamination(docs, bench, "doc_id", "text", n = 5, minOverlap = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L, 4L)))
+    // maxGramDf=0 drops every benchmark gram → nothing can flag
+    val capped = graft.llm.Decontaminate
+      .contamination(docs, bench, "doc_id", "text", n = 5, minOverlap = 1L, maxGramDf = 0L)
+      .count()
+    assert(capped == 0L)
+  }
+
   test("connectedComponents converges on a 100-node chain within O(log n) rounds") {
     // diameter 99 ≫ the 12-round star budget (plus the fixed ≤4-round
     // propagation prelude) — only the alternating-star contraction
