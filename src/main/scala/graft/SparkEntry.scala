@@ -96,6 +96,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (LQ.dedupSimhashQ _),
     "q_dedup_ngram" -> (LQ.dedupNgramQ _),
     "q_decontaminate" -> (LQ.decontaminateQ _),
+    "q_text_repetition" -> (LQ.textRepetitionQ _),
     "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
     "q_knn_bruteforce" -> (LQ.knnBruteQ _),
     "q_knn_lsh" -> (LQ.knnLshQ _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "q_dedup_simhash" -> LQ.dedupSimhashSql,
     "q_dedup_ngram" -> LQ.dedupNgramSql,
     "q_decontaminate" -> LQ.decontaminateSql,
+    "q_text_repetition" -> LQ.textRepetitionSql,
     "q_dedup_embedding" -> LQ.dedupEmbeddingSql,
     "q_knn_bruteforce" -> LQ.knnBruteSql,
     "q_knn_lsh" -> LQ.knnLshSql,

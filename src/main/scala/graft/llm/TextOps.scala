@@ -188,6 +188,38 @@ object TextOps {
       "quality" -> round(score, 6))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * duplicate-n-gram family RefinedWeb/Dolma reuse): high values mark
+    * boilerplate/spam documents a quality filter drops before training.
+    *  - dup_word_ratio: 1 − |distinct tokens| / |tokens|
+    *  - dup_2gram_ratio: 1 − |distinct 2-grams| / |2-grams| (0 when < 2 toks)
+    *  - top_tok_ratio: occurrences of the most frequent token / |tokens|
+    * Pure array-column expressions (no UDF, no shuffle): per-document cost
+    * is bounded by the tokenizer output, and the top-token fold is
+    * O(|distinct|·|toks|) on documents, not corpus pairs. Ratios are
+    * count-derived, so every engine rounds identically. */
+  def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val dupWord = lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(nToks, lit(1L))
+    // sequence(1, 0) would generate DESCENDING [1,0] — guard short docs
+    val grams2 = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val n2 = size(grams2).cast("long")
+    val dup2 = when(n2 === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams2)).cast("double") / n2)
+    val topCnt = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("double")
+    val topRatio = topCnt / greatest(nToks, lit(1L))
+    Seq(
+      "dup_word_ratio" -> round(dupWord, 6),
+      "dup_2gram_ratio" -> round(dup2, 6),
+      "top_tok_ratio" -> round(topRatio, 6))
+  }
+
   // ------------------------------------------------------ token counting
 
   /** Whitespace token count. */

@@ -281,6 +281,27 @@ object LlmQueries {
 
   // ------------------------------------------------------------- quality
 
+  /** Gopher-style repetition signals per document. */
+  def textRepetitionQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.repetitionFeatures(col("text"))
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+  val textRepetitionSql: String =
+    s"""WITH $tokSql,
+       g2 AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS grams
+              FROM tok)
+       SELECT doc_id,
+         round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 6) AS dup_word_ratio,
+         round(CASE WHEN len(grams) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6) AS dup_2gram_ratio,
+         round(CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / greatest(len(toks), 1), 6) AS top_tok_ratio
+       FROM g2 ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   def textQualityQ(s: SparkSession, dir: String): DataFrame = {
     val feats = TextOps.qualityFeatures(col("text"))
     docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)

@@ -210,6 +210,24 @@ class LlmSpec extends SparkSpec {
     assert(chained.forall(_._2 == 0L) && chained.size == 12)
   }
 
+  test("repetition features: planted spam scores high, varied text low") {
+    val rows = Seq(
+      (1L, "buy now buy now buy now buy now"),          // 8 toks, 2 distinct
+      (2L, "each word appears exactly once here now"),  // all distinct
+      (3L, "solo"))                                     // 1 token, no 2-grams
+      .toDF("doc_id", "text")
+    val feats = graft.llm.TextOps.repetitionFeatures(col("text"))
+    val out = rows.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").as[(Long, Double, Double, Double)].collect().toSeq
+    // spam: 1-2/8 dup words; 2-grams = 7 with 2 distinct ("buy now"/"now buy");
+    // top token 4/8
+    assert(out(0) == ((1L, 0.75, BigDecimal(1.0 - 2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.5)))
+    assert(out(1) == ((2L, 0.0, 0.0, BigDecimal(1.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out(2) == ((3L, 0.0, 0.0, 1.0)))
+  }
+
   test("decontamination flags a planted benchmark span and only it") {
     // doc 10 copies an 8-word span of benchmark doc 1 → 4 distinct 5-gram
     // overlaps; doc 11 shares nothing; doc 12 shares a 5-word span → exactly
