@@ -241,13 +241,43 @@ object Dedup {
     * warning and returns best-effort labels instead of discarding the
     * completed rounds. */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50,
+      maxDriverEdges: Long = 4_000_000L): DataFrame = {
     // canonical oriented edge set (a > b), self-loops dropped
     val raw = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     val edges0 = raw
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // size dispatch (the holtWintersAuto pattern): the count action also
+    // materializes the persist. The pair graph is candidates-that-survived
+    // LSH — usually FAR below corpus scale — and under the cap a driver
+    // union-find (path compression, min-root reps) labels it in
+    // milliseconds where the iterative distributed loop pays multiple
+    // Spark jobs per round. 4M edges ≈ 64 MB of longs on the driver.
+    if (edges0.count() <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges0.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { // min root wins → labels are component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(row.getLong(0), find(row.getLong(0)))
+        parent.getOrElseUpdate(row.getLong(1), find(row.getLong(1)))
+      }
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      edges0.unpersist(false)
+      import spark.implicits._
+      return out.toDF("doc_id", "cluster_id")
+    }
     val sym = edges0.union(edges0.select(col("b").as("a"), col("a").as("b")))
 
     // ---- phase 1: label propagation (seed counts as its first round).

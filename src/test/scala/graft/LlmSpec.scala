@@ -250,6 +250,18 @@ class LlmSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("driver union-find path equals the distributed star labels on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(300)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(edges, "id_a", "id_b", maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(driver == dist && driver.nonEmpty)
+  }
+
   test("connectedComponents converges on a 100-node chain within O(log n) rounds") {
     // diameter 99 ≫ the 12-round star budget (plus the fixed ≤4-round
     // propagation prelude) — only the alternating-star contraction
@@ -258,7 +270,10 @@ class LlmSpec extends SparkSpec {
     // the star∘propagation label composition
     val path = (0L until 100L).sliding(2).map(w => (w(1), w(0))).toSeq
       .toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 12)
+    // maxDriverEdges=0 forces the DISTRIBUTED path — the star contraction
+    // is what this test pins, not the driver union-find shortcut
+    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 12,
+      maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toSeq
     assert(out.size == 100 && out.forall(_._2 == 0L))
     assert(out.map(_._1).sorted == (0L until 100L))
@@ -269,7 +284,8 @@ class LlmSpec extends SparkSpec {
     // labels for every node (never discard completed rounds), not a crash
     val path = (0L until 40L).sliding(2).map(w => (w(0), w(1))).toSeq
       .toDF("id_a", "id_b")
-    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 1)
+    val out = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 1,
+      maxDriverEdges = 0L)
       .as[(Long, Long)].collect().toSeq
     assert(out.size == 40)
     // labels only ever move downward and stay within the component
