@@ -97,6 +97,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (LQ.dedupNgramQ _),
     "q_decontaminate" -> (LQ.decontaminateQ _),
     "q_text_repetition" -> (LQ.textRepetitionQ _),
+    "q_knn_ivfpq" -> (LQ.knnIvfPqQ _),
     "q_dedup_embedding" -> (LQ.dedupEmbeddingQ _),
     "q_knn_bruteforce" -> (LQ.knnBruteQ _),
     "q_knn_lsh" -> (LQ.knnLshQ _),
@@ -176,6 +177,7 @@ object SparkEntry {
     "q_dedup_ngram" -> LQ.dedupNgramSql,
     "q_decontaminate" -> LQ.decontaminateSql,
     "q_text_repetition" -> LQ.textRepetitionSql,
+    "q_knn_ivfpq" -> LQ.knnIvfPqSql,
     "q_dedup_embedding" -> LQ.dedupEmbeddingSql,
     "q_knn_bruteforce" -> LQ.knnBruteSql,
     "q_knn_lsh" -> LQ.knnLshSql,

@@ -254,6 +254,69 @@ object LlmQueries {
               neighbor_id, cos
        FROM p QUALIFY rk <= 3 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ + ADC with DETERMINISTIC codebooks (subvectors of the first-8
+    * corpus vectors — a trained quantizer cannot be restated in SQL; the
+    * trained path's quality gate is PqSpec): coarse lists as q_knn_ivf,
+    * ADC approx top k·refine, exact re-rank to k. */
+  def knnIvfPqQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cw = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebooks = (0 until 4).map(sb =>
+      (0 until 8).map(c => cw(c).slice(sb * 16, (sb + 1) * 16).toSeq).toSeq).toSeq
+    val pq = graft.llm.Pq.PqModel(4, 8, 16, codebooks)
+    graft.llm.Pq.knnIvfPq(e, "vec_id", "embedding", col("vid") < 10, 3,
+        centroids, pq, nprobe = 2, refine = 2)
+      .orderBy("query_id", "rk")
+  }
+  val knnIvfPqSql: String = {
+    // left-fold slices so doubles match the Spark folds bit-for-bit
+    def dotSlice(a: String, aOff: String, b: String, bOff: String) =
+      s"""list_reduce(list_transform(range(16),
+          j -> $a[$aOff + j + 1]::DOUBLE * $b[$bOff + j + 1]::DOUBLE), (x, y) -> x + y)"""
+    def d2Slice(a: String, aOff: String, b: String, bOff: String) =
+      s"""list_reduce(list_transform(range(16),
+          j -> ($a[$aOff + j + 1]::DOUBLE - $b[$bOff + j + 1]::DOUBLE)
+             * ($a[$aOff + j + 1]::DOUBLE - $b[$bOff + j + 1]::DOUBLE)), (x, y) -> x + y)"""
+    s"""WITH $normCte,
+       c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 8),
+       cb AS (SELECT vec_id AS code, embedding AS cw FROM n WHERE vec_id < 8),
+       asg AS (SELECT n.vec_id AS vid, cid, n.embedding AS v, n.nrm AS nrm
+               FROM n CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6) DESC, cid) = 1),
+       enc AS (SELECT vid, cid, v, nrm, s, code, cw
+               FROM asg CROSS JOIN (SELECT unnest(range(4)) AS s) CROSS JOIN cb
+               QUALIFY row_number() OVER (PARTITION BY vid, s
+                 ORDER BY ${d2Slice("v", "s*16", "cw", "s*16")}, code) = 1),
+       pr AS (SELECT n.vec_id AS query_id, n.embedding AS qv, n.nrm AS qn, cid
+              FROM n CROSS JOIN c WHERE n.vec_id < 10
+              QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6) DESC, cid) <= 2),
+       terms AS (SELECT pr.query_id, pr.qv, pr.qn, e.vid, e.v AS vv, e.nrm AS vnrm, e.s,
+                   ${dotSlice("pr.qv", "e.s*16", "e.cw", "e.s*16")} AS term
+                 FROM pr JOIN enc e USING (cid) WHERE e.vid <> pr.query_id),
+       adc AS (SELECT query_id, vid,
+                 any_value(qv) AS qv, any_value(qn) AS qn,
+                 any_value(vv) AS vv, any_value(vnrm) AS vnrm,
+                 round(list_reduce(list(term ORDER BY s), (x, y) -> x + y), 6) AS approx
+               FROM terms GROUP BY query_id, vid
+               QUALIFY row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx DESC, vid) <= 6),
+       p AS (SELECT query_id, vid AS neighbor_id,
+               round(${dotSql("qv", "vv")} / (qn * vnrm), 6) AS cos
+             FROM adc)
+       SELECT query_id,
+              CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rk,
+              neighbor_id, cos
+       FROM p QUALIFY rk <= 3 ORDER BY query_id, rk""".replaceAll("\\s+", " ")
+  }
+
   // ----------------------------------------------------------- language ID
 
   def textLangidQ(s: SparkSession, dir: String): DataFrame = {
