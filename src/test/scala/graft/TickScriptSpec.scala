@@ -1136,6 +1136,34 @@ class TickScriptSpec extends SparkSpec {
     assert(e.getMessage.contains("AND-ed"))
   }
 
+  test("query SELECT supports multiple aggregates with InfluxDB alias suffixing") {
+    // SELECT mean(f), max(f) AS mx, mean(f): default aliases repeat per
+    // InfluxDB's mean, mean_1 rule; every aggregate computes (the old
+    // findFirstMatchIn silently kept only the first)
+    val script =
+      """batch
+        |	|query('''SELECT mean(value), max(value) AS mx, mean(value) FROM "db"."rp".cpu''')
+        |		.period(10s)
+        |		.every(10s)
+        |		.groupBy(time(10s), 'host')
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture)
+    assert(out.columns.contains("mean") && out.columns.contains("mx") &&
+      out.columns.contains("mean_1"))
+    val r = out.filter($"host" === "serverA" && $"bucket_s" === 0).head
+    assert(r.getAs[Double]("mean") == r.getAs[Double]("mean_1"))
+    assert(r.getAs[Double]("mx") >= r.getAs[Double]("mean"))
+    // unrecognized residue in the SELECT list refuses loudly
+    val bad =
+      """batch
+        |	|query('''SELECT mean(value), value FROM "db"."rp".cpu''')
+        |		.period(10s)
+        |		.every(10s)
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](TickScript.compile(bad, alertFixture))
+    assert(e.getMessage.contains("unsupported SELECT term"))
+  }
+
   test("template var arithmetic honors precedence, int division, and overrides") {
     // review findings: `75 + 10 * 2` is 95 not 170; Long/Long divides like
     // Go; a templateVars override of a referenced var re-evaluates the
