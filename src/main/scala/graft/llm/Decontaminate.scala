@@ -37,12 +37,16 @@ object Decontaminate {
       minOverlap: Long = 1L,
       maxGramDf: Long = Long.MaxValue): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
+    // per-document distinct grams via array_distinct BEFORE the explode —
+    // a free per-row op (no shuffle, streaming-safe), so the overlap
+    // aggregate is a plain count, not a count(DISTINCT) (which streaming
+    // queries reject and batch pays an Expand for)
     def grams(df: DataFrame, as: String) = df
       .select(col(idCol).as(as),
         filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col(as), explode(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+      .select(col(as), explode(array_distinct(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")))
         .as("gram"))
     val bg0 = grams(bench, "bench_id").distinct()
     val bg =
@@ -53,7 +57,7 @@ object Decontaminate {
         "gram")
     grams(docs, "doc_id").join(broadcast(bg), "gram")
       .groupBy("doc_id", "bench_id")
-      .agg(count_distinct(col("gram")).as("overlap"))
+      .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
 }

@@ -241,6 +241,41 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination over a document stream ≡ the batch operator (stream-static join)") {
+    // the benchmark side is static by nature; the corpus side streams —
+    // Decontaminate's plan (explode → broadcast join → per-pair agg) runs
+    // unchanged as a Structured Streaming query in update mode
+    implicit val ctx = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docRows = Seq(
+      (10L, "intro words alpha beta gamma delta epsilon zeta eta theta outro"),
+      (11L, "completely different content with no shared spans at all here"),
+      (12L, "more text alpha beta gamma delta epsilon zeta closing words"))
+    val batch = graft.llm.Decontaminate
+      .contamination(docRows.toDF("doc_id", "text"), bench, "doc_id", "text",
+        n = 5, minOverlap = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.llm.Decontaminate
+      .contamination(ms.toDS().toDF("doc_id", "text"), bench, "doc_id", "text",
+        n = 5, minOverlap = 2L)
+      .writeStream.format("memory").queryName("decon_par")
+      .outputMode("update").start()
+    try {
+      val (first, second) = docRows.partition(_._1 <= 10L)
+      ms.addData(first)
+      q.processAllAvailable()
+      ms.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_par")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSet // update mode re-emits
+      assert(streamed == batch && batch.nonEmpty, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("bucket overflow at maxBucketDocs is observable via the counter") {
     // after the cap, late docs still probe the frozen roster but are not
     // added — two new near-dups arriving post-overflow never pair with
