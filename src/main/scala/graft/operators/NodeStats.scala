@@ -25,30 +25,79 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object NodeStats {
 
   /** One compiled node: its OUTPUT frame, its group dims, and whether the
-    * operator holds per-group state (buffers, FSMs, per-group lambdas). */
-  case class Stage(node: String, df: DataFrame, dims: Seq[String], stateful: Boolean)
+    * operator holds per-group state (buffers, FSMs, per-group lambdas).
+    *
+    * `unitDf` — when the node's OUTPUT edge is a batch edge, the frame
+    * whose ROW COUNT is the node's emission unit count (one row per emitted
+    * batch; the reference counts batch-edge messages, not points —
+    * edge/stats.go). `None` = point edge, count = `df.count`.
+    *
+    * `parents` — indices of this node's parent stages; `None` = the
+    * previous stage (linear chain). A multi-parent node (join) collects
+    * the SUM of its parents' emissions, and a multi-consumer node emits
+    * once per child edge (task_master fan-out). */
+  case class Stage(node: String, df: DataFrame, dims: Seq[String], stateful: Boolean,
+      unitDf: Option[DataFrame] = None, parents: Option[Seq[Int]] = None)
 
   /** Node names that keep per-group state in the reference's executor —
-    * their stats report the group map's size as working_cardinality. */
+    * their stats report the group map's size as working_cardinality.
+    * Includes the whole InfluxQL aggregate/selector family (each holds a
+    * per-group reducer, influxql.go:141-165) and httpOut (last-result
+    * cache per group, http_out.go:29-176). */
   val statefulNodes: Set[String] = Set(
     "window", "where", "sample", "derivative", "difference", "elapsed",
     "movingAverage", "cumulativeSum", "changeDetect", "stateDuration",
     "stateCount", "flatten", "combine", "join", "barrier", "holtWinters",
-    "sigma", "alert", "eval", "groupBy")
+    "sigma", "alert", "eval", "groupBy",
+    "count", "sum", "mean", "median", "mode", "spread", "stddev",
+    "distinct", "first", "last", "min", "max", "percentile", "top",
+    "bottom", "httpOut")
 
-  /** Per-node stats for a compiled chain, in chain order. Counts run here
-    * (bounded: one job per stage); the result is a small local frame. */
+  /** Per-node stats for a compiled DAG, in stage order. Counts run here
+    * (bounded: one job per stage); the result is a small local frame.
+    *
+    * Laws (node.go:377-401, verified against the `*Cardinality` suite):
+    *  - `collected` — sum of the parent edges' unit counts (root: own);
+    *  - `emitted` — own unit count × number of child edges (a node with
+    *    two consumers emits each message twice — JoinCardinality's
+    *    stream0 emits 180 of 90 collected); terminal → 0;
+    *  - `working_cardinality` — a single-input stateful node holds one
+    *    state per distinct value of ITS dims over its input; a
+    *    multi-input join holds one per distinct group of EACH parent's
+    *    dims (join.go group state per source) — summed. */
   def stats(spark: SparkSession, stages: Seq[Stage]): DataFrame = {
     import spark.implicits._
-    val counts = stages.map(_.df.count())
+    import org.apache.spark.sql.functions.col
+    val counts = stages.map(s => s.unitDf.getOrElse(s.df).count())
+    val parentsOf: Seq[Seq[Int]] = stages.zipWithIndex.map { case (s, i) =>
+      s.parents.getOrElse(if (i == 0) Nil else Seq(i - 1))
+    }
+    val childCount = Array.fill(stages.length)(0)
+    parentsOf.foreach(_.foreach(p => childCount(p) += 1))
     stages.zipWithIndex.map { case (s, i) =>
-      val collected = if (i == 0) counts(0) else counts(i - 1)
-      val emitted = if (i == stages.length - 1) 0L else counts(i)
+      val ps = parentsOf(i)
+      val collected = if (ps.isEmpty) counts(i) else ps.map(counts).sum
+      val emitted = counts(i) * childCount(i)
       val card =
-        if (!s.stateful || s.dims.isEmpty) 0L
+        if (!s.stateful) 0L
+        else if (ps.length > 1)
+          ps.map { p =>
+            val st = stages(p)
+            if (st.dims.isEmpty) 1L
+            else st.df.select(st.dims.map(col): _*).distinct().count()
+          }.sum
         else {
-          val in = if (i == 0) s.df else stages(i - 1).df
-          in.select(s.dims.map(org.apache.spark.sql.functions.col): _*).distinct().count()
+          // a re-dimensioning node (groupBy) tracks its OUTPUT groups; a
+          // dims-ERASING node (flatten merges its .on() dims away) still
+          // holds state per INPUT group — so: own dims when set, else the
+          // parent's. A grouped edge with no dims at all has the single
+          // nil group (models/point.go:82 — GroupByCardinality's
+          // ungrouped window reports 1).
+          val inStage = ps.headOption.map(stages(_))
+          val effDims = if (s.dims.nonEmpty) s.dims else inStage.map(_.dims).getOrElse(Nil)
+          if (effDims.isEmpty) 1L
+          else inStage.map(_.df).getOrElse(s.df)
+            .select(effDims.map(col): _*).distinct().count()
         }
       (s.node, collected, emitted, card)
     }.toDF("node", "collected", "emitted", "working_cardinality")
