@@ -49,6 +49,25 @@ object Sinks {
     concat(esc(measurement), tagPart, lit(" "), fieldPart, lit(" "), timeNs.cast("string"))
   }
 
+  /** Line-protocol field VALUE for a typed column, wire-exact
+    * (models/point.go marshal; round-trips through LineProtocol.parseLine):
+    * integral → `42i`, string → quoted with `"`/`\` escaped, boolean →
+    * true/false, float → plain decimal. Pass the result into
+    * [[toLineProtocol]]'s fields — it keeps integer fields parseable as
+    * int64 by InfluxDB (the reference writes count=10i, not count=10). */
+  def lineFieldValue(df: DataFrame, name: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        concat(col(name).cast("string"), lit("i"))
+      case StringType =>
+        concat(lit("\""),
+          regexp_replace(regexp_replace(col(name), "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\""))
+      case _ => col(name).cast("string")
+    }
+  }
+
   /** httpPost-equivalent payload batches: one JSON Result string per
     * micro-batch/partition-limited chunk, handed to a pluggable transport
     * (the reference's POST, here any String => Unit — tests inject a

@@ -336,4 +336,71 @@ class GoldenReplaySpec4 extends SparkSpec {
       .as[(String, String, String)].collect().toSeq
     assert(tags == Seq(("cpu1", "CRITICAL", "cpu_usage_idle:cpu=cpu1")))
   }
+
+  test("TestStream_InfluxDBOut golden: windowed count writes m,key=value count=10i at t=10") {
+    // streamer_test.go:12491-12580: window(10s,10s)|count('value')
+    // |influxDBOut().database('db').retentionPolicy('rp').measurement('m')
+    // .precision('s').tag('key','value') → ONE point lands: measurement m,
+    // tags {key: value}, fields {count: 10i (int64!)}, time 10s — wire
+    // bytes via the typed line-protocol renderer
+    val pts = srplRebased("TestStream_InfluxDBOut")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(col("time"), expr("fieldsFloat['value']").as("value"))
+    val w = WindowFSM.windowByTime(pts, "time", Nil, 10, 10)
+    val counted = w.groupBy("wemit_us").agg(count("value").as("count"))
+    val line = counted.select(
+      graft.sources.Sinks.toLineProtocol(
+        measurement = lit("m"),
+        tags = Seq("key" -> lit("value")),
+        fields = Seq("count" -> graft.sources.Sinks.lineFieldValue(counted, "count")),
+        timeNs = (col("wemit_us") / 1000000L).cast("long"))) // precision 's'
+      .as[String].collect().toSeq
+    assert(line == Seq("m,key=value count=10i 10"))
+    // the routing options compile from the verbatim script (db/rp/precision
+    // travel as write-request params, not payload bytes)
+    graft.tick.TickScript.compile(
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	|influxDBOut()
+        |		.database('db')
+        |		.retentionPolicy('rp')
+        |		.measurement('m')
+        |		.precision('s')
+        |		.tag('key', 'value')
+        |		.flushInterval(1ms)
+        |""".stripMargin,
+      srplRebased("TestStream_InfluxDBOut")
+        .select(col("time"), col("measurement"),
+          expr("tags['host']").as("host"),
+          expr("fieldsFloat['value']").as("value")))
+  }
+
+  test("TestStream_HttpPostEndpoint golden: each point posts its single-row Result JSON") {
+    // streamer_test.go:3542-3650: httpPost to a named endpoint posts ONE
+    // models.Result per point; requests 1-6 are byte-pinned (values 97.1,
+    // 92.6, 95.6, 93.1, 92.6, 95.8 at t=0..5, tags {host: serverA, type:
+    // idle})
+    val pts = srplRebased("TestStream_HttpPost")
+      .filter(col("measurement") === "cpu" && expr("tags['host']") === "serverA")
+      .select(expr("tags['host']").as("host"), expr("tags['type']").as("type"),
+        col("time"), expr("fieldsFloat['value']").as("value"))
+      .orderBy("time").limit(6)
+    val rows = pts.collect()
+    val expected = Seq(97.1, 92.6, 95.6, 93.1, 92.6, 95.8)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val one = spark.createDataFrame(java.util.List.of(r), pts.schema)
+        .select("host", "type", "time", "value")
+      val json = graft.sources.ResultRenderer.httpOutJson(one, "cpu", Seq("host", "type"))
+      assert(json ==
+        s"""{"series":[{"name":"cpu","tags":{"host":"serverA","type":"idle"},""" +
+        s""""columns":["time","value"],"values":[""" +
+        s"""["1970-01-01T00:00:0${i}Z",${expected(i)}]]}]}""")
+    }
+  }
 }
