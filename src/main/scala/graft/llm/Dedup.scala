@@ -347,6 +347,31 @@ object Dedup {
     out
   }
 
+  /** Canonical-document selection: for every duplicate cluster (connected
+    * component of `pairs`), keep exactly the highest-weight member (ties →
+    * smallest id) and mark the rest for dropping — the keep-one decision a
+    * dedup pass feeds back into the corpus. 100 TB shape: the cluster
+    * table is ~linear in TRUE duplicates (≪ corpus), so the weight join is
+    * a broadcast of the cluster side against the corpus projection, and
+    * the per-cluster argmax windows over the tiny clustered subset only. */
+  def keepBest(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", weightCol: String = "n_chars",
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol)
+    val weights = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(weightCol).cast("long").as("__w"))
+    val win = Window.partitionBy("cluster_id")
+      .orderBy(col("__w").desc, col("doc_id").asc)
+    // prune the corpus projection down to clustered docs (broadcast
+    // semi-join — the corpus never shuffles), then attach weights
+    val clusteredWeights = weights
+      .join(broadcast(clusters.select("doc_id")), "doc_id")
+    clusters.join(broadcast(clusteredWeights), "doc_id")
+      .withColumn("keep", row_number().over(win) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+  }
+
   /** Large-star step: every node u connects its strictly-larger neighbors
     * to m = min(Γ(u) ∪ {u}). One window-min over the symmetrized edges
     * partitioned by node. Preserves connectivity; never increases any

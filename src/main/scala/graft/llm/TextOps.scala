@@ -243,4 +243,55 @@ object TextOps {
     val hashes = array_distinct(transform(shingleSet(text, 3), s => h60(s)))
     slice(array_sort(hashes), 1, k)
   }
+
+  // --------------------------------------------------- C4-style filters
+
+  /** C4-style document-quality heuristics (Raffel et al. 2020 §2.2, the
+    * line-level rule family RefinedWeb/Dolma inherit): per document,
+    *  - n_lines / n_kept_lines: lines whose trimmed text ends in terminal
+    *    punctuation (. ! ? or a closing quote) survive;
+    *  - n_sentences: terminal-punctuation marks in the whole text;
+    *  - has_lorem / has_brace: the "lorem ipsum" and `{` boilerplate/code
+    *    markers C4 drops outright;
+    *  - keep: ≥ minKeptLines surviving lines and neither marker.
+    * Pure line-array expressions — per-document cost, no shuffle, no UDF;
+    * the keep decision compares integer counts only. */
+  def c4Features(text: Column, minKeptLines: Int = 2): Seq[(String, Column)] = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => trim(l).rlike("[.!?\"']$"))
+    val nKept = size(kept).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> nKept,
+      "n_sentences" -> size(regexp_extract_all(text, lit("[.!?]"), lit(0))).cast("long"),
+      "has_lorem" -> hasLorem,
+      "has_brace" -> hasBrace,
+      "keep" -> (nKept >= minKeptLines && !hasLorem && !hasBrace))
+  }
+
+  // ----------------------------------------------------- PII detection
+
+  /** PII surface detection: counts of email / IPv4 / phone-shaped spans
+    * plus an md5 of the text with emails and IPv4s redacted to typed
+    * placeholder tokens — the redact-before-training pass. Regexes stay in
+    * the Java∩RE2 common subset (no backrefs/lookarounds) so external
+    * engines (and the DuckDB oracle) count identical spans. Pure
+    * `regexp_count`/`regexp_replace` projections: codegen'd, no shuffle. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+?\\d[\\d\\- ]{7,}\\d"
+  def piiFeatures(text: Column): Seq[(String, Column)] = {
+    val nEmail = size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long")
+    val nIp = size(regexp_extract_all(text, lit(ipv4Re), lit(0))).cast("long")
+    val nPhone = size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long")
+    val redacted = regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), ipv4Re, "<IP>")
+    Seq(
+      "n_emails" -> nEmail,
+      "n_ipv4" -> nIp,
+      "n_phones" -> nPhone,
+      "has_pii" -> (nEmail + nIp + nPhone > 0),
+      "redacted_md5" -> md5(redacted))
+  }
 }

@@ -92,6 +92,23 @@ object LlmQueries {
        FROM reach GROUP BY a ORDER BY 1""".replaceAll("\\s+", " ")
   }
 
+  // --------------------------------------------------------- keep-best
+
+  /** q_dedup_keepbest: canonical-document selection — per duplicate
+    * cluster keep the longest member (ties → smallest doc_id), drop the
+    * rest. Composes the MinHash pair graph, connected components, and the
+    * per-cluster argmax. */
+  def dedupKeepbestQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBest(docs(s, dir), Dedup.minhashLsh(docs(s, dir), "doc_id", "text"))
+      .orderBy("doc_id")
+  val dedupKeepbestSql: String =
+    dedupClustersSql.replace(
+      "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a ORDER BY 1",
+      ", cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
+        "SELECT doc_id, cluster_id, " +
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1 AS keep " +
+        "FROM cl JOIN documents USING (doc_id) ORDER BY doc_id")
+
   // --------------------------------------------------------------- simhash
 
   def dedupSimhashQ(s: SparkSession, dir: String): DataFrame =
@@ -384,6 +401,104 @@ object LlmQueries {
              + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 0.3, 6) AS quality
        FROM documents d JOIN tok USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
   }
+
+  // ------------------------------------------------- C4 filters and PII
+
+  /** The synthetic corpus is punctuation-free word salad, so these two
+    * queries plant deterministic markers (newline-separated sentences,
+    * boilerplate, emails/IPs/phones) derived from doc_id — IDENTICALLY in
+    * Spark and the oracle — and run the corpus-agnostic detectors over the
+    * enriched text. The detectors, not the markers, are the operator. */
+  private def c4Enriched = concat(col("text"),
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("\nThis line ends well.")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("\nno terminal punctuation here")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) === 0, lit("\nAnother good sentence!")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0, lit("\nLorem ipsum dolor sit.")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0, lit("\ncode { block }")).otherwise(lit("")))
+  private val c4EnrichedSql =
+    """text
+       || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'This line ends well.' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'no terminal punctuation here' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Another good sentence!' ELSE '' END
+       || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem ipsum dolor sit.' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'code { block }' ELSE '' END"""
+
+  def textC4FiltersQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.c4Features(c4Enriched)
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+  val textC4FiltersSql: String =
+    s"""WITH m AS (SELECT doc_id, $c4EnrichedSql AS mtext FROM documents),
+       l AS (SELECT doc_id, mtext, string_split(mtext, chr(10)) AS lines,
+               CAST(len(list_filter(string_split(mtext, chr(10)),
+                 x -> regexp_matches(trim(x), '[.!?"'']$$'))) AS BIGINT) AS nk,
+               contains(lower(mtext), 'lorem ipsum') AS hl,
+               contains(mtext, '{') AS hb
+             FROM m)
+       SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         nk AS n_kept_lines,
+         CAST(len(regexp_extract_all(mtext, '[.!?]')) AS BIGINT) AS n_sentences,
+         hl AS has_lorem,
+         hb AS has_brace,
+         (nk >= 2 AND NOT hl AND NOT hb) AS keep
+       FROM l ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  private def piiEnriched = concat(col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com now."))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" Host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 responded."))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" Call +1 555 010 "), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" today."))).otherwise(lit("")))
+  private val piiEnrichedSql =
+    """text
+       || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' || doc_id::VARCHAR || '@example.com now.' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' Host 10.0.' || (doc_id % 256)::VARCHAR || '.7 responded.' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' Call +1 555 010 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today.' ELSE '' END"""
+
+  def textPiiQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.piiFeatures(piiEnriched)
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+  val textPiiSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d\\- ]{7,}\\d"
+    s"""WITH m AS (SELECT doc_id, $piiEnrichedSql AS mtext FROM documents),
+       c AS (SELECT doc_id, mtext,
+               CAST(len(regexp_extract_all(mtext, '$email')) AS BIGINT) AS ne,
+               CAST(len(regexp_extract_all(mtext, '$ip')) AS BIGINT) AS ni,
+               CAST(len(regexp_extract_all(mtext, '$phone')) AS BIGINT) AS np
+             FROM m)
+       SELECT doc_id, ne AS n_emails, ni AS n_ipv4, np AS n_phones,
+         (ne + ni + np > 0) AS has_pii,
+         md5(regexp_replace(regexp_replace(mtext, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
+       FROM c ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
+  // --------------------------------------------------- stratified sampling
+
+  /** q_sample_stratified: deterministic domain-weighted corpus mixing —
+    * per-source keep rates resolved through the md5 sampling bucket
+    * (graft.llm.Mix), reproducible across engines and partitionings. */
+  def sampleStratifiedQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.stratifiedSample(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultRate = 0.05)
+      .select(col("doc_id"), col("source"), col("sample_bucket"))
+      .orderBy("doc_id")
+  val sampleStratifiedSql: String =
+    """WITH b AS (SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS sample_bucket
+       FROM documents)
+       SELECT doc_id, source, sample_bucket FROM b
+       WHERE sample_bucket < CASE source
+         WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+         WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 500 END
+       ORDER BY doc_id""".replaceAll("\\s+", " ")
 
   // ---------------------------------------------------------- token counts
 

@@ -279,6 +279,72 @@ class LlmSpec extends SparkSpec {
     assert(out.map(_._1).sorted == (0L until 100L))
   }
 
+  test("keepBest keeps exactly the longest member of each duplicate cluster") {
+    val docs = Seq(
+      (0L, "aaaa", 4L), (1L, "aaaaaa", 6L), (2L, "aa", 2L), // cluster {0,1,2}
+      (10L, "bbb", 3L), (11L, "bbb", 3L), // cluster {10,11}: tie → min id
+      (20L, "solo", 4L)) // unpaired: not clustered, not emitted
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, false), (1L, 0L, true), (2L, 0L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("stratifiedSample is deterministic, domain-weighted, and id-stable") {
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("id", "domain")
+    val out = graft.llm.Mix.stratifiedSample(df, "id", "domain",
+      Map("web" -> 0.25), defaultRate = 0.75)
+    val counts = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    // md5 buckets are uniform: 2000 web rows at 25% ≈ 500, books at 75% ≈ 1500
+    assert(math.abs(counts("web") - 500L) < 120, s"web=${counts("web")}")
+    assert(math.abs(counts("books") - 1500L) < 120, s"books=${counts("books")}")
+    // exactly reproducible (no RNG), and membership is a pure id function:
+    // re-sampling a shuffled/filtered frame keeps the same ids
+    val again = graft.llm.Mix.stratifiedSample(
+        df.orderBy(rand(7)).filter(col("id") < 2000), "id", "domain",
+        Map("web" -> 0.25), defaultRate = 0.75)
+      .select("id").as[Long].collect().toSet
+    val firstHalf = out.filter(col("id") < 2000).select("id").as[Long].collect().toSet
+    assert(again == firstHalf)
+  }
+
+  test("c4Features counts kept lines and flags boilerplate markers") {
+    val df = Seq(
+      ("Good line.\nno ending\nAnother one!", false, false),
+      ("lorem ipsum dolor.\nFine line.\nMore here.", true, false),
+      ("has code { inside }\nEnd here.\nYes.", false, true))
+      .toDF("text", "exp_lorem", "exp_brace")
+    val feats = TextOps.c4Features(col("text"))
+    val out = df.select(
+      feats.toMap.apply("n_lines"), feats.toMap.apply("n_kept_lines"),
+      feats.toMap.apply("has_lorem"), feats.toMap.apply("has_brace"),
+      feats.toMap.apply("keep"))
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out(0) == ((3L, 2L, false, false, true)))
+    assert(out(1) == ((3L, 3L, true, false, false))) // lorem kills it
+    assert(out(2) == ((3L, 2L, false, true, false))) // brace kills it
+  }
+
+  test("piiFeatures counts emails/IPs/phones and redacts deterministically") {
+    val feats = TextOps.piiFeatures(col("text")).toMap
+    val out = Seq(
+      "mail a@b.com and c.d@e.org, host 10.0.0.1, call +1 555 010 0042 now",
+      "nothing sensitive here")
+      .toDF("text")
+      .select(feats("n_emails"), feats("n_ipv4"), feats("n_phones"), feats("has_pii"))
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out(0) == ((2L, 1L, 1L, true)))
+    assert(out(1) == ((0L, 0L, 0L, false)))
+    val red = Seq("write a@b.com at 10.0.0.1").toDF("text")
+      .select(regexp_replace(regexp_replace(col("text"), TextOps.emailRe, "<EMAIL>"),
+        TextOps.ipv4Re, "<IP>")).as[String].head()
+    assert(red == "write <EMAIL> at <IP>")
+  }
+
   test("connectedComponents degrades gracefully at maxIter instead of throwing") {
     // maxIter=1 cannot finish a 40-node chain; the contract is best-effort
     // labels for every node (never discard completed rounds), not a crash
