@@ -39,4 +39,51 @@ object Mix {
     df.withColumn("sample_bucket", sampleBucket(col(idCol)))
       .filter(col("sample_bucket") < threshold)
   }
+
+  /** Up/down-sample each domain by a (possibly fractional) repeat factor,
+    * emitting one row per epoch: factor 2.3 yields 2 copies of every row
+    * plus a 3rd for the deterministic 30% of ids whose bucket falls under
+    * the fraction. Output adds `epoch` (0-based copy index); rows whose
+    * domain resolves to factor 0 (and lose the fractional draw) vanish.
+    *
+    * The factor is resolved to an integer per-myriad count so the whole
+    * decision — whole copies and the fractional extra — is integer
+    * arithmetic on the same md5 bucket as [[stratifiedSample]]: exactly
+    * reproducible, shuffle-free (a projection + generator), and id-stable
+    * under repartitioning. This is the standard corpus-assembly move for
+    * hitting target domain weights when a domain must be seen more than
+    * once per epoch (factor > 1) or thinned (factor < 1). */
+  def upsample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      repeats: Map[String, Double],
+      defaultRepeat: Double): DataFrame = {
+    val myriad = repeats.foldLeft(lit(math.round(defaultRepeat * 10000))) {
+      case (acc, (d, r)) => when(col(domainCol) === d, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    val copies = (myriad / 10000).cast("int") +
+      when(sampleBucket(col(idCol)) < myriad % 10000, 1).otherwise(0)
+    // sequence(0, -1) would descend, so guard the zero-copy case with an
+    // empty array (explode drops those rows).
+    df.withColumn("epoch",
+      explode(when(copies > 0, sequence(lit(0), copies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Driver-side repeat factors that re-weight observed domain sizes to
+    * target corpus shares: factor_d = scale · targetShare_d / observedShare_d,
+    * where shares are normalized over the domains present in both maps.
+    * `sizes` is typically a tiny per-domain row- or token-count aggregate. */
+  def repeatsForWeights(
+      sizes: Map[String, Long],
+      targetWeights: Map[String, Double],
+      scale: Double = 1.0): Map[String, Double] = {
+    val total = sizes.values.sum.toDouble
+    val wSum = targetWeights.values.sum
+    require(total > 0 && wSum > 0, "sizes and targetWeights must be non-empty")
+    targetWeights.collect { case (d, w) if sizes.getOrElse(d, 0L) > 0 =>
+      d -> scale * (w / wSum) / (sizes(d) / total)
+    }
+  }
 }

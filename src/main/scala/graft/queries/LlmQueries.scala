@@ -500,6 +500,25 @@ object LlmQueries {
          WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 500 END
        ORDER BY doc_id""".replaceAll("\\s+", " ")
 
+  /** q_mix_upsample: fractional domain repeat factors — src0 is seen 2.3×
+    * (2 whole epochs + a deterministic 30% third), src1 halved, everything
+    * else passed through once. The copy index is materialized as `epoch`. */
+  def mixUpsampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.upsample(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2.3, "src1" -> 0.5), defaultRepeat = 1.0)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  val mixUpsampleSql: String =
+    """WITH b AS (SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket,
+         CASE source WHEN 'src0' THEN 23000 WHEN 'src1' THEN 5000 ELSE 10000 END AS myriad
+       FROM documents),
+       c AS (SELECT doc_id, source,
+         (myriad // 10000) + CASE WHEN bucket < myriad % 10000 THEN 1 ELSE 0 END AS copies
+       FROM b)
+       SELECT doc_id, source, CAST(unnest(range(copies)) AS INTEGER) AS epoch
+       FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------------- token counts
 
   def textTokensQ(s: SparkSession, dir: String): DataFrame =

@@ -312,6 +312,38 @@ class LlmSpec extends SparkSpec {
     assert(again == firstHalf)
   }
 
+  test("upsample emits fractional epoch copies deterministically") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "web" else "code"))
+      .toDF("id", "domain")
+    val out = graft.llm.Mix.upsample(df, "id", "domain",
+      Map("web" -> 2.5, "code" -> 0.25), defaultRepeat = 1.0)
+    val counts = out.groupBy("domain").count().as[(String, Long)].collect().toMap
+    // 1000 web rows at 2.5× ≈ 2500 epochs; 2000 code rows at 0.25× ≈ 500
+    assert(math.abs(counts("web") - 2500L) < 150, s"web=${counts("web")}")
+    assert(math.abs(counts("code") - 500L) < 150, s"code=${counts("code")}")
+    // every web row keeps epochs 0 and 1; the fractional 3rd is an id-pure draw
+    val perId = out.filter(col("domain") === "web").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perId.size == 1000 && perId.values.forall(c => c == 2 || c == 3))
+    // reproducible across a reshuffle
+    val again = graft.llm.Mix.upsample(df.orderBy(rand(3)), "id", "domain",
+      Map("web" -> 2.5, "code" -> 0.25), defaultRepeat = 1.0)
+      .select("id", "epoch").as[(Long, Int)].collect().toSet
+    assert(again == out.select("id", "epoch").as[(Long, Int)].collect().toSet)
+  }
+
+  test("repeatsForWeights rebalances observed sizes to target shares") {
+    val r = graft.llm.Mix.repeatsForWeights(
+      sizes = Map("web" -> 8000L, "code" -> 2000L),
+      targetWeights = Map("web" -> 0.5, "code" -> 0.5))
+    // web is 80% observed but wants 50% → 0.625×; code 20% → 50% → 2.5×
+    assert(math.abs(r("web") - 0.625) < 1e-12 && math.abs(r("code") - 2.5) < 1e-12)
+    // domains with no observed rows are dropped, not divided by zero
+    val r2 = graft.llm.Mix.repeatsForWeights(
+      Map("web" -> 100L), Map("web" -> 1.0, "ghost" -> 1.0))
+    assert(r2 == Map("web" -> 0.5))
+  }
+
   test("c4Features counts kept lines and flags boilerplate markers") {
     val df = Seq(
       ("Good line.\nno ending\nAnother one!", false, false),
