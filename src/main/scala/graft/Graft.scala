@@ -46,17 +46,33 @@ object Graft {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** The events stream table. Its `ts` is nanosecond-precision parquet which
-    * Spark cannot represent; we surface it as `time: timestamp` truncated to
-    * microseconds (plus the raw `ts_ns` long for exact arithmetic). The conf
-    * is runtime-set so this works under driver-created sessions too.
+  /** The events stream table, surfaced with a stable schema regardless of
+    * how the generator stored `ts`:
+    *   - `time: timestamp` (µs precision, UTC session) for window/time ops;
+    *   - `ts_ns: long` (epoch nanoseconds) for exact integer arithmetic.
+    * Two physical layouts exist across driver testdata generations: INT64
+    * TIMESTAMP(NANOS) (read as Long via the legacy nanosAsLong conf) and
+    * plain TIMESTAMP(MICROS) (read as timestamp / timestamp_ntz). Both
+    * normalize to the same logical columns, and the DuckDB oracle's
+    * `epoch_us(ts)` agrees with `ts_ns DIV 1000` under either layout.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      // integral DIV: double division would lose precision at epoch-ns scale
-      .withColumn("time", timestamp_micros(expr("ts_ns DIV 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          // integral DIV: double division would lose precision at epoch-ns
+          .withColumn("time", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ =>
+        // µs timestamp (NTZ reads as UTC wall-clock under the UTC session)
+        val t = col("ts").cast("timestamp")
+        raw
+          .withColumn("time", t)
+          .withColumn("ts_ns", unix_micros(t) * lit(1000L))
+          .select("event_id", "ts_ns", "user_id", "event_type", "value",
+            "props", "time")
+    }
   }
 }
