@@ -57,22 +57,30 @@ object Graft {
     * `epoch_us(ts)` agrees with `ts_ns DIV 1000` under either layout.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Same projection under either layout: every raw column with `ts`
+    // replaced by `ts_ns` in place, then `time` appended.
+    def shaped(tsNs: org.apache.spark.sql.Column): DataFrame =
+      raw
+        .select(raw.columns.map {
+          case "ts" => tsNs.as("ts_ns")
+          case c    => col(c)
+        }.toIndexedSeq: _*)
+        // integral DIV: double division would lose precision at epoch-ns
+        .withColumn("time", timestamp_micros(expr("ts_ns DIV 1000")))
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw
-          .withColumnRenamed("ts", "ts_ns")
-          // integral DIV: double division would lose precision at epoch-ns
-          .withColumn("time", timestamp_micros(expr("ts_ns DIV 1000")))
-      case _ =>
+      case LongType =>
+        // INT64 TIMESTAMP(NANOS) read as Long via the legacy nanosAsLong conf
+        shaped(col("ts"))
+      case TimestampType | TimestampNTZType =>
         // µs timestamp (NTZ reads as UTC wall-clock under the UTC session)
-        val t = col("ts").cast("timestamp")
-        raw
-          .withColumn("time", t)
-          .withColumn("ts_ns", unix_micros(t) * lit(1000L))
-          .select("event_id", "ts_ns", "user_id", "event_type", "value",
-            "props", "time")
+        shaped(unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.parquet has unsupported ts type $other; expected INT64 " +
+            "TIMESTAMP(NANOS) (surfaced as long) or TIMESTAMP(MICROS)")
     }
   }
 }
