@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   *
   * `n == 1, distinct = false` yields the token-hash multiset SimHash needs.
   */
-case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean,
+    wholeDocIfShort: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -53,7 +54,10 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val out =
-      if (n > 1 && toks.length < n) Array(h60(toks.mkString(" ")))
+      if (n > 1 && toks.length < n)
+        // strict mode (wholeDocIfShort=false) mirrors pipelines that skip
+        // sub-n-token documents entirely (e.g. decontamination overlap)
+        (if (wholeDocIfShort) Array(h60(toks.mkString(" "))) else Array.emptyLongArray)
       else {
         val cnt = toks.length - n + 1
         val hs = new Array[Long](math.max(cnt, 0))
@@ -94,11 +98,15 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean)
 }
 
 object ShingleHashes {
-  /** Register `graft_shingles<n>[_all]` (distinct unless `_all`). */
-  def register(spark: SparkSession, n: Int, distinct: Boolean = true): String = {
-    val name = s"graft_shingles$n" + (if (distinct) "" else "_all")
+  /** Register `graft_shingles<n>[_all][_strict]` (distinct unless `_all`;
+    * `_strict` drops sub-n-token documents instead of emitting their whole
+    * token string as one shingle). */
+  def register(spark: SparkSession, n: Int, distinct: Boolean = true,
+      wholeDocIfShort: Boolean = true): String = {
+    val name = s"graft_shingles$n" + (if (distinct) "" else "_all") +
+      (if (wholeDocIfShort) "" else "_strict")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => ShingleHashes(exprs.head, n, distinct), "built-in")
+      name, exprs => ShingleHashes(exprs.head, n, distinct, wholeDocIfShort), "built-in")
     name
   }
 }

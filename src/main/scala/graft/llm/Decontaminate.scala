@@ -11,17 +11,18 @@ import org.apache.spark.sql.functions._
   * any benchmark document).
   *
   * Scale shape: the benchmark side (eval sets — tiny by definition)
-  * dedups its grams and BROADCASTS; the corpus side explodes to
-  * (id, gram) and map-side joins WITHOUT any distinct of its own — the
-  * only shuffle in the whole plan is the final per-pair aggregate, which
-  * sees only matching rows (≈ contamination volume, not corpus volume).
-  * Duplicate grams within a document collapse in that aggregate's
-  * count(DISTINCT gram), so no pre-shuffle dedup of the exploded corpus
-  * is ever needed — at 100 TB that distinct would be the bottleneck
-  * (measured 1.3× end-to-end even at sf0.1). `maxGramDf` drops benchmark
-  * grams appearing in more than that many benchmark documents —
-  * boilerplate n-grams (licenses, headers) otherwise fan out the join;
-  * the cap is an explicit parameter, never silent.
+  * BROADCASTS its per-document-distinct gram hashes; the corpus side
+  * explodes to (id, gramHash) and map-side joins — the only shuffle in
+  * the whole plan is the final per-pair aggregate, which sees only
+  * matching rows (≈ contamination volume, not corpus volume). Per-doc
+  * gram dedup happens inside the fused ShingleHashes pass (a free
+  * partition-local op), so the aggregate is a plain count — no Expand
+  * for count(DISTINCT), no cross-corpus distinct shuffle (at 100 TB that
+  * distinct would be the bottleneck; measured 1.3× end-to-end even at
+  * sf0.1). `maxGramDf` drops benchmark grams appearing in more than that
+  * many benchmark documents — boilerplate n-grams (licenses, headers)
+  * otherwise fan out the join; the cap is an explicit parameter, never
+  * silent.
   *
   * Tokenization matches the repo-wide oracle convention: lower, trim,
   * split on whitespace runs, drop empty tokens.
@@ -37,18 +38,23 @@ object Decontaminate {
       minOverlap: Long = 1L,
       maxGramDf: Long = Long.MaxValue): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
-    // per-document distinct grams via array_distinct BEFORE the explode —
-    // a free per-row op (no shuffle, streaming-safe), so the overlap
-    // aggregate is a plain count, not a count(DISTINCT) (which streaming
-    // queries reject and batch pays an Expand for)
+    // grams travel as 60-bit md5-derived hashes (the repo-wide h60, which
+    // the oracle reproduces exactly), produced by the fused ShingleHashes
+    // expression in one partition-local JVM pass: tokenize → n-shingle →
+    // per-document distinct → sorted long array. Exploding longs and
+    // joining on a long key beats building every gram string through
+    // interpreted HOF trees and hash-joining on strings (measured 1.5× on
+    // q_decontaminate at sf0.1); at 100 TB it also shrinks the broadcast
+    // (8 bytes/gram vs the gram text) and the exploded corpus rows.
+    // strict mode: sub-n-token documents contribute nothing (they cannot
+    // share an n-gram), matching the oracle's empty range over short docs.
+    val fn = graft.expressions.ShingleHashes.register(
+      docs.sparkSession, n, distinct = true, wholeDocIfShort = false)
     def grams(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as),
-        filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(as), explode(array_distinct(expr(
-        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))")))
-        .as("gram"))
-    val bg0 = grams(bench, "bench_id").distinct()
+      .select(col(idCol).as(as), explode(call_function(fn, col(textCol))).as("gram"))
+    // (bench_id, gram) pairs are already distinct per document; no extra
+    // cross-document distinct is needed (ids differ across documents)
+    val bg0 = grams(bench, "bench_id")
     val bg =
       if (maxGramDf == Long.MaxValue) bg0
       else bg0.join(

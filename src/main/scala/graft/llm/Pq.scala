@@ -86,28 +86,14 @@ object Pq {
 
   private def cbLit(model: PqModel): Column = typedlit(model.codebooks)
 
-  /** Per-subspace argmin-L2 code assignment — a pure literal fold, no
-    * join, no aggregation, no shuffle. Adds `codes` (array<int>, 0-based
+  /** Per-subspace argmin-L2 code assignment — the codebook is a constant
+    * inside the native PqCodes expression (graft.expressions.PqCodes): no
+    * join, no aggregation, no shuffle, one tight JVM loop per row instead
+    * of an interpreted HOF tree. Adds `codes` (array<int>, 0-based
     * codeword per subspace). */
   def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
-    val cb = cbLit(model)
-    val codes = transform(sequence(lit(0), lit(model.m - 1)), s => {
-      val sub = slice(col(vecCol), s * model.subdim + 1, lit(model.subdim))
-      val best = aggregate(
-        // (code, codeword) pairs of subspace s
-        zip_with(sequence(lit(0), lit(model.ksub - 1)), element_at(cb, s + 1),
-          (c, cw) => struct(c.as("c"), cw.as("cw"))),
-        struct(lit(-1).as("c"), lit(Double.MaxValue).as("d")),
-        (acc, e) => {
-          val dist = aggregate(
-            zip_with(sub, e.getField("cw"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (a, x) => a + x)
-          when(dist < acc.getField("d"),
-            struct(e.getField("c").as("c"), dist.as("d"))).otherwise(acc)
-        })
-      best.getField("c")
-    })
-    df.withColumn("codes", codes)
+    val fn = graft.expressions.PqCodes.register(df.sparkSession, model.codebooks)
+    df.withColumn("codes", call_function(fn, col(vecCol).cast("array<double>")))
   }
 
   /** IVF-PQ k-NN: coarse IVF candidate lists + ADC scoring on PQ codes +

@@ -159,10 +159,12 @@ object LlmQueries {
       .orderBy("doc_id", "bench_id")
   }
   val decontaminateSql: String =
-    // range(1, len-1) is end-exclusive → i ∈ [1, len-2], the 3-gram starts
+    // range(1, len-1) is end-exclusive → i ∈ [1, len-2], the 3-gram starts;
+    // grams join as the repo-wide h60 hash, mirroring the Spark side's
+    // fused ShingleHashes long keys bit-for-bit
     s"""WITH $tokSql,
        pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
-       g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM pos)
+       g AS (SELECT DISTINCT doc_id, ${h60sql("array_to_string(toks[i:i+2], ' ')")} AS gram FROM pos)
        SELECT d.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS overlap
        FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) d
        JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (gram)
