@@ -208,6 +208,47 @@ object Similarity {
     * trade-off (1-(1-p^planes)^families per pair) — LlmSpec pins 100%
     * recall on planted near-duplicates, which is the workload this report
     * exists for. */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * assign every vector to its nearest centroid, compare pairs only
+    * WITHIN a cluster, and mark a document a duplicate when some lower-id
+    * cluster-mate's cosine reaches `threshold` (rounded to 6, per the
+    * house float-boundary convention; min such id becomes `dup_of`, the
+    * kept representative).
+    *
+    * Scale shape (100 TB): the centroid model is a task literal — the
+    * assignment pass is shuffle-free ([[assignToCenters]]); the pair
+    * comparison is an equi-join on cid, so its cost is Σ|cluster|², the
+    * SemDeDup design point — k is chosen so clusters are ~10³ vectors
+    * regardless of corpus size (k ≈ n/10³), keeping per-cluster pairwork
+    * bounded and embarrassingly parallel. No cartesian, no all-pairs.
+    * Output: (vec_id, cid, dup_of, is_dup) for every input vector.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      prec: Int = 6): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"), norm(col(vecCol)).as("nrm"))
+    val model = collectCenters(centroids)
+    val asg = assignToCenters(n, model, prec = prec)
+      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+    val dups = asg.as("a").join(asg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
+      .filter(round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), prec)
+        >= lit(threshold))
+      .groupBy(col("b.vid").as("vid"))
+      .agg(min(col("a.vid")).as("__dup_of"))
+    asg.select("vid", "cid").join(dups, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        coalesce(col("__dup_of"), col("vid")).as("dup_of"),
+        col("__dup_of").isNotNull.as("is_dup"))
+  }
+
   def nearDupPairsLsh(
       emb: DataFrame,
       idCol: String,

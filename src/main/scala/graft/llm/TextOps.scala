@@ -294,4 +294,31 @@ object TextOps {
       "has_pii" -> (nEmail + nIp + nPhone > 0),
       "redacted_md5" -> md5(redacted))
   }
+
+  /** Token-window document chunking — the training-data prep step that
+    * splits documents into fixed-size token windows with overlap
+    * (stride < chunkLen) so context survives the cut. One row per chunk:
+    * (id, chunk_id, n_tok, chunk_md5) — the md5 stands in for the chunk
+    * text so downstream equality/dedup work on a fixed-width key.
+    *
+    * Scale shape: pure per-row explode — tokenize once, generate the
+    * stride grid with `sequence`, slice per start. No shuffle, no state;
+    * fan-out is len/stride rows per document, the intended output volume.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkLen: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      "need 0 < stride <= chunkLen")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkLen)).as("ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_md5"))
+  }
 }

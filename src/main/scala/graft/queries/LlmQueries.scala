@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Graft
-import graft.llm.{Decontaminate, Dedup, Similarity, TextOps}
+import graft.llm.{Decontaminate, Dedup, LangModel, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -584,4 +584,73 @@ object LlmQueries {
               md5(substr(text, CAST(chunk_idx*128+1 AS INT), 128)) AS chunk_md5,
               CAST(length(substr(text, CAST(chunk_idx*128+1 AS INT), 128)) AS BIGINT) AS chunk_chars
        FROM c ORDER BY doc_id, chunk_idx""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------- perplexity filtering
+
+  /** CCNet-style unigram perplexity scoring: top-256 vocabulary by
+    * (count DESC, token ASC), Laplace smoothing with an OOV bucket,
+    * per-document average negative log-likelihood (LangModel). */
+  def textPerplexityQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = LangModel.unigramTrain(d, "text", topV = 256)
+    LangModel.avgNll(d, "doc_id", "text", model).orderBy("doc_id")
+  }
+  val textPerplexitySql: String =
+    s"""WITH $tokSql,
+       tc AS (SELECT unnest(toks) AS token FROM tok),
+       counts AS (SELECT token, count(*)::BIGINT AS cnt FROM tc GROUP BY 1),
+       tot AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+       vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 256),
+       vn AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       m AS (SELECT map(list(token ORDER BY token),
+                        list(ln((cnt + 1)::DOUBLE / (t + v + 1)::DOUBLE) ORDER BY token)) AS mp,
+                    ln(1.0 / (t + v + 1)::DOUBLE) AS oov
+             FROM vocab, tot, vn GROUP BY t, v)
+       SELECT doc_id, len(toks)::BIGINT AS n_tok,
+              round(-list_reduce(list_transform(toks, tk -> coalesce(map_extract(mp, tk)[1], oov)),
+                    (a, b) -> a + b) / len(toks), 5) AS avg_nll
+       FROM tok, m WHERE len(toks) > 0 ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  // --------------------------------------------------------- SemDeDup
+
+  /** Semantic dedup over embeddings: fixed coarse centroids (vec_id < 8,
+    * the same deterministic model the IVF queries use), within-cluster
+    * pairwise cosine, lower-id representative wins at threshold 0.42. */
+  def dedupSemanticQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.semanticDedup(e, "vec_id", "embedding", centroids, threshold = 0.42)
+      .orderBy("vec_id")
+  }
+  val dedupSemanticSql: String =
+    s"""WITH $normCte,
+       c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 8),
+       asg AS (SELECT n.vec_id AS vid, cid, n.embedding AS v, n.nrm AS nrm
+               FROM n CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6) DESC, cid) = 1),
+       dups AS (SELECT b.vid AS vid, min(a.vid) AS dup_of
+                FROM asg a JOIN asg b ON a.cid = b.cid AND a.vid < b.vid
+                WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.42
+                GROUP BY b.vid)
+       SELECT asg.vid AS vec_id, asg.cid,
+              coalesce(dups.dup_of, asg.vid) AS dup_of,
+              dups.dup_of IS NOT NULL AS is_dup
+       FROM asg LEFT JOIN dups ON asg.vid = dups.vid ORDER BY vec_id""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------- text chunking
+
+  /** Token-window chunking with overlap (chunkLen 64, stride 48). */
+  def textChunksQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(s, dir), "doc_id", "text", chunkLen = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+  val textChunksSql: String =
+    s"""WITH $tokSql,
+       st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+              FROM tok WHERE len(toks) > 0)
+       SELECT doc_id, (s // 48)::BIGINT AS chunk_id,
+              len(toks[s+1:s+64])::BIGINT AS n_tok,
+              md5(array_to_string(toks[s+1:s+64], ' ')) AS chunk_md5
+       FROM st ORDER BY doc_id, chunk_id""".replaceAll("\\s+", " ")
 }

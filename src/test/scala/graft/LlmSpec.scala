@@ -389,4 +389,74 @@ class LlmSpec extends SparkSpec {
     // labels only ever move downward and stay within the component
     assert(out.forall { case (n, l) => l <= n && l >= 0L })
   }
+
+  test("unigram LM: Laplace probabilities, OOV bucket, left-fold scoring") {
+    val d = Seq((0L, "a a b"), (1L, "a c"), (2L, "z z")).toDF("doc_id", "text")
+    val m = graft.llm.LangModel.unigramTrain(d, "text", topV = 256)
+    // T=7 tokens, vocab {a:3, b:1, c:1, z:2}, V=4 -> denom 12
+    assert(m.total == 7L && m.vocabSize == 4)
+    assert(m.lp("a") == math.log(4.0 / 12) && m.lp("z") == math.log(3.0 / 12))
+    assert(m.oovLp == math.log(1.0 / 12))
+    val scores = graft.llm.LangModel.avgNll(d, "doc_id", "text", m)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exp0 = BigDecimal(-(2 * math.log(4.0 / 12) + math.log(2.0 / 12)) / 3)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scores(0L) == (3L, exp0))
+    // OOV only: a model trained elsewhere scores unseen tokens at oovLp
+    val m2 = graft.llm.LangModel.unigramTrain(d.filter($"doc_id" < 2), "text", topV = 2)
+    val s2 = graft.llm.LangModel.avgNll(d.filter($"doc_id" === 2), "doc_id", "text", m2)
+      .as[(Long, Long, Double)].collect().head
+    val expOov = BigDecimal(-m2.oovLp)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s2 == (2L, 2L, expOov))
+  }
+
+  test("topV caps the vocabulary by (count desc, token asc)") {
+    val d = Seq((0L, "b b a a c")).toDF("doc_id", "text")
+    val m = graft.llm.LangModel.unigramTrain(d, "text", topV = 2)
+    // ties on count break by token: a before b at count 2, c dropped
+    assert(m.lp.keySet == Set("a", "b") && m.vocabSize == 2)
+  }
+
+  test("semanticDedup flags within-cluster near-dups with min-id representative") {
+    val mk = (x: Double, y: Double) => Array(x, y, 0.0, 0.0)
+    val emb = Seq(
+      (0L, mk(1, 0)), (1L, mk(0, 1)),                  // the two centroids
+      (10L, mk(0.99, 0.10)), (11L, mk(0.992, 0.105)),  // near-dups, cluster 0
+      (12L, mk(0.70, 0.70)),                           // cluster boundary, alone
+      (20L, mk(0.05, 0.99)), (21L, mk(0.04, 0.995))    // near-dups, cluster 1
+    ).toDF("vec_id", "embedding")
+    val centroids = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", centroids, 0.999)
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // cluster 0: cos(0,10)=0.9949 and cos(0,11)=0.9944 stay under 0.999,
+    // cos(10,11)=0.99998 -> 11 dups to 10. cluster 1: the centroid vector 1
+    // is a corpus member, cos(1,21)=0.99919 >= 0.999 -> 21 dups to min id 1,
+    // while cos(1,20)=0.9987 leaves 20 a keeper
+    assert(!out(10L)._4 && out(11L)._4 && out(11L)._3 == 10L)
+    assert(!out(20L)._4 && out(21L)._4 && out(21L)._3 == 1L)
+    assert(!out(12L)._4 && out(12L)._3 == 12L)
+    assert(out.size == 7)
+    // scale guard: the pair comparison is an equi-join on cid, never a
+    // cartesian over the corpus
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding", centroids, 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("chunkDocs tiles tokens with overlap and hashes each window") {
+    val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(out.map(c => (c._2, c._3)).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == md5hex("t0 t1 t2 t3"))
+    assert(out(3)._4 == md5hex("t9"))
+    // empty docs contribute nothing
+    assert(TextOps.chunkDocs(Seq((1L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3).count() == 0)
+  }
 }
