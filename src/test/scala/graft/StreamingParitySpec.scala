@@ -276,6 +276,43 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("perplexity scoring + chunking over a document stream ≡ batch (stateless map ops)") {
+    // the unigram model trains in batch (one aggregation + bounded
+    // collect); SCORING is a pure per-row fold against the literal map, so
+    // the same plan runs unchanged over a stream — the CCNet deployment
+    // shape: train offline, filter the firehose. chunkDocs is likewise a
+    // per-row explode.
+    implicit val ctx = spark.sqlContext
+    val histRows = Seq((0L, "a a b c"), (1L, "a b d"), (2L, "c c a"))
+    val hist = histRows.toDF("doc_id", "text")
+    val model = graft.llm.LangModel.unigramTrain(hist, "text", topV = 3)
+    val liveRows = Seq((10L, "a b zz c"), (11L, "d d a"), (12L, "qq"))
+    val batchScores = graft.llm.LangModel
+      .avgNll(liveRows.toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchChunks = graft.llm.TextOps
+      .chunkDocs(liveRows.toDF("doc_id", "text"), "doc_id", "text", 3, 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val live = ms.toDS().toDF("doc_id", "text")
+    val q1 = graft.llm.LangModel.avgNll(live, "doc_id", "text", model)
+      .writeStream.format("memory").queryName("ppl_par").outputMode("append").start()
+    val q2 = graft.llm.TextOps.chunkDocs(live, "doc_id", "text", 3, 2)
+      .writeStream.format("memory").queryName("chunk_par").outputMode("append").start()
+    try {
+      val (first, second) = liveRows.partition(_._1 <= 10L)
+      ms.addData(first)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      ms.addData(second)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      assert(spark.table("ppl_par").as[(Long, Long, Double)].collect().toSet
+        == batchScores && batchScores.nonEmpty)
+      assert(spark.table("chunk_par").as[(Long, Long, Long, String)].collect().toSet
+        == batchChunks && batchChunks.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("bucket overflow at maxBucketDocs is observable via the counter") {
     // after the cap, late docs still probe the frozen roster but are not
     // added — two new near-dups arriving post-overflow never pair with
