@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Graft
-import graft.llm.{Decontaminate, Dedup, LangModel, Similarity, TextOps}
+import graft.llm.{Bpe, Decontaminate, Dedup, LangModel, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -638,6 +638,24 @@ object LlmQueries {
               coalesce(dups.dup_of, asg.vid) AS dup_of,
               dups.dup_of IS NOT NULL AS is_dup
        FROM asg LEFT JOIN dups ON asg.vid = dups.vid ORDER BY vec_id""".replaceAll("\\s+", " ")
+
+  // -------------------------------------------------------- BPE tokens
+
+  /** Real subword tokenization: a 200-merge BPE model trained on the
+    * corpus word-frequency dict (driver-bounded), applied distributed via
+    * the native BpeEncode expression. Greedy BPE is not SQL-expressible
+    * (iterative lowest-rank merging), so this entry is rows-only for the
+    * driver, like q_holt_winters; LlmSpec pins the classic Sennrich merge
+    * order, encode semantics, and distributed ≡ driver equality. */
+  def textBpeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = Bpe.train(d, "text", numMerges = 200)
+    Bpe.encode(d, "text", model)
+      .select(col("doc_id"),
+        size(col("subwords")).cast("long").as("n_subwords"),
+        md5(concat_ws(" ", col("subwords"))).as("subwords_md5"))
+      .orderBy("doc_id")
+  }
 
   // ------------------------------------------------------- text chunking
 

@@ -445,6 +445,42 @@ class LlmSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("BPE train follows the classic merge order on Sennrich's dictionary") {
+    val dict = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val m = graft.llm.Bpe.trainFromDict(dict, numMerges = 4)
+    // counts round 1: (e,s)=9 ties (s,t</w>)=9 -> pair-asc picks (e,s);
+    // then (es,t</w>)=9; then (l,o)=7; then the 6-count tie (e,w)/(n,e)/
+    // (w,est</w>) breaks to (e,w)
+    assert(m.merges == Seq(("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+  }
+
+  test("BPE encode merges lowest-rank-first and respects the end-of-word marker") {
+    val m = graft.llm.Bpe.trainFromDict(
+      Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(graft.llm.Bpe.encodeWord("lowest", m).toSeq == Seq("lo", "w", "est</w>"))
+    assert(graft.llm.Bpe.encodeWord("low", m).toSeq == Seq("lo", "w</w>"))
+    assert(graft.llm.Bpe.encodeWord("x", m).toSeq == Seq("x</w>"))
+    val d = Seq((0L, "Low  LOWER")).toDF("doc_id", "text")
+    val out = graft.llm.Bpe.encode(d, "text", m)
+      .select("subwords").as[Seq[String]].head()
+    assert(out == Seq("lo", "w</w>", "lo", "w", "e", "r</w>"))
+  }
+
+  test("BPE distributed encode equals driver encode across a corpus") {
+    val model = graft.llm.Bpe.train(corpus, "text", numMerges = 30, maxWords = 100)
+    val dist = graft.llm.Bpe.encode(corpus, "text", model)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toMap
+    val local = corpus.as[(Long, String)].collect().map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => graft.llm.Bpe.encodeWord(w, model)).toSeq
+    }.toMap
+    assert(dist == local && dist.values.forall(_.nonEmpty))
+    // round-trip: subwords reassemble the original tokens
+    val docs0 = dist(0L).mkString("").split(java.util.regex.Pattern.quote("</w>")).toSeq
+    assert(docs0 == corpus.as[(Long, String)].collect()
+      .toMap.apply(0L).toLowerCase.split("\\s+").toSeq)
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
