@@ -313,6 +313,47 @@ class StreamingParitySpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("semantic dedup over an embedding stream ≡ the batch operator") {
+    implicit val ctx = spark.sqlContext
+    val mk = (x: Double, y: Double) => Seq(x, y, 0.0, 0.0)
+    val rows = Seq(
+      (0L, mk(1, 0)), (1L, mk(0, 1)),
+      (10L, mk(0.99, 0.10)), (11L, mk(0.992, 0.105)),
+      (12L, mk(0.70, 0.70)), (20L, mk(0.05, 0.99)), (21L, mk(0.04, 0.995)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val centroids = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val batch = graft.llm.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", centroids, 0.999)
+      .as[(Long, Int, Long, Boolean)].collect().toSet
+
+    val model = graft.llm.Similarity.collectCenters(centroids)
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val n = ms.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"),
+        graft.llm.Similarity.norm(col("embedding")).as("nrm"))
+    val assigned = graft.llm.Similarity.assignToCenters(n, model, prec = 6)
+      .select(col("vid").as("vecId"), col("cid"), col("v"), col("nrm"))
+      .as[graft.streaming.SemDedupStream.AssignedVec]
+    val q = graft.streaming.SemDedupStream.verdicts(assigned, 0.999)
+      .writeStream.format("memory").queryName("semdedup_par")
+      .outputMode("update").start()
+    try {
+      // id-ordered arrival across micro-batches keeps first-copy-canonical
+      // aligned with the batch min-id rule
+      val (first, second) = rows.partition(_._1 <= 10L)
+      ms.addData(first.sortBy(_._1))
+      q.processAllAvailable()
+      ms.addData(second.sortBy(_._1))
+      q.processAllAvailable()
+      val streamed = spark.table("semdedup_par")
+        .as[(Long, Int, Long, Boolean)].collect().toSet
+      assert(streamed == batch && batch.exists(_._4),
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("bucket overflow at maxBucketDocs is observable via the counter") {
     // after the cap, late docs still probe the frozen roster but are not
     // added — two new near-dups arriving post-overflow never pair with
