@@ -71,6 +71,39 @@ object Mix {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Sequence packing, concatenate-then-split style (the T5/GPT data-prep
+    * step): within each shard (`shardCol`), documents concatenate in id
+    * order and the token stream splits into fixed `seqLen` sequences; each
+    * document reports the pack its first token lands in and its offset
+    * there. A document longer than the remaining pack space spills into
+    * the next pack(s) — exactly what concat-then-split training does.
+    *
+    * Scale shape: ONE shuffle on the shard key, then a per-shard ordered
+    * window (running token sum). Shards are the pipeline's own output
+    * partitioning (source/dump/crawl-segment), so the window never sees
+    * more than a shard — packing 100 TB is embarrassingly parallel across
+    * shards, and a global order would be both unnecessary and wrong (packs
+    * must not cross shard boundaries). All arithmetic is integer.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(shardCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col(idCol), col(shardCol), col("n_tok"),
+        expr(s"__start DIV $seqLen").as("pack_id"),
+        (col("__start") % seqLen).as("pack_offset"))
+  }
+
   /** Driver-side repeat factors that re-weight observed domain sizes to
     * target corpus shares: factor_d = scale · targetShare_d / observedShare_d,
     * where shares are normalized over the domains present in both maps.

@@ -295,6 +295,34 @@ object TextOps {
       "redacted_md5" -> md5(redacted))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword/topic signal a
+    * corpus-analysis pass produces (domain tagging, boilerplate
+    * discovery). tf = in-document term count, idf = ln((N+1)/(df+1))
+    * (add-one so corpus-universal terms score 0⁺ instead of dividing by
+    * zero), score rounded to 6, ranked (score DESC, term ASC).
+    *
+    * Scale shape: two aggregations over the exploded token stream (per-doc
+    * tf, corpus df — both map-side-combining word-counts), an equi-join on
+    * term, and a per-doc top-k window. N rides as a literal (one count,
+    * model-style). The df table is vocabulary-sized, not corpus-sized.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf") * log((lit(nDocs) + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Token-window document chunking — the training-data prep step that
     * splits documents into fixed-size token windows with overlap
     * (stride < chunkLen) so context survives the cut. One row per chunk:

@@ -639,6 +639,43 @@ object LlmQueries {
               dups.dup_of IS NOT NULL AS is_dup
        FROM asg LEFT JOIN dups ON asg.vid = dups.vid ORDER BY vec_id""".replaceAll("\\s+", " ")
 
+  // --------------------------------------------------- sequence packing
+
+  /** Concatenate-then-split packing into 512-token sequences per source
+    * shard (Mix.packSequences). */
+  def packSequencesQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.packSequences(docs(s, dir), "doc_id", "text", "source", 512)
+      .orderBy("doc_id")
+  val packSequencesSql: String =
+    s"""WITH $tokSql,
+       d AS (SELECT t.doc_id, documents.source, len(toks)::BIGINT AS n_tok
+             FROM tok t JOIN documents USING (doc_id) WHERE len(toks) > 0),
+       c AS (SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS s
+             FROM d)
+       SELECT doc_id, source, n_tok, (s // 512)::BIGINT AS pack_id,
+              (s % 512)::BIGINT AS pack_offset
+       FROM c ORDER BY doc_id""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------------------------ TF-IDF
+
+  /** Per-document top-3 TF-IDF keywords (TextOps.tfidfTopK). */
+  def textTfidfQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopK(docs(s, dir), "doc_id", "text", 3).orderBy("doc_id", "rk")
+  val textTfidfSql: String =
+    s"""WITH $tokSql,
+       tfl AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+       tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tfl GROUP BY 1, 2),
+       dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY 1),
+       nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       sc AS (SELECT doc_id, term, tf, df,
+                round(tf * ln((n + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS score
+              FROM tfc JOIN dfc USING (term), nn)
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk,
+              term, tf, df, score
+       FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk""".replaceAll("\\s+", " ")
+
   // -------------------------------------------------------- BPE tokens
 
   /** Real subword tokenization: a 200-merge BPE model trained on the

@@ -481,6 +481,41 @@ class LlmSpec extends SparkSpec {
       .toMap.apply(0L).toLowerCase.split("\\s+").toSeq)
   }
 
+  test("packSequences: concat-then-split per shard, documents spill across packs") {
+    val d = Seq(
+      (0L, "a", "t0 " * 300), (1L, "a", "t1 " * 300), (2L, "a", "t2 " * 100),
+      (3L, "b", "t3 " * 10), (4L, "b", "")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.llm.Mix.packSequences(d, "doc_id", "text", "source", 512)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // shard a: starts 0, 300, 600 -> packs 0, 0, 1; offsets 0, 300, 88
+    assert(out(0L) == (0L, "a", 300L, 0L, 0L))
+    assert(out(1L) == (1L, "a", 300L, 0L, 300L))
+    assert(out(2L) == (2L, "a", 100L, 1L, 88L))
+    // shard b packs independently; empty docs are dropped
+    assert(out(3L) == (3L, "b", 10L, 0L, 0L))
+    assert(!out.contains(4L) && out.size == 4)
+  }
+
+  test("tfidfTopK ranks corpus-rare terms above universal ones") {
+    val d = Seq(
+      (0L, "spark spark shuffle common"),
+      (1L, "duck oracle common"),
+      (2L, "spark common")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopK(d, "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 0: "shuffle" (df=1) beats "spark" (tf=2, df=2): 1*ln(4/2)=0.693
+    // vs 2*ln(4/3)=0.575; "common" (df=3) scores 1*ln(4/4)=0 everywhere
+    assert(out(0L) == Seq("shuffle", "spark"))
+    assert(out(1L).head == "duck" || out(1L).head == "oracle") // tie: term asc
+    assert(out(1L) == Seq("duck", "oracle"))
+    // df counts distinct docs, not occurrences
+    val spark0 = TextOps.tfidfTopK(d, "doc_id", "text", 10)
+      .filter($"term" === "spark").select("df").distinct().as[Long].collect().toSeq
+    assert(spark0 == Seq(2L))
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
