@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned text classification for training-data curation — the
+  * fastText-style linear classifier real pipelines train to keep
+  * "reference-quality" documents (the GPT-3/Llama quality-filter design):
+  * hashing-trick bag-of-words features, logistic regression, distributed
+  * scoring.
+  *
+  * Spark-first split, like every model object in this repo:
+  *  - TRAIN on the driver over a BOUNDED deterministic sample
+  *    (hash-ordered, like pqTrain): full-batch gradient descent with a
+  *    fixed schedule — bit-stable across retrains, no RNG, no
+  *    distributed optimizer state;
+  *  - SCORE distributed and shuffle-free: the weight vector rides in the
+  *    task binary as a literal array, each document folds its token
+  *    hashes through it (tf-weighted dot + bias → sigmoid).
+  *
+  * The hashing trick keeps the feature space fixed-width (`dim` buckets
+  * of the repo-wide 60-bit md5 hash) so the model never grows with the
+  * vocabulary — at 100 TB that is the difference between a model object
+  * and a second corpus.
+  */
+object Classifier {
+
+  case class LogisticModel(weights: Seq[Double], bias: Double, dim: Int)
+
+  private[graft] def featurize(text: String, dim: Int): Array[(Int, Double)] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+    toks.foreach { t =>
+      val b = (TextOps.jvmH60(t) % dim).toInt
+      counts.update(b, counts.getOrElse(b, 0.0) + 1.0)
+    }
+    // l2-normalized tf so long documents don't dominate the gradient
+    val nrm = math.sqrt(counts.values.map(v => v * v).sum)
+    counts.iterator.map { case (b, v) => (b, if (nrm > 0) v / nrm else 0.0) }
+      .toArray.sortBy(_._1)
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Full-batch logistic regression on a deterministic hash-ordered
+    * sample of ≤ `maxSample` labeled rows. `labelCol` must be 0/1. */
+  def trainLogistic(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      dim: Int = 1 << 16,
+      iters: Int = 200,
+      lr: Double = 1.0,
+      l2: Double = 1e-4,
+      maxSample: Int = 65536): LogisticModel = {
+    val sample = docs
+      .select(col(idCol).cast("string").as("sid"), col(textCol).cast("string").as("t"),
+        col(labelCol).cast("double").as("y"))
+      .orderBy(md5(col("sid")))
+      .limit(maxSample)
+      .collect().map(r => (featurize(r.getString(1), dim), r.getDouble(2)))
+    require(sample.nonEmpty, "trainLogistic needs a non-empty labeled sample")
+    // primitive parallel arrays: the GD loop touches every feature of
+    // every sample per iteration — boxed tuples there dominate runtime
+    val idxs = sample.map(_._1.map(_._1))
+    val vals = sample.map(_._1.map(_._2))
+    val ys = sample.map(_._2)
+    val w = new Array[Double](dim)
+    var b = 0.0
+    val n = sample.length.toDouble
+    for (_ <- 0 until iters) {
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var s = 0
+      while (s < idxs.length) {
+        val is = idxs(s); val vs = vals(s)
+        var z = b
+        var j = 0
+        while (j < is.length) { z += w(is(j)) * vs(j); j += 1 }
+        val err = sigmoid(z) - ys(s)
+        j = 0
+        while (j < is.length) { gw(is(j)) += err * vs(j); j += 1 }
+        gb += err
+        s += 1
+      }
+      var i = 0
+      while (i < dim) { w(i) -= lr * (gw(i) / n + l2 * w(i)); i += 1 }
+      b -= lr * gb / n
+    }
+    LogisticModel(w.toSeq, b, dim)
+  }
+
+  /** Distributed scoring: adds `score` (sigmoid of the linear logit,
+    * rounded to `prec`). Shuffle-free — the weights are a literal. */
+  def score(docs: DataFrame, textCol: String, model: LogisticModel,
+      prec: Int = 5): DataFrame = {
+    val wLit = typedlit(model.weights)
+    val toks = TextOps.tokens(col(textCol))
+    // the same tf/l2 featurization as training, as pure column expressions:
+    // bucket hashes, per-bucket counts via the sorted-hash trick is
+    // overkill here — fold tf through the weight vector twice (dot and
+    // norm) in token order; Σ w[h(t)]·tf(t)/nrm == (Σ w[h(t)] per
+    // occurrence)/nrm because tf-weighted sums distribute over occurrences
+    val bucket = (t: org.apache.spark.sql.Column) =>
+      (TextOps.h60(t) % model.dim).cast("int")
+    val rawDot = aggregate(toks, lit(0.0),
+      (acc, t) => acc + element_at(wLit, bucket(t) + 1))
+    // nrm = sqrt(Σ tf²) over distinct buckets: count occurrences per
+    // bucket via the sorted bucket array
+    val buckets = array_sort(transform(toks, t => bucket(t)))
+    val tfSq = aggregate(
+      zip_with(buckets, slice(concat(array(lit(-1)), buckets), lit(1), size(buckets)),
+        (cur, prev) => struct(cur.as("b"), (cur === prev).as("rep"))),
+      struct(lit(0.0).as("acc"), lit(0.0).as("run")),
+      (st, e) => {
+        val newRun = when(e.getField("rep"), st.getField("run") + 1).otherwise(lit(1.0))
+        // Σ tf² incrementally: adding the k-th copy of a bucket raises its
+        // tf² contribution by k² − (k−1)² = 2k − 1
+        struct((st.getField("acc") + newRun * 2 - 1).as("acc"), newRun.as("run"))
+      }).getField("acc")
+    val nrm = sqrt(tfSq)
+    docs.withColumn("score",
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(when(nrm > 0, rawDot / nrm).otherwise(lit(0.0)) + lit(model.bias)))), prec))
+  }
+}

@@ -42,11 +42,22 @@ object TextOps {
   // ------------------------------------------------------------- MinHash
 
   /** JVM-side h60 (identical to the Column version) for deriving constants
-    * embedded in both the Spark plan and the oracle SQL. */
+    * embedded in both the Spark plan and the oracle SQL, and for hot
+    * driver-side loops (Classifier.featurize hashes every token of the
+    * training sample): thread-local digest, value from the first 8 raw
+    * bytes — the first 15 hex chars are exactly the high 60 bits. */
+  @transient private lazy val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+    }
   private[graft] def jvmH60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(d.substring(0, 15), 16)
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Per-family multipliers for the MinHash mixing hash: 30-bit odd

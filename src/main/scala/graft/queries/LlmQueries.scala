@@ -676,6 +676,24 @@ object LlmQueries {
               term, tf, df, score
        FROM sc QUALIFY rk <= 3 ORDER BY doc_id, rk""".replaceAll("\\s+", " ")
 
+  // ------------------------------------------------- learned classifier
+
+  /** fastText-style quality/language classifier distillation: train a
+    * hashing-trick logistic regression on (lang == 'en') labels over the
+    * bounded driver sample, score the whole corpus shuffle-free. Gradient
+    * descent is not SQL-expressible → rows-only for the driver, like
+    * q_text_bpe; LlmSpec pins class separation, distributed ≡ driver
+    * arithmetic, and bit-stable retrains. */
+  def textClassifyQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("label", (col("lang") === "en").cast("int"))
+    val model = graft.llm.Classifier.trainLogistic(
+      d, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
+    graft.llm.Classifier.score(d, "text", model)
+      .select(col("doc_id"), col("label").cast("long").as("label"),
+        col("score"), (col("score") >= 0.5).as("pred"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------- BPE tokens
 
   /** Real subword tokenization: a 200-merge BPE model trained on the

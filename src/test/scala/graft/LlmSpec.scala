@@ -516,6 +516,35 @@ class LlmSpec extends SparkSpec {
     assert(spark0 == Seq(2L))
   }
 
+  test("logistic classifier separates planted classes; distributed ≡ driver; retrain bit-stable") {
+    val pos = (0 until 30).map(i => (i.toLong, s"clean fluent prose sentence number $i with clear structure", 1))
+    val neg = (0 until 30).map(i => ((100 + i).toLong, s"buy cheap pills now click spam link $i offer offer", 0))
+    val d = (pos ++ neg).toDF("doc_id", "text", "label")
+    val m = graft.llm.Classifier.trainLogistic(d, "doc_id", "text", "label",
+      dim = 512, iters = 300, lr = 1.0, maxSample = 1000)
+    val scored = graft.llm.Classifier.score(d, "text", m)
+      .select("doc_id", "label", "score").as[(Long, Int, Double)].collect()
+    // full separation on the training classes
+    assert(scored.filter(_._2 == 1).map(_._3).min >
+      scored.filter(_._2 == 0).map(_._3).max)
+    assert(scored.forall(r => (r._3 >= 0.5) == (r._2 == 1)))
+    // distributed scoring equals the driver-side model arithmetic
+    val local = d.as[(Long, String, Int)].collect().map { case (id, t, _) =>
+      val fs = graft.llm.Classifier.featurize(t, m.dim)
+      val z = m.bias + fs.map { case (i, v) => m.weights(i) * v }.sum
+      id -> BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    // the column fold adds w[h(tok)] per occurrence then normalizes, the
+    // driver sums per bucket — same value up to double associativity; at
+    // 5-decimal rounding they agree on well-separated scores
+    scored.foreach { case (id, _, s) => assert(math.abs(s - local(id)) <= 1e-5) }
+    // deterministic retrain
+    val m2 = graft.llm.Classifier.trainLogistic(d, "doc_id", "text", "label",
+      dim = 512, iters = 300, lr = 1.0, maxSample = 1000)
+    assert(m2.weights == m.weights && m2.bias == m.bias)
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
