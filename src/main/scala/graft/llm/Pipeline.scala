@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the operators of this package
+  * composed in their canonical order (the C4/CCNet/Llama data-prep
+  * recipe): language filter → heuristic quality filters → perplexity
+  * filter → exact dedup → near-dup dedup (keep-best per cluster) →
+  * benchmark decontamination → domain mixing → sequence packing.
+  *
+  * Each stage is one of the already-verified operators; this object only
+  * wires them, so the composition inherits their scale shapes: per-row
+  * filters fuse into one codegen'd pass over the scan, the dedup/
+  * decontamination shuffles stay signature- and pair-sized, and the
+  * models (unigram vocab) are bounded driver objects. Nothing here adds
+  * a shuffle of its own.
+  */
+object Pipeline {
+
+  /** Tunables with C4/CCNet-flavored defaults. `benchmark` enables the
+    * decontamination stage; `mixRates` the per-domain downsampling. */
+  case class CurationConfig(
+      langs: Set[String] = Set("en"),
+      requireC4Keep: Boolean = true,
+      maxAvgNll: Option[Double] = None,
+      perplexityVocab: Int = 4096,
+      nearDup: Boolean = true,
+      benchmark: Option[DataFrame] = None,
+      contaminationN: Int = 3,
+      minOverlap: Long = 3L,
+      mixRates: Map[String, Double] = Map.empty,
+      defaultMixRate: Double = 1.0,
+      seqLen: Int = 512)
+
+  /** Run the full recipe over (idCol, textCol, shardCol) documents.
+    * Returns the packed survivor frame; `counters`, when provided,
+    * receives per-stage survivor counts (one extra action per stage —
+    * leave it None in production, the counts are for audits/tests). */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      cfg: CurationConfig = CurationConfig(),
+      counters: Option[scala.collection.mutable.Map[String, Long]] = None): DataFrame = {
+    def tap(name: String, df: DataFrame): DataFrame = {
+      counters.foreach(_.update(name, df.count())); df
+    }
+    val toks = TextOps.tokens(col(textCol))
+    // stage 1+2: per-row filters — one fused scan pass
+    val (langPred, _) = TextOps.langId(toks)
+    val langOk = docs.filter(
+      if (cfg.langs.isEmpty) lit(true) else langPred.isInCollection(cfg.langs))
+    val heurOk = tap("heuristics", {
+      if (!cfg.requireC4Keep) langOk
+      else langOk.filter(TextOps.c4Features(col(textCol)).toMap.apply("keep"))
+    })
+    // stage 3: perplexity filter (model trained on the surviving corpus)
+    val pplOk = tap("perplexity", cfg.maxAvgNll match {
+      case None => heurOk
+      case Some(cap) =>
+        val model = LangModel.unigramTrain(heurOk, textCol, cfg.perplexityVocab)
+        heurOk.join(
+          LangModel.avgNll(heurOk, idCol, textCol, model)
+            .filter(col("avg_nll") <= cap).select(idCol),
+          idCol)
+    })
+    // stage 4: exact dedup (keep canonical copies)
+    val exactKept = tap("exact_dedup", pplOk
+      .join(Dedup.exact(pplOk, idCol, textCol)
+        .filter(!col("is_dup")).select(idCol), idCol))
+    // stage 5: near-dup clusters, keep-best per cluster
+    val nearKept = tap("near_dedup", {
+      if (!cfg.nearDup) exactKept
+      else {
+        val pairs = Dedup.minhashLsh(exactKept, idCol, textCol)
+        val drop = Dedup.keepBest(
+          exactKept.withColumn("__len", length(col(textCol))),
+          pairs, idCol = idCol, weightCol = "__len")
+          .filter(!col("keep")).select(col("doc_id").as(idCol))
+        exactKept.join(drop, Seq(idCol), "left_anti")
+      }
+    })
+    // stage 6: benchmark decontamination
+    val decon = tap("decontaminated", cfg.benchmark match {
+      case None => nearKept
+      case Some(bench) =>
+        val bad = Decontaminate.contamination(nearKept, bench, idCol, textCol,
+          n = cfg.contaminationN, minOverlap = cfg.minOverlap)
+          .select(col("doc_id").as(idCol)).distinct()
+        nearKept.join(bad, Seq(idCol), "left_anti")
+    })
+    // stage 7: deterministic domain mixing
+    val mixed = tap("mixed", {
+      if (cfg.mixRates.isEmpty && cfg.defaultMixRate >= 1.0) decon
+      else Mix.stratifiedSample(decon, idCol, shardCol, cfg.mixRates, cfg.defaultMixRate)
+    })
+    // stage 8: pack into fixed token sequences per shard
+    tap("packed", Mix.packSequences(mixed, idCol, textCol, shardCol, cfg.seqLen))
+  }
+}

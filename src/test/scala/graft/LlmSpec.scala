@@ -545,6 +545,48 @@ class LlmSpec extends SparkSpec {
     assert(m2.weights == m.weights && m2.bias == m.bias)
   }
 
+  test("Pipeline.curate runs the full C4/CCNet recipe with per-stage audit counts") {
+    val en1 = "the quick brown fox jumps over the lazy dog.\nit runs to the river for a drink."
+    val en2 = "a solid paragraph of useful english text is here.\nit is written for the reader in full sentences."
+    val rows = Seq(
+      (1L, "web", en1),
+      (2L, "web", en1),                                              // exact dup of 1
+      (3L, "web", en1.replace("drink", "swim")),                     // near-dup of 1
+      (4L, "web", en2),
+      (5L, "web", "der hund und die katze ist nicht auf dem tisch.\nund das ist ein ganzer satz mit worten zu lesen."), // German
+      (6L, "web", "lorem ipsum dolor sit amet.\nthe rest of it is a template for the page."), // boilerplate
+      (7L, "books", "the held out benchmark sentence lives here verbatim.\nit is used to test the model for leakage."),
+      (8L, "books", en2.replace("reader", "listener"))               // near-dup of 4? different source, still near-dup
+    ).toDF("doc_id", "source", "text")
+    val bench = Seq((100L, "the held out benchmark sentence lives here verbatim"))
+      .toDF("doc_id", "text")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val out = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(
+        benchmark = Some(bench), minOverlap = 3L, seqLen = 16),
+      Some(counts))
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // stage audit: 5 drops de, 6 drops lorem; 2 exact-dups away; 3 (and
+    // possibly 8) near-dup away keeping the longer member; 7 contaminated
+    assert(counts("heuristics") == 6L) // 5 and 6 gone
+    assert(counts("exact_dedup") == counts("perplexity") - 1) // doc 2
+    assert(counts("decontaminated") == counts("near_dedup") - 1) // doc 7
+    assert(counts("packed") == counts("mixed"))
+    val survivors = out.keySet
+    assert(!survivors.contains(2L) && !survivors.contains(5L)
+      && !survivors.contains(6L) && !survivors.contains(7L))
+    assert(survivors.contains(1L) || survivors.contains(3L)) // one of the near-dups
+    // packing restarts per shard: every shard has a pack 0 at offset 0
+    val shards = out.values.groupBy(_._2)
+    shards.values.foreach(g => assert(g.exists(r => r._4 == 0L && r._5 == 0L)))
+    // determinism end-to-end
+    val again = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(
+        benchmark = Some(bench), minOverlap = 3L, seqLen = 16))
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)

@@ -313,6 +313,39 @@ class StreamingParitySpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("classifier scoring and BPE encode over a document stream ≡ batch") {
+    // both models train in batch; scoring/encoding are per-row literals
+    implicit val ctx = spark.sqlContext
+    val histRows = Seq((0L, "clean prose text", 1), (1L, "spam spam offer", 0),
+      (2L, "more clean text here", 1), (3L, "offer spam click", 0))
+    val hist = histRows.toDF("doc_id", "text", "label")
+    val lr = graft.llm.Classifier.trainLogistic(hist, "doc_id", "text", "label",
+      dim = 128, iters = 50)
+    val bpe = graft.llm.Bpe.trainFromDict(
+      Seq("clean" -> 5L, "spam" -> 4L, "text" -> 3L), numMerges = 6)
+    val liveRows = Seq((10L, "clean spam text"), (11L, "unseen words"))
+    val live0 = liveRows.toDF("doc_id", "text")
+    val batchScore = graft.llm.Classifier.score(live0, "text", lr)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    val batchBpe = graft.llm.Bpe.encode(live0, "text", bpe)
+      .select("doc_id", "subwords").as[(Long, Seq[String])].collect().toSet
+
+    val ms = MemoryStream[(Long, String)]
+    val live = ms.toDS().toDF("doc_id", "text")
+    val q1 = graft.llm.Classifier.score(live, "text", lr)
+      .select("doc_id", "score")
+      .writeStream.format("memory").queryName("clf_par").outputMode("append").start()
+    val q2 = graft.llm.Bpe.encode(live, "text", bpe)
+      .select("doc_id", "subwords")
+      .writeStream.format("memory").queryName("bpe_par").outputMode("append").start()
+    try {
+      ms.addData(liveRows)
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      assert(spark.table("clf_par").as[(Long, Double)].collect().toSet == batchScore)
+      assert(spark.table("bpe_par").as[(Long, Seq[String])].collect().toSet == batchBpe)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("semantic dedup over an embedding stream ≡ the batch operator") {
     implicit val ctx = spark.sqlContext
     val mk = (x: Double, y: Double) => Seq(x, y, 0.0, 0.0)
