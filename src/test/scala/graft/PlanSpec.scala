@@ -46,4 +46,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "offsets join not broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("model-literal scoring passes are shuffle-free: classifier, perplexity, BPE, chunking") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Graft.table(spark, dir, "documents")
+    // trained artifacts ride in the task binary; the scoring/encoding
+    // projection must not introduce a single Exchange
+    val lr = graft.llm.Classifier.trainLogistic(
+      docs.withColumn("label", (col("lang") === "en").cast("int")),
+      "doc_id", "text", "label", dim = 1 << 10, iters = 5)
+    assert(!plan(graft.llm.Classifier.score(docs, "text", lr))
+      .contains("Exchange"), "classifier scoring shuffles")
+    val um = graft.llm.LangModel.unigramTrain(docs, "text", 64)
+    assert(!plan(graft.llm.LangModel.avgNll(docs, "doc_id", "text", um))
+      .contains("Exchange"), "perplexity scoring shuffles")
+    val bm = graft.llm.Bpe.train(docs, "text", numMerges = 20, maxWords = 256)
+    assert(!plan(graft.llm.Bpe.encode(docs, "text", bm))
+      .contains("Exchange"), "BPE encoding shuffles")
+    assert(!plan(graft.llm.TextOps.chunkDocs(docs, "doc_id", "text", 64, 48))
+      .contains("Exchange"), "chunking shuffles")
+  }
+
+  test("packSequences shuffles exactly once, on the shard key") {
+    val p = plan(graft.llm.Mix.packSequences(
+      graft.Graft.table(spark, dir, "documents"), "doc_id", "text", "source", 512))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shard-key exchange, got $exchanges:\n${p.take(1200)}")
+    assert(p.contains("hashpartitioning(source"), "window not partitioned on the shard key")
+  }
 }
