@@ -51,6 +51,78 @@ object LangModel {
     } finally { counts.unpersist(blocking = false) }
   }
 
+  /** Interpolated bigram model: raw (not log) probabilities so the mixture
+    * λ·p_bi + (1−λ)·p_uni is formed before the log. `uniP` is Laplace like
+    * [[UnigramModel]]; `biP` is the ML estimate c(ab)/c(a) for the top
+    * `topB` in-vocabulary bigrams — both driver-bounded model objects. */
+  case class BigramModel(uniP: Map[String, Double], oovP: Double,
+      biP: Map[String, Double], lambda: Double)
+
+  /** Two aggregation passes (unigram word-count, bigram pair-count) and
+    * two bounded collects — the KenLM-shaped training loop at map-reduce
+    * scale: counts shuffle, models don't. */
+  def bigramTrain(docs: DataFrame, textCol: String, topV: Int, topB: Int,
+      lambda: Double = 0.7): BigramModel = {
+    require(topV > 0 && topB > 0 && lambda >= 0 && lambda <= 1)
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("toks"))
+      .persist()
+    try {
+      val counts = toks.select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .persist()
+      val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+      val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      counts.unpersist(blocking = false)
+      val vocabSet = vocab.map(_._1).toSeq
+      val uniCnt = vocab.toMap
+      val denom = (total + vocab.length + 1).toDouble
+      // bigram pairs via the index grid; vocabulary membership filters
+      // BEFORE the aggregation so the pair shuffle is vocab², not corpus²
+      val pairs = toks
+        .filter(size(col("toks")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a").isInCollection(vocabSet) && col("b").isInCollection(vocabSet))
+        .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(topB)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      BigramModel(
+        vocab.map { case (t, c) => t -> ((c + 1).toDouble / denom) }.toMap,
+        1.0 / denom,
+        pairs.map { case (a, b, c) => s"$a $b" -> c.toDouble / uniCnt(a).toDouble }.toMap,
+        lambda)
+    } finally { toks.unpersist(blocking = false) }
+  }
+
+  /** Per-document average NLL under the interpolated bigram model: the
+    * first token scores as unigram, each following as
+    * ln(λ·p(tᵢ|tᵢ₋₁) + (1−λ)·p(tᵢ)); same left-fold/rounding contract as
+    * [[avgNll]]. Scoring is shuffle-free — both maps are task literals. */
+  def avgNllBigram(docs: DataFrame, idCol: String, textCol: String,
+      model: BigramModel): DataFrame = {
+    val mu = typedlit(model.uniP)
+    val mb = typedlit(model.biP)
+    def pUni(t: org.apache.spark.sql.Column) =
+      coalesce(element_at(mu, t), lit(model.oovP))
+    val toksC = col("toks")
+    val first = log(pUni(element_at(toksC, 1)))
+    val rest = when(size(toksC) > 1,
+      aggregate(sequence(lit(1), size(toksC) - 1), lit(0.0), (acc, i) => {
+        val pb = coalesce(
+          element_at(mb, concat(element_at(toksC, i), lit(" "), element_at(toksC, i + 1))),
+          lit(0.0))
+        acc + log(lit(model.lambda) * pb + lit(1.0 - model.lambda) * pUni(element_at(toksC, i + 1)))
+      })).otherwise(lit(0.0))
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tok"),
+        round(-(first + rest) / size(col("toks")), 5).as("avg_nll"))
+  }
+
   /** Per-document average negative log-likelihood (natural log), rounded
     * to 5 decimals; empty-token documents are dropped (no defined score).
     * Output: (idCol, n_tok, avg_nll). */

@@ -611,6 +611,43 @@ object LlmQueries {
                     (a, b) -> a + b) / len(toks), 5) AS avg_nll
        FROM tok, m WHERE len(toks) > 0 ORDER BY doc_id""".replaceAll("\\s+", " ")
 
+  /** Interpolated bigram-LM scoring (λ=0.7), the KenLM-shaped upgrade of
+    * the unigram filter: top-256 vocab, top-1024 in-vocab bigrams. */
+  def textBigramNllQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val model = LangModel.bigramTrain(d, "text", topV = 256, topB = 1024, lambda = 0.7)
+    LangModel.avgNllBigram(d, "doc_id", "text", model).orderBy("doc_id")
+  }
+  val textBigramNllSql: String =
+    // (1.0 - 0.7) stays an expression: both engines then mix with the
+    // identical IEEE double 0.30000000000000004
+    s"""WITH $tokSql,
+       tc AS (SELECT unnest(toks) AS token FROM tok),
+       counts AS (SELECT token, count(*)::BIGINT AS cnt FROM tc GROUP BY 1),
+       tot AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+       vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 256),
+       vn AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       prs AS (SELECT toks[i] AS a, toks[i+1] AS b
+               FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tok WHERE len(toks) > 1)),
+       bc AS (SELECT a, b, count(*)::BIGINT AS cnt
+              FROM prs JOIN vocab va ON va.token = prs.a JOIN vocab vb ON vb.token = prs.b
+              GROUP BY 1, 2),
+       topb AS (SELECT a, b, cnt FROM bc ORDER BY cnt DESC, a, b LIMIT 1024),
+       mu AS (SELECT map(list(token ORDER BY token),
+                         list((cnt + 1)::DOUBLE / (t + v + 1)::DOUBLE ORDER BY token)) AS mu,
+                     1.0 / (t + v + 1)::DOUBLE AS oov
+              FROM vocab, tot, vn GROUP BY t, v),
+       mb AS (SELECT map(list(a || ' ' || b ORDER BY a, b),
+                         list(topb.cnt::DOUBLE / va.cnt::DOUBLE ORDER BY a, b)) AS mb
+              FROM topb JOIN vocab va ON va.token = topb.a)
+       SELECT doc_id, len(toks)::BIGINT AS n_tok,
+              round(-(ln(coalesce(map_extract(mu, toks[1])[1], oov)) +
+                list_reduce(list_prepend(0.0, list_transform(range(1, len(toks)),
+                  i -> ln(0.7 * coalesce(map_extract(mb, toks[i] || ' ' || toks[i+1])[1], 0.0)
+                        + (1.0 - 0.7) * coalesce(map_extract(mu, toks[i+1])[1], oov)))),
+                  (x, y) -> x + y)) / len(toks), 5) AS avg_nll
+       FROM tok, mu, mb WHERE len(toks) > 0 ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   // --------------------------------------------------------- SemDeDup
 
   /** Semantic dedup over embeddings: fixed coarse centroids (vec_id < 8,

@@ -411,6 +411,32 @@ class LlmSpec extends SparkSpec {
     assert(s2 == (2L, 2L, expOov))
   }
 
+  test("bigram LM: ML pair probabilities, interpolation, unigram first token") {
+    val d = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val m = graft.llm.LangModel.bigramTrain(d, "text", topV = 10, topB = 10, lambda = 0.7)
+    // unigrams: a:2 b:2 c:1, T=5, V=3 -> denom 9
+    assert(m.uniP("a") == 3.0 / 9 && m.uniP("c") == 2.0 / 9 && m.oovP == 1.0 / 9)
+    // bigrams: (a,b):2 of c(a)=2 -> 1.0; (b,a):1/2; (b,c):1/2
+    assert(m.biP("a b") == 1.0 && m.biP("b a") == 0.5 && m.biP("b c") == 0.5)
+    assert(m.biP.size == 3)
+    val scored = graft.llm.LangModel.avgNllBigram(d, "doc_id", "text", m)
+      .as[(Long, Long, Double)].collect().head
+    val lam = 0.7
+    val exp = -(math.log(3.0 / 9) +
+      math.log(lam * 1.0 + (1.0 - lam) * (3.0 / 9)) + // a->b
+      math.log(lam * 0.5 + (1.0 - lam) * (3.0 / 9)) + // b->a
+      math.log(lam * 1.0 + (1.0 - lam) * (3.0 / 9)) + // a->b
+      math.log(lam * 0.5 + (1.0 - lam) * (2.0 / 9))) / 5 // b->c
+    assert(scored == ((0L, 5L,
+      BigDecimal(exp).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // single-token docs score as pure unigram
+    val one = graft.llm.LangModel.avgNllBigram(
+      Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Long, Double)].collect().head
+    assert(one == ((1L, 1L, BigDecimal(-math.log(3.0 / 9))
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("topV caps the vocabulary by (count desc, token asc)") {
     val d = Seq((0L, "b b a a c")).toDF("doc_id", "text")
     val m = graft.llm.LangModel.unigramTrain(d, "text", topV = 2)
