@@ -153,58 +153,44 @@ object Dedup {
     * cannot fit entirely in either suffix — so every qualifying pair
     * collides on some indexed prefix shingle. The filter is LOSSLESS for
     * ANY global total order (the verification oracle states the naive
-    * full inverted join and the outputs are identical); we use ascending
-    * 60-bit hash order, which ShingleHashes already emits per document —
-    * the canonical position is the array index, for free. The classic
-    * rarest-first (global-df) order would shrink candidates further but
-    * costs an inverted-index aggregation, a join back, and a per-document
-    * window — three extra shuffles of the corpus at 100 TB; hash order
-    * samples average-df shingles into prefixes instead, and candidates
-    * stay bounded because a prefix is a ~(1−t) fraction of each set.
+    * full inverted join and the outputs are identical).
+    *
+    * The global order is **df-demoted hash order**: ascending 60-bit hash
+    * (which ShingleHashes already emits per document — the canonical
+    * position is the array index, for free), EXCEPT that shingles whose
+    * document frequency exceeds `maxShingleDfFrac`·D (the `heavyLimit`
+    * heaviest of them) sort AFTER every ordinary shingle, ordered among
+    * themselves by ascending df. Pure hash order was the r9-r12 design
+    * and is fine under uniform df, but it has no boilerplate guard: a
+    * header 3-gram present in df documents lands in ~half their prefixes
+    * and the candidate equi-join generates ~(df/2)² rows before any
+    * filter can see them. Demotion keeps those shingles out of posting
+    * lists — the heaviest shingle can only reach a prefix when a document
+    * consists of almost nothing else (the classic rarest-first PPJoin
+    * argument, applied only where it pays). Cost: ONE map-side-combining
+    * df aggregation over the exploded shingles and a bounded driver
+    * collect (≤ heavyLimit rows) — the heavy list then rides in the task
+    * binary and the per-row reorder is a fused native pass
+    * (graft.expressions.DemoteHeavy), not the three corpus shuffles full
+    * df-ordering would cost (inverted index + join back + per-doc window).
     * Candidates are then verified exactly on the full shingle sets. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxShingleDfFrac: Double = 0.05,
+      heavyLimit: Int = 4096): DataFrame = {
     // hashed shingle sets: verification compares 60-bit hashes, not
     // strings (the chance of an in-pair collision at 2^-60 is negligible
     // against the corpus sizes this runs at)
     val sets = shingleHashes(docs, idCol, textCol, n)
       .withColumn("nsh", size(col("sh")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // PPJoin's prefix filter is lossless under ANY global total order of
-    // the shingle universe; rarest-first (global-df order) only shrinks
-    // the candidate set. We use ascending hash order instead: ShingleHashes
-    // already emits each document's shingle hashes SORTED, so the canonical
-    // position is the array index — posexplode, zero extra passes. The
-    // df-ordered variant costs a full inverted-index aggregation, a join
-    // back, and a per-document window (three extra shuffles); hash order
-    // samples average-df shingles into prefixes, a fine trade against
-    // three stages of the corpus at 100 TB (measured 1.7s → well under at
-    // sf0.1, identical output — verification is exact either way).
-    // The exploded prefix index is intentionally NOT persisted: it is
-    // ≈ the token count of the corpus — recomputing the (cached-sets →
-    // posexplode) projection for its two join sides is cheaper than
-    // pinning it, and at 100 TB it's the one table you must never cache.
-    val pos = sets
-      .select(col("doc_id"), col("nsh"), posexplode(col("sh")).as(Seq("__idx", "shingle")))
-      .filter(col("__idx") + 1 <= col("nsh") - ceil(col("nsh") * threshold) + 1)
-    val a = pos.select(col("shingle"), col("doc_id").as("id_a"),
-      (col("__idx") + 1).as("pos_a"), col("nsh").as("na"))
-    val b = pos.select(col("shingle"), col("doc_id").as("id_b"),
-      (col("__idx") + 1).as("pos_b"), col("nsh").as("nb"))
-    // size filter: J ≥ t bounds the size ratio; positional filter (PPJoin):
-    // a collision whose remaining tails cannot reach the required overlap
-    // α = ⌈t/(1+t)·(na+nb)⌉ is discarded. A qualifying pair's FIRST common
-    // prefix element always passes both, so the filters stay lossless.
-    val alpha = ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")))
-    val candidates = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
-      .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >= alpha)
-      .select("id_a", "id_b").distinct()
+    val numDocs = sets.count() // also materializes the persist
+    val heavy = heavyShingles(sets, numDocs, maxShingleDfFrac, heavyLimit)
+    val candidates = ngramCandidates(sets, threshold, heavy)
     // exact verification on the full hashed sets
     val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
     val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
@@ -216,6 +202,63 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
     eagerRelease(verified, sets)
+  }
+
+  /** The demoted shingle list: the `heavyLimit` highest-df shingles whose
+    * df exceeds `maxShingleDfFrac`·numDocs, returned in GLOBAL ORDER
+    * (ascending df, then hash — the heaviest sorts last). Bounded driver
+    * intake by construction; `maxShingleDfFrac >= 1` disables demotion.
+    * If more than `heavyLimit` shingles exceed the cap, the excess stay at
+    * their hash-order positions — still lossless, the guard just covers
+    * the worst offenders first. */
+  private[graft] def heavyShingles(
+      sets: DataFrame, numDocs: Long,
+      maxShingleDfFrac: Double, heavyLimit: Int): Array[Long] = {
+    if (maxShingleDfFrac >= 1.0 || numDocs == 0) return Array.emptyLongArray
+    val cap = math.max(1L, (maxShingleDfFrac * numDocs).toLong)
+    val rows = sets.select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(heavyLimit)
+      .collect()
+    rows.map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+  }
+
+  /** PPJoin candidate generation under the df-demoted order: prefix
+    * posting-list equi-join + size filter + positional filter. Factored
+    * out so the planted-boilerplate spec can count candidates directly. */
+  private[graft] def ngramCandidates(
+      sets: DataFrame, threshold: Double, heavy: Array[Long]): DataFrame = {
+    // The exploded prefix index is intentionally NOT persisted: it is
+    // ≈ the token count of the corpus — recomputing the (cached-sets →
+    // posexplode) projection for its two join sides is cheaper than
+    // pinning it, and at 100 TB it's the one table you must never cache.
+    val ordered =
+      if (heavy.isEmpty) col("sh")
+      else {
+        val fn = graft.expressions.DemoteHeavy.register(
+          sets.sparkSession, heavy.toSeq)
+        call_function(fn, col("sh"))
+      }
+    val pos = sets
+      .select(col("doc_id"), col("nsh"), posexplode(ordered).as(Seq("__idx", "shingle")))
+      .filter(col("__idx") + 1 <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+    val a = pos.select(col("shingle"), col("doc_id").as("id_a"),
+      (col("__idx") + 1).as("pos_a"), col("nsh").as("na"))
+    val b = pos.select(col("shingle"), col("doc_id").as("id_b"),
+      (col("__idx") + 1).as("pos_b"), col("nsh").as("nb"))
+    // size filter: J ≥ t bounds the size ratio; positional filter (PPJoin):
+    // a collision whose remaining tails cannot reach the required overlap
+    // α = ⌈t/(1+t)·(na+nb)⌉ is discarded. A qualifying pair's FIRST common
+    // prefix element (in the demoted global order) passes both, so the
+    // filters stay lossless.
+    val alpha = ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
+      .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >= alpha)
+      .select("id_a", "id_b").distinct()
   }
 
   /** Duplicate-cluster assignment: connected components over a near-dup

@@ -62,6 +62,40 @@ class LlmSpec extends SparkSpec {
     assert(pairs((0L, 1L)) == math.round(10.0 / 12 * 1e6) / 1e6)
   }
 
+  test("ngram jaccard: df-demotion keeps boilerplate out of candidate generation, losslessly") {
+    // 121 docs sharing a 10-token boilerplate header (8 all-docs 3-grams,
+    // the "All rights reserved." scale killer) + a 12-token unique tail so
+    // no cross-doc pair qualifies at t=0.5; doc 1000 is a planted near-dup
+    // of doc 0 (one tail word changed → J = 19/21).
+    val boiler = "all rights reserved by the original publisher of this work"
+    val base = (0 until 120).map { i =>
+      (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j u${i}k u${i}l")
+    }
+    val planted = (1000L,
+      s"$boiler u0a u0b u0c u0d u0e u0f u0g u0h u0i u0j u0k zz")
+    val d = (base :+ planted).toDF("doc_id", "text")
+    val sets = Dedup.shingleHashes(d, "doc_id", "text", 3)
+      .withColumn("nsh", size(col("sh")).cast("long"))
+    val heavy = Dedup.heavyShingles(sets, 121L, 0.05, 4096)
+    // exactly the 8 windows fully inside the boilerplate exceed df cap 6
+    assert(heavy.length == 8)
+    val candDemoted = Dedup.ngramCandidates(sets, 0.5, heavy).count()
+    val candPlain = Dedup.ngramCandidates(sets, 0.5, Array.emptyLongArray).count()
+    // demoted: candidates are ~linear (only genuinely-overlapping docs
+    // collide); plain hash order: the boilerplate posting lists blow up
+    // quadratically in the number of docs sharing the header
+    assert(candDemoted <= 2, s"demoted candidates should be ~linear, got $candDemoted")
+    assert(candPlain > 100 * math.max(candDemoted, 1),
+      s"expected quadratic blowup without demotion, got $candPlain vs $candDemoted")
+    // losslessness: identical verified output with and without the guard
+    def pairs(frac: Double) =
+      Dedup.ngramJaccard(d, "doc_id", "text", maxShingleDfFrac = frac)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val guarded = pairs(0.05)
+    assert(guarded == pairs(1.0))
+    assert(guarded.map(p => (p._1, p._2)) == Set((0L, 1000L)))
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(1.0f, 0.0f, 0.0f)), // identical to 0
