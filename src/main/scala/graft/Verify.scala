@@ -16,22 +16,31 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // q_holt_winters is the one no_oracle entry (DuckDB cannot state the
-    // Nelder-Mead fit). Assert value equality HERE against the serial
-    // exact recursion; on mismatch delete the dump so the driver's
+    // The rows-only entries (no DuckDB oracle: Nelder-Mead fit, greedy
+    // BPE, gradient descent). Assert value equality HERE against serial
+    // driver arithmetic; on mismatch delete the dump so the driver's
     // rows>0 gate fails loudly instead of recording a hollow pass.
-    try {
-      if (!graft.queries.EventQueries.holtWintersCrossCheck(spark, sfDir)) {
-        System.err.println("[verify] q_holt_winters value cross-check FAILED")
-        val dir = Paths.get(s"$outDir/q_holt_winters")
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
-      } else println("[verify] q_holt_winters value cross-check passed")
-    } catch { case e: Throwable =>
-      System.err.println(s"[verify] holtWinters cross-check errored: ${e.getMessage}")
+    val crossChecks: Seq[(String, () => Boolean)] = Seq(
+      "q_holt_winters" ->
+        (() => graft.queries.EventQueries.holtWintersCrossCheck(spark, sfDir)),
+      "q_text_bpe" ->
+        (() => graft.queries.LlmQueries.textBpeCrossCheck(spark, sfDir)),
+      "q_text_classify" ->
+        (() => graft.queries.LlmQueries.textClassifyCrossCheck(spark, sfDir)))
+    crossChecks.foreach { case (name, check) =>
+      try {
+        if (!check()) {
+          System.err.println(s"[verify] $name value cross-check FAILED")
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+        } else println(s"[verify] $name value cross-check passed")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name cross-check errored: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

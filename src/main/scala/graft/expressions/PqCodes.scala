@@ -44,6 +44,14 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     case t => TypeCheckResult.TypeCheckFailure(s"graft_pqcodes expects array<double|float>, got $t")
   }
 
+  // parquet list columns usually arrive containsNull=true even when no
+  // element is ever null; only pay the per-element null scan when the
+  // schema says nulls are possible
+  @transient private lazy val mayHaveNullElements = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
   @transient private lazy val isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -51,6 +59,19 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != m * subdim)
+      throw new IllegalArgumentException(
+        s"graft_pqcodes: input vector has ${v.numElements()} dims but the " +
+          s"codebook was trained for m=$m x subdim=$subdim = ${m * subdim}")
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < v.numElements()) {
+        if (v.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft_pqcodes: null element at dim $i; encode needs a dense vector " +
+            "— filter or impute null components before pqEncode")
+        i += 1
+      }
+    }
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {

@@ -92,23 +92,25 @@ object Classifier {
   }
 
   /** Distributed scoring: adds `score` (sigmoid of the linear logit,
-    * rounded to `prec`). Shuffle-free — the weights are a literal. */
+    * rounded to `prec`). Shuffle-free — the weights are a literal.
+    *
+    * Both folds run over the SORTED bucket array so the floating-point
+    * accumulation order is canonical: [[scoreDriver]] replays the same
+    * arithmetic on the driver and matches BIT-EXACTLY (the Verify
+    * cross-check and LlmSpec assert equality, not tolerance). Σ w[h(t)]·
+    * tf(t)/nrm == (Σ w[h(t)] per occurrence)/nrm because tf-weighted sums
+    * distribute over occurrences. */
   def score(docs: DataFrame, textCol: String, model: LogisticModel,
       prec: Int = 5): DataFrame = {
     val wLit = typedlit(model.weights)
     val toks = TextOps.tokens(col(textCol))
-    // the same tf/l2 featurization as training, as pure column expressions:
-    // bucket hashes, per-bucket counts via the sorted-hash trick is
-    // overkill here — fold tf through the weight vector twice (dot and
-    // norm) in token order; Σ w[h(t)]·tf(t)/nrm == (Σ w[h(t)] per
-    // occurrence)/nrm because tf-weighted sums distribute over occurrences
     val bucket = (t: org.apache.spark.sql.Column) =>
       (TextOps.h60(t) % model.dim).cast("int")
-    val rawDot = aggregate(toks, lit(0.0),
-      (acc, t) => acc + element_at(wLit, bucket(t) + 1))
+    val buckets = array_sort(transform(toks, t => bucket(t)))
+    val rawDot = aggregate(buckets, lit(0.0),
+      (acc, b) => acc + element_at(wLit, b + 1))
     // nrm = sqrt(Σ tf²) over distinct buckets: count occurrences per
     // bucket via the sorted bucket array
-    val buckets = array_sort(transform(toks, t => bucket(t)))
     val tfSq = aggregate(
       zip_with(buckets, slice(concat(array(lit(-1)), buckets), lit(1), size(buckets)),
         (cur, prev) => struct(cur.as("b"), (cur === prev).as("rep"))),
@@ -123,5 +125,31 @@ object Classifier {
     docs.withColumn("score",
       round(lit(1.0) / (lit(1.0) +
         exp(-(when(nrm > 0, rawDot / nrm).otherwise(lit(0.0)) + lit(model.bias)))), prec))
+  }
+
+  /** Driver-side replay of [[score]]'s exact column arithmetic — same
+    * sorted-bucket fold order, same incremental Σtf² recurrence, same
+    * HALF_UP rounding — so distributed and driver scores are BIT-EQUAL.
+    * This is the Verify cross-check oracle for q_text_classify. */
+  private[graft] def scoreDriver(text: String, model: LogisticModel,
+      prec: Int = 5): Double = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
+    val buckets = toks.map(t => (TextOps.jvmH60(t) % model.dim).toInt).sorted
+    var rawDot = 0.0
+    var i = 0
+    while (i < buckets.length) { rawDot += model.weights(buckets(i)); i += 1 }
+    var acc = 0.0
+    var run = 0.0
+    i = 0
+    while (i < buckets.length) {
+      run = if (i > 0 && buckets(i) == buckets(i - 1)) run + 1 else 1.0
+      acc = acc + (run * 2 - 1)
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    val logit = (if (nrm > 0) rawDot / nrm else 0.0) + model.bias
+    val s = 1.0 / (1.0 + math.exp(-logit))
+    BigDecimal(s).setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 }

@@ -41,7 +41,10 @@ object LangModel {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+      val totalRow = counts.agg(sum(col("cnt"))).head
+      require(!totalRow.isNullAt(0),
+        "cannot train a unigram language model on an empty corpus (no tokens)")
+      val total = totalRow.getLong(0)
       val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       val denom = (total + vocab.length + 1).toDouble
@@ -70,7 +73,10 @@ object LangModel {
       val counts = toks.select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .persist()
-      val total = counts.agg(sum(col("cnt"))).head.getLong(0)
+      val totalRow = counts.agg(sum(col("cnt"))).head
+      require(!totalRow.isNullAt(0),
+        "cannot train a bigram language model on an empty corpus (no tokens)")
+      val total = totalRow.getLong(0)
       val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       counts.unpersist(blocking = false)

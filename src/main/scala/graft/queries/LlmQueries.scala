@@ -729,7 +729,7 @@ object LlmQueries {
     val d = docs(s, dir)
     val teacher = LangModel.unigramTrain(d, "text", topV = 256)
     val scored = LangModel.avgNll(d, "doc_id", "text", teacher)
-    val med = scored.agg(expr("percentile(avg_nll, 0.5)")).head.getDouble(0)
+    val med = boundedLowerMedian(scored, "avg_nll")
     val labeled = d.join(
       scored.select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
       "doc_id")
@@ -739,6 +739,30 @@ object LlmQueries {
       .select(col("doc_id"), col("label").cast("long").as("label"),
         col("score"), (col("score") >= 0.5).as("pred"))
       .orderBy("doc_id")
+  }
+
+  /** Exact LOWER median of a bounded-cardinality column (avg_nll is
+    * rounded to 5 decimals over a ~[0, 30] NLL range, ≤ ~3M distinct
+    * values by construction — the bound is now explicit, not an implicit
+    * invariant of the rounding). Two map-side-combining steps: a
+    * histogram groupBy, then a cumulative walk over the HISTOGRAM only —
+    * no full-corpus values ever share one aggregation buffer, unlike the
+    * single-group exact `percentile` this replaces. Deterministic, so the
+    * distilled labels are bit-stable across retrains. */
+  private[graft] def boundedLowerMedian(df: DataFrame, c: String): Double = {
+    val hist = df.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val all = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val row = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__tot", sum(col("__c")).over(all))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .agg(min(col(c))).head
+    require(!row.isNullAt(0), s"boundedLowerMedian($c): empty input")
+    row.getDouble(0)
   }
 
   // -------------------------------------------------------- BPE tokens
@@ -757,6 +781,63 @@ object LlmQueries {
         size(col("subwords")).cast("long").as("n_subwords"),
         md5(concat_ws(" ", col("subwords"))).as("subwords_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Verify-side value cross-check for q_text_bpe (rows-only for the
+    * driver: greedy BPE is not SQL-expressible). Re-encodes EVERY document
+    * on the driver with the serial Bpe.encodeWord and compares
+    * (n_subwords, subwords_md5) bit-exactly against the distributed
+    * native-BpeEncode output — the q_holt_winters pattern, so a hollow
+    * rows-only pass is impossible. */
+  def textBpeCrossCheck(s: SparkSession, dir: String): Boolean = {
+    val d = docs(s, dir)
+    val model = Bpe.train(d, "text", numMerges = 200)
+    val got = textBpeQ(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = d.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      val subs = toks.flatMap(w => Bpe.encodeWord(w, model))
+      md.reset()
+      val hex = md.digest(subs.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (r.getLong(0), subs.length.toLong, hex)
+    }.toSet
+    val ok = got == expected
+    if (!ok) {
+      val diff = (got diff expected) ++ (expected diff got)
+      System.err.println(s"[verify] bpe mismatch rows: ${diff.take(10).mkString(", ")}")
+    }
+    ok
+  }
+
+  /** Verify-side value cross-check for q_text_classify (rows-only:
+    * gradient descent is not SQL-expressible). Replays the query's exact
+    * teacher → median → distill chain (bit-stable by construction), then
+    * asserts every distributed score EQUALS Classifier.scoreDriver's
+    * driver arithmetic — same sorted-bucket fold, so equality, not
+    * tolerance. */
+  def textClassifyCrossCheck(s: SparkSession, dir: String): Boolean = {
+    val d = docs(s, dir)
+    val teacher = LangModel.unigramTrain(d, "text", topV = 256)
+    val scored = LangModel.avgNll(d, "doc_id", "text", teacher)
+    val med = boundedLowerMedian(scored, "avg_nll")
+    val labeled = d.join(
+      scored.select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
+      "doc_id")
+    val model = graft.llm.Classifier.trainLogistic(
+      labeled, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
+    val got = textClassifyQ(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val bad = d.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val exact = graft.llm.Classifier.scoreDriver(r.getString(1), model)
+      if (got.get(id).contains(exact)) None else Some((id, got.get(id), exact))
+    }
+    if (bad.nonEmpty)
+      System.err.println(s"[verify] classify mismatch rows: ${bad.take(10).mkString(", ")}")
+    bad.isEmpty
   }
 
   // ------------------------------------------------------- text chunking

@@ -25,7 +25,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object SemDedupStream {
 
   case class AssignedVec(vecId: Long, cid: Int, v: Seq[Double], nrm: Double)
-  case class DedupVerdict(vecId: Long, cid: Int, dupOf: Long, isDup: Boolean)
+
+  /** `overflow = true` marks a verdict computed against a roster that had
+    * already hit `maxClusterDocs`: "not a duplicate" then means "not a
+    * duplicate OF THE FROZEN ROSTER" — post-cap near-identical arrivals
+    * cannot pair with each other. Downstream consumers can distinguish
+    * verified-unique from roster-was-full without watching the
+    * accumulator. */
+  case class DedupVerdict(vecId: Long, cid: Int, dupOf: Long, isDup: Boolean,
+      overflow: Boolean)
   case class ClusterState(ids: Seq[Long], vecs: Seq[Seq[Double]], nrms: Seq[Double])
 
   def verdicts(
@@ -65,12 +73,13 @@ object SemDedupStream {
                 }
                 i += 1
               }
+              val full = st.ids.length >= maxClusterDocs
               out += DedupVerdict(p.vecId, cid,
                 if (dupOf == Long.MaxValue) p.vecId else dupOf,
-                dupOf != Long.MaxValue)
+                dupOf != Long.MaxValue, full)
               // duplicates join the roster too: in batch, a dup is still a
               // valid dup_of target for later, higher-id arrivals
-              if (st.ids.length < maxClusterDocs)
+              if (!full)
                 st = ClusterState(st.ids :+ p.vecId, st.vecs :+ p.v, st.nrms :+ p.nrm)
               else overflowAcc.add(1L)
             }

@@ -588,17 +588,24 @@ class LlmSpec extends SparkSpec {
     assert(scored.filter(_._2 == 1).map(_._3).min >
       scored.filter(_._2 == 0).map(_._3).max)
     assert(scored.forall(r => (r._3 >= 0.5) == (r._2 == 1)))
-    // distributed scoring equals the driver-side model arithmetic
-    val local = d.as[(Long, String, Int)].collect().map { case (id, t, _) =>
+    // distributed scoring is BIT-EQUAL to the scoreDriver mirror (both
+    // fold in sorted-bucket order — no associativity slack)
+    val texts = d.as[(Long, String, Int)].collect()
+    texts.foreach { case (id, t, _) =>
+      val exact = graft.llm.Classifier.scoreDriver(t, m)
+      val dist = scored.find(_._1 == id).get._3
+      assert(dist == exact, s"doc $id: distributed $dist != driver $exact")
+    }
+    // …and agrees with the independent featurize-based arithmetic (w·tf
+    // per distinct bucket — a different but mathematically equal fold)
+    // up to double associativity at the 5-decimal rounding
+    texts.foreach { case (id, t, _) =>
       val fs = graft.llm.Classifier.featurize(t, m.dim)
       val z = m.bias + fs.map { case (i, v) => m.weights(i) * v }.sum
-      id -> BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      val loc = BigDecimal(1.0 / (1.0 + math.exp(-z)))
         .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }.toMap
-    // the column fold adds w[h(tok)] per occurrence then normalizes, the
-    // driver sums per bucket — same value up to double associativity; at
-    // 5-decimal rounding they agree on well-separated scores
-    scored.foreach { case (id, _, s) => assert(math.abs(s - local(id)) <= 1e-5) }
+      assert(math.abs(scored.find(_._1 == id).get._3 - loc) <= 1e-5)
+    }
     // deterministic retrain
     val m2 = graft.llm.Classifier.trainLogistic(d, "doc_id", "text", "label",
       dim = 512, iters = 300, lr = 1.0, maxSample = 1000)
@@ -647,11 +654,17 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
-  test("q_text_classify distills the perplexity teacher with >=85% agreement") {
+  test("q_text_classify distills the perplexity teacher with >=85% agreement; labels stable") {
     val out = graft.queries.LlmQueries.textClassifyQ(spark, "/root/testdata/sf0.001")
     val acc = out.select(
       avg(($"pred" === ($"label" === 1)).cast("double"))).head.getDouble(0)
     assert(acc >= 0.85, f"teacher agreement $acc%.3f below 0.85")
+    // the histogram-walk teacher median is deterministic → the distilled
+    // labels (and scores) are identical on a rerun
+    val rows = out.as[(Long, Long, Double, Boolean)].collect().toSeq
+    val again = graft.queries.LlmQueries.textClassifyQ(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows == again)
   }
 
   test("chunkDocs tiles tokens with overlap and hashes each window") {

@@ -381,9 +381,12 @@ class StreamingParitySpec extends SparkSpec {
       ms.addData(second.sortBy(_._1))
       q.processAllAvailable()
       val streamed = spark.table("semdedup_par")
+        .select($"vecId", $"cid", $"dupOf", $"isDup")
         .as[(Long, Int, Long, Boolean)].collect().toSet
       assert(streamed == batch && batch.exists(_._4),
         s"streamed $streamed vs batch $batch")
+      // no roster hit its cap here — every verdict is fully verified
+      assert(spark.table("semdedup_par").filter($"overflow").isEmpty)
     } finally q.stop()
   }
 
@@ -411,6 +414,27 @@ class StreamingParitySpec extends SparkSpec {
       assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 5L)))
       // …but not with each other — the documented, now-observable gap
       assert(!pairs.contains((3L, 4L)))
+    } finally q.stop()
+  }
+
+  test("semantic-dedup verdicts carry the overflow flag once a cluster roster is full") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.SemDedupStream.AssignedVec
+    val ms = MemoryStream[AssignedVec]
+    val q = graft.streaming.SemDedupStream.verdicts(ms.toDS(), 0.999, maxClusterDocs = 2)
+      .writeStream.format("memory").queryName("sd_ovf").outputMode("update").start()
+    try {
+      val x = Seq(1.0, 0.0); val y = Seq(0.0, 1.0)
+      ms.addData((1L to 4L).map(i => AssignedVec(i, 0, x, 1.0)) :+ AssignedVec(5L, 0, y, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sd_ovf").select($"vecId", $"isDup", $"overflow")
+        .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out(1L) == ((false, false)) && out(2L) == ((true, false)))
+      // post-cap: still probed against the frozen roster…
+      assert(out(3L) == ((true, true)) && out(4L) == ((true, true)))
+      // …and a post-cap UNIQUE verdict is flagged as "roster was full",
+      // not silently indistinguishable from verified-unique
+      assert(out(5L) == ((false, true)))
     } finally q.stop()
   }
 }
