@@ -1,44 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.Graft.session("graft-bench")
-    spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footers, shuffle machinery) so
-    // per-query timings measure the operators, not JVM startup billed to
-    // whichever query happens to run first
-    try {
-      spark.range(1000).selectExpr("sum(id)").count()
-      graft.Graft.events(spark, sfDir).count()
-    } catch { case _: Throwable => () }
-    // warm every query's plan at the tiny SF first: whole-stage codegen
-    // compilation and JIT otherwise bill ~1s to whichever query the Map
-    // happens to iterate first (observed as a phantom 2.3x q_sum_hour
-    // regression in round 2); steady-state per-query time is the metric
-    // optional dev mode: `runMain graft.Bench q1 q2 ... [repeat=N]` times just
-    // those queries N times each (isolated regression hunting); the driver's
-    // no-arg invocation is unchanged
-    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(3)
-    val names = args.filterNot(_.startsWith("repeat="))
-    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (names.isEmpty) SparkEntry.queries.toSeq
-      else names.map(n => n -> SparkEntry.queries(n)).toSeq
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && sys.env.getOrElse("GRAFT_BENCH_WARMALL", "1") == "1")
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
-    // Isolation: each query runs `repeat` CONSECUTIVE timings (min taken)
-    // after one System.gc() + settle at the query boundary. The boundary GC
-    // stops a heavy predecessor's garbage from billing its collection pause
-    // to the next query (r6 recorded numbers up to 5x isolated steady-state
-    // from exactly that); the repeats stay back-to-back because the min is
-    // meant to measure the operator's warm steady state — a 4-config
-    // experiment (gc on/off x interleaved-passes/consecutive, 8 queries,
-    // repeat=3) showed interleaving the suite into full passes instead
-    // inflates every query ~1.5-2x (74 generated-code plans thrash the JIT
-    // between a query's samples) while the boundary GC is ~free.
+
+  type Q = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** Time every query in `selected` against `sfDir`: per query, `repeat`
+    * CONSECUTIVE samples (discard-first-then-min when ≥3) after one
+    * System.gc() + settle at the query boundary. The boundary GC stops a
+    * heavy predecessor's garbage from billing its collection pause to the
+    * next query (r6 recorded numbers up to 5x isolated steady-state from
+    * exactly that); the repeats stay back-to-back because the min is
+    * meant to measure the operator's warm steady state — a 4-config
+    * experiment (gc on/off x interleaved-passes/consecutive, 8 queries,
+    * repeat=3) showed interleaving the suite into full passes instead
+    * inflates every query ~1.5-2x (74 generated-code plans thrash the JIT
+    * between a query's samples) while the boundary GC is ~free. */
+  private def runSuite(
+      spark: SparkSession,
+      selected: Seq[(String, Q)],
+      sfDir: String,
+      repeat: Int,
+      verbose: Boolean): Seq[(String, Double)] = {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for ((name, fn) <- selected) {
       // Queries eagerly localCheckpoint small results so they can release
@@ -63,16 +45,86 @@ object Bench {
     // JIT re-warm (r8 recorded q_join_fill 0.92 s vs 0.55 s steady-state
     // because repeat=2's min kept much of it); with ≥3 samples the min of
     // the warm tail is the operator's steady state
-    val results = selected.map { case (name, _) =>
+    selected.map { case (name, _) =>
       val times = samples.getOrElse(name, Nil).reverse
-      if (repeat > 1) System.err.println(s"[bench] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
+      if (verbose && repeat > 1)
+        System.err.println(s"[bench] $name: ${times.map(t => f"$t%.3f").mkString(" ")}")
       val steady = if (times.length >= 3) times.tail else times
       name -> (if (steady.nonEmpty) steady.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Graft.session("graft-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, parquet footers, shuffle machinery) so
+    // per-query timings measure the operators, not JVM startup billed to
+    // whichever query happens to run first
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      graft.Graft.events(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+    // warm every query's plan at the tiny SF first: whole-stage codegen
+    // compilation and JIT otherwise bill ~1s to whichever query the Map
+    // happens to iterate first (observed as a phantom 2.3x q_sum_hour
+    // regression in round 2); steady-state per-query time is the metric
+    // optional dev mode: `runMain graft.Bench q1 q2 ... [repeat=N]` times just
+    // those queries N times each (isolated regression hunting); the driver's
+    // no-arg invocation is unchanged
+    val repeat = args.collectFirst { case s if s.startsWith("repeat=") => s.drop(7).toInt }.getOrElse(3)
+    val names = args.filterNot(_.startsWith("repeat="))
+    val selected: Seq[(String, Q)] =
+      if (names.isEmpty) SparkEntry.queries.toSeq
+      else names.map(n => n -> SparkEntry.queries(n)).toSeq
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && sys.env.getOrElse("GRAFT_BENCH_WARMALL", "1") == "1")
+      selected.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    val results = runSuite(spark, selected, sfDir, repeat, verbose = true)
+    // scaling-slope smoke: re-time the suite at the 10x-smaller SF and
+    // report t(sf)/t(small) per query. A query whose warm time grows much
+    // faster than the data (ratio >> 10x) has a super-linear stage —
+    // exactly the candidate-blowup class the single-SF bench cannot see.
+    // Fixed overhead dominates sub-0.05s small-SF times, so only those
+    // above it are flagged.
+    val smallDir = "/root/testdata/sf0.01"
+    val doSlope = names.isEmpty && sfDir != smallDir &&
+      new java.io.File(smallDir).isDirectory &&
+      sys.env.getOrElse("GRAFT_BENCH_SLOPE", "1") == "1"
+    val (slopes, flags) =
+      if (!doSlope) (Map.empty[String, Double], Seq.empty[String])
+      else {
+        val small = runSuite(spark, selected, smallDir, 3, verbose = false).toMap
+        val big = results.toMap
+        val sl = selected.flatMap { case (n, _) =>
+          val s = small.getOrElse(n, -1.0)
+          val b = big.getOrElse(n, -1.0)
+          if (s > 0 && b > 0) Some(n -> b / s) else None
+        }.toMap
+        (sl, sl.collect { case (n, r) if r > 15.0 && small(n) > 0.05 => n }.toSeq.sorted)
+      }
+    def jnum(v: Double): String = f"$v%.4f"
+    // stdout stays the driver's ONE-line contract, but compact (4-decimal
+    // times) so the driver's bounded tail capture never truncates the
+    // front of the JSON line (r12 lost 6 queries to exactly that); the
+    // full-precision per-query map + slopes also land in bench_times.json
+    // inside the repo, which survives independently of the tail.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    try {
+      val slopesJson = slopes.toSeq.sorted
+        .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+      val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/bench_times.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs,"slopes":$slopesJson,"slope_flags":$flagsJson}""")
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"slope_flags":$flagsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -783,6 +783,101 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- curation pipeline
+
+  /** q_pipeline_curate: the END-TO-END curation recipe (Pipeline.curate)
+    * over `documents`, oracle-checked as one composed chain — perplexity
+    * filter (unigram LM, cap 3.5: cuts the high-NLL tail while keeping
+    * both members of planted near-dup pairs, so EVERY later stage stays
+    * active in composition) → exact dedup → MinHash near-dup keep-best →
+    * benchmark decontamination (the %97 slice as the held-out set) →
+    * stratified domain mixing → sequence packing. Language/C4 heuristics
+    * are off here: the synthetic corpus is punctuation-free word salad
+    * (C4 keep would empty it) and both detectors have their own green
+    * rows (q_text_langid, q_text_c4filters). Every stage's oracle
+    * fragment already exists; this entry pins their COMPOSITION,
+    * including the survivor-set scoping (exact-dedup canon chosen among
+    * perplexity survivors, near-dup pairs among exact survivors, packing
+    * over the final mix). */
+  def pipelineCurateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.llm.Pipeline.curate(d, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(
+        langs = Set.empty, requireC4Keep = false,
+        maxAvgNll = Some(3.5), perplexityVocab = 256,
+        nearDup = true,
+        benchmark = Some(d.filter(col("doc_id") % 97 === 0)),
+        contaminationN = 3, minOverlap = 3L,
+        mixRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+        defaultMixRate = 0.5, seqLen = 512))
+      .orderBy("doc_id")
+  }
+  val pipelineCurateSql: String = {
+    val sigList = graft.llm.TextOps.minhashConsts(16).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> ((h >> 30) * $a + (h & 1073741823) * $b) % ${graft.llm.TextOps.mixPrime}))"
+    }.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE $tokSql, $shSql,
+       tc AS (SELECT unnest(toks) AS token FROM tok),
+       counts AS (SELECT token, count(*)::BIGINT AS cnt FROM tc GROUP BY 1),
+       tot AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+       vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 256),
+       vn AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       lm AS (SELECT map(list(token ORDER BY token),
+                         list(ln((cnt + 1)::DOUBLE / (t + v + 1)::DOUBLE) ORDER BY token)) AS mp,
+                     ln(1.0 / (t + v + 1)::DOUBLE) AS oov
+              FROM vocab, tot, vn GROUP BY t, v),
+       nll AS (SELECT doc_id,
+                round(-list_reduce(list_transform(toks, tk -> coalesce(map_extract(mp, tk)[1], oov)),
+                      (a, b) -> a + b) / len(toks), 5) AS avg_nll
+              FROM tok, lm WHERE len(toks) > 0),
+       ppl AS (SELECT doc_id FROM nll WHERE avg_nll <= 3.5),
+       ex AS (SELECT doc_id FROM (
+                SELECT d.doc_id,
+                       d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canon
+                FROM documents d JOIN ppl USING (doc_id)) WHERE canon),
+       hsc AS (SELECT sh.doc_id, list_transform(s, x -> ${h60sql("x")}) AS hs
+               FROM sh JOIN ex USING (doc_id)),
+       sig AS (SELECT doc_id, $sigList AS sig FROM hsc),
+       band AS (SELECT doc_id, sig, b,
+                 md5(b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+                FROM sig, (SELECT unnest(range(4)) AS b)),
+       pp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_filter(range(16), i -> a.sig[i+1] = b.sig[i+1])) AS DOUBLE) / 16, 6) AS est_jaccard
+             FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       pe AS (SELECT id_a, id_b FROM pp WHERE est_jaccard >= 0.5),
+       e AS (SELECT id_a AS a, id_b AS b FROM pe
+             UNION ALL SELECT id_b, id_a FROM pe),
+       reach(a, b) AS (SELECT a, b FROM e
+                       UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+       dropd AS (SELECT doc_id FROM (
+                  SELECT cl.doc_id,
+                         row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY length(d.text) DESC, cl.doc_id) AS rn
+                  FROM cl JOIN documents d USING (doc_id)) WHERE rn > 1),
+       nk AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropd)),
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
+       g AS (SELECT DISTINCT doc_id, ${h60sql("array_to_string(toks[i:i+2], ' ')")} AS gram FROM pos),
+       bad AS (SELECT DISTINCT c.doc_id
+               FROM (SELECT g.* FROM g JOIN nk USING (doc_id)) c
+               JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) bm USING (gram)
+               GROUP BY c.doc_id, bm.doc_id HAVING count(*) >= 3),
+       decon AS (SELECT doc_id FROM nk WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       mixed AS (SELECT d.doc_id, d.source
+                 FROM documents d JOIN decon USING (doc_id)
+                 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
+                   CASE d.source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                     WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 5000 END),
+       pk0 AS (SELECT t.doc_id, mx.source, len(t.toks)::BIGINT AS n_tok
+               FROM tok t JOIN mixed mx USING (doc_id) WHERE len(t.toks) > 0),
+       pk1 AS (SELECT doc_id, source, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok AS st
+               FROM pk0)
+       SELECT doc_id, source, n_tok, (st // 512)::BIGINT AS pack_id,
+              (st % 512)::BIGINT AS pack_offset
+       FROM pk1 ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
   /** Verify-side value cross-check for q_text_bpe (rows-only for the
     * driver: greedy BPE is not SQL-expressible). Re-encodes EVERY document
     * on the driver with the serial Bpe.encodeWord and compares
