@@ -22,6 +22,14 @@ object Bench {
       repeat: Int,
       verbose: Boolean): Seq[(String, Double)] = {
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // The first selected query pays the tail of whole-JVM C2 compilation of
+    // shared Spark machinery even after the sf0.001 warm pass and even under
+    // discard-first-then-min (measured: q_mean_hour 0.26 s when first in the
+    // list vs 0.19 s when later, repeat=8). One untimed run of the first
+    // query at the TARGET SF absorbs that ramp so slot order stops mattering.
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     for ((name, fn) <- selected) {
       // Queries eagerly localCheckpoint small results so they can release
       // their input caches; the checkpoint blocks themselves stay pinned
