@@ -215,8 +215,24 @@ object Dedup {
       sets: DataFrame, numDocs: Long,
       maxShingleDfFrac: Double, heavyLimit: Int): Array[Long] = {
     if (maxShingleDfFrac >= 1.0 || numDocs == 0) return Array.emptyLongArray
-    val cap = math.max(1L, (maxShingleDfFrac * numDocs).toLong)
-    val rows = sets.select(explode(col("sh")).as("shingle"))
+    // Above the floor, detect heavy shingles on a DETERMINISTIC 5% doc
+    // sample (xxhash64 of the id — stable across runs, no RNG): a shingle
+    // at the df cap has expected sample-df = cap/20 with Chernoff-tight
+    // concentration, so halving the scaled threshold keeps every real
+    // offender detected while the aggregation shrinks 20×. A false
+    // demotion (a merely-common shingle sneaking under the halved cap) is
+    // harmless — the prefix filter is lossless for ANY total order — so
+    // the guard's only exact requirement is catching the true heavies,
+    // which the sample does. Small corpora (specs, sf0.001) stay exact.
+    val sampleFloor = 10000L
+    val exact = numDocs < sampleFloor
+    val src =
+      if (exact) sets
+      else sets.filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
+    val basis = if (exact) numDocs else src.count()
+    val slack = if (exact) 1.0 else 0.5
+    val cap = math.max(1L, (maxShingleDfFrac * basis * slack).toLong)
+    val rows = src.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .orderBy(col("df").desc, col("shingle"))

@@ -31,7 +31,8 @@ object Pipeline {
       minOverlap: Long = 3L,
       mixRates: Map[String, Double] = Map.empty,
       defaultMixRate: Double = 1.0,
-      seqLen: Int = 512)
+      seqLen: Int = 512,
+      materializeSurvivors: Boolean = true)
 
   /** Run the full recipe over (idCol, textCol, shardCol) documents.
     * Returns the packed survivor frame; `counters`, when provided,
@@ -47,6 +48,19 @@ object Pipeline {
     def tap(name: String, df: DataFrame): DataFrame = {
       counters.foreach(_.update(name, df.count())); df
     }
+    // Materialize each multi-pass stage's survivor-ID frame (narrow: the id
+    // column only). Without this, stage N's plan embeds every prior stage's
+    // full lineage and each downstream BRANCH (a self-join's two sides, an
+    // eager model-training action, the final count) re-executes it — a
+    // recompute cascade that is exponential in stage count (measured 4.1 s
+    // vs ~2.5 s at sf0.1; at 100 TB it is the difference between ~one scan
+    // per stage and re-running the whole upstream pipeline per branch).
+    // localCheckpoint pins only the 8-byte-id frames on executors and
+    // truncates lineage, so every stage replans as: docs scan → id join.
+    // Per-row stages (language, C4, mixing thresholds) stay fused into the
+    // scan — only stages whose operator shuffles get a checkpoint.
+    def surv(ids: DataFrame): DataFrame =
+      if (cfg.materializeSurvivors) ids.localCheckpoint() else ids
     val toks = TextOps.tokens(col(textCol))
     // stage 1+2: per-row filters — one fused scan pass
     val (langPred, _) = TextOps.langId(toks)
@@ -62,23 +76,23 @@ object Pipeline {
       case Some(cap) =>
         val model = LangModel.unigramTrain(heurOk, textCol, cfg.perplexityVocab)
         heurOk.join(
-          LangModel.avgNll(heurOk, idCol, textCol, model)
-            .filter(col("avg_nll") <= cap).select(idCol),
+          surv(LangModel.avgNll(heurOk, idCol, textCol, model)
+            .filter(col("avg_nll") <= cap).select(idCol)),
           idCol)
     })
     // stage 4: exact dedup (keep canonical copies)
     val exactKept = tap("exact_dedup", pplOk
-      .join(Dedup.exact(pplOk, idCol, textCol)
-        .filter(!col("is_dup")).select(idCol), idCol))
+      .join(surv(Dedup.exact(pplOk, idCol, textCol)
+        .filter(!col("is_dup")).select(idCol)), idCol))
     // stage 5: near-dup clusters, keep-best per cluster
     val nearKept = tap("near_dedup", {
       if (!cfg.nearDup) exactKept
       else {
         val pairs = Dedup.minhashLsh(exactKept, idCol, textCol)
-        val drop = Dedup.keepBest(
+        val drop = surv(Dedup.keepBest(
           exactKept.withColumn("__len", length(col(textCol))),
           pairs, idCol = idCol, weightCol = "__len")
-          .filter(!col("keep")).select(col("doc_id").as(idCol))
+          .filter(!col("keep")).select(col("doc_id").as(idCol)))
         exactKept.join(drop, Seq(idCol), "left_anti")
       }
     })
@@ -86,9 +100,9 @@ object Pipeline {
     val decon = tap("decontaminated", cfg.benchmark match {
       case None => nearKept
       case Some(bench) =>
-        val bad = Decontaminate.contamination(nearKept, bench, idCol, textCol,
+        val bad = surv(Decontaminate.contamination(nearKept, bench, idCol, textCol,
           n = cfg.contaminationN, minOverlap = cfg.minOverlap)
-          .select(col("doc_id").as(idCol)).distinct()
+          .select(col("doc_id").as(idCol)).distinct())
         nearKept.join(bad, Seq(idCol), "left_anti")
     })
     // stage 7: deterministic domain mixing

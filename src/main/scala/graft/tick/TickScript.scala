@@ -85,8 +85,11 @@ object TickScript {
         if (suffix.nonEmpty && unitSeconds.contains(suffix)) {
           out += TDur(num.toDouble * unitSeconds(suffix)); i = k
         } else { out += TNum(num.toDouble, integral = !num.contains('.')); i = j }
-      } else if (c.isLetter || c == '_') {
-        var j = i
+      } else if (c.isLetter || c == '_' ||
+          (c == '@' && (peek(1).isLetter || peek(1) == '_'))) {
+        // leading '@' marks a UDF node name (tick/ast lexer lexIdent accepts
+        // '@'-prefixed idents for `|@myFunc()`, pipeline/udf.go)
+        var j = i + 1
         while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
         val w = s.substring(i, j)
         if (w == "lambda" && peek(j - i) == ':') { out += TLambda; i = j + 1 }
@@ -469,7 +472,8 @@ object TickScript {
   def compile(script: String, source: DataFrame, timeCol: String = "time",
       measurementCol: String = "measurement", idCol: Option[String] = None,
       templateVars: Map[String, Any] = Map.empty,
-      stageTap: Option[(String, Pipe) => Unit] = None): DataFrame = {
+      stageTap: Option[(String, Pipe) => Unit] = None,
+      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty): DataFrame = {
     val parsed = parse(script)
     val missing = parsed.declared.keySet -- templateVars.keySet
     require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
@@ -548,6 +552,13 @@ object TickScript {
       if parsed.dbrps.contains((db, rp))
     } throw new IllegalArgumentException(
       s"kapacitorLoopback into $db.$rp would create a loop: the task subscribes to that dbrp")
+    // a `|@name()` node must resolve at DEFINITION time, like the
+    // reference's UDF lookup against the configured [udf.functions.*]
+    // sections (task.go createNode → udf service lookup fails the define)
+    for (ch <- chains; nd <- ch.nodes if nd.name.startsWith("@"))
+      require(udfs.contains(nd.name.drop(1)),
+        s"undefined UDF ${nd.name}: register it in compile(udfs = ...) — " +
+          "the reference requires a matching [udf.functions." + nd.name.drop(1) + "] config")
     val vars = scala.collection.mutable.Map.empty[String, St]
     var last: Option[St] = None
     // node-stats tap (stats.go): nodes are numbered <name><ordinal> across
@@ -563,7 +574,8 @@ object TickScript {
           tap(s"${ch.root}${ord.getAndIncrement()}", st0.pipe)
       }
       val stN = compileNodes(st0, ch.nodes, vars, measurementCol, timeCol,
-        stageTap.map(tap => (n: Node, p: Pipe) => tap(s"${n.name}${ord.getAndIncrement()}", p)))
+        stageTap.map(tap => (n: Node, p: Pipe) => tap(s"${n.name}${ord.getAndIncrement()}", p)),
+        udfs)
       ch.varName match {
         case Some(nm) => vars(nm) = stN
         case None => last = Some(stN)
@@ -573,6 +585,53 @@ object TickScript {
       .getOrElse(throw new IllegalArgumentException("script has no chain"))
       .pipe.df
   }
+
+  /** Canonical `udfs` registry entry for [[compile]]: run the chain through
+    * an external child process via [[graft.sources.ProcessUdf]], speaking
+    * line protocol on stdin/stdout — the full migration path for a
+    * reference `@udf` agent (pipeline/udf.go + udf/agent): declare the
+    * process here (the `[udf.functions.x]` config section), invoke it as
+    * `|@x()` in the script. Node properties become child argv via
+    * `propsToArgs` (default `.alpha(0.5)` → `--alpha 0.5`, mirroring
+    * InitRequest.options, udf.proto:40-58). `inFields` are serialized as
+    * typed line-protocol fields; the child's output points come back as
+    * `outFields` double columns with `tagCols` and event time preserved. */
+  def processUdf(
+      cmd: Seq[String],
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      timeCol: String = "time",
+      measurementCol: String = "measurement",
+      propsToArgs: Seq[Call] => Seq[String] = defaultUdfArgs)
+      : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
+    val meas =
+      if (df.columns.contains(measurementCol)) col(measurementCol) else lit("points")
+    // exact event-time nanos when the frame carries them; µs→ns otherwise
+    val ns =
+      if (df.columns.contains("ts_ns")) col("ts_ns")
+      else unix_micros(col(timeCol)) * lit(1000L)
+    val out = graft.sources.ProcessUdf.transform(
+      df.withColumn("__udf_ns", ns),
+      cmd ++ propsToArgs(props),
+      meas,
+      tagCols.map(t => t -> col(t)),
+      inFields,
+      col("__udf_ns"))
+    out.select(
+      col("time").as(timeCol) +:
+        col("measurement").as(measurementCol) +:
+        (tagCols.map(t => col("tags")(t).as(t)) ++
+          outFields.map(f => coalesce(col("fieldsFloat")(f),
+            col("fieldsInt")(f).cast("double")).as(f))): _*)
+  }
+
+  /** Default property→argv mapping for [[processUdf]]. */
+  def defaultUdfArgs(props: Seq[Call]): Seq[String] =
+    props.flatMap(c => s"--${c.name}" +: c.args.map {
+      case ELit(v) => v.toString
+      case v       => v.toString
+    })
 
   /** A lambda-position argument: an Expr, or a scope-folded constant
     * (e.g. `var t = lambda: 60 * 5` folds to 300) re-wrapped as a literal. */
@@ -594,7 +653,8 @@ object TickScript {
       st0: St, nodes: Seq[Node],
       vars: scala.collection.mutable.Map[String, St],
       measurementCol: String, timeCol: String,
-      nodeTap: Option[(Node, Pipe) => Unit] = None): St = {
+      nodeTap: Option[(Node, Pipe) => Unit] = None,
+      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty): St = {
     var st = st0
 
     def aggCall(fn: (Pipe, Seq[String], String, String) => DataFrame, field: String, as: String): Unit = {
@@ -1121,6 +1181,17 @@ object TickScript {
             withTus, "__tus", groupCol, interval, threshold)), bucketed = false)
         case "httpOut" | "httpPost" | "influxDBOut" | "log" | "kapacitorLoopback"
            | "noOp" | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
+        case uname if uname.startsWith("@") =>
+          // `|@name()` UDF node (pipeline/udf.go): the registered function
+          // receives the chain's frame plus the node's property calls (the
+          // reference's declared Init options) and returns the new frame.
+          // Dims/grouping ride through untouched — the reference keeps the
+          // group assignment of points a UDF emits; a row id does not
+          // survive an external process that may emit arbitrary points.
+          val fn = udfs(uname.drop(1)) // presence validated at definition
+          val out = fn(st.pipe.df, n.props)
+          st = St(st.pipe.copy(df = out,
+            idCol = st.pipe.idCol.filter(out.columns.contains)), st.bucketed)
         case other => throw new IllegalArgumentException(s"unsupported node $other")
       }
       nodeTap.foreach(_(n, st.pipe))

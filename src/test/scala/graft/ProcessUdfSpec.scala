@@ -74,6 +74,44 @@ class ProcessUdfSpec extends SparkSpec {
     assert(rows === Array(("m2", "a", 2.5, 7L, 1L), ("m2", "b", 3.5, 9L, 2L)))
   }
 
+  test("TICKscript |@udf(): child process wired through the DSL, props as options") {
+    import graft.tick.TickScript
+    import graft.tick.TickScript.Call
+    val source = Seq(
+      ("cpu", "a", new java.sql.Timestamp(1000), 1.5),
+      ("cpu", "b", new java.sql.Timestamp(2000), 2.5),
+      ("mem", "a", new java.sql.Timestamp(3000), 9.0))
+      .toDF("measurement", "host", "time", "value")
+    // awk scales the single field by the .factor() node property — the
+    // reference's moving-avg agent shape (udf/agent/examples) minus protobuf
+    val prog = "{n=split($2,f,\"=\"); printf \"%s %s=%s %s\\n\", $1, f[1], f[2]*factor, $3}"
+    val scale = TickScript.processUdf(
+      Seq("awk"), tagCols = Seq("host"), inFields = Seq("value"), outFields = Seq("value"),
+      propsToArgs = ps => {
+        val f = ps.collectFirst { case Call("factor", Seq(v)) => v }.get
+        Seq("-v", s"factor=$f", prog)
+      })
+    val script =
+      """stream
+        ||from().measurement('cpu')
+        ||@scale().factor(2.0)
+        |""".stripMargin
+    val out = TickScript.compile(script, source, udfs = Map("scale" -> scale))
+      .select("measurement", "host", "value", "time").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getTimestamp(3).getTime))
+      .sortBy(_._4)
+    assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
+  }
+
+  test("TICKscript @udf must be registered at definition time") {
+    val source = Seq(("cpu", new java.sql.Timestamp(0), 1.0))
+      .toDF("measurement", "time", "value")
+    val ex = intercept[IllegalArgumentException] {
+      graft.tick.TickScript.compile("stream\n|from()\n|@nope()\n", source)
+    }
+    assert(ex.getMessage.contains("undefined UDF @nope"))
+  }
+
   test("stateful-per-stream child: awk running sum (the agent moving-avg pattern)") {
     // The reference ships a Python moving-average agent example
     // (udf/agent/examples); an awk cumulative sum over the partition stream
