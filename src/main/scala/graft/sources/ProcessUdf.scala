@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * cannot deadlock on full pipe buffers; stderr is drained concurrently and
   * surfaced (bounded) in the failure message when the child exits non-zero.
   *
+  * Works unchanged under Structured Streaming: `mapPartitions` runs per
+  * micro-batch, so a streaming source spawns one child per partition per
+  * batch (parity with batch output is spec-asserted).
+  *
   * Scope vs the reference (documented in SURVEY §2.9): Init options become
   * `cmd` arguments; Snapshot/Restore does not apply — the child is
   * stateless per batch/partition by contract, exactly like a shuffle task.

@@ -74,6 +74,25 @@ class ProcessUdfSpec extends SparkSpec {
     assert(rows === Array(("m2", "a", 2.5, 7L, 1L), ("m2", "b", 3.5, 9L, 2L)))
   }
 
+  test("streaming: pipeLines over micro-batches ≡ batch (one child per partition per batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mkLines = (r: Range) => r.map(i => s"cpu value=$i.0 $i")
+    val ms = MemoryStream[String]
+    val q = ProcessUdf.pipeLines(ms.toDS(), Seq("sed", "s/^cpu/cpu_s/"))
+      .writeStream.format("memory").queryName("udf_par").outputMode("append").start()
+    try {
+      ms.addData(mkLines(1 to 50))
+      q.processAllAvailable()
+      ms.addData(mkLines(51 to 60))
+      q.processAllAvailable()
+      val got = spark.table("udf_par").as[String].collect().sorted
+      val want = ProcessUdf.pipeLines(mkLines(1 to 60).toDS(), Seq("sed", "s/^cpu/cpu_s/"))
+        .collect().sorted
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("TICKscript |@udf(): child process wired through the DSL, props as options") {
     import graft.tick.TickScript
     import graft.tick.TickScript.Call
