@@ -123,7 +123,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    try {
+    // only a FULL-suite run owns the artifact — a dev-mode partial run
+    // (`runMain graft.Bench q_x repeat=8`) must not clobber the complete
+    // per-query map the driver snapshots
+    if (names.isEmpty) try {
       val slopesJson = slopes.toSeq.sorted
         .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * [[graft.llm.Dedup.ngramJaccard]] for the candidate-generation math.
   */
 case class DemoteHeavy(child: Expression, heavy: Seq[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -72,6 +72,49 @@ case class DemoteHeavy(child: Expression, heavy: Seq[Long])
       while (j < k) { out(w) = heavyArr(ranks(j)); w += 1; j += 1 }
     }
     new GenericArrayData(out)
+  }
+
+  /** Same demote pass inside whole-stage codegen: the rank map and heavy
+    * array ride as reference objects; the loop stays fused with the
+    * posexplode/prefix-filter stage around it (this expression sits in the
+    * candidate-generation hot path — a CodegenFallback here would break
+    * the stage into interpreted eval per row). */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("demoteRanks", rankOf, "java.util.HashMap")
+    val heavyRef = ctx.addReferenceObj("demoteHeavy", heavyArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val r = ctx.freshName("r")
+      val w = ctx.freshName("w")
+      val k = ctx.freshName("k")
+      val out = ctx.freshName("out")
+      val ranks = ctx.freshName("ranks")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$n];
+         |int $w = 0;
+         |int[] $ranks = null;
+         |int $k = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $c.getLong($i);
+         |  java.lang.Integer $r =
+         |    (java.lang.Integer) $mapRef.get(java.lang.Long.valueOf($v));
+         |  if ($r == null) { $out[$w++] = $v; }
+         |  else {
+         |    if ($ranks == null) $ranks = new int[$n - $i];
+         |    $ranks[$k++] = $r.intValue();
+         |  }
+         |}
+         |if ($k > 0) {
+         |  java.util.Arrays.sort($ranks, 0, $k);
+         |  for (int $j = 0; $j < $k; $j++) $out[$w++] = $heavyRef[$ranks[$j]];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -216,22 +216,25 @@ object Dedup {
       maxShingleDfFrac: Double, heavyLimit: Int): Array[Long] = {
     if (maxShingleDfFrac >= 1.0 || numDocs == 0) return Array.emptyLongArray
     // Above the floor, detect heavy shingles on a DETERMINISTIC 5% doc
-    // sample (xxhash64 of the id — stable across runs, no RNG): a shingle
-    // at the df cap has expected sample-df = cap/20 with Chernoff-tight
-    // concentration, so halving the scaled threshold keeps every real
-    // offender detected while the aggregation shrinks 20×. A false
-    // demotion (a merely-common shingle sneaking under the halved cap) is
-    // harmless — the prefix filter is lossless for ANY total order — so
-    // the guard's only exact requirement is catching the true heavies,
-    // which the sample does. Small corpora (specs, sf0.001) stay exact.
-    val sampleFloor = 10000L
+    // sample (xxhash64 of the id — stable across runs, no RNG), with the
+    // cap scaled to the sample size: the aggregation shrinks 20× and a
+    // true offender (df ≫ cap — the boilerplate the guard exists for) is
+    // caught with Chernoff-tight probability. A shingle sitting AT the cap
+    // is missed ~half the time and that is fine by construction — the cap
+    // is the designed-acceptable posting-list load, and the prefix filter
+    // stays lossless under any order, so detection errors only shift
+    // constant factors. Small corpora (specs, sf0.001) stay exact.
+    val sampleFloor = 1000L
     val exact = numDocs < sampleFloor
     val src =
       if (exact) sets
       else sets.filter(pmod(xxhash64(col("doc_id")), lit(20)) === 0)
-    val basis = if (exact) numDocs else src.count()
-    val slack = if (exact) 1.0 else 0.5
-    val cap = math.max(1L, (maxShingleDfFrac * basis * slack).toLong)
+    // expected sample size, not a counted one: above the floor the binomial
+    // concentration makes the ±few-percent cap shift irrelevant (see the
+    // boundary argument above) and it saves a whole Spark job — detection
+    // is then ONE pass: explode → partial/final agg → TakeOrdered collect
+    val basis = if (exact) numDocs else math.max(1L, numDocs / 20L)
+    val cap = math.max(1L, (maxShingleDfFrac * basis).toLong)
     val rows = src.select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)

@@ -79,7 +79,14 @@ class LlmSpec extends SparkSpec {
     val heavy = Dedup.heavyShingles(sets, 121L, 0.05, 4096)
     // exactly the 8 windows fully inside the boilerplate exceed df cap 6
     assert(heavy.length == 8)
-    val candDemoted = Dedup.ngramCandidates(sets, 0.5, heavy).count()
+    // DemoteHeavy must run as GENERATED code: with fallback disabled a
+    // janino compile error fails the count instead of silently degrading
+    // the candidate hot path to interpreted eval
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val candDemoted =
+      try Dedup.ngramCandidates(sets, 0.5, heavy).count()
+      finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
     val candPlain = Dedup.ngramCandidates(sets, 0.5, Array.emptyLongArray).count()
     // demoted: candidates are ~linear (only genuinely-overlapping docs
     // collide); plain hash order: the boilerplate posting lists blow up
