@@ -1,0 +1,128 @@
+package graft
+
+import graft.streaming.AutoscaleStream
+import graft.streaming.AutoscaleStream._
+
+/** Autoscale FSM semantics pinned against autoscale.go:181-283
+  * (handlePoint): replica-expression eval with optional current binding,
+  * [min,max] clamping, no-op on unchanged, per-direction cooldowns that
+  * drop WITHOUT committing the new count, first-sight resource query,
+  * event shape, and the increase/decrease/cooldown counters. */
+class AutoscaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val s = 1000000L // µs per second
+
+  private def cfg(
+      min: Long = 1, max: Long = 10,
+      incCd: Long = 5 * s, decCd: Long = 5 * s,
+      repl: (Double, Long) => Long = (v, _) => math.ceil(v / 10.0).toLong,
+      init: String => Long = _ => 1L) =
+    AutoscaleConfig(min, max, incCd, decCd, repl, init)
+
+  private def events(pts: Seq[AutoscalePoint], c: AutoscaleConfig,
+      ctr: Counters = Counters()) =
+    runBatch(pts.toDS(), c, ctr).collect().sortBy(p => (p.resource, p.timeUs))
+      .map(e => (e.resource, e.timeUs / s, e.old, e.replicas)).toSeq
+
+  test("scale events with per-direction cooldowns; drops do not commit the count") {
+    val inc = spark.sparkContext.longAccumulator
+    val dec = spark.sparkContext.longAccumulator
+    val drop = spark.sparkContext.longAccumulator
+    val pts = Seq(
+      AutoscalePoint("a", 0 * s, 25),  // 1 -> 3: first increase, cooldown arms
+      AutoscalePoint("a", 2 * s, 45),  // wants 5, 2s < 5s cooldown: DROPPED, stays 3
+      AutoscalePoint("a", 6 * s, 45),  // 3 -> 5: cooldown expired
+      AutoscalePoint("a", 8 * s, 10),  // 5 -> 1: decrease cooldown independent, never armed
+      AutoscalePoint("a", 9 * s, 30),  // wants 3, 9s < 6s+5s: DROPPED
+      AutoscalePoint("a", 12 * s, 5),  // desired 1 == current 1: nothing
+      AutoscalePoint("a", 13 * s, 30)) // 1 -> 3: 13s >= 6s+5s
+    val got = events(pts, cfg(), Counters(Some(inc), Some(dec), Some(drop)))
+    assert(got === Seq(("a", 0L, 1L, 3L), ("a", 6L, 3L, 5L),
+      ("a", 8L, 5L, 1L), ("a", 13L, 1L, 3L)))
+    assert((inc.value, dec.value, drop.value) === (3L, 1L, 2L))
+  }
+
+  test("desired clamps to [min, max]; max <= 0 is unbounded above") {
+    assert(events(Seq(AutoscalePoint("a", 0, 990)), cfg(max = 4)) ===
+      Seq(("a", 0L, 1L, 4L)))
+    assert(events(Seq(AutoscalePoint("a", 0, 990)), cfg(max = 0)) ===
+      Seq(("a", 0L, 1L, 99L)))
+    // desired 0 clamps to min and equals the initial count: no event
+    assert(events(Seq(AutoscalePoint("a", 0, 0)), cfg()) === Seq.empty)
+  }
+
+  test("current-aware replicas lambda: a dropped increment does not compound") {
+    // replicas = current + 1 every point; with a 5s increase cooldown the
+    // suppressed point at t=2 must NOT advance current (the reference
+    // only writes state back on success), so t=6 emits 2 -> 3, not 3 -> 4
+    val c = cfg(repl = (_, cur) => cur + 1)
+    val pts = Seq(
+      AutoscalePoint("a", 0 * s, 0),
+      AutoscalePoint("a", 2 * s, 0),
+      AutoscalePoint("a", 6 * s, 0))
+    assert(events(pts, c) === Seq(("a", 0L, 1L, 2L), ("a", 6L, 2L, 3L)))
+  }
+
+  test("first-sight resource query seeds current per resource") {
+    val c = cfg(init = r => if (r == "big") 8L else 2L,
+      repl = (v, _) => v.toLong)
+    val pts = Seq(
+      AutoscalePoint("big", 0, 8),   // desired == live count: nothing
+      AutoscalePoint("big", 1 * s, 4),
+      AutoscalePoint("small", 0, 5))
+    assert(events(pts, c) === Seq(("big", 1L, 8L, 4L), ("small", 0L, 2L, 5L)))
+  }
+
+  test("min must be >= 1, validated at definition like the reference") {
+    val ex = intercept[IllegalArgumentException] {
+      runBatch(Seq(AutoscalePoint("a", 0, 1)).toDS(), cfg(min = 0))
+    }
+    assert(ex.getMessage.contains("minimum count must be >= 1"))
+  }
+
+  test("streaming ≡ batch across micro-batch boundaries (state carries over)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val c = cfg()
+    val all = Seq(
+      AutoscalePoint("a", 0 * s, 25), AutoscalePoint("b", 0 * s, 70),
+      AutoscalePoint("a", 2 * s, 45), AutoscalePoint("b", 2 * s, 10),
+      AutoscalePoint("a", 6 * s, 45), AutoscalePoint("b", 7 * s, 80),
+      AutoscalePoint("a", 8 * s, 10), AutoscalePoint("b", 9 * s, 95))
+    val ms = MemoryStream[AutoscalePoint]
+    val q = runStreaming(ms.toDS(), c).writeStream
+      .format("memory").queryName("as_par").outputMode("update").start()
+    try {
+      // split mid-cooldown so the suppressed-state path crosses a batch edge
+      ms.addData(all.take(4)); q.processAllAvailable()
+      ms.addData(all.drop(4)); q.processAllAvailable()
+      val streamed = spark.table("as_par").as[ScaleEvent].collect()
+        .sortBy(e => (e.resource, e.timeUs)).toSeq
+      val batch = runBatch(all.toDS(), c).collect()
+        .sortBy(e => (e.resource, e.timeUs)).toSeq
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("applyEvents drives the injectable setReplicas transport per event") {
+    AutoscaleSpec.applied.clear()
+    val evs = runBatch(Seq(
+      AutoscalePoint("a", 0, 30), AutoscalePoint("b", 0, 60)).toDS(), cfg())
+    applyEvents(evs, (r, n) => AutoscaleSpec.applied.add(s"$r=$n"))
+    val got = {
+      val it = AutoscaleSpec.applied.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result().sorted
+    }
+    assert(got === Seq("a=3", "b=6"))
+  }
+}
+
+object AutoscaleSpec {
+  // local-mode executor threads share this JVM; a concurrent queue records
+  // the transport calls (same pattern as the sink transport specs)
+  val applied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
