@@ -351,4 +351,65 @@ object EventQueries4 {
        SELECT event_type, tus AS time_us, user_id, value AS top_v,
               CAST(rk AS BIGINT) AS rk
        FROM r WHERE rk <= 3 ORDER BY event_type, rk""".replaceAll("\\s+", " ")
+
+  // ---------------------------------------------------------- autoscale
+
+  /** q_autoscale: the autoscale FSM (streaming/AutoscaleStream, reference
+    * autoscale.go:181-283) over per-(resource, 10-minute) peak load from
+    * `events` — the reference's documented stats→autoscale composition.
+    * Desired replicas = ceil(peak/40) clamped to [1,12]; 30-min increase /
+    * 60-min decrease cooldowns; every resource starts at 1 replica. The
+    * oracle restates the per-resource fold as a DuckDB recursive CTE
+    * stepping point-by-point, including the commit-only-on-success
+    * cooldown semantics — `max` (not `avg`) keeps the stat bit-exact
+    * across engines so the ceil boundary cannot flip. */
+  def autoscaleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = graft.Graft.events(s, dir)
+      .select(concat(lit("r"), (col("user_id") % 4).cast("string")).as("resource"),
+        expr("ts_ns DIV 600000000000").as("m"), col("value"))
+      .groupBy("resource", "m").agg(max("value").as("v"))
+      .select(col("resource"), (col("m") * 600000000L).as("timeUs"),
+        col("v").as("value"))
+      .as[graft.streaming.AutoscaleStream.AutoscalePoint]
+    val cfg = graft.streaming.AutoscaleStream.AutoscaleConfig(
+      min = 1, max = 12,
+      increaseCooldownUs = 1800L * 1000000,
+      decreaseCooldownUs = 3600L * 1000000,
+      replicas = (v, _) => math.ceil(v / 40.0).toLong,
+      initialReplicas = _ => 1L)
+    graft.streaming.AutoscaleStream.runBatch(pts, cfg)
+      .toDF("resource", "time_us", "old_replicas", "new_replicas")
+      .orderBy("resource", "time_us")
+  }
+  val autoscaleSql: String =
+    """WITH RECURSIVE base AS MATERIALIZED (
+       SELECT 'r' || CAST(user_id % 4 AS VARCHAR) AS resource,
+              epoch_us(ts) // 600000000 AS m,
+              max(value) AS v
+       FROM events GROUP BY 1, 2),
+       pts AS MATERIALIZED (
+       SELECT resource, m * 600000000 AS t_us,
+              CAST(row_number() OVER (PARTITION BY resource ORDER BY m) AS BIGINT) AS idx,
+              least(greatest(CAST(ceil(v / 40.0) AS BIGINT), 1), 12) AS want
+       FROM base),
+       fsm(resource, idx, cur, last_inc, last_dec, emit, old_replicas, new_replicas, t_us) AS (
+       SELECT resource, CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+              CAST(-4611686018427387904 AS BIGINT), CAST(-4611686018427387904 AS BIGINT),
+              false, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       FROM (SELECT DISTINCT resource FROM pts)
+       UNION ALL
+       SELECT resource, idx,
+              CASE WHEN ok THEN want ELSE cur END,
+              CASE WHEN ok AND want > cur THEN t_us ELSE last_inc END,
+              CASE WHEN ok AND want < cur THEN t_us ELSE last_dec END,
+              ok, cur, want, t_us
+       FROM (
+         SELECT p.resource, p.idx, f.cur, f.last_inc, f.last_dec, p.want, p.t_us,
+                (p.want != f.cur AND CASE WHEN p.want > f.cur
+                   THEN p.t_us >= f.last_inc + 1800000000
+                   ELSE p.t_us >= f.last_dec + 3600000000 END) AS ok
+         FROM fsm f JOIN pts p ON p.resource = f.resource AND p.idx = f.idx + 1) z)
+       SELECT resource, t_us AS time_us, old_replicas, new_replicas
+       FROM fsm WHERE emit ORDER BY resource, time_us""".replaceAll("\\s+", " ")
 }
