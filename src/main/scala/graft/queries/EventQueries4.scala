@@ -352,6 +352,69 @@ object EventQueries4 {
               CAST(rk AS BIGINT) AS rk
        FROM r WHERE rk <= 3 ORDER BY event_type, rk""".replaceAll("\\s+", " ")
 
+  // --------------------------------------------- wire-format round-trips
+  //
+  // The two ingest FORMAT surfaces (line protocol, Prometheus exposition)
+  // are serialized from `events` on the executors, parsed back by the real
+  // distributed parsers, and the recovered points are oracle-compared to a
+  // plain SQL projection of the table — serialize∘parse must be identity,
+  // byte-level escaping included. Doubles survive exactly: Java
+  // double→string→double is lossless, so no rounding is needed.
+
+  /** q_lineprotocol_roundtrip: events → Sinks.toLineProtocol →
+    * LineProtocol.parse → recovered columns (sources/LineProtocol.scala;
+    * reference line-protocol write path task_master.go:792-822). */
+  def lineProtocolRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Graft.events(s, dir)
+    val lines = ev.select(graft.sources.Sinks.toLineProtocol(
+        lit("events"),
+        Seq("etype" -> col("event_type"),
+          "eid" -> col("event_id").cast("string"),
+          "uid" -> col("user_id").cast("string")),
+        Seq("value" -> col("value").cast("string")),
+        col("ts_ns")).as("line")).as[String]
+    graft.sources.LineProtocol.parse(lines).toDF()
+      .select(
+        element_at(col("tags"), "eid").cast("long").as("event_id"),
+        element_at(col("tags"), "uid").cast("long").as("user_id"),
+        element_at(col("tags"), "etype").as("event_type"),
+        element_at(col("fieldsFloat"), "value").as("value"),
+        expr("timeNs DIV 1000").as("time_us"))
+      .orderBy("event_id")
+  }
+  val lineProtocolRoundtripSql: String =
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS time_us
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
+  /** q_prom_roundtrip: events → exposition text → PrometheusScrape.parse →
+    * toPointFrame (sources/PrometheusScrape.scala; reference
+    * services/scraper/service.go:184-240 Append transform, job decode
+    * config.go:121-134). */
+  def promRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Graft.events(s, dir)
+    val lines = ev.select(format_string(
+      "cpu_load{job=\"mydb|autogen|scrape1\",instance=\"h%d\",etype=\"%s\",eid=\"%d\"} %s %d",
+      col("user_id") % 16, col("event_type"), col("event_id"),
+      col("value").cast("string"), expr("ts_ns DIV 1000000")).as("line")).as[String]
+    graft.sources.PrometheusScrape.toPointFrame(
+        graft.sources.PrometheusScrape.parse(lines))
+      .select(
+        element_at(col("tags"), "eid").cast("long").as("event_id"),
+        col("measurement"), col("db"), col("rp"), col("job"),
+        element_at(col("tags"), "instance").as("instance"),
+        element_at(col("tags"), "etype").as("event_type"),
+        col("value"), col("time_ms"))
+      .orderBy("event_id")
+  }
+  val promRoundtripSql: String =
+    """SELECT event_id, 'cpu_load' AS measurement, 'mydb' AS db,
+              'autogen' AS rp, 'scrape1' AS job,
+              'h' || CAST(user_id % 16 AS VARCHAR) AS instance,
+              event_type, value, epoch_us(ts) // 1000 AS time_ms
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------------- autoscale
 
   /** q_autoscale: the autoscale FSM (streaming/AutoscaleStream, reference
