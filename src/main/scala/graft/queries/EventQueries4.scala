@@ -387,6 +387,33 @@ object EventQueries4 {
     """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS time_us
        FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  /** q_udf_pipe: the out-of-process UDF bridge inside the correctness
+    * gate — events serialize to line protocol, pipe through a REAL child
+    * process per partition (`sed` rewriting the measurement, the
+    * reference @udf agent shape, udf.go:33-411), and parse back; the
+    * oracle restates the child's rewrite in SQL. Proves the
+    * spawn/feed/drain machinery end-to-end, not just in specs. */
+  def udfPipeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Graft.events(s, dir)
+    val lines = ev.select(graft.sources.Sinks.toLineProtocol(
+        lit("events"),
+        Seq("eid" -> col("event_id").cast("string")),
+        Seq("value" -> col("value").cast("string")),
+        col("ts_ns")).as("line")).as[String]
+    val piped = graft.sources.ProcessUdf.pipeLines(
+      lines, Seq("sed", "s/^events,/scaled,/"))
+    graft.sources.LineProtocol.parse(piped).toDF()
+      .select(
+        element_at(col("tags"), "eid").cast("long").as("event_id"),
+        col("measurement"),
+        element_at(col("fieldsFloat"), "value").as("value"))
+      .orderBy("event_id")
+  }
+  val udfPipeSql: String =
+    """SELECT event_id, 'scaled' AS measurement, value
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
   /** q_prom_roundtrip: events → exposition text → PrometheusScrape.parse →
     * toPointFrame (sources/PrometheusScrape.scala; reference
     * services/scraper/service.go:184-240 Append transform, job decode
