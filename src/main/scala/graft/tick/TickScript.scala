@@ -159,7 +159,11 @@ object TickScript {
     "query" -> Set("groupBy"),
     "alert" -> Set("log"),
     "combine" -> Set("max"), // combine().max(n) is the pair cap, not an agg
-    "barrier" -> Set("delete"))
+    "barrier" -> Set("delete"),
+    // autoscale bound props, not the min/max aggregates
+    "k8sAutoscale" -> Set("min", "max"),
+    "swarmAutoscale" -> Set("min", "max"),
+    "ec2Autoscale" -> Set("min", "max"))
 
   private class P(var toks: List[Tok]) {
     def peek: Option[Tok] = toks.headOption
@@ -430,6 +434,7 @@ object TickScript {
       val cs = args.map(exprToColumn)
       name match {
         case "abs" => abs(cs.head)
+        case "int" => cs.head.cast("long") // tick/ast int() → int64
         case "ceil" => ceil(cs.head)
         case "floor" => floor(cs.head)
         case "log" => log(cs.head)
@@ -1181,6 +1186,57 @@ object TickScript {
             withTus, "__tus", groupCol, interval, threshold)), bucketed = false)
         case "httpOut" | "httpPost" | "influxDBOut" | "log" | "kapacitorLoopback"
            | "noOp" | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
+        case an @ ("k8sAutoscale" | "swarmAutoscale" | "ec2Autoscale") =>
+          // The shared autoscale engine (autoscale.go:32-411) behind all
+          // three DSL nodes (pipeline/k8s_autoscale.go & siblings):
+          // replicas lambda per point → clamp → cooldown FSM → {old,new}
+          // scale events. The FSM itself is streaming/AutoscaleStream;
+          // here the lambda compiles to a column evaluated BEFORE the
+          // fold, so `.currentField()` (a lambda reading FSM state) needs
+          // the engine API instead and is refused loudly. Without a
+          // cluster client there is no live first-sight replica query —
+          // resources seed at `min` (documented deviation; inject
+          // initialReplicas via AutoscaleStream for full fidelity).
+          require(prop("currentField").isEmpty,
+            s"$an.currentField() binds the live replica count into the lambda, " +
+              "which is FSM state; use graft.streaming.AutoscaleStream with a " +
+              "replicas(value, current) function instead")
+          val replExpr = prop("replicas").map(_.args.head).getOrElse(
+            throw new IllegalArgumentException(s"$an requires .replicas(lambda)"))
+          val desired = exprToColumn(asExpr(replExpr)).cast("long")
+          // resource identity: fixed name or tag, per-connector prop names
+          // (resourceName[Tag] / serviceName[Tag] / groupName[Tag])
+          val resCol = Seq("resourceName", "serviceName", "groupName")
+            .flatMap(p => prop(p)).headOption
+            .map(c => lit(c.args.head.toString))
+            .orElse(Seq("resourceNameTag", "serviceNameTag", "groupNameTag")
+              .flatMap(p => prop(p)).headOption
+              .map(c => col(c.args.head.toString)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$an requires a resource name or name tag"))
+          val minR = prop("min").map(c => num(c.args.head).toLong).getOrElse(1L)
+          val maxR = prop("max").map(c => num(c.args.head).toLong).getOrElse(0L)
+          val incCd = prop("increaseCooldown")
+            .map(c => (num(c.args.head) * 1000000L).toLong).getOrElse(0L)
+          val decCd = prop("decreaseCooldown")
+            .map(c => (num(c.args.head) * 1000000L).toLong).getOrElse(0L)
+          val sp = st.pipe.df.sparkSession
+          import sp.implicits._
+          val pts = st.pipe.df.select(
+              resCol.cast("string").as("resource"),
+              unix_micros(col(st.pipe.timeCol)).as("timeUs"),
+              desired.cast("double").as("value"))
+            .as[graft.streaming.AutoscaleStream.AutoscalePoint]
+          val cfg = graft.streaming.AutoscaleStream.AutoscaleConfig(
+            minR, maxR, incCd, decCd,
+            replicas = (v, _) => v.toLong,
+            initialReplicas = _ => minR)
+          val ev = graft.streaming.AutoscaleStream.runBatch(pts, cfg)
+            .toDF("resource", "__tus", "old", "new")
+            .withColumn(st.pipe.timeCol, timestamp_micros(col("__tus")))
+            .drop("__tus")
+          st = St(st.pipe.copy(df = ev, dims = Seq("resource"), idCol = None),
+            bucketed = false)
         case uname if uname.startsWith("@") =>
           // `|@name()` UDF node (pipeline/udf.go): the registered function
           // receives the chain's frame plus the node's property calls (the

@@ -106,6 +106,47 @@ class AutoscaleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TICKscript k8sAutoscale(): lambda, min/max props, cooldown, resource tag") {
+    import java.sql.Timestamp
+    val source = Seq(
+      ("requests", "svcA", new Timestamp(0L), 25.0),
+      ("requests", "svcA", new Timestamp(2000L), 45.0),  // cooldown drop
+      ("requests", "svcA", new Timestamp(6000L), 45.0),  // 3 -> 5 (capped)
+      ("requests", "svcB", new Timestamp(0L), 90.0),     // 1 -> 5 (max clamp)
+      ("other", "svcC", new Timestamp(0L), 99.0))        // filtered out
+      .toDF("measurement", "service", "time", "value")
+    val script =
+      """stream
+        ||from().measurement('requests').groupBy('service')
+        ||k8sAutoscale()
+        |    .resourceNameTag('service')
+        |    .replicas(lambda: int(ceil("value" / 10.0)))
+        |    .min(1)
+        |    .max(5)
+        |    .increaseCooldown(5s)
+        |""".stripMargin
+    val out = graft.tick.TickScript.compile(script, source)
+      .select("resource", "old", "new").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(out === Array(("svcA", 1L, 3L), ("svcA", 3L, 5L), ("svcB", 1L, 5L)))
+  }
+
+  test("TICKscript k8sAutoscale(): currentField and missing replicas refuse loudly") {
+    val source = Seq(("requests", "a", new java.sql.Timestamp(0L), 1.0))
+      .toDF("measurement", "service", "time", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.tick.TickScript.compile(
+        "stream\n|from()\n|k8sAutoscale().resourceName('x').replicas(lambda: int(\"value\")).currentField('replicas')\n",
+        source)
+    }
+    assert(e1.getMessage.contains("currentField"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.tick.TickScript.compile(
+        "stream\n|from()\n|k8sAutoscale().resourceName('x')\n", source)
+    }
+    assert(e2.getMessage.contains("requires .replicas"))
+  }
+
   test("applyEvents drives the injectable setReplicas transport per event") {
     AutoscaleSpec.applied.clear()
     val evs = runBatch(Seq(
