@@ -1186,6 +1186,57 @@ object TickScript {
             withTus, "__tus", groupCol, interval, threshold)), bucketed = false)
         case "httpOut" | "httpPost" | "influxDBOut" | "log" | "kapacitorLoopback"
            | "noOp" | "noop" | "trickle" | "barrier" => () // terminal/diagnostic/representation; rendering/writing is the caller's
+        case "queryFlux" =>
+          // batch|queryFlux('<query text>') (pipeline/batch.go:367-430;
+          // fluxquery.go:1-35): the reference never parses Flux — it ships
+          // the text verbatim to the remote engine on a schedule (period/
+          // every/align/cron/offset). The Spark-native analog ships the
+          // text to Catalyst: the chain's frame is registered as
+          // `__source` (with an epoch-µs `time_us`), and the SCHEDULE is
+          // materialized as a `__windows` view (tick_us, start_us,
+          // stop_us — one row per tick, window [tick-offset-period,
+          // tick-offset)) the query joins. Scheduling-as-data keeps a
+          // 100 TB backfill ONE optimized query with the time predicate
+          // pushed down, instead of one remote query per tick; replay
+          // bounds come from the observed data range, the same
+          // convention the golden replay harness drives query() with.
+          val fluxSql = n.args.head.toString
+          val fStmts = fluxSql.split(";").map(_.trim).filter(_.nonEmpty)
+          if (fStmts.length != 1) throw new IllegalArgumentException(
+            s"queryFlux must be a single statement, got ${fStmts.length} statements")
+          val fHead = fStmts.head.toUpperCase
+          if (!fHead.startsWith("SELECT") && !fHead.startsWith("WITH"))
+            throw new IllegalArgumentException(
+              s"""queryFlux is not a select statement "${fStmts.head}"""")
+          require(!(prop("every").isDefined && prop("cron").isDefined),
+            "queryFlux: .every() and .cron() are mutually exclusive")
+          val fPeriod = prop("period").map(c => num(c.args.head).toLong).getOrElse(
+            throw new IllegalArgumentException("queryFlux requires .period()"))
+          val fOffset = prop("offset").map(c => num(c.args.head).toLong).getOrElse(0L)
+          val fTicker: graft.operators.BatchScheduler.Ticker =
+            prop("cron")
+              .map(c => graft.operators.BatchScheduler.CronTicker(c.args.head.toString): graft.operators.BatchScheduler.Ticker)
+              .getOrElse {
+                val ev = prop("every").map(c => num(c.args.head).toLong).getOrElse(
+                  throw new IllegalArgumentException("queryFlux requires .every() or .cron()"))
+                graft.operators.BatchScheduler.EveryTicker(ev, prop("align").isDefined)
+              }
+          val sp = st.pipe.df.sparkSession
+          import sp.implicits._
+          val fSrc = st.pipe.df
+            .withColumn("time_us", unix_micros(col(st.pipe.timeCol)))
+          val mm = fSrc.agg(min("time_us"), max("time_us")).head
+          require(!mm.isNullAt(0), "queryFlux over an empty source")
+          val fStart = Math.floorDiv(mm.getLong(0), 1000000L)
+          val fStop = Math.floorDiv(mm.getLong(1), 1000000L) + 1
+          val fTicks = graft.operators.BatchScheduler
+            .queries(fTicker, fStart, fStop, fPeriod, fOffset)
+          fSrc.createOrReplaceTempView("__source")
+          fTicks.map { case (t, a, b) => (t * 1000000L, a * 1000000L, b * 1000000L) }
+            .toDF("tick_us", "start_us", "stop_us")
+            .createOrReplaceTempView("__windows")
+          st = St(st.pipe.copy(df = sp.sql(fluxSql), dims = Nil, idCol = None),
+            bucketed = false)
         case an @ ("k8sAutoscale" | "swarmAutoscale" | "ec2Autoscale") =>
           // The shared autoscale engine (autoscale.go:32-411) behind all
           // three DSL nodes (pipeline/k8s_autoscale.go & siblings):

@@ -1293,4 +1293,43 @@ class TickScriptSpec extends SparkSpec {
     assert(out.count() > 0) // serverA matches the optional-slash pattern
   }
 
+
+  test("queryFlux ships Spark SQL with the schedule as a joinable __windows view") {
+    val src = (0 until 120).map(i => ("m", ts(i), i.toDouble))
+      .toDF("measurement", "time", "value")
+    val script =
+      """batch
+        ||queryFlux('''
+        |SELECT w.tick_us, count(*) AS cnt, sum(s.value) AS sv
+        |FROM __windows w JOIN __source s
+        |  ON s.time_us >= w.start_us AND s.time_us < w.stop_us
+        |GROUP BY w.tick_us ORDER BY w.tick_us
+        |''')
+        |    .period(60s)
+        |    .every(60s)
+        |    .align()
+        |""".stripMargin
+    val out = TickScript.compile(script, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array(
+      (60000000L, 60L, 1770.0),
+      (120000000L, 60L, 5370.0)))
+  }
+
+  test("queryFlux validates statement shape and schedule at definition") {
+    val src = Seq(("m", ts(0), 1.0)).toDF("measurement", "time", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      TickScript.compile("batch\n|queryFlux('DROP TABLE x').period(60s).every(60s)\n", src)
+    }
+    assert(e1.getMessage.contains("not a select statement"))
+    val e2 = intercept[IllegalArgumentException] {
+      TickScript.compile("batch\n|queryFlux('SELECT 1').every(60s)\n", src)
+    }
+    assert(e2.getMessage.contains("requires .period"))
+    val e3 = intercept[IllegalArgumentException] {
+      TickScript.compile(
+        "batch\n|queryFlux('SELECT 1').period(60s).every(60s).cron('* * * * *')\n", src)
+    }
+    assert(e3.getMessage.contains("mutually exclusive"))
+  }
 }
