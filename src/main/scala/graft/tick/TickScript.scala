@@ -478,7 +478,8 @@ object TickScript {
       measurementCol: String = "measurement", idCol: Option[String] = None,
       templateVars: Map[String, Any] = Map.empty,
       stageTap: Option[(String, Pipe) => Unit] = None,
-      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty): DataFrame = {
+      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty,
+      autoscaleInitial: Option[String => Long] = None): DataFrame = {
     val parsed = parse(script)
     val missing = parsed.declared.keySet -- templateVars.keySet
     require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
@@ -580,7 +581,7 @@ object TickScript {
       }
       val stN = compileNodes(st0, ch.nodes, vars, measurementCol, timeCol,
         stageTap.map(tap => (n: Node, p: Pipe) => tap(s"${n.name}${ord.getAndIncrement()}", p)),
-        udfs)
+        udfs, autoscaleInitial)
       ch.varName match {
         case Some(nm) => vars(nm) = stN
         case None => last = Some(stN)
@@ -659,7 +660,8 @@ object TickScript {
       vars: scala.collection.mutable.Map[String, St],
       measurementCol: String, timeCol: String,
       nodeTap: Option[(Node, Pipe) => Unit] = None,
-      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty): St = {
+      udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty,
+      autoscaleInitial: Option[String => Long] = None): St = {
     var st = st0
 
     def aggCall(fn: (Pipe, Seq[String], String, String) => DataFrame, field: String, as: String): Unit = {
@@ -1278,10 +1280,13 @@ object TickScript {
               unix_micros(col(st.pipe.timeCol)).as("timeUs"),
               desired.cast("double").as("value"))
             .as[graft.streaming.AutoscaleStream.AutoscalePoint]
+          // the autoscaler.Replicas(id) first-sight query: injectable via
+          // compile(autoscaleInitial = ...) — the cluster-client seam;
+          // without one, resources seed at `min` (documented deviation)
           val cfg = graft.streaming.AutoscaleStream.AutoscaleConfig(
             minR, maxR, incCd, decCd,
             replicas = (v, _) => v.toLong,
-            initialReplicas = _ => minR)
+            initialReplicas = autoscaleInitial.getOrElse((_: String) => minR))
           val ev = graft.streaming.AutoscaleStream.runBatch(pts, cfg)
             .toDF("resource", "__tus", "old", "new")
             .withColumn(st.pipe.timeCol, timestamp_micros(col("__tus")))

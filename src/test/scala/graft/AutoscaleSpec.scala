@@ -147,6 +147,50 @@ class AutoscaleSpec extends SparkSpec {
     assert(e2.getMessage.contains("requires .replicas"))
   }
 
+  test("GOLDEN TestStream_Autoscale: reference fixture replicas sequences, default and min/max") {
+    // integrations/streamer_test.go TestStream_Autoscale over
+    // testdata/TestStream_Autoscale.srpl: serviceA/serviceB replica
+    // demands [1,2,-1,1000,2] / [10,20,0,1000,20] at t=1..5, live counts
+    // seeded A=1, B=10 by the mocked ScalesGetFunc. The fixture's raw ns
+    // timestamps (1..5) collapse to one µs instant, so the golden drives
+    // the ENGINE on the ts_ns axis directly; cooldowns are zero, ordering
+    // is all that matters — exactly the reference testcase's config.
+    val df = graft.sources.Replay.readSrpl(spark,
+      "/root/reference/integrations/testdata/TestStream_Autoscale.srpl")
+    import org.apache.spark.sql.functions._
+    val pts = df.select(
+        element_at(col("tags"), "deployment").as("resource"),
+        col("ts_ns").as("timeUs"),
+        element_at(col("fieldsFloat"), "replicas").as("value"))
+      .as[AutoscalePoint]
+    val seed: String => Long = r => if (r == "serviceA") 1L else 10L
+    def updates(c: AutoscaleConfig) =
+      runBatch(pts, c).collect().sortBy(e => (e.resource, e.timeUs))
+        .groupBy(_.resource).view.mapValues(_.map(e => (e.old, e.replicas)).toSeq).toMap
+    // default config: min=1, max unbounded (k8s/swarm/ec2 share the engine)
+    val base = updates(AutoscaleConfig(1, 0, 0, 0, (v, _) => v.toLong, seed))
+    assert(base("serviceA") === Seq((1L, 2L), (2L, 1L), (1L, 1000L), (1000L, 2L)))
+    assert(base("serviceB") === Seq((10L, 20L), (20L, 1L), (1L, 1000L), (1000L, 20L)))
+    // .min(3).max(500) variant — expMinMaxUpdatesByService:
+    // serviceA [3,500,3], serviceB [20,3,500,20]
+    val mm = updates(AutoscaleConfig(3, 500, 0, 0, (v, _) => v.toLong, seed))
+    assert(mm("serviceA").map(_._2) === Seq(3L, 500L, 3L))
+    assert(mm("serviceB").map(_._2) === Seq(20L, 3L, 500L, 20L))
+    // and the reference's verbatim k8sAutoscale script compiles through
+    // the DSL with the live-count seam injected
+    val script =
+      """stream
+        ||from().measurement('scale').groupBy('deployment')
+        ||k8sAutoscale().resourceNameTag('deployment').replicas(lambda: int("replicas"))
+        |""".stripMargin
+    val flat = df.select(col("measurement"), col("time"),
+      element_at(col("tags"), "deployment").as("deployment"),
+      element_at(col("fieldsFloat"), "replicas").as("replicas"))
+    val compiled = graft.tick.TickScript.compile(script, flat,
+      autoscaleInitial = Some(seed))
+    assert(compiled.columns.toSet === Set("resource", "old", "new", "time"))
+  }
+
   test("applyEvents drives the injectable setReplicas transport per event") {
     AutoscaleSpec.applied.clear()
     val evs = runBatch(Seq(
