@@ -234,12 +234,19 @@ object TickScript {
           nodes += Node(curName, curArgs, curProps.result())
           curProps = Seq.newBuilder[Call]
         }
-        while (peek.contains(TOp("|")) || peek.contains(TOp("."))) {
+        def peekUdf = peek.exists {
+          case TIdent(s) => s.startsWith("@"); case _ => false
+        }
+        while (peek.contains(TOp("|")) || peek.contains(TOp(".")) || peekUdf) {
           val pipe = peek.contains(TOp("|"))
-          next()
+          // `@name(...)` chains with the bare '@' itself — no '|' or '.'
+          // (tick/ast: the UDF chaining operator, reference
+          // TestStream_CustomFunctions script shape)
+          val isUdf = peekUdf
+          if (!isUdf) next()
           val TIdent(name) = next(): @unchecked
           val args = parseArgList()
-          val opensNode = pipe || curName == null ||
+          val opensNode = pipe || isUdf || curName == null ||
             (chainNodeNames(name) && !shadowedProps.getOrElse(curName, Set.empty)(name))
           if (opensNode) { flushNode(); curName = name; curArgs = args }
           else curProps += Call(name, args)
@@ -1212,8 +1219,13 @@ object TickScript {
               s"""queryFlux is not a select statement "${fStmts.head}"""")
           require(!(prop("every").isDefined && prop("cron").isDefined),
             "queryFlux: .every() and .cron() are mutually exclusive")
-          val fPeriod = prop("period").map(c => num(c.args.head).toLong).getOrElse(
-            throw new IllegalArgumentException("queryFlux requires .period()"))
+          // the reference's TestBatch_Flux script sets only .every(1s) —
+          // a Flux script owns its own range(), so period defaults to the
+          // tick interval when omitted (window = one tick)
+          val fPeriod = prop("period").map(c => num(c.args.head).toLong)
+            .orElse(prop("every").map(c => num(c.args.head).toLong))
+            .getOrElse(throw new IllegalArgumentException(
+              "queryFlux requires .period() (or .every() to default it)"))
           val fOffset = prop("offset").map(c => num(c.args.head).toLong).getOrElse(0L)
           val fTicker: graft.operators.BatchScheduler.Ticker =
             prop("cron")

@@ -122,6 +122,48 @@ class ProcessUdfSpec extends SparkSpec {
     assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
   }
 
+  test("GOLDEN TestStream_CustomFunctions: verbatim @udf script, child gates on the windowed count") {
+    import graft.tick.TickScript
+    import graft.tick.TickScript.Call
+    val srpl = graft.sources.Replay.readSrpl(spark,
+      "/root/reference/integrations/testdata/TestStream_CustomFunctions.srpl")
+    // fixture ticks are raw small ints; the replay harness anchors them on
+    // a seconds clock — reinterpret so the 10s window grid matches
+    val src = srpl.select(col("measurement"),
+      timestamp_seconds(col("ts_ns")).as("time"),
+      element_at(col("tags"), "host").as("host"),
+      element_at(col("tags"), "type").as("type"),
+      element_at(col("fieldsFloat"), "value").as("value"))
+    // the reference mocks the agent to answer each windowed count with
+    // customField=42; a real sed child does the same but GATES on the
+    // expected count=9 (serverA cpu points in [0,10)), so the golden also
+    // verifies the windowed count the mock ignored
+    var seenOpts: Seq[Call] = null
+    val custom = TickScript.processUdf(
+      Seq("sed", "-n", "s/^cpu count=9i \\(.*\\)$/cpu customField=42 \\1/p"),
+      tagCols = Nil, inFields = Seq("count"), outFields = Seq("customField"),
+      propsToArgs = ps => { seenOpts = ps; Nil })
+    val script =
+      """stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.where(lambda: "host" == 'serverA')
+        |	|window()
+        |		.period(10s)
+        |		.every(10s)
+        |	|count('value')
+        |	@customFunc()
+        |		.opt1('count')
+        |		.opt2(FALSE, 1, 1.0, '1.0', 1s)
+        |""".stripMargin
+    val out = TickScript.compile(script, src, udfs = Map("customFunc" -> custom))
+    assert(out.select("customField").collect().map(_.getDouble(0)).toSeq === Seq(42.0))
+    // the option surface parsed exactly as declared in the reference script
+    assert(seenOpts.map(_.name) === Seq("opt1", "opt2"))
+    assert(seenOpts(0).args === Seq("count"))
+    assert(seenOpts(1).args === Seq("FALSE", 1L, 1.0, "1.0", 1.0))
+  }
+
   test("TICKscript @udf must be registered at definition time") {
     val source = Seq(("cpu", new java.sql.Timestamp(0), 1.0))
       .toDF("measurement", "time", "value")

@@ -1323,7 +1323,7 @@ class TickScriptSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("not a select statement"))
     val e2 = intercept[IllegalArgumentException] {
-      TickScript.compile("batch\n|queryFlux('SELECT 1').every(60s)\n", src)
+      TickScript.compile("batch\n|queryFlux('SELECT 1').cron('* * * * *')\n", src)
     }
     assert(e2.getMessage.contains("requires .period"))
     val e3 = intercept[IllegalArgumentException] {
@@ -1331,5 +1331,29 @@ class TickScriptSpec extends SparkSpec {
         "batch\n|queryFlux('SELECT 1').period(60s).every(60s).cron('* * * * *')\n", src)
     }
     assert(e3.getMessage.contains("mutually exclusive"))
+  }
+
+  test("GOLDEN TestBatch_FluxQuery: queryFlux schedules and passes the engine result through") {
+    // integrations/batcher_test.go TestBatch_Flux: the reference ships the
+    // flux text to a MOCKED engine that answers with the .0.brpl contents;
+    // expected output = that batch verbatim (yea/nay at relative seconds
+    // 0,2,4,5,6,8 under the "should we orange juice" vote tag). Here the
+    // engine is Catalyst, so the shipped text is Spark SQL over __source.
+    val b = graft.sources.Replay.readBrpl(spark,
+      "/root/reference/integrations/testdata/TestBatch_FluxQuery.0.brpl")
+    val src = b.select(col("name").as("measurement"), col("time"),
+      element_at(col("fields"), "value").as("value"),
+      element_at(col("tags"), "vote").as("vote"))
+    val script =
+      """batch
+        ||queryFlux('SELECT vote, value, time_us FROM __source ORDER BY time_us')
+        |    .every(1s)
+        |""".stripMargin
+    val out = TickScript.compile(script, src).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val base = out.head._3
+    assert(out.map(t => (t._2, (t._3 - base) / 1000000L)) === Array(
+      ("yea", 0L), ("nay", 2L), ("yea", 4L), ("yea", 5L), ("nay", 6L), ("yea", 8L)))
+    assert(out.forall(_._1 == "should we orange juice"))
   }
 }
