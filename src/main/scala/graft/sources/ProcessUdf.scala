@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * micro-batch, so a streaming source spawns one child per partition per
   * batch (parity with batch output is spec-asserted).
   *
+  * A child that stops reading stdin and never writes stdout stalls its
+  * task (there is no protocol keepalive to detect it, unlike the
+  * reference's Keepalive messages) — the cluster-level guards apply:
+  * task speculation re-attempts the slow task and the completion
+  * listener kills the orphaned child. A crashed child is NOT silent:
+  * stdout EOF triggers the exit-code check and the task fails with the
+  * captured stderr.
+  *
   * Scope vs the reference (documented in SURVEY §2.9): Init options become
   * `cmd` arguments; Snapshot/Restore does not apply — the child is
   * stateless per batch/partition by contract, exactly like a shuffle task.

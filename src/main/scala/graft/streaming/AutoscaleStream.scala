@@ -106,7 +106,10 @@ object AutoscaleStream {
     }
   }
 
-  /** Batch execution: per resource in time order, fresh state. */
+  /** Batch execution: per resource in time order, fresh state. Points
+    * sharing a timestamp fold in an unspecified order, matching the
+    * reference's dependence on stream arrival order for simultaneous
+    * points; feed a strictly ordered time axis for bit-stable output. */
   def runBatch(
       points: Dataset[AutoscalePoint],
       cfg: AutoscaleConfig,
