@@ -18,6 +18,18 @@ class ProcessUdfSpec extends SparkSpec {
     assert(out === lines(100).collect().sorted)
   }
 
+  test("fuzz: UTF-8 content survives the child pipe byte-exact (cat)") {
+    val rnd = new scala.util.Random(13L)
+    // whole glyphs, not chars — indexing a String would split the emoji's
+    // surrogate pair and an unpaired surrogate can't survive UTF-8 bytes
+    val glyphs = Seq("a", "b", "0", "1", " ", ",", "=", "\"", "\\", "漢", "字", "é", "π", "∞", "🙂")
+    val in = (1 to 200).map { i =>
+      s"m$i " + (0 until rnd.nextInt(40)).map(_ => glyphs(rnd.nextInt(glyphs.length))).mkString
+    }
+    val out = ProcessUdf.pipeLines(in.toDS().repartition(3), Seq("cat")).collect().sorted
+    assert(out === in.sorted.toArray)
+  }
+
   test("map child (sed) rewrites the measurement; output re-parses") {
     val out = ProcessUdf.pipeLines(lines(10), Seq("sed", "s/^cpu/cpu_udf/"))
     val pts = LineProtocol.parse(out).collect()

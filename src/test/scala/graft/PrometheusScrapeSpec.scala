@@ -61,6 +61,44 @@ class PrometheusScrapeSpec extends SparkSpec {
     assert(out.selectExpr("tags['job']").collect().forall(_.isNullAt(0)))
   }
 
+  test("fuzz: render∘parse is identity over random labels with escapes and special values") {
+    val rnd = new scala.util.Random(20260814L)
+    def esc(v: String) = v.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case c    => c.toString
+    }
+    val labelChars = "abzXYZ09_ \"\\\n,={}漢字éπ"
+    def randLabelValue() =
+      (0 until rnd.nextInt(8)).map(_ => labelChars(rnd.nextInt(labelChars.length))).mkString
+    (1 to 300).foreach { _ =>
+      val metric = "m_" + rnd.nextInt(1000)
+      val labels = (0 until rnd.nextInt(4))
+        .map(i => s"l$i" -> randLabelValue()).toMap
+      val value = rnd.nextInt(5) match {
+        case 0 => Double.PositiveInfinity
+        case 1 => Double.NegativeInfinity
+        case 2 => rnd.nextDouble() * 1e6 - 5e5
+        case 3 => rnd.nextInt(1000).toDouble
+        case _ => rnd.nextDouble() * 1e-7
+      }
+      val ts = if (rnd.nextBoolean()) Some(rnd.nextLong() % (1L << 45)) else None
+      def fmtV(d: Double) =
+        if (d.isPosInfinity) "+Inf" else if (d.isNegInfinity) "-Inf" else d.toString
+      val lbl =
+        if (labels.isEmpty) ""
+        else labels.map { case (k, v) => s"""$k="${esc(v)}"""" }.mkString("{", ",", "}")
+      val line = s"$metric$lbl ${fmtV(value)}${ts.map(" " + _).getOrElse("")}"
+      val got = PrometheusScrape.parseLine(line)
+        .getOrElse(fail(s"failed to parse: $line"))
+      assert(got.metric === metric, line)
+      assert(got.labels === labels, line)
+      assert(got.value === value, line)
+      assert(got.timeMs === ts, line)
+    }
+  }
+
   test("round-trip into the Pipe algebra: scraped points aggregate like any stream") {
     val lines = (0 until 60).map { i =>
       s"""req_total{job="db|rp|j",instance="h${i % 3}"} ${i}.0 ${i * 1000}"""
