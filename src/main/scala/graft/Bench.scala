@@ -27,8 +27,14 @@ object Bench {
     // discard-first-then-min (measured: q_mean_hour 0.26 s when first in the
     // list vs 0.19 s when later, repeat=8). One untimed run of the first
     // query at the TARGET SF absorbs that ramp so slot order stops mattering.
-    selected.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    selected.headOption.foreach { case (name, fn) =>
+      // NonFatal only: an OOME or interrupt here means the timed runs
+      // would be garbage anyway — let it propagate instead of silently
+      // proceeding with skewed numbers. Log what we swallow.
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
+      }
     }
     for ((name, fn) <- selected) {
       // Queries eagerly localCheckpoint small results so they can release
@@ -44,7 +50,10 @@ object Bench {
       Thread.sleep(50)
       for (_ <- 1 to repeat) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         samples.updateWith(name)(prev => Some(dt :: prev.getOrElse(Nil)))
       }
@@ -72,7 +81,9 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       graft.Graft.events(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] session warm failed: ${e.getMessage}")
+    }
     // warm every query's plan at the tiny SF first: whole-stage codegen
     // compilation and JIT otherwise bill ~1s to whichever query the Map
     // happens to iterate first (observed as a phantom 2.3x q_sum_hour
@@ -87,8 +98,11 @@ object Bench {
       else names.map(n => n -> SparkEntry.queries(n)).toSeq
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && sys.env.getOrElse("GRAFT_BENCH_WARMALL", "1") == "1")
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      selected.foreach { case (n, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] sf0.001 warm of $n failed: ${e.getMessage}")
+        }
       }
     val results = runSuite(spark, selected, sfDir, repeat, verbose = true)
     // scaling-slope smoke: re-time the suite at the 10x-smaller SF and

@@ -28,18 +28,24 @@ object Verify {
       "q_text_classify" ->
         (() => graft.queries.LlmQueries.textClassifyCrossCheck(spark, sfDir)))
     crossChecks.foreach { case (name, check) =>
-      try {
-        if (!check()) {
-          System.err.println(s"[verify] $name value cross-check FAILED")
-          val dir = Paths.get(s"$outDir/$name")
-          if (Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            Files.walk(dir).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
-          }
-        } else println(s"[verify] $name value cross-check passed")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name cross-check errored: ${e.getMessage}")
+      // An erroring cross-check is just as hollow as a failing one: the
+      // value assertion never ran, so the dump must not survive to give
+      // the driver a rows>0 pass. Only ok == true keeps the parquet.
+      val ok =
+        try check()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name cross-check errored: ${e.getMessage}")
+          false
+        }
+      if (ok) println(s"[verify] $name value cross-check passed")
+      else {
+        System.err.println(s"[verify] $name value cross-check FAILED — deleting dump")
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -61,14 +61,22 @@ object ProcessUdf {
     if (!input.hasNext) return Iterator.empty
     val pb = new ProcessBuilder(cmd: _*)
     val proc = pb.start()
+    // Captured on the task thread so the helper threads below can adopt it.
+    // The writer thread drains the UPSTREAM iterator — any operator in that
+    // chain may call TaskContext.get() lazily during consumption (shuffle
+    // readers, memory-acquiring operators, user mapPartitions code) and
+    // would NPE or misattribute task memory on a bare thread. Spark's own
+    // PipedRDD sets the context in its stdin-writer thread for this reason.
+    val taskCtx = TaskContext.get()
     // Kill the child if the task dies first (cancellation, upstream error);
     // without this a failed stage leaks processes on every executor.
-    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+    Option(taskCtx).foreach(_.addTaskCompletionListener[Unit] { _ =>
       if (proc.isAlive) proc.destroyForcibly()
       ()
     })
     val stderr = new java.io.ByteArrayOutputStream()
     val errThread = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
       val es = proc.getErrorStream
       val buf = new Array[Byte](8192)
       var n = es.read(buf)
@@ -81,6 +89,7 @@ object ProcessUdf {
     errThread.start()
     @volatile var writeError: Throwable = null
     val writer = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
       val w = new java.io.BufferedWriter(
         new java.io.OutputStreamWriter(proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
       try {

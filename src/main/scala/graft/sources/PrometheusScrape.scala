@@ -113,21 +113,32 @@ object PrometheusScrape {
     samples
       .filter(s => !s.value.isNaN)
       .flatMap { s =>
-        val jobEnc = s.labels.getOrElse("job", "")
-        jobEnc.split("\\|", -1) match {
-          case Array(db, rp, job) =>
-            val instance = s.labels.getOrElse("instance", "")
-            if (bl.getOrElse(job, Set.empty).contains(instance)) None
-            else {
-              // the scrape library carries the metric name as the
-              // __name__ label; the exposition text carries it outside
-              // the braces — normalize to the label form first
-              val tags = (s.labels + ("__name__" ->
-                s.labels.getOrElse("__name__", s.metric))) - "job"
-              Some((tags("__name__"), db, rp, job, tags, s.value,
-                s.timeMs.getOrElse(defaultTimeMs)))
+        // db/rp/job decode only applies when a `job` label is PRESENT; a
+        // sample without one is still written with empty db/rp/job
+        // (service.go:198-211 initializes all three to "" and only
+        // decodeJobName's error path rejects). A present-but-malformed
+        // job (not exactly db|rp|name) is dropped like the reference
+        // errors it.
+        val decoded: Option[(String, String, String)] =
+          s.labels.get("job") match {
+            case None => Some(("", "", ""))
+            case Some(enc) => enc.split("\\|", -1) match {
+              case Array(db, rp, job) => Some((db, rp, job))
+              case _                  => None
             }
-          case _ => None
+          }
+        decoded.flatMap { case (db, rp, job) =>
+          val instance = s.labels.getOrElse("instance", "")
+          if (bl.getOrElse(job, Set.empty).contains(instance)) None
+          else {
+            // the scrape library carries the metric name as the
+            // __name__ label; the exposition text carries it outside
+            // the braces — normalize to the label form first
+            val tags = (s.labels + ("__name__" ->
+              s.labels.getOrElse("__name__", s.metric))) - "job"
+            Some((tags("__name__"), db, rp, job, tags, s.value,
+              s.timeMs.getOrElse(defaultTimeMs)))
+          }
         }
       }
       .toDF("measurement", "db", "rp", "job", "tags", "value", "time_ms")

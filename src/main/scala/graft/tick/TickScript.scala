@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   */
 object TickScript {
 
+  /** Per-compile uniquifier for queryFlux's temp views — concurrent
+    * compiles in one SparkSession must not share catalog names. */
+  private val fluxViewCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // ------------------------------------------------------------- lexer
 
   sealed trait Tok
@@ -1239,17 +1243,45 @@ object TickScript {
           import sp.implicits._
           val fSrc = st.pipe.df
             .withColumn("time_us", unix_micros(col(st.pipe.timeCol)))
+          // Replay-bounds convention: the observed data range seeds the
+          // schedule (one eager min/max job at compile — same contract the
+          // golden replay harness drives query() with). An EMPTY source
+          // schedules zero batches, like the reference looping over an
+          // empty tick range — the query still compiles and yields an
+          // empty frame with its own schema (the min/max agg row exists
+          // but holds nulls, so no require / no throw).
           val mm = fSrc.agg(min("time_us"), max("time_us")).head
-          require(!mm.isNullAt(0), "queryFlux over an empty source")
-          val fStart = Math.floorDiv(mm.getLong(0), 1000000L)
-          val fStop = Math.floorDiv(mm.getLong(1), 1000000L) + 1
-          val fTicks = graft.operators.BatchScheduler
-            .queries(fTicker, fStart, fStop, fPeriod, fOffset)
-          fSrc.createOrReplaceTempView("__source")
+          val fTicks =
+            if (mm.isNullAt(0)) Seq.empty[(Long, Long, Long)]
+            else {
+              val fStart = Math.floorDiv(mm.getLong(0), 1000000L)
+              val fStop = Math.floorDiv(mm.getLong(1), 1000000L) + 1
+              graft.operators.BatchScheduler
+                .queries(fTicker, fStart, fStop, fPeriod, fOffset)
+            }
+          // The public contract names the views `__source`/`__windows`,
+          // but registering those literally is session-global state — two
+          // scripts compiling in one SparkSession would clobber each
+          // other. Register per-compile unique names, rewrite the query
+          // text to them, and drop both right after sql() (analysis is
+          // eager, so the resolved plan no longer needs the catalog).
+          val fTag = fluxViewCounter.incrementAndGet()
+          val srcView = s"__graft_flux_source_$fTag"
+          val winView = s"__graft_flux_windows_$fTag"
+          val rewritten = fluxSql
+            .replaceAll("\\b__source\\b", srcView)
+            .replaceAll("\\b__windows\\b", winView)
+          fSrc.createOrReplaceTempView(srcView)
           fTicks.map { case (t, a, b) => (t * 1000000L, a * 1000000L, b * 1000000L) }
             .toDF("tick_us", "start_us", "stop_us")
-            .createOrReplaceTempView("__windows")
-          st = St(st.pipe.copy(df = sp.sql(fluxSql), dims = Nil, idCol = None),
+            .createOrReplaceTempView(winView)
+          val fluxDf =
+            try sp.sql(rewritten)
+            finally {
+              sp.catalog.dropTempView(srcView)
+              sp.catalog.dropTempView(winView)
+            }
+          st = St(st.pipe.copy(df = fluxDf, dims = Nil, idCol = None),
             bucketed = false)
         case an @ ("k8sAutoscale" | "swarmAutoscale" | "ec2Autoscale") =>
           // The shared autoscale engine (autoscale.go:32-411) behind all

@@ -61,6 +61,23 @@ class PrometheusScrapeSpec extends SparkSpec {
     assert(out.selectExpr("tags['job']").collect().forall(_.isNullAt(0)))
   }
 
+  test("toPointFrame: a sample WITHOUT a job label is written with empty db/rp/job") {
+    // service.go:198-211 initializes db/rp/job to "" and only decodes when
+    // the label is present — absence is not an error, only a present-but-
+    // malformed job is rejected
+    val payload = Seq(
+      """up{instance="host1"} 1 1000""",
+      """up{job="db|rp|j",instance="host1"} 1 1000""",
+      """up{job="malformed"} 1 1000""")
+    val rows = PrometheusScrape.toPointFrame(PrometheusScrape.parse(payload.toDS()))
+      .selectExpr("measurement", "db", "rp", "job", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_._2)
+    assert(rows === Array(
+      ("up", "", "", "", 1.0),
+      ("up", "db", "rp", "j", 1.0)))
+  }
+
   test("fuzz: render∘parse is identity over random labels with escapes and special values") {
     val rnd = new scala.util.Random(20260814L)
     def esc(v: String) = v.flatMap {

@@ -1333,6 +1333,54 @@ class TickScriptSpec extends SparkSpec {
     assert(e3.getMessage.contains("mutually exclusive"))
   }
 
+  test("queryFlux: two compiles in one session keep distinct sources; views are dropped") {
+    // the contract names are rewritten to per-compile unique views, so a
+    // second compile cannot clobber the first's source — and neither
+    // compile leaves catalog state behind
+    val srcA = (0 until 60).map(i => ("a", ts(i), 1.0)).toDF("measurement", "time", "value")
+    val srcB = (0 until 60).map(i => ("b", ts(i), 10.0)).toDF("measurement", "time", "value")
+    val script =
+      """batch
+        ||queryFlux('''
+        |SELECT w.tick_us, sum(s.value) AS sv
+        |FROM __windows w JOIN __source s
+        |  ON s.time_us >= w.start_us AND s.time_us < w.stop_us
+        |GROUP BY w.tick_us ORDER BY w.tick_us
+        |''')
+        |    .period(60s)
+        |    .every(60s)
+        |    .align()
+        |""".stripMargin
+    val outA = TickScript.compile(script, srcA)
+    val outB = TickScript.compile(script, srcB) // would clobber fixed views
+    assert(outA.collect().map(r => (r.getLong(0), r.getDouble(1))) ===
+      Array((60000000L, 60.0)))
+    assert(outB.collect().map(r => (r.getLong(0), r.getDouble(1))) ===
+      Array((60000000L, 600.0)))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_flux_")), "queryFlux leaked temp views")
+  }
+
+  test("queryFlux over an empty source compiles to an empty frame with the query schema") {
+    // reference behavior: an empty range schedules zero batches — not a
+    // compile error (pipeline/batch.go loops over zero ticks)
+    val src = Seq.empty[(String, java.sql.Timestamp, Double)]
+      .toDF("measurement", "time", "value")
+    val out = TickScript.compile(
+      """batch
+        ||queryFlux('''
+        |SELECT w.tick_us, count(*) AS cnt
+        |FROM __windows w JOIN __source s
+        |  ON s.time_us >= w.start_us AND s.time_us < w.stop_us
+        |GROUP BY w.tick_us
+        |''')
+        |    .period(60s)
+        |    .every(60s)
+        |""".stripMargin, src)
+    assert(out.columns === Array("tick_us", "cnt"))
+    assert(out.count() === 0)
+  }
+
   test("GOLDEN TestBatch_FluxQuery: queryFlux schedules and passes the engine result through") {
     // integrations/batcher_test.go TestBatch_Flux: the reference ships the
     // flux text to a MOCKED engine that answers with the .0.brpl contents;
