@@ -34,10 +34,18 @@ object LangModel {
       total: Long, vocabSize: Int)
 
   /** Train on one aggregation pass + a bounded driver collect. */
-  def unigramTrain(docs: DataFrame, textCol: String, topV: Int): UnigramModel = {
+  def unigramTrain(docs: DataFrame, textCol: String, topV: Int): UnigramModel =
+    unigramTrainToks(
+      docs.select(TextOps.tokens(col(textCol)).as("toks")), "toks", topV)
+
+  /** Train from a PRE-TOKENIZED frame — the shared-tokens path for
+    * multi-stage pipelines (Pipeline.curate materializes (id, toks) once
+    * and feeds train, scoring, and packing from it instead of
+    * re-tokenizing the corpus per stage). */
+  def unigramTrainToks(toksDf: DataFrame, toksCol: String, topV: Int): UnigramModel = {
     require(topV > 0, "vocabulary size must be positive")
-    val counts = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+    val counts = toksDf
+      .select(explode(col(toksCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
@@ -133,10 +141,18 @@ object LangModel {
     * to 5 decimals; empty-token documents are dropped (no defined score).
     * Output: (idCol, n_tok, avg_nll). */
   def avgNll(docs: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel): DataFrame =
+    avgNllToks(
+      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks")),
+      idCol, "toks", model)
+
+  /** [[avgNll]] over a pre-tokenized (idCol, toksCol) frame — identical
+    * fold order and rounding, so scores are bit-equal to the text path. */
+  def avgNllToks(toksDf: DataFrame, idCol: String, toksCol: String,
       model: UnigramModel): DataFrame = {
     val m = typedlit(model.lp)
-    docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    toksDf
+      .select(col(idCol), col(toksCol).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol), size(col("toks")).cast("long").as("n_tok"),
         round(

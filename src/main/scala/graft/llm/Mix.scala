@@ -90,13 +90,28 @@ object Mix {
       idCol: String,
       textCol: String,
       shardCol: String,
+      seqLen: Int): DataFrame =
+    packSequencesCounted(
+      docs.select(col(idCol), col(shardCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok")),
+      idCol, shardCol, "n_tok", seqLen)
+
+  /** [[packSequences]] over documents whose token counts are already a
+    * column (`nTokCol`) — the shared-tokens path: a pipeline that has
+    * materialized per-document token counts upstream packs without
+    * re-tokenizing the corpus. Same shuffle (one, on the shard key),
+    * same integer arithmetic. */
+  def packSequencesCounted(
+      docs: DataFrame,
+      idCol: String,
+      shardCol: String,
+      nTokCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol)).orderBy(col(idCol))
     docs
-      .select(col(idCol), col(shardCol),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .select(col(idCol), col(shardCol), col(nTokCol).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("__start", sum(col("n_tok")).over(w) - col("n_tok"))
       .select(col(idCol), col(shardCol), col("n_tok"),

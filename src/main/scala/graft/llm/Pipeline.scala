@@ -55,7 +55,8 @@ object Pipeline {
     // recompute cascade that is exponential in stage count (measured 4.1 s
     // vs ~2.5 s at sf0.1; at 100 TB it is the difference between ~one scan
     // per stage and re-running the whole upstream pipeline per branch).
-    // localCheckpoint pins only the 8-byte-id frames on executors and
+    // localCheckpoint pins narrow frames on executors (8-byte ids, plus
+    // one (id, toks) frame when the LM stage is active — see below) and
     // truncates lineage, so every stage replans as: docs scan → id join.
     // Per-row stages (language, C4, mixing thresholds) stay fused into the
     // scan — only stages whose operator shuffles get a checkpoint.
@@ -70,15 +71,31 @@ object Pipeline {
       if (!cfg.requireC4Keep) langOk
       else langOk.filter(TextOps.c4Features(col(textCol)).toMap.apply("keep"))
     })
+    // Shared tokens: when the LM stage is active, tokens have three
+    // corpus-wide consumers (LM train, LM scoring, packing) — materialize
+    // (id, toks) ONCE from the filtered corpus and feed all three, instead
+    // of re-tokenizing the text per stage (the r13 audit counted 4
+    // redundant tokenize passes; at 100 TB each is a full-corpus CPU
+    // pass). This checkpoint pins token arrays, not just ids — the
+    // deliberate space-for-passes trade a production pipeline makes by
+    // writing its filtered+tokenized corpus to parquet once.
+    // Decontamination keeps its fused native ShingleHashes pass: its
+    // tokenize is fused into the same partition-local shingle+hash loop,
+    // so an array-input variant would add an expression without removing
+    // a scan. With no LM stage, tokens have one consumer (packing) and
+    // inline tokenization there is already the single pass.
+    val toksF: Option[DataFrame] = cfg.maxAvgNll.map { _ =>
+      surv(heurOk.select(col(idCol), toks.as("__toks")))
+    }
     // stage 3: perplexity filter (model trained on the surviving corpus)
-    val pplOk = tap("perplexity", cfg.maxAvgNll match {
-      case None => heurOk
-      case Some(cap) =>
-        val model = LangModel.unigramTrain(heurOk, textCol, cfg.perplexityVocab)
+    val pplOk = tap("perplexity", (cfg.maxAvgNll, toksF) match {
+      case (Some(cap), Some(tf)) =>
+        val model = LangModel.unigramTrainToks(tf, "__toks", cfg.perplexityVocab)
         heurOk.join(
-          surv(LangModel.avgNll(heurOk, idCol, textCol, model)
+          surv(LangModel.avgNllToks(tf, idCol, "__toks", model)
             .filter(col("avg_nll") <= cap).select(idCol)),
           idCol)
+      case _ => heurOk
     })
     // stage 4: exact dedup (keep canonical copies)
     val exactKept = tap("exact_dedup", pplOk
@@ -110,7 +127,17 @@ object Pipeline {
       if (cfg.mixRates.isEmpty && cfg.defaultMixRate >= 1.0) decon
       else Mix.stratifiedSample(decon, idCol, shardCol, cfg.mixRates, cfg.defaultMixRate)
     })
-    // stage 8: pack into fixed token sequences per shard
-    tap("packed", Mix.packSequences(mixed, idCol, textCol, shardCol, cfg.seqLen))
+    // stage 8: pack into fixed token sequences per shard — token counts
+    // come from the shared tokens frame when it exists (an id equi-join
+    // against the checkpointed frame, no re-tokenize)
+    tap("packed", toksF match {
+      case Some(tf) =>
+        Mix.packSequencesCounted(
+          mixed.select(col(idCol), col(shardCol)).join(
+            tf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok")),
+            Seq(idCol)),
+          idCol, shardCol, "n_tok", cfg.seqLen)
+      case None => Mix.packSequences(mixed, idCol, textCol, shardCol, cfg.seqLen)
+    })
   }
 }
