@@ -1,0 +1,578 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.Dataset
+
+/** Wire-compatible bridge to the reference's out-of-process UDF agents
+  * (udf/agent/udf.proto:1-236; framing udf/agent/io.go:26-73): messages are
+  * proto3-encoded `Request`/`Response` wrappers, each prefixed by an
+  * unsigned-varint byte length. An agent written against the reference's
+  * Python/Go agent libraries — reading `Request{info|init|point}` from
+  * stdin and writing `Response{info|init|point|error}` to stdout — runs
+  * UNMODIFIED under this runner: the Spark side performs the reference
+  * server's handshake (InfoRequest → InfoResponse, InitRequest(options) →
+  * InitResponse, udf/server.go:249-288) and then streams `Point` messages
+  * exactly like `Server.writePoint` (udf/server.go:499-519).
+  *
+  * The codec is hand-rolled for the small fixed message set rather than
+  * depending on a protobuf runtime: proto3 wire format is tag-length-value
+  * (varint/fixed64/length-delimited), map fields are repeated (key=1,
+  * value=2) entries, and oneof members are plain fields with explicit
+  * presence. The decoder is lenient the way protobuf requires — unknown
+  * fields skip by wire type, fields may arrive in any order, absent
+  * scalars default to zero values.
+  *
+  * Scope mirrors ProcessUdf (the line-protocol bridge): one agent process
+  * per partition per (micro-)batch, stateless by contract — STREAM-edge
+  * agents only. Snapshot/Restore and the keepalive timer are not driven
+  * (Spark task liveness, speculation, and the completion-listener kill are
+  * the supervisor here); an agent that *sends* an unsolicited
+  * KeepaliveResponse is tolerated and skipped. Batch-edge agents
+  * (BeginBatch/EndBatch framing) are refused loudly.
+  */
+object UdfProto {
+
+  /** Mirror of `agent.Point` (udf.proto:167-180). */
+  case class ProtoPoint(
+      time: Long,
+      name: String,
+      database: String,
+      retentionPolicy: String,
+      group: String,
+      dimensions: Seq[String],
+      tags: Map[String, String],
+      fieldsDouble: Map[String, Double],
+      fieldsInt: Map[String, Long],
+      fieldsString: Map[String, String],
+      fieldsBool: Map[String, Boolean],
+      byName: Boolean)
+
+  /** Mirror of `agent.OptionValue` (udf.proto:81-90). The `type` enum is
+    * derived from the variant (BOOL=0 INT=1 DOUBLE=2 STRING=3 DURATION=4). */
+  sealed trait OptVal { def typeId: Int }
+  case class OptBool(v: Boolean) extends OptVal { val typeId = 0 }
+  case class OptInt(v: Long) extends OptVal { val typeId = 1 }
+  case class OptDouble(v: Double) extends OptVal { val typeId = 2 }
+  case class OptString(v: String) extends OptVal { val typeId = 3 }
+  case class OptDuration(ns: Long) extends OptVal { val typeId = 4 }
+
+  // ------------------------------------------------------------ varint
+
+  def writeUvarint(out: OutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  /** Returns -1 on clean EOF (stream ends BEFORE the first byte); a
+    * mid-varint EOF is a framing error. */
+  def readUvarintOrEof(in: InputStream): Long = {
+    var shift = 0
+    var acc = 0L
+    var first = true
+    while (true) {
+      val b = in.read()
+      if (b < 0) {
+        if (first) return -1L
+        throw new EOFException("udf agent stream ended mid-varint")
+      }
+      acc |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return acc
+      shift += 7
+      first = false
+      if (shift > 63) throw new IllegalStateException("varint overflow")
+    }
+    acc // unreachable
+  }
+
+  // ----------------------------------------------------------- encoder
+
+  /** Minimal proto3 writer. Top-level scalar fields follow proto3
+    * omission (zero values not emitted); map-entry values and oneof
+    * members are always emitted (presence semantics). */
+  final class ProtoWriter {
+    private val b = new java.io.ByteArrayOutputStream(64)
+    def bytes: Array[Byte] = b.toByteArray
+    private def uv(v: Long): Unit = writeUvarint(b, v)
+    private def tag(field: Int, wire: Int): Unit = uv((field.toLong << 3) | wire)
+    def varintField(field: Int, v: Long): Unit =
+      if (v != 0L) varintAlways(field, v)
+    def varintAlways(field: Int, v: Long): Unit = { tag(field, 0); uv(v) }
+    def boolField(field: Int, v: Boolean): Unit =
+      if (v) varintAlways(field, 1L)
+    def boolAlways(field: Int, v: Boolean): Unit =
+      varintAlways(field, if (v) 1L else 0L)
+    def strField(field: Int, s: String): Unit =
+      if (s != null && s.nonEmpty) strAlways(field, s)
+    def strAlways(field: Int, s: String): Unit = {
+      tag(field, 2)
+      val u = s.getBytes(UTF_8)
+      uv(u.length.toLong)
+      b.write(u, 0, u.length)
+    }
+    def doubleAlways(field: Int, v: Double): Unit = {
+      tag(field, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { b.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def msgField(field: Int, inner: Array[Byte]): Unit = {
+      tag(field, 2)
+      uv(inner.length.toLong)
+      b.write(inner, 0, inner.length)
+    }
+  }
+
+  private def mapEntry(key: String)(writeValue: ProtoWriter => Unit): Array[Byte] = {
+    val w = new ProtoWriter
+    w.strAlways(1, key)
+    writeValue(w)
+    w.bytes
+  }
+
+  def encodePoint(p: ProtoPoint): Array[Byte] = {
+    val w = new ProtoWriter
+    w.varintField(1, p.time)
+    w.strField(2, p.name)
+    w.strField(3, p.database)
+    w.strField(4, p.retentionPolicy)
+    w.strField(5, p.group)
+    p.dimensions.foreach(d => w.strAlways(6, d))
+    // sorted map order: deterministic bytes (wire-valid in any order)
+    p.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(7, mapEntry(k)(_.strAlways(2, v)))
+    }
+    p.fieldsDouble.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(8, mapEntry(k)(_.doubleAlways(2, v)))
+    }
+    p.fieldsInt.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(9, mapEntry(k)(_.varintAlways(2, v)))
+    }
+    p.fieldsString.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(10, mapEntry(k)(_.strAlways(2, v)))
+    }
+    w.boolField(11, p.byName)
+    p.fieldsBool.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(12, mapEntry(k)(_.boolAlways(2, v)))
+    }
+    w.bytes
+  }
+
+  /** `Request{point}` — wrapper field 17 (udf.proto:203-217). */
+  def encodeRequestPoint(p: ProtoPoint): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(17, encodePoint(p))
+    w.bytes
+  }
+
+  /** `Request{info}` — an empty InfoRequest in wrapper field 1. */
+  def encodeInfoRequest(): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(1, Array.emptyByteArray)
+    w.bytes
+  }
+
+  /** `Request{init}` with options/taskID/nodeID (udf.proto:70-90). */
+  def encodeInitRequest(
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String): Array[Byte] = {
+    val init = new ProtoWriter
+    options.foreach { case (name, values) =>
+      val opt = new ProtoWriter
+      opt.strAlways(1, name)
+      values.foreach { v =>
+        val ov = new ProtoWriter
+        ov.varintField(1, v.typeId.toLong) // enum, 0 (BOOL) omitted per proto3
+        v match { // oneof member: always emitted
+          case OptBool(x)     => ov.boolAlways(2, x)
+          case OptInt(x)      => ov.varintAlways(3, x)
+          case OptDouble(x)   => ov.doubleAlways(4, x)
+          case OptString(x)   => ov.strAlways(5, x)
+          case OptDuration(x) => ov.varintAlways(6, x)
+        }
+        opt.msgField(2, ov.bytes)
+      }
+      init.msgField(1, opt.bytes)
+    }
+    init.strField(2, taskId)
+    init.strField(3, nodeId)
+    val w = new ProtoWriter
+    w.msgField(2, init.bytes)
+    w.bytes
+  }
+
+  def writeFramed(out: OutputStream, msg: Array[Byte]): Unit = {
+    writeUvarint(out, msg.length.toLong)
+    out.write(msg)
+  }
+
+  // ----------------------------------------------------------- decoder
+
+  final class ProtoReader(buf: Array[Byte]) {
+    private var pos = 0
+    def hasMore: Boolean = pos < buf.length
+    def uv(): Long = {
+      var shift = 0
+      var acc = 0L
+      while (true) {
+        if (pos >= buf.length) throw new EOFException("truncated varint")
+        val b = buf(pos) & 0xff
+        pos += 1
+        acc |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return acc
+        shift += 7
+        if (shift > 63) throw new IllegalStateException("varint overflow")
+      }
+      acc // unreachable
+    }
+    def readTag(): (Int, Int) = { val t = uv(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def bytesField(): Array[Byte] = {
+      val n = uv().toInt
+      if (pos + n > buf.length) throw new EOFException("truncated bytes field")
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+      pos += n
+      a
+    }
+    def strFieldV(): String = new String(bytesField(), UTF_8)
+    def fixed64(): Long = {
+      if (pos + 8 > buf.length) throw new EOFException("truncated fixed64")
+      var acc = 0L
+      var i = 0
+      while (i < 8) { acc |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      acc
+    }
+    def doubleV(): Double = java.lang.Double.longBitsToDouble(fixed64())
+    def skip(wire: Int): Unit = wire match {
+      case 0 => uv(); ()
+      case 1 => pos += 8
+      case 2 => val n = uv().toInt; pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalStateException(s"unsupported wire type $w")
+    }
+  }
+
+  sealed trait AgentResponse
+  case class RInfo(wants: Int, provides: Int) extends AgentResponse
+  case class RInit(success: Boolean, error: String) extends AgentResponse
+  case class RKeepalive(time: Long) extends AgentResponse
+  case class RSnapshot(snapshot: Array[Byte]) extends AgentResponse
+  case class RRestore(success: Boolean, error: String) extends AgentResponse
+  case class RError(error: String) extends AgentResponse
+  case class RBegin(name: String, group: String) extends AgentResponse
+  case class RPoint(point: ProtoPoint) extends AgentResponse
+  case class REnd(name: String, group: String) extends AgentResponse
+
+  def decodePoint(buf: Array[Byte]): ProtoPoint = {
+    val r = new ProtoReader(buf)
+    var time = 0L
+    var name = ""; var db = ""; var rp = ""; var group = ""
+    var dims = Vector.empty[String]
+    var tags = Map.empty[String, String]
+    var fd = Map.empty[String, Double]
+    var fi = Map.empty[String, Long]
+    var fs = Map.empty[String, String]
+    var fb = Map.empty[String, Boolean]
+    var byName = false
+    def entry[T](default: T)(read: (ProtoReader, Int) => T): (String, T) = {
+      val er = new ProtoReader(r.bytesField())
+      var k = ""
+      var v = default
+      while (er.hasMore) {
+        val (f, w) = er.readTag()
+        if (f == 1 && w == 2) k = er.strFieldV()
+        else if (f == 2) v = read(er, w)
+        else er.skip(w)
+      }
+      k -> v
+    }
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1  => time = r.uv()
+        case 2  => name = r.strFieldV()
+        case 3  => db = r.strFieldV()
+        case 4  => rp = r.strFieldV()
+        case 5  => group = r.strFieldV()
+        case 6  => dims :+= r.strFieldV()
+        case 7  => tags += entry("")((er, _) => er.strFieldV())
+        case 8  => fd += entry(0.0)((er, _) => er.doubleV())
+        case 9  => fi += entry(0L)((er, _) => er.uv())
+        case 10 => fs += entry("")((er, _) => er.strFieldV())
+        case 11 => byName = r.uv() != 0L
+        case 12 => fb += entry(false)((er, _) => er.uv() != 0L)
+        case _  => r.skip(w)
+      }
+    }
+    ProtoPoint(time, name, db, rp, group, dims, tags, fd, fi, fs, fb, byName)
+  }
+
+  def decodeResponse(buf: Array[Byte]): AgentResponse = {
+    val r = new ProtoReader(buf)
+    var result: AgentResponse = null
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      if (w != 2) r.skip(w)
+      else {
+        val inner = r.bytesField()
+        f match {
+          case 1 =>
+            val ir = new ProtoReader(inner)
+            var wants = 0; var provides = 0
+            while (ir.hasMore) {
+              val (ff, ww) = ir.readTag()
+              if (ff == 1 && ww == 0) wants = ir.uv().toInt
+              else if (ff == 2 && ww == 0) provides = ir.uv().toInt
+              else ir.skip(ww)
+            }
+            result = RInfo(wants, provides)
+          case 2 => val (s, e) = successError(inner); result = RInit(s, e)
+          case 3 =>
+            val kr = new ProtoReader(inner)
+            var t = 0L
+            while (kr.hasMore) {
+              val (ff, ww) = kr.readTag()
+              if (ff == 1 && ww == 0) t = kr.uv() else kr.skip(ww)
+            }
+            result = RKeepalive(t)
+          case 4 =>
+            val sr = new ProtoReader(inner)
+            var snap = Array.emptyByteArray
+            while (sr.hasMore) {
+              val (ff, ww) = sr.readTag()
+              if (ff == 1 && ww == 2) snap = sr.bytesField() else sr.skip(ww)
+            }
+            result = RSnapshot(snap)
+          case 5 => val (s, e) = successError(inner); result = RRestore(s, e)
+          case 6 =>
+            val er = new ProtoReader(inner)
+            var msg = ""
+            while (er.hasMore) {
+              val (ff, ww) = er.readTag()
+              if (ff == 1 && ww == 2) msg = er.strFieldV() else er.skip(ww)
+            }
+            result = RError(msg)
+          case 16 => val (n, g) = nameGroup(inner, 2); result = RBegin(n, g)
+          case 17 => result = RPoint(decodePoint(inner))
+          case 18 => val (n, g) = nameGroup(inner, 2); result = REnd(n, g)
+          case _  => () // unknown wrapper field: skip (already consumed)
+        }
+      }
+    }
+    if (result == null)
+      throw new IllegalStateException("udf agent sent an empty/unknown Response")
+    result
+  }
+
+  private def successError(inner: Array[Byte]): (Boolean, String) = {
+    val r = new ProtoReader(inner)
+    var ok = false
+    var err = ""
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      if (f == 1 && w == 0) ok = r.uv() != 0L
+      else if (f == 2 && w == 2) err = r.strFieldV()
+      else r.skip(w)
+    }
+    (ok, err)
+  }
+
+  private def nameGroup(inner: Array[Byte], groupField: Int): (String, String) = {
+    val r = new ProtoReader(inner)
+    var n = ""
+    var g = ""
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      if (f == 1 && w == 2) n = r.strFieldV()
+      else if (f == groupField && w == 2) g = r.strFieldV()
+      else r.skip(w)
+    }
+    (n, g)
+  }
+
+  // ------------------------------------------------- partition runner
+
+  private val MaxStderrBytes = 64 * 1024
+
+  /** One agent process for one partition: handshake (Info, Init), stream
+    * Points on stdin from a writer thread, iterate Response points
+    * lazily. Same lifecycle guards as ProcessUdf.runPartition:
+    * TaskContext propagated into helper threads, completion-listener
+    * kill, bounded stderr surfaced on non-zero exit. */
+  def runAgentPartition(
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoPoint]): Iterator[ProtoPoint] = {
+    if (!input.hasNext) return Iterator.empty
+    val proc = new ProcessBuilder(cmd: _*).start()
+    val taskCtx = TaskContext.get()
+    Option(taskCtx).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      if (proc.isAlive) proc.destroyForcibly()
+      ()
+    })
+    val stderr = new java.io.ByteArrayOutputStream()
+    val errThread = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
+      val es = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      var n = es.read(buf)
+      while (n >= 0) {
+        if (stderr.size < MaxStderrBytes) stderr.write(buf, 0, n)
+        n = es.read(buf)
+      }
+    }, "graft-udfproto-stderr")
+    errThread.setDaemon(true)
+    errThread.start()
+    val out = new BufferedOutputStream(proc.getOutputStream)
+    val in = new BufferedInputStream(proc.getInputStream)
+    def fail(msg: String): Nothing = {
+      if (proc.isAlive) proc.destroyForcibly()
+      proc.waitFor()
+      errThread.join(2000)
+      val err = stderr.toString("UTF-8").trim
+      throw new RuntimeException(
+        s"udf agent '${cmd.mkString(" ")}': $msg" +
+          (if (err.nonEmpty) s"; stderr: $err" else ""))
+    }
+    def readFrame(): Option[AgentResponse] = {
+      val size = readUvarintOrEof(in)
+      if (size < 0) None
+      else {
+        val buf = new Array[Byte](size.toInt)
+        var read = 0
+        while (read < size) {
+          val n = in.read(buf, read, size.toInt - read)
+          if (n < 0) fail(s"stream ended inside a $size-byte frame")
+          read += n
+        }
+        Some(decodeResponse(buf))
+      }
+    }
+    // handshake on the task thread, exactly the reference server order
+    // (udf/server.go:249-288): Info, then Init; tolerate interleaved
+    // keepalives (the protocol is loosely coupled, udf.proto:24-31)
+    def await(pf: PartialFunction[AgentResponse, Unit], what: String): Unit = {
+      var done = false
+      while (!done) {
+        readFrame() match {
+          case None                    => fail(s"agent exited before $what")
+          case Some(RError(e))         => fail(s"agent error during $what: $e")
+          case Some(_: RKeepalive)     => ()
+          case Some(r) if pf.isDefinedAt(r) => pf(r); done = true
+          case Some(other)             => fail(s"unexpected $other awaiting $what")
+        }
+      }
+    }
+    writeFramed(out, encodeInfoRequest()); out.flush()
+    await({ case _: RInfo => () }, "InfoResponse")
+    writeFramed(out, encodeInitRequest(options, taskId, nodeId)); out.flush()
+    await({ case RInit(ok, e) =>
+      if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
+    @volatile var writeError: Throwable = null
+    val writer = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
+      try {
+        input.foreach { p => writeFramed(out, encodeRequestPoint(p)) }
+        out.flush()
+      } catch {
+        case _: java.io.IOException => () // agent closed stdin early
+        case t: Throwable           => writeError = t
+      } finally {
+        try out.close() catch { case _: java.io.IOException => () }
+      }
+    }, "graft-udfproto-stdin")
+    writer.setDaemon(true)
+    writer.start()
+    new Iterator[ProtoPoint] {
+      private var nextPoint: ProtoPoint = advance()
+      private var finished = false
+      @annotation.tailrec
+      private def advance(): ProtoPoint = readFrame() match {
+        case None                => null
+        case Some(RPoint(p))     => p
+        case Some(_: RKeepalive) => advance()
+        case Some(RError(e))     => fail(s"agent error: $e")
+        case Some(_: RBegin) | Some(_: REnd) =>
+          fail("batch-edge agent (BeginBatch/EndBatch) not supported; " +
+            "this runner streams STREAM-edge points")
+        case Some(other)         => fail(s"unexpected mid-stream $other")
+      }
+      private def finish(): Unit = if (!finished) {
+        finished = true
+        writer.join()
+        errThread.join(2000)
+        val code = proc.waitFor()
+        if (writeError != null) throw writeError
+        if (code != 0) {
+          val err = stderr.toString("UTF-8").trim
+          throw new RuntimeException(
+            s"udf agent '${cmd.mkString(" ")}' exited $code" +
+              (if (err.nonEmpty) s": $err" else ""))
+        }
+      }
+      override def hasNext: Boolean = {
+        if (nextPoint != null) true
+        else { finish(); false }
+      }
+      override def next(): ProtoPoint = {
+        if (!hasNext) throw new NoSuchElementException("udf agent output exhausted")
+        val p = nextPoint
+        nextPoint = advance()
+        p
+      }
+    }
+  }
+
+  // ------------------------------------------------------ Spark surface
+
+  /** Pipe a typed point stream through a protobuf agent, one child per
+    * partition (batch or per-micro-batch under Structured Streaming —
+    * identical contract to ProcessUdf.pipeLines). */
+  def pipePoints(
+      points: Dataset[ProtoPoint],
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      taskId: String = "graft",
+      nodeId: String = "udf"): Dataset[ProtoPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(cmd.nonEmpty, "UdfProto: empty command")
+    val (argv, opts, tid, nid) = (cmd, options, taskId, nodeId)
+    points.mapPartitions(it => runAgentPartition(argv, opts, tid, nid, it))
+  }
+
+  /** The line-protocol bridge: run canonical parsed points
+    * (LineProtocol.LinePoint) through a protobuf agent. This is the
+    * migration path for an existing reference agent — the engine-side
+    * data stays in the library's canonical wire model. */
+  def pipeLinePoints(
+      points: Dataset[LineProtocol.LinePoint],
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      database: String = "",
+      retentionPolicy: String = "",
+      taskId: String = "graft",
+      nodeId: String = "udf"): Dataset[LineProtocol.LinePoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val (db, rp) = (database, retentionPolicy)
+    val proto = points.map(lp => ProtoPoint(
+      time = lp.timeNs, name = lp.measurement, database = db,
+      retentionPolicy = rp, group = "", dimensions = Nil, tags = lp.tags,
+      fieldsDouble = lp.fieldsFloat, fieldsInt = lp.fieldsInt,
+      fieldsString = lp.fieldsStr, fieldsBool = lp.fieldsBool,
+      byName = false))
+    pipePoints(proto, cmd, options, taskId, nodeId).map(p =>
+      LineProtocol.LinePoint(p.name, p.tags, p.fieldsDouble, p.fieldsInt,
+        p.fieldsBool, p.fieldsString, p.time))
+  }
+}

@@ -650,6 +650,80 @@ object TickScript {
       case v       => v.toString
     })
 
+  /** Registry entry like [[processUdf]], but for an UNMODIFIED reference
+    * protobuf agent (the varint-framed udf.proto protocol — the exact
+    * child the reference's `[udf.functions.x]` config launches): node
+    * properties become `InitRequest.options` (pipeline/udf.go maps
+    * `.alpha(0.5)` the same way), `inFields` split into the typed
+    * fieldsDouble/Int/String/Bool maps by column type exactly like the
+    * reference server's fieldsToTypedMaps (udf/server.go:521-554), and
+    * the agent's output points come back as `outFields` columns. */
+  def protobufUdf(
+      cmd: Seq[String],
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      timeCol: String = "time",
+      measurementCol: String = "measurement",
+      propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
+      : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
+    import graft.sources.UdfProto
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val meas =
+      if (df.columns.contains(measurementCol)) col(measurementCol) else lit("points")
+    val ns =
+      if (df.columns.contains("ts_ns")) col("ts_ns")
+      else unix_micros(col(timeCol)) * lit(1000L)
+    val byType = inFields.groupBy(f => df.schema(f).dataType match {
+      case DoubleType | FloatType               => 'd'
+      case LongType | IntegerType | ShortType   => 'i'
+      case BooleanType                          => 'b'
+      case _                                    => 's'
+    })
+    def fieldMap[T](tpe: Char, cast: String) = byType.get(tpe) match {
+      case Some(fs) => map(fs.flatMap(f => Seq(lit(f), col(f).cast(cast))): _*)
+      case None     => map().cast(s"map<string,$cast>")
+    }
+    val tagMap =
+      if (tagCols.isEmpty) map().cast("map<string,string>")
+      else map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*)
+    val pts = df.select(
+        ns.cast("long").as("_t"), meas.cast("string").as("_n"),
+        tagMap.as("_tg"), fieldMap('d', "double").as("_fd"),
+        fieldMap('i', "long").as("_fi"), fieldMap('s', "string").as("_fs"),
+        fieldMap('b', "boolean").as("_fb"))
+      .as[(Long, String, Map[String, String], Map[String, Double],
+           Map[String, Long], Map[String, String], Map[String, Boolean])]
+      .map { case (t, n, tg, fd, fi, fs, fb) =>
+        UdfProto.ProtoPoint(t, n, "", "", "", Nil, tg, fd, fi, fs, fb, byName = false)
+      }
+    val out = UdfProto.pipePoints(pts, cmd, propsToOptions(props)).toDF()
+    out.select(
+      timestamp_micros(expr("time DIV 1000")).as(timeCol) +:
+        col("name").as(measurementCol) +:
+        (tagCols.map(t => col("tags")(t).as(t)) ++
+          outFields.map(f => coalesce(col("fieldsDouble")(f),
+            col("fieldsInt")(f).cast("double")).as(f))): _*)
+  }
+
+  /** Default property→InitRequest.options mapping for [[protobufUdf]]:
+    * `.size(7)` → option "size" [OptInt 7], typed by the literal. */
+  def defaultUdfOptions(props: Seq[Call]): Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = {
+    import graft.sources.UdfProto._
+    def conv(a: Any): OptVal = a match {
+      case ELit(v)    => conv(v)
+      case b: Boolean => OptBool(b)
+      case l: Long    => OptInt(l)
+      case i: Int     => OptInt(i.toLong)
+      case d: Double  => OptDouble(d)
+      case s: String  => OptString(s)
+      case other      => OptString(other.toString)
+    }
+    props.map(c => c.name -> c.args.map(conv))
+  }
+
   /** A lambda-position argument: an Expr, or a scope-folded constant
     * (e.g. `var t = lambda: 60 * 5` folds to 300) re-wrapped as a literal. */
   private def asExpr(a: Any): Expr = a match {

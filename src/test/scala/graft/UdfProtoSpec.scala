@@ -1,0 +1,379 @@
+package graft
+
+import graft.sources.UdfProto
+import graft.sources.UdfProto._
+
+/** Wire compatibility with the reference's varint-framed udf.proto agent
+  * protocol (udf/agent/udf.proto, udf/agent/io.go). Two layers:
+  *  - golden byte tests pin the proto3 encoding against hand-computed
+  *    wire bytes (and the decoder against adversarial orderings);
+  *  - a REAL child process: a Python stub agent whose codec is an
+  *    INDEPENDENT hand-rolled implementation of the same wire format
+  *    (stdlib only, mirroring the reference's kapacitor/udf/agent.py
+  *    loop: Info → Init → point stream). Two independent codecs
+  *    interoperating over actual pipes is the compatibility proof — a
+  *    framing or field-number mistake on either side breaks the
+  *    handshake or corrupts a field.
+  */
+/** Python stub agent shared by UdfProtoSpec and TickScriptSpec: an
+  * independent stdlib-only implementation of the wire protocol. Modes:
+  * ok (double every float field, tag the point, echo received options),
+  * failinit, senderror. Exits 3 if a point arrives before Init —
+  * pinning the handshake order. */
+object ProtoStubAgent {
+  lazy val path: String = {
+    val src = stubSource
+    val f = java.io.File.createTempFile("graft_udf_agent", ".py")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, src)
+    f.getAbsolutePath
+  }
+  private def stubSource: String = UdfProtoSpec.StubSrc
+}
+
+class UdfProtoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- varint
+
+  test("uvarint round-trips boundary values including 10-byte negatives") {
+    val vals = Seq(0L, 1L, 127L, 128L, 300L, 16383L, 16384L,
+      Int.MaxValue.toLong, Long.MaxValue, -1L, Long.MinValue)
+    vals.foreach { v =>
+      val b = new java.io.ByteArrayOutputStream()
+      UdfProto.writeUvarint(b, v)
+      val in = new java.io.ByteArrayInputStream(b.toByteArray)
+      assert(UdfProto.readUvarintOrEof(in) === v, s"value $v")
+    }
+    // clean EOF before any byte → -1 sentinel
+    assert(UdfProto.readUvarintOrEof(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray)) === -1L)
+    // -1L (all bits set) must be exactly 10 bytes on the wire
+    val b = new java.io.ByteArrayOutputStream()
+    UdfProto.writeUvarint(b, -1L)
+    assert(b.toByteArray.length === 10)
+  }
+
+  // ----------------------------------------------------- golden bytes
+
+  test("Request{point} encodes to the exact proto3 wire bytes") {
+    val p = ProtoPoint(
+      time = 5L, name = "m", database = "", retentionPolicy = "",
+      group = "", dimensions = Nil, tags = Map("h" -> "a"),
+      fieldsDouble = Map("v" -> 1.5), fieldsInt = Map("c" -> 3L),
+      fieldsString = Map.empty, fieldsBool = Map.empty, byName = false)
+    val expectedPoint: Array[Byte] = Array(
+      0x08, 0x05, // field 1 (time) varint 5
+      0x12, 0x01, 0x6d, // field 2 (name) "m"
+      0x3a, 0x06, 0x0a, 0x01, 0x68, 0x12, 0x01, 0x61, // tags {"h":"a"}
+      0x42, 0x0c, 0x0a, 0x01, 0x76, // fieldsDouble {"v":
+      0x11, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xf8, 0x3f, // 1.5 LE}
+      0x4a, 0x05, 0x0a, 0x01, 0x63, 0x10, 0x03 // fieldsInt {"c":3}
+    ).map(_.toByte)
+    assert(UdfProto.encodePoint(p).toSeq === expectedPoint.toSeq)
+    // wrapper: field 17, wire 2 → tag varint 138 = [0x8a, 0x01]
+    val req = UdfProto.encodeRequestPoint(p)
+    assert(req.take(2).toSeq === Seq(0x8a.toByte, 0x01.toByte))
+    assert(req(2) === expectedPoint.length.toByte)
+    assert(req.drop(3).toSeq === expectedPoint.toSeq)
+  }
+
+  test("decoder accepts out-of-order fields, unknown fields, absent map values") {
+    // hand-built Response{point}: name BEFORE time, an unknown varint
+    // field 99 interleaved, a tags entry with no value field (→ "")
+    val point: Array[Byte] = Array(
+      0x12, 0x01, 0x6d, // name "m" first
+      0x98, 0x06, 0x01, // unknown field 99 varint 1 — must be skipped
+      0x3a, 0x03, 0x0a, 0x01, 0x68, // tags entry: key "h", NO value
+      0x08, 0x07 // time 7 last
+    ).map(_.toByte)
+    val resp = new java.io.ByteArrayOutputStream()
+    // wrapper field 17
+    resp.write(0x8a); resp.write(0x01); resp.write(point.length)
+    resp.write(point, 0, point.length)
+    UdfProto.decodeResponse(resp.toByteArray) match {
+      case RPoint(p) =>
+        assert(p.name === "m")
+        assert(p.time === 7L)
+        assert(p.tags === Map("h" -> ""))
+      case other => fail(s"expected RPoint, got $other")
+    }
+    // InitResponse{success=true} and ErrorResponse decode
+    val initOk = Array(0x12, 0x02, 0x08, 0x01).map(_.toByte) // field2{field1=1}
+    assert(UdfProto.decodeResponse(initOk) === RInit(true, ""))
+    val err = Array(0x32, 0x06, 0x0a, 0x04, 'b'.toInt, 'o'.toInt, 'o'.toInt, 'm'.toInt)
+      .map(_.toByte) // field6{field1="boom"}
+    assert(UdfProto.decodeResponse(err) === RError("boom"))
+    // empty InfoResponse (all defaults: wants=STREAM provides=STREAM)
+    val info = Array(0x0a, 0x00).map(_.toByte)
+    assert(UdfProto.decodeResponse(info) === RInfo(0, 0))
+  }
+
+  test("point encode∘decode is identity including negatives and all field maps") {
+    val p = ProtoPoint(
+      time = -1234567890123456789L, name = "cpu", database = "db",
+      retentionPolicy = "rp", group = "host=a", dimensions = Seq("host", "dc"),
+      tags = Map("host" -> "a", "dc" -> "東京"),
+      fieldsDouble = Map("load" -> -0.25, "π" -> math.Pi),
+      fieldsInt = Map("n" -> -42L, "big" -> Long.MaxValue),
+      fieldsString = Map("msg" -> "he said \"hi\"\n"),
+      fieldsBool = Map("up" -> true, "down" -> false),
+      byName = true)
+    assert(UdfProto.decodePoint(UdfProto.encodePoint(p)) === p)
+  }
+
+}
+
+object UdfProtoSpec {
+  private[graft] val StubSrc: String =
+      """import struct, sys
+        |
+        |def read_uvarint(f):
+        |    shift = 0; acc = 0; first = True
+        |    while True:
+        |        b = f.read(1)
+        |        if not b:
+        |            if first: return None
+        |            raise EOFError('mid-varint EOF')
+        |        v = b[0]
+        |        acc |= (v & 0x7f) << shift
+        |        if not (v & 0x80): return acc
+        |        shift += 7; first = False
+        |
+        |class R(object):
+        |    def __init__(self, buf): self.buf = buf; self.pos = 0
+        |    def more(self): return self.pos < len(self.buf)
+        |    def uv(self):
+        |        shift = 0; acc = 0
+        |        while True:
+        |            v = self.buf[self.pos]; self.pos += 1
+        |            acc |= (v & 0x7f) << shift
+        |            if not (v & 0x80): return acc
+        |            shift += 7
+        |    def tag(self):
+        |        t = self.uv(); return t >> 3, t & 7
+        |    def bts(self):
+        |        n = self.uv(); a = self.buf[self.pos:self.pos+n]; self.pos += n; return a
+        |    def s(self): return self.bts().decode('utf-8')
+        |    def f64(self):
+        |        v = struct.unpack('<d', bytes(self.buf[self.pos:self.pos+8]))[0]
+        |        self.pos += 8; return v
+        |    def skip(self, w):
+        |        if w == 0: self.uv()
+        |        elif w == 1: self.pos += 8
+        |        elif w == 2: self.bts()
+        |        elif w == 5: self.pos += 4
+        |        else: raise Exception('wire %d' % w)
+        |
+        |class W(object):
+        |    def __init__(self): self.b = bytearray()
+        |    def uv(self, v):
+        |        v &= (1 << 64) - 1
+        |        while v & ~0x7f: self.b.append((v & 0x7f) | 0x80); v >>= 7
+        |        self.b.append(v)
+        |    def tag(self, f, w): self.uv((f << 3) | w)
+        |    def vi(self, f, v): self.tag(f, 0); self.uv(v)
+        |    def s(self, f, v): self.tag(f, 2); u = v.encode('utf-8'); self.uv(len(u)); self.b += u
+        |    def d(self, f, v): self.tag(f, 1); self.b += struct.pack('<d', v)
+        |    def m(self, f, inner): self.tag(f, 2); self.uv(len(inner)); self.b += bytes(inner)
+        |
+        |def parse_point(buf):
+        |    r = R(buf)
+        |    p = {'time': 0, 'name': '', 'db': '', 'rp': '', 'tags': {},
+        |         'fd': {}, 'fi': {}, 'fs': {}, 'fb': {}}
+        |    while r.more():
+        |        f, w = r.tag()
+        |        if f == 1: p['time'] = r.uv()
+        |        elif f == 2: p['name'] = r.s()
+        |        elif f == 3: p['db'] = r.s()
+        |        elif f == 4: p['rp'] = r.s()
+        |        elif f in (7, 8, 9, 10, 12):
+        |            er = R(r.bts()); k = ''; v = None
+        |            while er.more():
+        |                ef, ew = er.tag()
+        |                if ef == 1: k = er.s()
+        |                elif ef == 2:
+        |                    if f in (7, 10): v = er.s()
+        |                    elif f == 8: v = er.f64()
+        |                    else: v = er.uv()
+        |                else: er.skip(ew)
+        |            if f == 7: p['tags'][k] = v if v is not None else ''
+        |            elif f == 8: p['fd'][k] = v if v is not None else 0.0
+        |            elif f == 9: p['fi'][k] = v if v is not None else 0
+        |            elif f == 10: p['fs'][k] = v if v is not None else ''
+        |            else: p['fb'][k] = bool(v)
+        |        else: r.skip(w)
+        |    return p
+        |
+        |def enc_point(p):
+        |    w = W()
+        |    if p['time']: w.vi(1, p['time'])
+        |    if p['name']: w.s(2, p['name'])
+        |    for k in sorted(p['tags']):
+        |        e = W(); e.s(1, k); e.s(2, p['tags'][k]); w.m(7, e.b)
+        |    for k in sorted(p['fd']):
+        |        e = W(); e.s(1, k); e.d(2, p['fd'][k]); w.m(8, e.b)
+        |    for k in sorted(p['fi']):
+        |        e = W(); e.s(1, k); e.vi(2, p['fi'][k]); w.m(9, e.b)
+        |    for k in sorted(p['fs']):
+        |        e = W(); e.s(1, k); e.s(2, p['fs'][k]); w.m(10, e.b)
+        |    for k in sorted(p['fb']):
+        |        e = W(); e.s(1, k); e.vi(2, 1 if p['fb'][k] else 0); w.m(12, e.b)
+        |    return w.b
+        |
+        |def respond(out, field, inner):
+        |    w = W(); w.m(field, inner)
+        |    lw = W(); lw.uv(len(w.b))
+        |    out.write(bytes(lw.b)); out.write(bytes(w.b)); out.flush()
+        |
+        |def main():
+        |    mode = sys.argv[1] if len(sys.argv) > 1 else 'ok'
+        |    fin = sys.stdin.buffer; fout = sys.stdout.buffer
+        |    inited = False; opt_desc = ''
+        |    while True:
+        |        n = read_uvarint(fin)
+        |        if n is None: break
+        |        buf = fin.read(n)
+        |        r = R(buf)
+        |        f, w = r.tag()
+        |        inner = r.bts() if w == 2 else b''
+        |        if f == 1:
+        |            respond(fout, 1, b'')  # InfoResponse: STREAM/STREAM defaults
+        |        elif f == 2:
+        |            ir = R(inner); parts = []; task = ''
+        |            while ir.more():
+        |                ff, ww = ir.tag()
+        |                if ff == 1 and ww == 2:
+        |                    orr = R(ir.bts()); name = ''; vals = []
+        |                    while orr.more():
+        |                        of, ow = orr.tag()
+        |                        if of == 1: name = orr.s()
+        |                        elif of == 2 and ow == 2:
+        |                            vr = R(orr.bts()); val = None
+        |                            while vr.more():
+        |                                vf, vw = vr.tag()
+        |                                if vf == 2: val = bool(vr.uv())
+        |                                elif vf == 3: val = vr.uv()
+        |                                elif vf == 4: val = vr.f64()
+        |                                elif vf == 5: val = vr.s()
+        |                                elif vf == 6: val = vr.uv()
+        |                                else: vr.skip(vw)
+        |                            vals.append(str(val))
+        |                        else: orr.skip(ow)
+        |                    parts.append(name + '=' + ','.join(vals))
+        |                elif ff == 2 and ww == 2: task = ir.s()
+        |                else: ir.skip(ww)
+        |            opt_desc = ';'.join(parts) + '|' + task
+        |            if mode == 'failinit':
+        |                iw = W(); iw.s(2, 'bad options')
+        |                respond(fout, 2, iw.b)
+        |            else:
+        |                iw = W(); iw.vi(1, 1)
+        |                respond(fout, 2, iw.b)
+        |                inited = True
+        |        elif f == 3:
+        |            respond(fout, 3, inner)
+        |        elif f == 17:
+        |            if not inited: sys.exit(3)
+        |            if mode == 'senderror':
+        |                ew = W(); ew.s(1, 'agent blew up')
+        |                respond(fout, 6, ew.b); sys.exit(0)
+        |            p = parse_point(inner)
+        |            for k in p['fd']: p['fd'][k] = p['fd'][k] * 2.0
+        |            p['tags']['agent'] = 'py'
+        |            p['fs']['opts'] = opt_desc
+        |            respond(fout, 17, enc_point(p))
+        |
+        |main()
+        |""".stripMargin
+}
+
+/** The real-child half: the stub agent (independent codec) driven over
+  * actual pipes by the partition runner. */
+class UdfProtoAgentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stubPath: String = ProtoStubAgent.path
+
+  test("a real protobuf agent child round-trips points through the full handshake") {
+    val pts = (1 to 40).map(i => ProtoPoint(
+      time = i * 1000L, name = "cpu", database = "db", retentionPolicy = "rp",
+      group = "", dimensions = Nil, tags = Map("host" -> s"h${i % 4}"),
+      fieldsDouble = Map("load" -> i * 0.5), fieldsInt = Map("i" -> i.toLong),
+      fieldsString = Map.empty, fieldsBool = Map("up" -> (i % 2 == 0)),
+      byName = false))
+    val ds = spark.createDataset(pts).repartition(3)
+    val out = UdfProto.pipePoints(ds,
+      Seq("python3", "-u", stubPath, "ok"),
+      options = Seq(
+        "field" -> Seq(OptString("load")),
+        "size"  -> Seq(OptInt(7), OptBool(true))),
+      taskId = "t1", nodeId = "udf2")
+      .collect().sortBy(_.time)
+    assert(out.length === 40)
+    out.zip(pts).foreach { case (o, p) =>
+      assert(o.time === p.time)
+      assert(o.fieldsDouble("load") === p.fieldsDouble("load") * 2.0)
+      assert(o.fieldsInt === p.fieldsInt)
+      assert(o.fieldsBool === p.fieldsBool)
+      assert(o.tags === p.tags + ("agent" -> "py"))
+      // the stub echoes the decoded InitRequest back: proves options,
+      // option VALUES (incl. multi-value), and taskID crossed the wire
+      assert(o.fieldsString("opts") === "field=load;size=7,True|t1")
+    }
+  }
+
+  test("pipeLinePoints: the line-protocol bridge runs LinePoints through an agent") {
+    val lines = Seq(
+      """weather,loc=us temp=20.0,n=2i,ok=true,s="x" 1000""",
+      """weather,loc=eu temp=-4.5 2000""").toDS()
+    val parsed = graft.sources.LineProtocol.parse(lines)
+    val out = UdfProto.pipeLinePoints(parsed,
+      Seq("python3", "-u", stubPath, "ok"), database = "mydb")
+      .collect().sortBy(_.timeNs)
+    assert(out.length === 2)
+    assert(out(0).fieldsFloat("temp") === 40.0)
+    assert(out(1).fieldsFloat("temp") === -9.0)
+    assert(out(0).fieldsInt === Map("n" -> 2L))
+    assert(out(0).fieldsBool === Map("ok" -> true))
+    assert(out(0).tags === Map("loc" -> "us", "agent" -> "py"))
+  }
+
+  test("TICKscript |@udf() runs an unmodified protobuf agent with props as InitRequest options") {
+    import graft.tick.TickScript
+    val source = Seq(
+      ("cpu", "a", new java.sql.Timestamp(1000), 1.5),
+      ("cpu", "b", new java.sql.Timestamp(2000), 2.5),
+      ("mem", "a", new java.sql.Timestamp(3000), 9.0))
+      .toDF("measurement", "host", "time", "value")
+    val agent = TickScript.protobufUdf(
+      Seq("python3", "-u", stubPath, "ok"),
+      tagCols = Seq("host"), inFields = Seq("value"), outFields = Seq("value"))
+    val script =
+      """stream
+        ||from().measurement('cpu')
+        ||@pyagent().field('value').size(7)
+        |""".stripMargin
+    val out = TickScript.compile(script, source, udfs = Map("pyagent" -> agent))
+      .select("measurement", "host", "value", "time").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getTimestamp(3).getTime))
+      .sortBy(_._4)
+    // the stub doubles float fields — and received .field()/.size() as
+    // typed InitRequest options (it exits 3 on any handshake violation)
+    assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
+  }
+
+  test("init failure and agent ErrorResponse both fail the task with the message") {
+    val one = spark.createDataset(Seq(ProtoPoint(
+      1L, "m", "", "", "", Nil, Map.empty, Map("v" -> 1.0),
+      Map.empty, Map.empty, Map.empty, byName = false))).coalesce(1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipePoints(one, Seq("python3", "-u", stubPath, "failinit")).collect()
+    }
+    assert(e1.getMessage.contains("init failed") && e1.getMessage.contains("bad options"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipePoints(one, Seq("python3", "-u", stubPath, "senderror")).collect()
+    }
+    assert(e2.getMessage.contains("agent blew up"))
+  }
+}
