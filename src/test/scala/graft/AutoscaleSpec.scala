@@ -106,6 +106,60 @@ class AutoscaleSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PROPERTY: streaming ≡ batch for random sequences under random micro-batch splits") {
+    // the state-store path must be invariant to WHERE the micro-batch
+    // boundaries fall: cooldown timers armed in one batch suppress (or
+    // admit) points in later batches exactly as the single-pass fold
+    // would. Random inputs + random split points hunt the boundary cases
+    // a hand-written example can miss (cooldown expiring exactly at a
+    // batch edge, first-sight seeding mid-stream, equal-desired no-ops).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val incCd = (rnd.nextInt(6) + 1) * s
+      val decCd = (rnd.nextInt(6) + 1) * s
+      val c = cfg(min = 1, max = 8, incCd = incCd, decCd = decCd,
+        repl = (v, _) => math.ceil(v / 10.0).toLong,
+        init = r => (r.hashCode().abs % 3 + 1).toLong)
+      val resources = Seq("a", "b", "c")
+      // strictly increasing per-resource times so fold order is total
+      val all = resources.flatMap { r =>
+        var t = 0L
+        (1 to 12 + rnd.nextInt(8)).map { _ =>
+          t += (rnd.nextInt(3) + 1) * s // 1-3s gaps vs 1-6s cooldowns
+          AutoscalePoint(r, t, rnd.nextInt(90).toDouble)
+        }
+      }
+      // arrival order: time-interleaved across resources, but each
+      // resource's own points stay in time order — the streaming
+      // contract (within a batch the group re-sorts; ACROSS batches
+      // later points must not precede earlier ones, same as any
+      // at-least-ordered ingestion)
+      val shuffled = all.sortBy(p => (p.timeUs, p.resource))
+      // 2-4 random batch slices
+      val nSplits = 1 + rnd.nextInt(3)
+      val cuts = (Seq(0, shuffled.length) ++
+        Seq.fill(nSplits)(rnd.nextInt(shuffled.length + 1))).distinct.sorted
+      val name = s"as_prop_$trial"
+      val ms = MemoryStream[AutoscalePoint]
+      val q = runStreaming(ms.toDS(), c).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      try {
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { ms.addData(shuffled.slice(a, b)); q.processAllAvailable() }
+        }
+        val streamed = spark.table(name).as[ScaleEvent].collect()
+          .sortBy(e => (e.resource, e.timeUs)).toSeq
+        val batch = runBatch(all.toDS(), c).collect()
+          .sortBy(e => (e.resource, e.timeUs)).toSeq
+        assert(streamed === batch,
+          s"trial $trial (incCd=${incCd / s}s decCd=${decCd / s}s cuts=$cuts)")
+        assert(batch.nonEmpty, s"trial $trial produced no events — weak input")
+      } finally q.stop()
+    }
+  }
+
   test("TICKscript k8sAutoscale(): lambda, min/max props, cooldown, resource tag") {
     import java.sql.Timestamp
     val source = Seq(
