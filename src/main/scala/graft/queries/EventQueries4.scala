@@ -442,6 +442,42 @@ object EventQueries4 {
               event_type, value, epoch_us(ts) // 1000 AS time_ms
        FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  /** q_scrape_schedule: the scrape LOOP as schedule-as-data
+    * (sources/ScrapeScheduler.schedule; reference services/scraper/
+    * service.go:246-320 + config.go:33 scrape-interval): targets derived
+    * from `nation`, one row per (target, tick) over [0, 3600) with the
+    * h60(url)-mod-interval phase stagger. The oracle restates the grid
+    * with generate-range + the md5-prefix hash — the whole scheduling
+    * loop is verifiable arithmetic, leaving only the HTTP GET as I/O. */
+  def scrapeScheduleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val targets = nation.select(
+        col("n_name").as("job"),
+        concat(lit("http://"), col("n_name"), lit(":9100/metrics")).as("url"),
+        lit("mydb").as("db"), lit("autogen").as("rp"),
+        (lit(30L) + (col("n_nationkey") % 4).cast("long") * 30L).as("intervalS"),
+        lit(true).as("enabled"))
+      .as[graft.sources.ScrapeScheduler.ScrapeTarget]
+    graft.sources.ScrapeScheduler.schedule(targets, 0L, 3600L)
+      .select(col("job"), col("url"), col("intervalS").as("interval_s"),
+        col("tick_s"))
+      .orderBy("job", "tick_s")
+  }
+  val scrapeScheduleSql: String =
+    """WITH t AS (
+       SELECT n_name AS job,
+              'http://' || n_name || ':9100/metrics' AS url,
+              CAST(30 + (n_nationkey % 4) * 30 AS BIGINT) AS interval_s
+       FROM nation),
+       ph AS (
+       SELECT job, url, interval_s,
+              ('0x' || substr(md5(url), 1, 15))::BIGINT % interval_s AS phase
+       FROM t)
+       SELECT job, url, interval_s,
+              CAST(unnest(range(phase, 3600, interval_s)) AS BIGINT) AS tick_s
+       FROM ph ORDER BY job, tick_s""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------------- autoscale
 
   /** q_autoscale: the autoscale FSM (streaming/AutoscaleStream, reference

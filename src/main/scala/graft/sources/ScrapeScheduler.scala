@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The scrape LOOP as schedule-as-data — the in-engine half of the
+  * reference's scraper service (services/scraper/service.go:246-320 +
+  * config.go:16-71, which delegate to the embedded Prometheus scrape
+  * manager): WHICH target to fetch WHEN becomes a DataFrame, and the HTTP
+  * GET itself stays an injectable per-partition transport, the same seam
+  * as the alert-handler runners and `AutoscaleStream.applyEvents`. This
+  * shrinks the scraper non-goal to pure I/O: discovery is anything that
+  * writes rows to the targets frame (file export, k8s API dump, service
+  * registry), and a fetcher is one function.
+  *
+  * Semantics mirrored from the Prometheus model the reference embeds:
+  *  - per-config `scrape-interval` (config.go:33, default 1m);
+  *  - per-target PHASE STAGGER: each target's ticks are offset within the
+  *    interval by a hash of its identity, exactly why Prometheus's scrape
+  *    pool doesn't fire every target at t≡0 (mod interval) — at 10⁶
+  *    targets the stagger is load-shaping, not cosmetics. The offset here
+  *    is the repo-wide md5-derived h60 mod interval, deterministic and
+  *    oracle-restatable;
+  *  - scraped samples get the `job` label encoded `db|rp|name`
+  *    (config.go:121-134 encodeJobName) and flow through the SAME
+  *    [[PrometheusScrape.toPointFrame]] decode path as any other
+  *    exposition payload — blacklist, NaN drop, missing-timestamp default
+  *    (the scrape tick time, like the Prometheus scrape loop's wall time).
+  *
+  * Scale shape: the schedule is `sequence()` + `explode` — a generated
+  * relation, no driver loop, no shuffle; a day of ticks for 10⁶ targets
+  * is produced partition-locally and prunes by any pushed time filter.
+  * Fetches run one partition at a time on executors
+  * (`spark.sparkContext` never involved); a slow endpoint stalls its
+  * task, not the schedule.
+  */
+object ScrapeScheduler {
+
+  /** One scrape config × discovered target pair (the reference's
+    * Pair(Scraper, Discoverer) flattened, service.go:399-431).
+    * `intervalS` per config; db/rp route the points like `[scraper]`
+    * TOML (config.go:16-44). */
+  case class ScrapeTarget(
+      job: String,
+      url: String,
+      db: String,
+      rp: String,
+      intervalS: Long,
+      enabled: Boolean = true)
+
+  /** The tick grid: one row per (target, tick_s) over [startS, stopS),
+    * tick_s ≡ h60(url) (mod intervalS). Columns: job, url, db, rp,
+    * intervalS, tick_s. */
+  def schedule(targets: Dataset[ScrapeTarget], startS: Long, stopS: Long): DataFrame = {
+    require(stopS >= startS, s"stop $stopS before start $startS")
+    val t = targets.filter(col("enabled") && col("intervalS") > 0).toDF()
+    val offset = pmod(graft.llm.TextOps.h60(col("url")), col("intervalS"))
+    // first tick ≥ startS in the target's phase
+    val first = lit(startS) + pmod(offset - lit(startS), col("intervalS"))
+    t.withColumn("tick_s",
+        explode(when(first < lit(stopS),
+            sequence(first, lit(stopS - 1), col("intervalS")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("enabled")
+  }
+
+  /** Run the fetch seam over a schedule and parse results into the
+    * canonical point frame. `fetch(url, tickS)` returns the exposition
+    * text lines of one scrape (an HTTP GET in production; any fake in
+    * tests — the parse, job encode/decode, blacklist, and timestamping
+    * are what the engine owns). Samples without an explicit timestamp
+    * default to the tick time, like the scrape loop stamping wall time. */
+  def runScrapes(
+      sched: DataFrame,
+      fetch: (String, Long) => Seq[String],
+      blacklist: Map[String, Set[String]] = Map.empty): DataFrame = {
+    val spark = sched.sparkSession
+    import spark.implicits._
+    val f = fetch // serializable capture
+    val samples = sched.select(
+        col("url"), col("job"), col("db"), col("rp"), col("tick_s"))
+      .as[(String, String, String, String, Long)]
+      .flatMap { case (url, job, db, rp, tick) =>
+        f(url, tick).iterator.flatMap(PrometheusScrape.parseLine).map { s =>
+          // encodeJobName (config.go:121-134): the scraper stamps the
+          // pipe-encoded job label; toPointFrame decodes it back
+          s.copy(
+            labels = s.labels + ("job" -> s"$db|$rp|$job"),
+            timeMs = s.timeMs.orElse(Some(tick * 1000L)))
+        }
+      }
+    PrometheusScrape.toPointFrame(samples, defaultTimeMs = 0L, blacklist = blacklist)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.ScrapeScheduler
+import graft.sources.ScrapeScheduler.ScrapeTarget
+import org.apache.spark.sql.functions._
+
+/** Schedule-as-data scrape loop (reference services/scraper +
+  * config.go): the tick grid, per-target phase stagger, and the
+  * fetch-seam → exposition-parse → job-decode round trip. */
+class ScrapeSchedulerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val targets = Seq(
+    ScrapeTarget("node", "http://h1:9100/metrics", "db", "rp", 60L),
+    ScrapeTarget("node", "http://h2:9100/metrics", "db", "rp", 60L),
+    ScrapeTarget("app", "http://h3:8080/metrics", "db2", "rp2", 30L),
+    ScrapeTarget("off", "http://h4:9100/metrics", "db", "rp", 60L, enabled = false))
+
+  test("tick grid: per-config interval, hash-phase stagger, range bounds") {
+    val sched = ScrapeScheduler.schedule(targets.toDS(), 0L, 180L)
+      .select("job", "url", "intervalS", "tick_s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // disabled target contributes nothing
+    assert(!sched.exists(_._2.contains("h4")))
+    val byUrl = sched.groupBy(_._2).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    // 180s / 60s = 3 ticks; 180s / 30s = 6 ticks — regardless of phase
+    assert(byUrl("http://h1:9100/metrics").size === 3)
+    assert(byUrl("http://h2:9100/metrics").size === 3)
+    assert(byUrl("http://h3:8080/metrics").size === 6)
+    byUrl.foreach { case (url, ticks) =>
+      val interval = sched.find(_._2 == url).get._3
+      // consecutive ticks exactly one interval apart, all in [0, 180)
+      assert(ticks.zip(ticks.tail).forall { case (a, b) => b - a == interval })
+      assert(ticks.forall(t => t >= 0 && t < 180))
+      // the phase IS h60(url) mod interval — deterministic stagger
+      val expectedPhase = java.lang.Long.remainderUnsigned(
+        graft.llm.TextOps.jvmH60(url), interval)
+      assert(ticks.forall(t => t % interval == expectedPhase), url)
+    }
+    // the two same-interval node targets landed on different phases
+    assert(byUrl("http://h1:9100/metrics").head !=
+      byUrl("http://h2:9100/metrics").head)
+  }
+
+  test("empty range and never-firing windows yield zero rows, not errors") {
+    assert(ScrapeScheduler.schedule(targets.toDS(), 100L, 100L).count() === 0)
+    // a window narrower than any phase slot can still be empty
+    val one = Seq(ScrapeTarget("j", "http://x/metrics", "d", "r", 3600L)).toDS()
+    val n = ScrapeScheduler.schedule(one, 0L, 10L).count()
+    assert(n <= 1)
+  }
+
+  test("fetch seam round-trip: job encode/decode, tick-time default, blacklist") {
+    // deterministic fake fetcher: each (url, tick) yields one sample with
+    // an explicit ms timestamp and one without (→ defaults to tick time),
+    // plus an instance label derived from the url
+    val fetch = (url: String, tick: Long) => {
+      val host = url.stripPrefix("http://").takeWhile(_ != ':')
+      Seq(
+        s"""up{instance="$host"} 1 ${tick * 1000 + 5}""",
+        s"""cpu_load{instance="$host",core="0"} ${tick / 10.0}""")
+    }
+    val sched = ScrapeScheduler.schedule(targets.toDS(), 0L, 120L)
+    val pts = ScrapeScheduler.runScrapes(sched, fetch,
+      blacklist = Map("app" -> Set("h3")))
+    val rows = pts.selectExpr("measurement", "db", "rp", "job",
+        "tags['instance']", "value", "time_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getDouble(5), r.getLong(6)))
+    // app/h3 is blacklisted entirely; node targets survive
+    assert(rows.nonEmpty && !rows.exists(_._5 == "h3"))
+    assert(rows.forall(r => r._2 == "db" && r._3 == "rp" && r._4 == "node"))
+    // explicit timestamps kept; timestampless samples stamped tick*1000
+    val ups = rows.filter(_._1 == "up")
+    val loads = rows.filter(_._1 == "cpu_load")
+    assert(ups.forall(r => r._7 % 1000 == 5))
+    assert(loads.forall(r => r._7 % 1000 == 0 && r._6 == (r._7 / 1000) / 10.0))
+    // volume: 2 node targets x 2 ticks each in [0,120) x 2 samples, minus nothing
+    assert(rows.length === 2 * 2 * 2)
+  }
+}
