@@ -1315,6 +1315,15 @@ object TickScript {
               }
           val sp = st.pipe.df.sparkSession
           import sp.implicits._
+          // the replay-bounds min/max below is a batch job; on a
+          // streaming frame it would surface as Spark's generic
+          // "streaming sources must be executed with writeStream" —
+          // refuse with the actual reason and the supported path
+          require(!st.pipe.df.isStreaming,
+            "queryFlux compiles its schedule from the source's observed " +
+              "time range (the batch replay convention) and cannot run on " +
+              "a streaming frame; run the flux SQL over a batch source, or " +
+              "express the pipeline with stream|from() nodes")
           val fSrc = st.pipe.df
             .withColumn("time_us", unix_micros(col(st.pipe.timeCol)))
           // Replay-bounds convention: the observed data range seeds the

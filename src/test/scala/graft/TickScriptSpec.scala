@@ -1361,6 +1361,19 @@ class TickScriptSpec extends SparkSpec {
       .exists(_.name.startsWith("__graft_flux_")), "queryFlux leaked temp views")
   }
 
+  test("queryFlux refuses a streaming source with the actual reason") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val streamDf = ms.toDS().toDF("measurement", "time", "value")
+    val e = intercept[IllegalArgumentException] {
+      TickScript.compile(
+        "batch\n|queryFlux('SELECT * FROM __source').period(60s).every(60s)\n",
+        streamDf)
+    }
+    assert(e.getMessage.contains("cannot run on a streaming frame"))
+  }
+
   test("queryFlux over an empty source compiles to an empty frame with the query schema") {
     // reference behavior: an empty range schedules zero batches — not a
     // compile error (pipeline/batch.go loops over zero ticks)

@@ -363,6 +363,31 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
   }
 
+  test("streaming micro-batches spawn one agent per partition per batch, output ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val pts = (1 to 30).map(i => ProtoPoint(
+      time = i * 1000L, name = "cpu", database = "", retentionPolicy = "",
+      group = "", dimensions = Nil, tags = Map("host" -> s"h${i % 3}"),
+      fieldsDouble = Map("v" -> i * 1.5), fieldsInt = Map.empty,
+      fieldsString = Map.empty, fieldsBool = Map.empty, byName = false))
+    val ms = MemoryStream[ProtoPoint]
+    val q = UdfProto.pipePoints(ms.toDS(), Seq("python3", "-u", stubPath, "ok"))
+      .writeStream.format("memory").queryName("udfproto_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(pts.take(12)); q.processAllAvailable()
+      ms.addData(pts.drop(12)); q.processAllAvailable()
+      val streamed = spark.table("udfproto_par").as[ProtoPoint].collect()
+        .sortBy(_.time)
+      val batch = UdfProto.pipePoints(
+        spark.createDataset(pts), Seq("python3", "-u", stubPath, "ok"))
+        .collect().sortBy(_.time)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(batch.length === 30 && batch.head.fieldsDouble("v") === 3.0)
+    } finally q.stop()
+  }
+
   test("init failure and agent ErrorResponse both fail the task with the message") {
     val one = spark.createDataset(Seq(ProtoPoint(
       1L, "m", "", "", "", Nil, Map.empty, Map("v" -> 1.0),
