@@ -74,4 +74,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shard-key exchange, got $exchanges:\n${p.take(1200)}")
     assert(p.contains("hashpartitioning(source"), "window not partitioned on the shard key")
   }
+
+  test("ScrapeScheduler.schedule is generator-only: no Exchange, no driver loop") {
+    import spark.implicits._
+    val targets = (0 until 100).map(i => graft.sources.ScrapeScheduler.ScrapeTarget(
+      s"job$i", s"http://t$i:9100/metrics", "db", "rp", 30L + (i % 4) * 30L)).toDS()
+    val p = plan(graft.sources.ScrapeScheduler.schedule(targets, 0L, 86400L))
+    assert(!p.contains("Exchange"), s"schedule grid shuffles:\n${p.take(1200)}")
+    assert(p.contains("Generate"), "tick grid not produced by a generator")
+  }
 }
