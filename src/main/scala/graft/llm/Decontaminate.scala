@@ -66,4 +66,104 @@ object Decontaminate {
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
   }
+
+  /** Span-level ("surgical") decontamination — instead of dropping a
+    * contaminated document wholesale, cut out the contaminated token
+    * spans and keep the clean fragments (the Llama-style appendix
+    * treatment: a long document sharing one benchmark passage loses the
+    * passage, not its other 50k tokens). Output one row per surviving
+    * fragment: (idCol, frag_idx, frag_text, n_tok), where clean documents
+    * pass through as fragment 0 and fragments are in the repo-wide
+    * NORMALIZED token space (lowercased, whitespace-collapsed — the same
+    * tokenization every scorer here uses).
+    *
+    * Semantics: a document is contaminated when [[contamination]] flags
+    * it (≥ `minOverlap` distinct shared n-grams with some benchmark doc);
+    * in a contaminated document every token covered by ANY benchmark-
+    * shared n-gram — widened by `margin` tokens each side — is removed,
+    * and each maximal clean run of ≥ `minKeepTokens` tokens survives as
+    * a fragment, numbered in document order.
+    *
+    * Scale shape: the corpus-wide work stays the [[contamination]] pass
+    * (fused distinct-gram expression + broadcast bench join). Only the
+    * CONTAMINATED documents — contamination volume, not corpus volume —
+    * take the positional path: per-position gram hashes, a broadcast
+    * join against the bench gram set, one groupBy(id) for the bad
+    * position list, then pure per-row column folds (coverage mask,
+    * gaps-and-islands run building) with no further shuffle. Clean
+    * documents rejoin via one broadcast anti-join. */
+  def decontaminateSpans(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      margin: Int = 0,
+      minKeepTokens: Int = 1,
+      minOverlap: Long = 1L,
+      maxGramDf: Long = Long.MaxValue): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    require(margin >= 0, "margin must be >= 0")
+    require(minKeepTokens >= 1, "minKeepTokens must be >= 1")
+    val spark = docs.sparkSession
+    val contIds = contamination(docs, bench, idCol, textCol, n, minOverlap, maxGramDf)
+      .select(col("doc_id").as(idCol)).distinct()
+    // bench gram SET (distinct across the whole benchmark, df-capped like
+    // contamination's join side)
+    val fn = graft.expressions.ShingleHashes.register(
+      spark, n, distinct = true, wholeDocIfShort = false)
+    val bgPerDoc = bench.select(col(idCol).as("bench_id"),
+      explode(call_function(fn, col(textCol))).as("gram"))
+    val bg = (if (maxGramDf == Long.MaxValue) bgPerDoc
+      else bgPerDoc.join(
+        bgPerDoc.groupBy("gram").agg(count(lit(1)).as("__bdf"))
+          .filter(col("__bdf") <= maxGramDf).select("gram"),
+        "gram")).select("gram").distinct()
+    val toks = TextOps.tokens(col(textCol))
+    // positional path: contaminated docs only
+    val cd = docs.join(broadcast(contIds), Seq(idCol))
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("ntok", size(col("toks")))
+    val posGrams = cd
+      .filter(col("ntok") >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(1, ntok - ${n - 1}), i -> named_struct(
+            'pos', i,
+            'gram', CAST(conv(substring(md5(array_join(slice(toks, i, $n), ' ')), 1, 15), 16, 10) AS BIGINT)))"""))
+        .as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val badPos = posGrams.join(broadcast(bg), "gram")
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("badPos"))
+    // token t is removed iff some bad gram start p covers it (with margin)
+    val cleanPos = filter(sequence(lit(1), col("ntok")),
+      t => !exists(col("badPos"),
+        p => t >= p - margin && t <= p + lit(n - 1 + margin)))
+    // gaps-and-islands as one fold: runs of consecutive clean positions
+    val runs = aggregate(col("cleanPos"),
+      expr("CAST(array() AS array<struct<s: INT, l: INT>>)"),
+      (acc, t) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && last.getField("s") + last.getField("l") === t,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              (last.getField("l") + 1).as("l")))))
+          .otherwise(concat(acc,
+            array(struct(t.as("s"), lit(1).as("l")))))
+      })
+    val fragged = cd.join(badPos, Seq(idCol))
+      .withColumn("cleanPos", cleanPos)
+      .withColumn("runs", runs)
+      .select(col(idCol), col("toks"),
+        posexplode(filter(col("runs"), r => r.getField("l") >= minKeepTokens))
+          .as(Seq("frag_idx", "r")))
+      .select(col(idCol), col("frag_idx").cast("long").as("frag_idx"),
+        array_join(slice(col("toks"), col("r.s"), col("r.l")), " ").as("frag_text"),
+        col("r.l").cast("long").as("n_tok"))
+    val cleanDocs = docs.join(broadcast(contIds), Seq(idCol), "left_anti")
+      .select(col(idCol), lit(0L).as("frag_idx"),
+        array_join(toks, " ").as("frag_text"),
+        size(toks).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= minKeepTokens)
+    fragged.unionByName(cleanDocs)
+  }
 }

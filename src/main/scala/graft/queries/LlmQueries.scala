@@ -171,6 +171,59 @@ object LlmQueries {
        GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2"""
       .replaceAll("\\s+", " ")
 
+  /** q_decontaminate_spans: span-level decontamination
+    * (Decontaminate.decontaminateSpans) — contaminated docs (same %97
+    * bench split and ≥3-of-3-grams threshold as q_decontaminate) lose the
+    * tokens covered by any bench-shared 3-gram widened by margin 1; clean
+    * runs of ≥3 tokens survive as numbered fragments; clean docs pass
+    * through whole. The oracle restates the whole surgery — positional
+    * gram hashes, coverage mask, gaps-and-islands runs — in DuckDB. */
+  def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.llm.Decontaminate.decontaminateSpans(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, margin = 1, minKeepTokens = 3, minOverlap = 3L)
+      .orderBy("doc_id", "frag_idx")
+  }
+  val decontaminateSpansSql: String =
+    // coverage window [p - margin, p + n - 1 + margin] = [p-1, p+3];
+    // islands via the t - row_number() gaps trick, same run numbering as
+    // the Spark fold (document order)
+    s"""WITH $tokSql,
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
+       pg AS (SELECT doc_id, i, ${h60sql("array_to_string(toks[i:i+2], ' ')")} AS gram FROM pos),
+       g AS (SELECT DISTINCT doc_id, gram FROM pg),
+       cont AS (SELECT DISTINCT d.doc_id
+                FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) d
+                JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (gram)
+                GROUP BY d.doc_id, b.doc_id HAVING count(*) >= 3),
+       bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       bad AS (SELECT DISTINCT p.doc_id, p.i AS p
+               FROM pg p JOIN cont USING (doc_id) JOIN bg USING (gram)),
+       tkn AS (SELECT t.doc_id, unnest(range(1, len(t.toks) + 1)) AS t
+               FROM tok t JOIN (SELECT DISTINCT doc_id FROM bad) USING (doc_id)),
+       cl AS (SELECT k.doc_id, k.t FROM tkn k
+              WHERE NOT EXISTS (SELECT 1 FROM bad c
+                WHERE c.doc_id = k.doc_id AND k.t BETWEEN c.p - 1 AND c.p + 3)),
+       isl AS (SELECT doc_id, t,
+                      t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+               FROM cl),
+       fr AS (SELECT doc_id, min(t) AS s, count(*) AS l
+              FROM isl GROUP BY doc_id, grp HAVING count(*) >= 3),
+       frag AS (SELECT f.doc_id,
+                       CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.s) - 1 AS BIGINT) AS frag_idx,
+                       array_to_string(t.toks[f.s:f.s + f.l - 1], ' ') AS frag_text,
+                       CAST(f.l AS BIGINT) AS n_tok
+                FROM fr f JOIN tok t USING (doc_id)),
+       clean AS (SELECT doc_id, CAST(0 AS BIGINT) AS frag_idx,
+                        array_to_string(toks, ' ') AS frag_text,
+                        CAST(len(toks) AS BIGINT) AS n_tok
+                 FROM tok WHERE doc_id % 97 <> 0
+                   AND doc_id NOT IN (SELECT doc_id FROM cont)
+                   AND len(toks) >= 3)
+       SELECT * FROM frag UNION ALL SELECT * FROM clean
+       ORDER BY doc_id, frag_idx""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------- embedding near-dup
 
   /** DuckDB fragments for left-fold dot/norm matching Similarity exactly. */

@@ -291,6 +291,48 @@ class LlmSpec extends SparkSpec {
     assert(capped == 0L)
   }
 
+  test("span decontamination cuts the contaminated span, keeps clean fragments") {
+    // n=3, bench grams = {the quick brown, quick brown fox}; docA's bad
+    // starts {3,4} cover tokens 3..6 → fragments "aa bb" + "cc dd"; docB
+    // is clean → whole doc as fragment 0; docC IS the benchmark text →
+    // fully covered, zero fragments
+    val bench = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "aa bb the quick brown fox cc dd"),
+      (11L, "xx yy zz"),
+      (12L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Decontaminate
+      .decontaminateSpans(docs, bench, "doc_id", "text",
+        n = 3, margin = 0, minKeepTokens = 2, minOverlap = 1L)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (10L, 0L, "aa bb", 2L),
+      (10L, 1L, "cc dd", 2L),
+      (11L, 0L, "xx yy zz", 3L)))
+    // margin=1 widens coverage to tokens 2..7: the 1-token remnants fall
+    // under minKeepTokens=2 and docA vanishes entirely...
+    val margined = graft.llm.Decontaminate
+      .decontaminateSpans(docs, bench, "doc_id", "text",
+        n = 3, margin = 1, minKeepTokens = 2, minOverlap = 1L)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(margined === Seq((11L, 0L, "xx yy zz", 3L)))
+    // ...but survives as two 1-token fragments at minKeepTokens=1
+    val loose = graft.llm.Decontaminate
+      .decontaminateSpans(docs, bench, "doc_id", "text",
+        n = 3, margin = 1, minKeepTokens = 1, minOverlap = 1L)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(loose === Seq(
+      (10L, 0L, "aa", 1L), (10L, 1L, "dd", 1L), (11L, 0L, "xx yy zz", 3L)))
+    // a minOverlap above the shared-gram count leaves the doc untouched
+    val strict = graft.llm.Decontaminate
+      .decontaminateSpans(docs, bench, "doc_id", "text",
+        n = 3, margin = 0, minKeepTokens = 1, minOverlap = 5L)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(strict.map(_._1).distinct === Seq(10L, 11L, 12L))
+    assert(strict.forall(_._2 == 0L)) // every doc whole
+  }
+
   test("driver union-find path equals the distributed star labels on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.tabulate(300)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
