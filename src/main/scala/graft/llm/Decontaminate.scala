@@ -120,8 +120,10 @@ object Decontaminate {
           .filter(col("__bdf") <= maxGramDf).select("gram"),
         "gram")).select("gram").distinct()
     val toks = TextOps.tokens(col(textCol))
-    // positional path: contaminated docs only
-    val cd = docs.join(broadcast(contIds), Seq(idCol))
+    // positional path: contaminated docs only. The id set is usually tiny
+    // (contamination volume) but is NOT bounded by construction — no
+    // forced broadcast; AQE broadcasts it when it is in fact small.
+    val cd = docs.join(contIds, Seq(idCol))
       .select(col(idCol), toks.as("toks"))
       .withColumn("ntok", size(col("toks")))
     val posGrams = cd
@@ -159,7 +161,7 @@ object Decontaminate {
       .select(col(idCol), col("frag_idx").cast("long").as("frag_idx"),
         array_join(slice(col("toks"), col("r.s"), col("r.l")), " ").as("frag_text"),
         col("r.l").cast("long").as("n_tok"))
-    val cleanDocs = docs.join(broadcast(contIds), Seq(idCol), "left_anti")
+    val cleanDocs = docs.join(contIds, Seq(idCol), "left_anti")
       .select(col(idCol), lit(0L).as("frag_idx"),
         array_join(toks, " ").as("frag_text"),
         size(toks).cast("long").as("n_tok"))
