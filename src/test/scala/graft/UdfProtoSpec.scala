@@ -363,6 +363,47 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
   }
 
+  test("fuzz: 200 nasty points survive the independent-codec agent round trip") {
+    // protobuf strings are length-delimited: embedded newlines, quotes,
+    // backslashes and multibyte text need NO escaping — the exact
+    // payloads the line-protocol bridge must escape. Round-trip them
+    // through the Python stub (independent codec) and assert identity
+    // modulo the stub's documented transforms (doubles x2, +agent tag,
+    // +opts string field).
+    val nasty = "a\nb\t\"c\"\\d,e=f 漢字 π end"
+    val rnd = new scala.util.Random(14L)
+    def rs(): String = (0 until rnd.nextInt(12)).map(_ => nasty(rnd.nextInt(nasty.length))).mkString
+    val pts = (1 to 200).map { i =>
+      ProtoPoint(
+        time = rnd.nextLong(), name = "m" + rs(), database = rs(),
+        retentionPolicy = rs(), group = rs(),
+        dimensions = (0 until rnd.nextInt(3)).map(_ => rs()),
+        tags = (0 until rnd.nextInt(3)).map(j => s"t$j" -> rs()).toMap,
+        fieldsDouble = Map("v" -> (rnd.nextDouble() * 2e6 - 1e6)),
+        fieldsInt = Map("i" -> rnd.nextLong()),
+        fieldsString = Map("s" -> rs()),
+        fieldsBool = Map("b" -> rnd.nextBoolean()),
+        byName = rnd.nextBoolean())
+    }
+    // codec-level identity first (no child involved)
+    pts.foreach(p => assert(UdfProto.decodePoint(UdfProto.encodePoint(p)) === p))
+    // then through the live stub; key on fieldsInt("i") + index-stable time
+    val indexed = pts.zipWithIndex.map { case (p, i) => p.copy(time = i.toLong + 1) }
+    val out = UdfProto.pipePoints(
+        spark.createDataset(indexed).repartition(4),
+        Seq("python3", "-u", stubPath, "ok"))
+      .collect().sortBy(_.time)
+    assert(out.length === 200)
+    out.zip(indexed).foreach { case (o, p) =>
+      assert(o.name === p.name)
+      assert(o.tags === p.tags + ("agent" -> "py"))
+      assert(o.fieldsInt === p.fieldsInt)
+      assert(o.fieldsBool === p.fieldsBool)
+      assert(o.fieldsString("s") === p.fieldsString("s"))
+      assert(o.fieldsDouble("v") === p.fieldsDouble("v") * 2.0)
+    }
+  }
+
   test("streaming micro-batches spawn one agent per partition per batch, output ≡ batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
