@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Tunables with C4/CCNet-flavored defaults. `benchmark` enables the
-    * decontamination stage; `mixRates` the per-domain downsampling. */
+    * decontamination stage; `mixRates` the per-domain downsampling.
+    * `scrubSpans` switches decontamination from whole-document dropping
+    * to span surgery (Decontaminate.decontaminateSpans): a contaminated
+    * document survives with its benchmark-shared spans removed (fragments
+    * rejoined with single spaces — the normalized token space every later
+    * stage already works in), and drops only when nothing ≥
+    * `minFragTokens` survives. */
   case class CurationConfig(
       langs: Set[String] = Set("en"),
       requireC4Keep: Boolean = true,
@@ -29,6 +35,9 @@ object Pipeline {
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 3,
       minOverlap: Long = 3L,
+      scrubSpans: Boolean = false,
+      spanMargin: Int = 0,
+      minFragTokens: Int = 1,
       mixRates: Map[String, Double] = Map.empty,
       defaultMixRate: Double = 1.0,
       seqLen: Int = 512,
@@ -113,9 +122,33 @@ object Pipeline {
         exactKept.join(drop, Seq(idCol), "left_anti")
       }
     })
-    // stage 6: benchmark decontamination
+    // stage 6: benchmark decontamination — drop whole docs, or (scrub
+    // mode) cut only the contaminated spans and keep the rest
+    var scrubNTok: Option[DataFrame] = None
     val decon = tap("decontaminated", cfg.benchmark match {
       case None => nearKept
+      case Some(bench) if cfg.scrubSpans =>
+        val frags = Decontaminate.decontaminateSpans(
+          nearKept, bench, idCol, textCol,
+          n = cfg.contaminationN, margin = cfg.spanMargin,
+          minKeepTokens = cfg.minFragTokens, minOverlap = cfg.minOverlap)
+        // reassemble per doc in fragment order; docs with zero surviving
+        // fragments vanish via the inner join. This checkpoint carries
+        // scrubbed text (not just ids) — the scrub genuinely rewrites
+        // the column, so there is no narrower frame to pin.
+        val re = surv(frags.groupBy(idCol).agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("frag_idx"), col("frag_text")))),
+              s => s.getField("frag_text")),
+            " ").as("__scrub_text"),
+          sum("n_tok").cast("long").as("__scrub_ntok")))
+        // fragment token counts are exact for the rejoined text (single-
+        // space joins in normalized token space), so packing can reuse
+        // them instead of re-tokenizing the scrubbed corpus
+        scrubNTok = Some(re.select(col(idCol), col("__scrub_ntok").as("n_tok")))
+        nearKept.drop(textCol)
+          .join(re.select(col(idCol), col("__scrub_text").as(textCol)), Seq(idCol))
       case Some(bench) =>
         val bad = surv(Decontaminate.contamination(nearKept, bench, idCol, textCol,
           n = cfg.contaminationN, minOverlap = cfg.minOverlap)
@@ -128,14 +161,14 @@ object Pipeline {
       else Mix.stratifiedSample(decon, idCol, shardCol, cfg.mixRates, cfg.defaultMixRate)
     })
     // stage 8: pack into fixed token sequences per shard — token counts
-    // come from the shared tokens frame when it exists (an id equi-join
-    // against the checkpointed frame, no re-tokenize)
-    tap("packed", toksF match {
-      case Some(tf) =>
+    // come from the scrub stage when it ran (it rewrote the text, so the
+    // shared tokens frame is stale for scrubbed docs), else from the
+    // shared tokens frame; both are id equi-joins, no re-tokenize
+    tap("packed", scrubNTok.orElse(
+      toksF.map(tf => tf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok")))) match {
+      case Some(counts) =>
         Mix.packSequencesCounted(
-          mixed.select(col(idCol), col(shardCol)).join(
-            tf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok")),
-            Seq(idCol)),
+          mixed.select(col(idCol), col(shardCol)).join(counts, Seq(idCol)),
           idCol, shardCol, "n_tok", cfg.seqLen)
       case None => Mix.packSequences(mixed, idCol, textCol, shardCol, cfg.seqLen)
     })

@@ -703,6 +703,42 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("Pipeline.curate scrub mode keeps a contaminated doc minus its benchmark span") {
+    // doc 7 embeds the benchmark passage between clean halves; drop mode
+    // loses all of doc 7, scrub mode keeps both halves and packs with
+    // the REDUCED token count
+    val cleanA = "aa bb cc dd ee ff gg hh"
+    val cleanB = "pp qq rr ss tt uu vv ww"
+    val benchSpan = "the held out benchmark sentence lives here verbatim"
+    val rows = Seq(
+      (4L, "web", "a solid paragraph of useful english text is here written in full sentences for the reader."),
+      (7L, "books", s"$cleanA $benchSpan $cleanB"))
+      .toDF("doc_id", "source", "text")
+    val bench = Seq((100L, benchSpan)).toDF("doc_id", "text")
+    def run(scrub: Boolean) = {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      val out = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+        graft.llm.Pipeline.CurationConfig(
+          langs = Set.empty, requireC4Keep = false, nearDup = false,
+          benchmark = Some(bench), contaminationN = 3, minOverlap = 3L,
+          scrubSpans = scrub, minFragTokens = 2, seqLen = 8),
+        Some(counts))
+        .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      (out, counts)
+    }
+    val (dropped, dropCounts) = run(scrub = false)
+    assert(!dropped.contains(7L) && dropped.contains(4L))
+    assert(dropCounts("decontaminated") == 1L)
+    val (scrubbed, scrubCounts) = run(scrub = true)
+    assert(scrubCounts("decontaminated") == 2L) // doc 7 SURVIVES scrubbed
+    // 8 + 8 clean tokens remain of doc 7's 8 + 8 + 8: the packed n_tok
+    // must reflect the scrub, not the original text
+    assert(scrubbed(7L)._3 === 16L)
+    assert(dropped(4L)._3 === scrubbed(4L)._3) // clean doc untouched
+    // determinism of the scrub path
+    assert(run(scrub = true)._1 === scrubbed)
+  }
+
   test("q_text_classify distills the perplexity teacher with >=85% agreement; labels stable") {
     val out = graft.queries.LlmQueries.textClassifyQ(spark, "/root/testdata/sf0.001")
     val acc = out.select(
