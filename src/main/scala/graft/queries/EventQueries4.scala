@@ -414,6 +414,42 @@ object EventQueries4 {
     """SELECT event_id, 'scaled' AS measurement, value
        FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  /** q_udf_proto: events → agent.Point stream → a REAL protobuf agent
+    * child (graft.tools.ScaleAgent spawned `java -cp`, speaking the
+    * varint-framed udf.proto wire — sources/UdfProto + sources/UdfAgent;
+    * reference udf/server.go + udf/agent/agent.go) → back. The oracle is
+    * the agent's arithmetic restated: the whole handshake + Point
+    * round-trip machinery runs inside the correctness gate, like
+    * q_udf_pipe does for the line-protocol bridge. */
+  def udfProtoQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Graft.events(s, dir)
+    val in = ev.select(
+        col("ts_ns").as("time"), lit("events").as("name"),
+        lit("").as("database"), lit("").as("retentionPolicy"),
+        lit("").as("group"), array().cast("array<string>").as("dimensions"),
+        map(lit("eid"), col("event_id").cast("string")).as("tags"),
+        map(lit("value"), col("value")).as("fieldsDouble"),
+        map().cast("map<string,bigint>").as("fieldsInt"),
+        map().cast("map<string,string>").as("fieldsString"),
+        map().cast("map<string,boolean>").as("fieldsBool"),
+        lit(false).as("byName"))
+      .as[graft.sources.UdfProto.ProtoPoint]
+    val cp = sys.props("java.class.path")
+    graft.sources.UdfProto.pipePoints(
+        in.coalesce(4),
+        Seq("java", "-cp", cp, "graft.tools.ScaleAgent"),
+        options = Seq("factor" -> Seq(graft.sources.UdfProto.OptDouble(2.5))))
+      .toDF()
+      .select(element_at(col("tags"), "eid").cast("long").as("event_id"),
+        element_at(col("fieldsDouble"), "value").as("value"),
+        col("time").as("time_ns"))
+      .orderBy("event_id")
+  }
+  val udfProtoSql: String =
+    """SELECT event_id, value * 2.5 AS value, epoch_ns(ts) AS time_ns
+       FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
+
   /** q_prom_roundtrip: events → exposition text → PrometheusScrape.parse →
     * toPointFrame (sources/PrometheusScrape.scala; reference
     * services/scraper/service.go:184-240 Append transform, job decode

@@ -397,6 +397,156 @@ object UdfProto {
     (n, g)
   }
 
+  // -------------------------------------- agent-side codec (Requests in,
+  // Responses out — the other half of the wire, used by UdfAgent)
+
+  sealed trait AgentRequest
+  case object QInfo extends AgentRequest
+  case class QInit(options: Seq[(String, Seq[OptVal])], taskId: String,
+      nodeId: String) extends AgentRequest
+  case class QKeepalive(time: Long) extends AgentRequest
+  case object QSnapshot extends AgentRequest
+  case class QRestore(snapshot: Array[Byte]) extends AgentRequest
+  case class QBegin(name: String, group: String) extends AgentRequest
+  case class QPoint(point: ProtoPoint) extends AgentRequest
+  case class QEnd(name: String, group: String) extends AgentRequest
+
+  def decodeRequest(buf: Array[Byte]): AgentRequest = {
+    val r = new ProtoReader(buf)
+    var result: AgentRequest = null
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      if (w != 2) r.skip(w)
+      else {
+        val inner = r.bytesField()
+        f match {
+          case 1 => result = QInfo
+          case 2 =>
+            val ir = new ProtoReader(inner)
+            var opts = Vector.empty[(String, Seq[OptVal])]
+            var task = ""; var node = ""
+            while (ir.hasMore) {
+              val (ff, ww) = ir.readTag()
+              if (ff == 1 && ww == 2) {
+                val or = new ProtoReader(ir.bytesField())
+                var nm = ""
+                var vals = Vector.empty[OptVal]
+                while (or.hasMore) {
+                  val (of, ow) = or.readTag()
+                  if (of == 1 && ow == 2) nm = or.strFieldV()
+                  else if (of == 2 && ow == 2) {
+                    val vr = new ProtoReader(or.bytesField())
+                    var v: OptVal = null
+                    while (vr.hasMore) {
+                      val (vf, vw) = vr.readTag()
+                      vf match {
+                        case 1 => vr.skip(vw) // type enum: implied by variant
+                        case 2 => v = OptBool(vr.uv() != 0L)
+                        case 3 => v = OptInt(vr.uv())
+                        case 4 => v = OptDouble(vr.doubleV())
+                        case 5 => v = OptString(vr.strFieldV())
+                        case 6 => v = OptDuration(vr.uv())
+                        case _ => vr.skip(vw)
+                      }
+                    }
+                    if (v != null) vals :+= v
+                  } else or.skip(ow)
+                }
+                opts :+= (nm -> vals)
+              }
+              else if (ff == 2 && ww == 2) task = ir.strFieldV()
+              else if (ff == 3 && ww == 2) node = ir.strFieldV()
+              else ir.skip(ww)
+            }
+            result = QInit(opts, task, node)
+          case 3 =>
+            val kr = new ProtoReader(inner)
+            var t = 0L
+            while (kr.hasMore) {
+              val (ff, ww) = kr.readTag()
+              if (ff == 1 && ww == 0) t = kr.uv() else kr.skip(ww)
+            }
+            result = QKeepalive(t)
+          case 4 => result = QSnapshot
+          case 5 =>
+            val sr = new ProtoReader(inner)
+            var snap = Array.emptyByteArray
+            while (sr.hasMore) {
+              val (ff, ww) = sr.readTag()
+              if (ff == 1 && ww == 2) snap = sr.bytesField() else sr.skip(ww)
+            }
+            result = QRestore(snap)
+          case 16 => val (n, g) = nameGroup(inner, 2); result = QBegin(n, g)
+          case 17 => result = QPoint(decodePoint(inner))
+          case 18 => val (n, g) = nameGroup(inner, 2); result = QEnd(n, g)
+          case _  => ()
+        }
+      }
+    }
+    if (result == null)
+      throw new IllegalStateException("empty/unknown Request message")
+    result
+  }
+
+  def encodeResponseInfo(wants: Int, provides: Int): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.varintField(1, wants.toLong)
+    inner.varintField(2, provides.toLong)
+    val w = new ProtoWriter
+    w.msgField(1, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponseInit(success: Boolean, error: String): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.boolField(1, success)
+    inner.strField(2, error)
+    val w = new ProtoWriter
+    w.msgField(2, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponseKeepalive(time: Long): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.varintField(1, time)
+    val w = new ProtoWriter
+    w.msgField(3, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponseSnapshot(snapshot: Array[Byte]): Array[Byte] = {
+    val inner = new ProtoWriter
+    if (snapshot.nonEmpty) {
+      inner.msgField(1, snapshot) // bytes field: same wire shape as a message
+    }
+    val w = new ProtoWriter
+    w.msgField(4, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponseRestore(success: Boolean, error: String): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.boolField(1, success)
+    inner.strField(2, error)
+    val w = new ProtoWriter
+    w.msgField(5, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponseError(error: String): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.strAlways(1, error)
+    val w = new ProtoWriter
+    w.msgField(6, inner.bytes)
+    w.bytes
+  }
+
+  def encodeResponsePoint(p: ProtoPoint): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(17, encodePoint(p))
+    w.bytes
+  }
+
   // ------------------------------------------------- partition runner
 
   private val MaxStderrBytes = 64 * 1024

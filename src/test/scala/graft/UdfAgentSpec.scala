@@ -1,0 +1,133 @@
+package graft
+
+import graft.sources.{UdfAgent, UdfProto}
+import graft.sources.UdfProto._
+
+/** Agent-side library (sources/UdfAgent — the reference udf/agent
+  * analog): the request-decode half of the codec, the dispatch loop,
+  * and REAL `java -cp` child agents driven by the server-side runner —
+  * both protocol halves are independent code paths meeting only on the
+  * wire. */
+class UdfAgentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(msg: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    UdfProto.writeFramed(b, msg)
+    b.toByteArray
+  }
+
+  private def responses(out: Array[Byte]): Seq[AgentResponse] = {
+    val in = new java.io.ByteArrayInputStream(out)
+    val acc = Seq.newBuilder[AgentResponse]
+    var size = UdfProto.readUvarintOrEof(in)
+    while (size >= 0) {
+      val buf = new Array[Byte](size.toInt)
+      in.read(buf)
+      acc += UdfProto.decodeResponse(buf)
+      size = UdfProto.readUvarintOrEof(in)
+    }
+    acc.result()
+  }
+
+  test("in-JVM loop: info/init/keepalive/point dispatch, error surfaces and rethrows") {
+    val p = ProtoPoint(5L, "m", "", "", "", Nil, Map("h" -> "a"),
+      Map("v" -> 2.0), Map.empty, Map.empty, Map.empty, byName = false)
+    val reqs = new java.io.ByteArrayOutputStream()
+    reqs.write(frame(UdfProto.encodeInfoRequest()))
+    reqs.write(frame(UdfProto.encodeInitRequest(
+      Seq("factor" -> Seq(OptDouble(3.0)), "flags" -> Seq(OptBool(true), OptInt(7))),
+      "task9", "node2")))
+    reqs.write(frame {
+      val w = new ProtoWriter; val k = new ProtoWriter
+      k.varintAlways(1, 123L); w.msgField(3, k.bytes); w.bytes
+    })
+    reqs.write(frame(UdfProto.encodeRequestPoint(p)))
+    var seenInit: (Seq[(String, Seq[OptVal])], String, String) = null
+    val out = new java.io.ByteArrayOutputStream()
+    UdfAgent.run(new UdfAgent.Handler {
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        seenInit = (options, taskId, nodeId); Right(())
+      }
+      def point(pt: ProtoPoint, emit: ProtoPoint => Unit): Unit = {
+        emit(pt.copy(fieldsDouble = pt.fieldsDouble.view.mapValues(_ * 10).toMap))
+        emit(pt.copy(name = pt.name + "_copy")) // 1→N fan-out
+      }
+    }, new java.io.ByteArrayInputStream(reqs.toByteArray), out)
+    // init saw the decoded options — typed values AND multi-value lists
+    assert(seenInit === ((Seq(
+      "factor" -> Seq(OptDouble(3.0)),
+      "flags" -> Seq(OptBool(true), OptInt(7))), "task9", "node2")))
+    val rs = responses(out.toByteArray)
+    assert(rs(0) === RInfo(0, 0))
+    assert(rs(1) === RInit(true, ""))
+    assert(rs(2) === RKeepalive(123L))
+    assert(rs(3) === RPoint(p.copy(fieldsDouble = Map("v" -> 20.0))))
+    assert(rs(4) === RPoint(p.copy(name = "m_copy")))
+    // a throwing handler emits ErrorResponse then rethrows
+    val errOut = new java.io.ByteArrayOutputStream()
+    val ex = intercept[RuntimeException] {
+      UdfAgent.run(new UdfAgent.Handler {
+        def point(pt: ProtoPoint, emit: ProtoPoint => Unit): Unit =
+          throw new RuntimeException("handler exploded")
+      }, new java.io.ByteArrayInputStream(frame(UdfProto.encodeRequestPoint(p))), errOut)
+    }
+    assert(ex.getMessage === "handler exploded")
+    assert(responses(errOut.toByteArray) === Seq(RError("handler exploded")))
+  }
+
+  test("request decode round-trips the init option surface and tolerates unknowns") {
+    val enc = UdfProto.encodeInitRequest(
+      Seq("a" -> Seq(OptString("x y"), OptDuration(5000000L)),
+        "b" -> Nil),
+      "t", "")
+    UdfProto.decodeRequest(enc) match {
+      case QInit(opts, task, node) =>
+        assert(opts === Seq("a" -> Seq(OptString("x y"), OptDuration(5000000L)), "b" -> Nil))
+        assert(task === "t" && node === "")
+      case other => fail(s"expected QInit, got $other")
+    }
+    assert(UdfProto.decodeRequest(UdfProto.encodeInfoRequest()) === QInfo)
+  }
+
+  private lazy val javaCp: String = sys.props("java.class.path")
+
+  test("a real Scala agent child (java -cp) round-trips through the server runner") {
+    val pts = (1 to 20).map(i => ProtoPoint(
+      i * 1000L, "cpu", "", "", "", Nil, Map("host" -> s"h${i % 2}"),
+      Map("v" -> i * 1.0), Map.empty, Map.empty, Map.empty, byName = false))
+    val out = UdfProto.pipePoints(
+        spark.createDataset(pts).coalesce(2),
+        Seq("java", "-cp", javaCp, "graft.tools.ScaleAgent"),
+        options = Seq("factor" -> Seq(OptDouble(2.5))))
+      .collect().sortBy(_.time)
+    assert(out.length === 20)
+    out.zip(pts).foreach { case (o, p) =>
+      assert(o.fieldsDouble("v") === p.fieldsDouble("v") * 2.5)
+      assert(o.tags === p.tags)
+    }
+  }
+
+  test("MovingAvgAgent matches a driver-side moving average per group") {
+    val pts = (1 to 24).map(i => ProtoPoint(
+      i * 1000L, "cpu", "", "", "", Nil, Map("host" -> s"h${i % 2}"),
+      Map("value" -> i * 1.0), Map.empty, Map.empty, Map.empty, byName = false))
+    val out = UdfProto.pipePoints(
+        spark.createDataset(pts).coalesce(1), // one child: windowed state is per process
+        Seq("java", "-cp", javaCp, "graft.tools.MovingAvgAgent"),
+        options = Seq("field" -> Seq(OptString("value")),
+          "size" -> Seq(OptInt(3)), "as" -> Seq(OptString("avg"))))
+      .collect().sortBy(_.time)
+    assert(out.length === 24)
+    val hist = scala.collection.mutable.Map.empty[String, List[Double]]
+    pts.foreach { p =>
+      val h = p.tags("host")
+      val w = (p.fieldsDouble("value") :: hist.getOrElse(h, Nil)).take(3)
+      hist(h) = w
+      val exp = w.sum / w.length
+      val got = out.find(_.time == p.time).get.fieldsDouble("avg")
+      assert(math.abs(got - exp) < 1e-12, s"t=${p.time}")
+    }
+  }
+}
