@@ -178,6 +178,15 @@ object UdfProto {
     w.bytes
   }
 
+  /** `Request{keepalive}` (udf.proto:119-124). */
+  def encodeKeepaliveRequest(timeNs: Long): Array[Byte] = {
+    val inner = new ProtoWriter
+    inner.varintField(1, timeNs)
+    val w = new ProtoWriter
+    w.msgField(3, inner.bytes)
+    w.bytes
+  }
+
   /** `Request{init}` with options/taskID/nodeID (udf.proto:70-90). */
   def encodeInitRequest(
       options: Seq[(String, Seq[OptVal])],
@@ -555,13 +564,24 @@ object UdfProto {
     * Points on stdin from a writer thread, iterate Response points
     * lazily. Same lifecycle guards as ProcessUdf.runPartition:
     * TaskContext propagated into helper threads, completion-listener
-    * kill, bounded stderr surfaced on non-zero exit. */
+    * kill, bounded stderr surfaced on non-zero exit.
+    *
+    * `keepaliveMs > 0` drives the reference server's liveness probe
+    * (udf/server.go:361-441): a KeepaliveRequest goes out every
+    * `keepaliveMs / 2`, ANY response resets the timer, and a child that
+    * answers nothing for `keepaliveMs` is killed with a named
+    * keepalive-timeout failure — closing the "child stops reading stdin
+    * and never writes stdout" stall the bridge otherwise only escapes
+    * via task speculation. Note the reference's own caveat applies: an
+    * agent busy inside one point longer than the timeout is
+    * indistinguishable from a hung one. */
   def runAgentPartition(
       cmd: Seq[String],
       options: Seq[(String, Seq[OptVal])],
       taskId: String,
       nodeId: String,
-      input: Iterator[ProtoPoint]): Iterator[ProtoPoint] = {
+      input: Iterator[ProtoPoint],
+      keepaliveMs: Long = 0L): Iterator[ProtoPoint] = {
     if (!input.hasNext) return Iterator.empty
     val proc = new ProcessBuilder(cmd: _*).start()
     val taskCtx = TaskContext.get()
@@ -584,13 +604,24 @@ object UdfProto {
     errThread.start()
     val out = new BufferedOutputStream(proc.getOutputStream)
     val in = new BufferedInputStream(proc.getInputStream)
+    // frames from the writer thread and the keepalive prober interleave
+    // on one pipe — serialize whole frames, never bytes
+    val writeLock = new Object
+    def sendFramed(msg: Array[Byte]): Unit = writeLock.synchronized {
+      writeFramed(out, msg)
+      out.flush()
+    }
+    @volatile var lastResponseNs = System.nanoTime()
+    @volatile var keepaliveTimedOut = false
     def fail(msg: String): Nothing = {
       if (proc.isAlive) proc.destroyForcibly()
       proc.waitFor()
       errThread.join(2000)
       val err = stderr.toString("UTF-8").trim
+      val ka = if (keepaliveTimedOut)
+        s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
       throw new RuntimeException(
-        s"udf agent '${cmd.mkString(" ")}': $msg" +
+        s"udf agent '${cmd.mkString(" ")}': $msg$ka" +
           (if (err.nonEmpty) s"; stderr: $err" else ""))
     }
     def readFrame(): Option[AgentResponse] = {
@@ -604,6 +635,7 @@ object UdfProto {
           if (n < 0) fail(s"stream ended inside a $size-byte frame")
           read += n
         }
+        lastResponseNs = System.nanoTime()
         Some(decodeResponse(buf))
       }
     }
@@ -622,22 +654,43 @@ object UdfProto {
         }
       }
     }
-    writeFramed(out, encodeInfoRequest()); out.flush()
+    sendFramed(encodeInfoRequest())
     await({ case _: RInfo => () }, "InfoResponse")
-    writeFramed(out, encodeInitRequest(options, taskId, nodeId)); out.flush()
+    sendFramed(encodeInitRequest(options, taskId, nodeId))
     await({ case RInit(ok, e) =>
       if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
+    if (keepaliveMs > 0) {
+      val prober = new Thread(() => {
+        val periodMs = math.max(1L, keepaliveMs / 2)
+        try {
+          while (proc.isAlive && !keepaliveTimedOut) {
+            Thread.sleep(periodMs)
+            if ((System.nanoTime() - lastResponseNs) / 1000000L > keepaliveMs) {
+              keepaliveTimedOut = true
+              proc.destroyForcibly() // reader sees EOF → finish() fails with the ka note
+            } else if (proc.isAlive) {
+              try sendFramed(encodeKeepaliveRequest(System.nanoTime()))
+              catch { case _: java.io.IOException => () } // racing child exit
+            }
+          }
+        } catch { case _: InterruptedException => () }
+      }, "graft-udfproto-keepalive")
+      prober.setDaemon(true)
+      prober.start()
+    }
     @volatile var writeError: Throwable = null
     val writer = new Thread(() => {
       if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
       try {
-        input.foreach { p => writeFramed(out, encodeRequestPoint(p)) }
-        out.flush()
+        input.foreach(p => sendFramed(encodeRequestPoint(p)))
       } catch {
         case _: java.io.IOException => () // agent closed stdin early
         case t: Throwable           => writeError = t
       } finally {
-        try out.close() catch { case _: java.io.IOException => () }
+        // close under the lock so a concurrent keepalive frame can't be
+        // torn mid-write by the close
+        try writeLock.synchronized(out.close())
+        catch { case _: java.io.IOException => () }
       }
     }, "graft-udfproto-stdin")
     writer.setDaemon(true)
@@ -662,10 +715,12 @@ object UdfProto {
         errThread.join(2000)
         val code = proc.waitFor()
         if (writeError != null) throw writeError
-        if (code != 0) {
+        if (code != 0 || keepaliveTimedOut) {
           val err = stderr.toString("UTF-8").trim
+          val ka = if (keepaliveTimedOut)
+            s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
           throw new RuntimeException(
-            s"udf agent '${cmd.mkString(" ")}' exited $code" +
+            s"udf agent '${cmd.mkString(" ")}' exited $code$ka" +
               (if (err.nonEmpty) s": $err" else ""))
         }
       }
@@ -692,12 +747,13 @@ object UdfProto {
       cmd: Seq[String],
       options: Seq[(String, Seq[OptVal])] = Nil,
       taskId: String = "graft",
-      nodeId: String = "udf"): Dataset[ProtoPoint] = {
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[ProtoPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
     require(cmd.nonEmpty, "UdfProto: empty command")
-    val (argv, opts, tid, nid) = (cmd, options, taskId, nodeId)
-    points.mapPartitions(it => runAgentPartition(argv, opts, tid, nid, it))
+    val (argv, opts, tid, nid, ka) = (cmd, options, taskId, nodeId, keepaliveMs)
+    points.mapPartitions(it => runAgentPartition(argv, opts, tid, nid, it, ka))
   }
 
   /** The line-protocol bridge: run canonical parsed points

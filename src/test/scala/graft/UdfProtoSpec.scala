@@ -275,6 +275,9 @@ object UdfProtoSpec {
         |            respond(fout, 3, inner)
         |        elif f == 17:
         |            if not inited: sys.exit(3)
+        |            if mode == 'stall':
+        |                import time
+        |                time.sleep(3600)
         |            if mode == 'senderror':
         |                ew = W(); ew.s(1, 'agent blew up')
         |                respond(fout, 6, ew.b); sys.exit(0)
@@ -427,6 +430,28 @@ class UdfProtoAgentSpec extends SparkSpec {
       assert(streamed.toSeq === batch.toSeq)
       assert(batch.length === 30 && batch.head.fieldsDouble("v") === 3.0)
     } finally q.stop()
+  }
+
+  test("keepalive prober kills a stalled child with a named timeout; healthy children unaffected") {
+    // the stub's stall mode hangs on the first point: reads nothing more,
+    // writes nothing — the exact stall the bridge doc flags as invisible
+    // without keepalives
+    val pts = (1 to 10).map(i => ProtoPoint(
+      i.toLong, "m", "", "", "", Nil, Map.empty, Map("v" -> i * 1.0),
+      Map.empty, Map.empty, Map.empty, byName = false))
+    val ds = spark.createDataset(pts).coalesce(1)
+    val t0 = System.nanoTime()
+    val e = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipePoints(ds, Seq("python3", "-u", stubPath, "stall"),
+        keepaliveMs = 400L).collect()
+    }
+    assert(e.getMessage.contains("keepalive timeout"))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "kill was not prompt")
+    // a healthy child under keepalive: probes interleave, results intact
+    val ok = UdfProto.pipePoints(ds, Seq("python3", "-u", stubPath, "ok"),
+      keepaliveMs = 200L).collect().sortBy(_.time)
+    assert(ok.length === 10)
+    assert(ok.map(_.fieldsDouble("v")).toSeq === (1 to 10).map(_ * 2.0))
   }
 
   test("init failure and agent ErrorResponse both fail the task with the message") {
