@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * batch (parity with batch output is spec-asserted).
   *
   * A child that stops reading stdin and never writes stdout stalls its
-  * task (there is no protocol keepalive to detect it, unlike the
-  * reference's Keepalive messages) — the cluster-level guards apply:
-  * task speculation re-attempts the slow task and the completion
-  * listener kills the orphaned child. A crashed child is NOT silent:
+  * task (line protocol has no keepalive message) — the cluster-level
+  * guards apply: task speculation re-attempts the slow task and the
+  * completion listener kills the orphaned child. The protobuf bridge
+  * ([[UdfProto]]) DOES drive the reference's Keepalive probe; an agent
+  * needing stall detection should migrate there. A crashed child is NOT silent:
   * stdout EOF triggers the exit-code check and the task fails with the
   * captured stderr.
   *
