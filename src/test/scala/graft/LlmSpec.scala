@@ -703,6 +703,49 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("PROPERTY: decontaminateSpans is consistent with contamination on the corpus") {
+    // on the real documents table: every doc flagged by contamination is
+    // either fragmented (frag count >= 1 with LESS than its token count
+    // surviving) or gone; every unflagged doc appears exactly once,
+    // whole; no fragment text contains a benchmark n-gram
+    val d = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = d.filter($"doc_id" % 97 =!= 0)
+    val bench = d.filter($"doc_id" % 97 === 0)
+    val flagged = graft.llm.Decontaminate
+      .contamination(corpus, bench, "doc_id", "text", n = 3, minOverlap = 3L)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val frags = graft.llm.Decontaminate
+      .decontaminateSpans(corpus, bench, "doc_id", "text",
+        n = 3, margin = 0, minKeepTokens = 1, minOverlap = 3L)
+      .as[(Long, Long, String, Long)].collect()
+    val nTok = corpus.select($"doc_id",
+        size(graft.llm.TextOps.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.nonEmpty, "weak fixture: nothing contaminated at sf0.001")
+    val byDoc = frags.groupBy(_._1)
+    flagged.foreach { id =>
+      byDoc.get(id).foreach { fs =>
+        assert(fs.map(_._4).sum < nTok(id), s"doc $id lost no tokens")
+      }
+    }
+    nTok.keySet.diff(flagged).foreach { id =>
+      val fs = byDoc.getOrElse(id, Array.empty)
+      assert(fs.length == 1 && fs.head._2 == 0L && fs.head._4 == nTok(id),
+        s"clean doc $id not whole")
+    }
+    // no surviving fragment still contains a benchmark 3-gram
+    val benchGrams = bench.select(
+        explode(graft.llm.TextOps.shingles(graft.llm.TextOps.tokens($"text"), 3)))
+      .distinct().as[String].collect().toSet
+    frags.filter(f => flagged(f._1)).foreach { f =>
+      val toks = f._3.split(" ")
+      (0 to toks.length - 3).foreach { i =>
+        val g = toks.slice(i, i + 3).mkString(" ")
+        assert(!benchGrams(g), s"doc ${f._1} frag ${f._2} still contains '$g'")
+      }
+    }
+  }
+
   test("Pipeline.curate scrub mode keeps a contaminated doc minus its benchmark span") {
     // doc 7 embeds the benchmark passage between clean halves; drop mode
     // loses all of doc 7, scrub mode keeps both halves and packs with
