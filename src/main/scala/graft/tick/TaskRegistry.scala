@@ -1,0 +1,163 @@
+package graft.tick
+
+import org.apache.spark.sql.DataFrame
+
+/** Task lifecycle as a library API — the reference's task_store service
+  * (services/task_store/service.go, dao.go:102-140: Task{ID, Type, DBRPs,
+  * TICKscript, TemplateID, Vars, Error, Status, Created/Modified/
+  * LastEnabled}) minus its two I/O shells: the HTTP handlers and the gob
+  * database. Users of `kapacitor define / enable / disable / delete /
+  * list` drive the same lifecycle through method calls; persistence is
+  * the caller's choice (the definitions are plain case classes).
+  *
+  * Semantics kept from the reference:
+  *  - define VALIDATES the script (parse + template completeness + type
+  *    derivation) and rejects duplicate ids (ErrTaskExists,
+  *    service.go:680-852 create vs update split — [[redefine]] is the
+  *    update path and preserves status);
+  *  - a task is `stream` or `batch`, never both (task.go type check);
+  *  - templates: a template holds the script, a task instantiates it
+  *    with vars (dao.go Template + TemplateID/Vars on Task);
+  *  - enable compiles against a bound source and stamps LastEnabled; a
+  *    compile failure is RECORDED on the task's Error field and the task
+  *    stays disabled (convertTask surfaces Task.Error the same way);
+  *  - delete of an unknown id is a no-op like the reference's DELETE.
+  *
+  * What "enable" means here: the reference starts goroutines; the Spark
+  * analog hands back the compiled DataFrame (batch) — for a streaming
+  * source the same compile returns the streaming frame the caller starts
+  * with writeStream, exactly like every TickScript.compile use.
+  */
+class TaskRegistry {
+
+  sealed trait Status
+  case object Disabled extends Status
+  case object Enabled extends Status
+
+  sealed trait TaskType
+  case object StreamTask extends TaskType
+  case object BatchTask extends TaskType
+
+  case class TaskDef(
+      id: String,
+      tickscript: String,
+      taskType: TaskType,
+      dbrps: Seq[(String, String)],
+      templateId: Option[String],
+      vars: Map[String, Any],
+      status: Status,
+      error: String,
+      createdMs: Long,
+      modifiedMs: Long,
+      lastEnabledMs: Long)
+
+  case class TemplateDef(id: String, tickscript: String, taskType: TaskType,
+      declaredVars: Map[String, String], createdMs: Long)
+
+  private val tasks = scala.collection.mutable.LinkedHashMap.empty[String, TaskDef]
+  private val templates = scala.collection.mutable.LinkedHashMap.empty[String, TemplateDef]
+
+  private def deriveType(script: String): TaskType = {
+    val parsed = TickScript.parse(script)
+    val roots = parsed.chains.map(_.root).filter(r => r == "stream" || r == "batch").distinct
+    require(roots.nonEmpty, "script has no stream or batch chain")
+    require(roots.size == 1,
+      s"task must be a single type, script mixes ${roots.mkString(" and ")}")
+    if (roots.head == "stream") StreamTask else BatchTask
+  }
+
+  /** Define a new task; fails on duplicate id (the reference's create
+    * path) or an invalid script. */
+  def define(id: String, script: String,
+      vars: Map[String, Any] = Map.empty): TaskDef = synchronized {
+    require(!tasks.contains(id), s"task $id already exists")
+    val parsed = TickScript.parse(script)
+    // same completeness rule as TickScript.compile: every declared
+    // template var must be bound at definition
+    val missing = parsed.declared.keySet -- vars.keySet
+    require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
+    val now = System.currentTimeMillis()
+    val t = TaskDef(id, script, deriveType(script), parsed.dbrps, None, vars,
+      Disabled, "", now, now, 0L)
+    tasks(id) = t
+    t
+  }
+
+  /** The reference's update path: new script/vars, status preserved. */
+  def redefine(id: String, script: String,
+      vars: Map[String, Any] = Map.empty): TaskDef = synchronized {
+    val old = tasks.getOrElse(id, throw new NoSuchElementException(s"no task $id"))
+    val parsed = TickScript.parse(script)
+    val t = old.copy(tickscript = script, taskType = deriveType(script),
+      dbrps = parsed.dbrps, vars = vars, error = "",
+      modifiedMs = System.currentTimeMillis())
+    tasks(id) = t
+    t
+  }
+
+  /** Define a reusable template (dao.go Template). */
+  def defineTemplate(id: String, script: String): TemplateDef = synchronized {
+    require(!templates.contains(id), s"template $id already exists")
+    val parsed = TickScript.parse(script)
+    val t = TemplateDef(id, script, deriveType(script), parsed.declared,
+      System.currentTimeMillis())
+    templates(id) = t
+    t
+  }
+
+  /** Instantiate a template as a task with bound vars (Task.TemplateID +
+    * Task.Vars). */
+  def defineFromTemplate(taskId: String, templateId: String,
+      vars: Map[String, Any]): TaskDef = synchronized {
+    val tpl = templates.getOrElse(templateId,
+      throw new NoSuchElementException(s"no template $templateId"))
+    val t = define(taskId, tpl.tickscript, vars).copy(templateId = Some(templateId))
+    tasks(taskId) = t
+    t
+  }
+
+  /** Compile the task against `source` and mark it enabled. A compile
+    * failure is recorded on the task (Error field), the task stays
+    * disabled, and the failure rethrows — the reference's
+    * enable-sets-Error behavior. */
+  def enable(id: String, source: DataFrame, timeCol: String = "time",
+      measurementCol: String = "measurement",
+      udfs: Map[String, (DataFrame, Seq[TickScript.Call]) => DataFrame] = Map.empty): DataFrame =
+    synchronized {
+      val t = tasks.getOrElse(id, throw new NoSuchElementException(s"no task $id"))
+      try {
+        val df = TickScript.compile(t.tickscript, source, timeCol = timeCol,
+          measurementCol = measurementCol, templateVars = t.vars, udfs = udfs)
+        val now = System.currentTimeMillis()
+        tasks(id) = t.copy(status = Enabled, error = "", lastEnabledMs = now,
+          modifiedMs = now)
+        df
+      } catch {
+        case e: Throwable =>
+          tasks(id) = t.copy(status = Disabled,
+            error = Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+            modifiedMs = System.currentTimeMillis())
+          throw e
+      }
+    }
+
+  def disable(id: String): Unit = synchronized {
+    tasks.get(id).foreach(t => tasks(id) =
+      t.copy(status = Disabled, modifiedMs = System.currentTimeMillis()))
+  }
+
+  /** Delete is idempotent like the reference's DELETE handler. */
+  def delete(id: String): Unit = synchronized { tasks.remove(id); () }
+
+  def get(id: String): Option[TaskDef] = synchronized(tasks.get(id))
+
+  /** List tasks, optionally filtered by a glob on the id (the list
+    * handler's pattern match, service.go:513-678). */
+  def list(pattern: String = "*"): Seq[TaskDef] = synchronized {
+    val rx = java.util.regex.Pattern.compile(
+      pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+    tasks.values.filter(t => rx.matcher(t.id).matches()).toSeq
+  }
+
+  def listTemplates(): Seq[TemplateDef] = synchronized(templates.values.toSeq)
+}

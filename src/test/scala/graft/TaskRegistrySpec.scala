@@ -1,0 +1,94 @@
+package graft
+
+import graft.tick.{TaskRegistry, TickScript}
+import org.apache.spark.sql.functions._
+
+/** Task lifecycle registry (tick/TaskRegistry — the task_store service
+  * analog, services/task_store/dao.go Task/Template semantics). */
+class TaskRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src = Seq(
+    ("cpu", "a", new java.sql.Timestamp(1000), 50.0),
+    ("cpu", "b", new java.sql.Timestamp(2000), 90.0),
+    ("mem", "a", new java.sql.Timestamp(3000), 10.0))
+    .toDF("measurement", "host", "time", "value")
+
+  private val script =
+    """stream
+      ||from().measurement('cpu')
+      ||eval(lambda: "value" * 2.0).as('v2')
+      |""".stripMargin
+
+  test("define/enable/disable/delete lifecycle with status and timestamps") {
+    val reg = new TaskRegistry
+    val t = reg.define("t1", script)
+    assert(t.taskType === reg.StreamTask)
+    assert(t.status === reg.Disabled && t.error === "")
+    // duplicate define is the reference's ErrTaskExists
+    intercept[IllegalArgumentException](reg.define("t1", script))
+    // enable compiles and runs
+    val out = reg.enable("t1", src)
+    assert(out.select("v2").as[Double].collect().sorted.toSeq === Seq(100.0, 180.0))
+    val enabled = reg.get("t1").get
+    assert(enabled.status === reg.Enabled && enabled.lastEnabledMs > 0)
+    reg.disable("t1")
+    assert(reg.get("t1").get.status === reg.Disabled)
+    reg.delete("t1")
+    assert(reg.get("t1").isEmpty)
+    reg.delete("t1") // idempotent like the reference DELETE
+  }
+
+  test("define validates: syntax, type mixing, unbound template vars") {
+    val reg = new TaskRegistry
+    intercept[Exception](reg.define("bad", "stream\n|from(\n"))
+    intercept[IllegalArgumentException] {
+      reg.define("mixed",
+        "var a = stream\n|from()\nvar b = batch\n|query('SELECT 1')\n")
+    }
+    val templated =
+      """dbrp "telegraf"."autogen"
+        |var threshold float
+        |stream
+        ||from().measurement('cpu')
+        ||where(lambda: "value" > threshold)
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](reg.define("t", templated))
+    assert(e.getMessage.contains("threshold"))
+    val ok = reg.define("t", templated, Map("threshold" -> 60.0))
+    assert(ok.dbrps === Seq(("telegraf", "autogen")))
+    assert(reg.enable("t", src).count() === 1) // only the 90.0 point
+  }
+
+  test("templates instantiate tasks with bound vars; enable failure is recorded") {
+    val reg = new TaskRegistry
+    val tpl =
+      """var factor float
+        |stream
+        ||from().measurement('cpu')
+        ||eval(lambda: "value" * factor).as('scaled')
+        |""".stripMargin
+    reg.defineTemplate("scaler", tpl)
+    assert(reg.listTemplates().map(_.id) === Seq("scaler"))
+    assert(reg.listTemplates().head.declaredVars.keySet === Set("factor"))
+    val t = reg.defineFromTemplate("x10", "scaler", Map("factor" -> 10.0))
+    assert(t.templateId === Some("scaler"))
+    val out = reg.enable("x10", src)
+    assert(out.select("scaled").as[Double].collect().sorted.toSeq === Seq(500.0, 900.0))
+    // a task whose script fails to COMPILE against the source records the
+    // error and stays disabled (Task.Error semantics)
+    reg.define("broken", "stream\n|from().measurement('cpu')\n|sum('nope')\n")
+    intercept[Exception](reg.enable("broken", src))
+    val b = reg.get("broken").get
+    assert(b.status === reg.Disabled && b.error.nonEmpty)
+  }
+
+  test("list filters by glob pattern like the list handler") {
+    val reg = new TaskRegistry
+    Seq("cpu_alert", "cpu_batch", "mem_alert").foreach(id => reg.define(id, script))
+    assert(reg.list().map(_.id) === Seq("cpu_alert", "cpu_batch", "mem_alert"))
+    assert(reg.list("cpu_*").map(_.id) === Seq("cpu_alert", "cpu_batch"))
+    assert(reg.list("*_alert").map(_.id) === Seq("cpu_alert", "mem_alert"))
+    assert(reg.list("nope*").isEmpty)
+  }
+}
