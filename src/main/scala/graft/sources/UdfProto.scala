@@ -605,11 +605,18 @@ object UdfProto {
     val out = new BufferedOutputStream(proc.getOutputStream)
     val in = new BufferedInputStream(proc.getInputStream)
     // frames from the writer thread and the keepalive prober interleave
-    // on one pipe — serialize whole frames, never bytes
-    val writeLock = new Object
-    def sendFramed(msg: Array[Byte]): Unit = writeLock.synchronized {
-      writeFramed(out, msg)
-      out.flush()
+    // on one pipe — serialize whole frames, never bytes. A ReentrantLock
+    // (not synchronized) so the prober can TRY the lock: when the writer
+    // is blocked on a full pipe holding it, the prober must skip the
+    // probe and fall back to its elapsed check rather than block forever
+    // behind the stalled write.
+    val writeLock = new java.util.concurrent.locks.ReentrantLock
+    def sendFramed(msg: Array[Byte]): Unit = {
+      writeLock.lock()
+      try {
+        writeFramed(out, msg)
+        out.flush()
+      } finally writeLock.unlock()
     }
     @volatile var lastResponseNs = System.nanoTime()
     @volatile var keepaliveTimedOut = false
@@ -667,10 +674,17 @@ object UdfProto {
             Thread.sleep(periodMs)
             if ((System.nanoTime() - lastResponseNs) / 1000000L > keepaliveMs) {
               keepaliveTimedOut = true
+              // no lock needed: destroy unblocks any write stalled on the
+              // dead pipe, which is exactly the stall being detected
               proc.destroyForcibly() // reader sees EOF → finish() fails with the ka note
-            } else if (proc.isAlive) {
-              try sendFramed(encodeKeepaliveRequest(System.nanoTime()))
+            } else if (proc.isAlive &&
+                writeLock.tryLock(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+              try writeFramed(out, encodeKeepaliveRequest(System.nanoTime()))
               catch { case _: java.io.IOException => () } // racing child exit
+              finally {
+                try out.flush() catch { case _: java.io.IOException => () }
+                writeLock.unlock()
+              }
             }
           }
         } catch { case _: InterruptedException => () }
@@ -689,8 +703,10 @@ object UdfProto {
       } finally {
         // close under the lock so a concurrent keepalive frame can't be
         // torn mid-write by the close
-        try writeLock.synchronized(out.close())
+        writeLock.lock()
+        try out.close()
         catch { case _: java.io.IOException => () }
+        finally writeLock.unlock()
       }
     }, "graft-udfproto-stdin")
     writer.setDaemon(true)

@@ -435,8 +435,11 @@ class UdfProtoAgentSpec extends SparkSpec {
   test("keepalive prober kills a stalled child with a named timeout; healthy children unaffected") {
     // the stub's stall mode hangs on the first point: reads nothing more,
     // writes nothing — the exact stall the bridge doc flags as invisible
-    // without keepalives
-    val pts = (1 to 10).map(i => ProtoPoint(
+    // without keepalives. ENOUGH points that the writer thread genuinely
+    // blocks on the full pipe while HOLDING the write lock — the prober
+    // must detect the timeout via its lock-free elapsed check (a blocking
+    // probe would deadlock behind the stalled write forever)
+    val pts = (1 to 100000).map(i => ProtoPoint(
       i.toLong, "m", "", "", "", Nil, Map.empty, Map("v" -> i * 1.0),
       Map.empty, Map.empty, Map.empty, byName = false))
     val ds = spark.createDataset(pts).coalesce(1)
@@ -448,7 +451,8 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(e.getMessage.contains("keepalive timeout"))
     assert((System.nanoTime() - t0) / 1e9 < 30, "kill was not prompt")
     // a healthy child under keepalive: probes interleave, results intact
-    val ok = UdfProto.pipePoints(ds, Seq("python3", "-u", stubPath, "ok"),
+    val small = spark.createDataset(pts.take(10)).coalesce(1)
+    val ok = UdfProto.pipePoints(small, Seq("python3", "-u", stubPath, "ok"),
       keepaliveMs = 200L).collect().sortBy(_.time)
     assert(ok.length === 10)
     assert(ok.map(_.fieldsDouble("v")).toSeq === (1 to 10).map(_ * 2.0))
