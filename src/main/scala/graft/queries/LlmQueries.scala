@@ -224,6 +224,27 @@ object LlmQueries {
        SELECT * FROM frag UNION ALL SELECT * FROM clean
        ORDER BY doc_id, frag_idx""".replaceAll("\\s+", " ")
 
+  /** q_corpus_stats: the per-shard audit report (Report.corpusStats) —
+    * doc/token/char volumes, token-length spread, exact-duplicate rate
+    * from the 60-bit text hash — one aggregation pass, restated 1:1. */
+  def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Report.corpusStats(docs(s, dir), "doc_id", "text", "source")
+      .orderBy("shard")
+  val corpusStatsSql: String =
+    s"""WITH b AS (
+       SELECT source AS shard,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))::BIGINT AS n_tok,
+              length(text)::BIGINT AS n_chr,
+              ${h60sql("text")} AS th
+       FROM documents)
+       SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+              sum(n_chr)::BIGINT AS n_chars,
+              round(avg(n_tok), 4) AS avg_doc_tokens,
+              min(n_tok) AS min_doc_tokens, max(n_tok) AS max_doc_tokens,
+              count(DISTINCT th)::BIGINT AS n_distinct_texts,
+              round((count(*) - count(DISTINCT th))::DOUBLE / count(*), 4) AS dup_rate
+       FROM b GROUP BY shard ORDER BY shard""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------- embedding near-dup
 
   /** DuckDB fragments for left-fold dot/norm matching Similarity exactly. */

@@ -746,6 +746,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSpans under foreachBatch micro-batches ≡ batch (doc-local surgery)") {
+    // the surgery is per-document against a STATIC benchmark — no
+    // cross-document state — so the streaming pattern is foreachBatch
+    // and the output must be invariant to where batch boundaries fall
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val d = graft.Graft.table(spark, "/root/testdata/sf0.001", "documents")
+    val bench = d.filter($"doc_id" % 97 === 0).select("doc_id", "text").cache()
+    val corpus = d.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= graft.llm.Decontaminate
+            .decontaminateSpans(batch, bench, "doc_id", "text",
+              n = 3, margin = 0, minKeepTokens = 2, minOverlap = 3L)
+            .as[(Long, Long, String, Long)].collect()
+        }
+        ()
+      }
+      .outputMode("update").start()
+    try {
+      corpus.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val batchOut = graft.llm.Decontaminate
+      .decontaminateSpans(d.filter($"doc_id" % 97 =!= 0), bench, "doc_id", "text",
+        n = 3, margin = 0, minKeepTokens = 2, minOverlap = 3L)
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq === batchOut.sortBy(r => (r._1, r._2)).toSeq)
+    assert(batchOut.nonEmpty)
+  }
+
   test("Pipeline.curate scrub mode keeps a contaminated doc minus its benchmark span") {
     // doc 7 embeds the benchmark passage between clean halves; drop mode
     // loses all of doc 7, scrub mode keeps both halves and packs with
