@@ -39,14 +39,46 @@ object ScrapeScheduler {
   /** One scrape config × discovered target pair (the reference's
     * Pair(Scraper, Discoverer) flattened, service.go:399-431).
     * `intervalS` per config; db/rp route the points like `[scraper]`
-    * TOML (config.go:16-44). */
+    * TOML (config.go:16-44); `labels` are discovery target labels
+    * attached to every scraped sample (sample labels win on conflict). */
   case class ScrapeTarget(
       job: String,
       url: String,
       db: String,
       rp: String,
       intervalS: Long,
-      enabled: Boolean = true)
+      enabled: Boolean = true,
+      labels: Map[String, String] = Map.empty)
+
+  /** Discovery-as-data: load targets from the Prometheus `file_sd`
+    * format (public spec: a JSON array of
+    * `{"targets": ["host:port", ...], "labels": {...}}`) — the one
+    * discovery mechanism that is already pure data at rest, so it maps
+    * to a distributed read with no daemon. One [[ScrapeTarget]] per
+    * (group, target) with `url = scheme://target metricsPath`. */
+  def targetsFromFileSd(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      job: String,
+      db: String,
+      rp: String,
+      intervalS: Long,
+      scheme: String = "http",
+      metricsPath: String = "/metrics"): Dataset[ScrapeTarget] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("targets", ArrayType(StringType)),
+      StructField("labels", MapType(StringType, StringType))))
+    spark.read.schema(schema).option("multiLine", "true").json(path)
+      .select(explode(col("targets")).as("target"),
+        coalesce(col("labels"), map().cast("map<string,string>")).as("labels"))
+      .select(lit(job).as("job"),
+        concat(lit(s"$scheme://"), col("target"), lit(metricsPath)).as("url"),
+        lit(db).as("db"), lit(rp).as("rp"), lit(intervalS).as("intervalS"),
+        lit(true).as("enabled"), col("labels"))
+      .as[ScrapeTarget]
+  }
 
   /** The tick grid: one row per (target, tick_s) over [startS, stopS),
     * tick_s ≡ h60(url) (mod intervalS). Columns: job, url, db, rp,
@@ -77,15 +109,21 @@ object ScrapeScheduler {
     val spark = sched.sparkSession
     import spark.implicits._
     val f = fetch // serializable capture
-    val samples = sched.select(
-        col("url"), col("job"), col("db"), col("rp"), col("tick_s"))
-      .as[(String, String, String, String, Long)]
-      .flatMap { case (url, job, db, rp, tick) =>
+    val hasLabels = sched.columns.contains("labels")
+    val withLabels =
+      if (hasLabels) sched
+      else sched.withColumn("labels", map().cast("map<string,string>"))
+    val samples = withLabels.select(
+        col("url"), col("job"), col("db"), col("rp"), col("tick_s"), col("labels"))
+      .as[(String, String, String, String, Long, Map[String, String])]
+      .flatMap { case (url, job, db, rp, tick, tlabels) =>
         f(url, tick).iterator.flatMap(PrometheusScrape.parseLine).map { s =>
           // encodeJobName (config.go:121-134): the scraper stamps the
-          // pipe-encoded job label; toPointFrame decodes it back
+          // pipe-encoded job label; toPointFrame decodes it back.
+          // Discovery target labels attach beneath the sample's own
+          // (sample wins on conflict).
           s.copy(
-            labels = s.labels + ("job" -> s"$db|$rp|$job"),
+            labels = tlabels ++ s.labels + ("job" -> s"$db|$rp|$job"),
             timeMs = s.timeMs.orElse(Some(tick * 1000L)))
         }
       }

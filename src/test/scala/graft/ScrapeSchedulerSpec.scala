@@ -50,6 +50,40 @@ class ScrapeSchedulerSpec extends SparkSpec {
     assert(n <= 1)
   }
 
+  test("file_sd discovery: targets + labels load as data and ride onto samples") {
+    val sd = java.io.File.createTempFile("graft_file_sd", ".json")
+    sd.deleteOnExit()
+    java.nio.file.Files.writeString(sd.toPath,
+      """[
+        |  {"targets": ["h1:9100", "h2:9100"], "labels": {"dc": "east", "env": "prod"}},
+        |  {"targets": ["h3:9100"], "labels": {"dc": "west"}},
+        |  {"targets": ["h4:9100"]}
+        |]""".stripMargin)
+    val ts = ScrapeScheduler.targetsFromFileSd(spark, sd.getAbsolutePath,
+      job = "node", db = "db", rp = "rp", intervalS = 60L)
+      .collect().sortBy(_.url)
+    assert(ts.map(_.url).toSeq === Seq(
+      "http://h1:9100/metrics", "http://h2:9100/metrics",
+      "http://h3:9100/metrics", "http://h4:9100/metrics"))
+    assert(ts(0).labels === Map("dc" -> "east", "env" -> "prod"))
+    assert(ts(2).labels === Map("dc" -> "west"))
+    assert(ts(3).labels === Map.empty)
+    // target labels attach to scraped samples; the sample's own label
+    // wins on conflict
+    val sched = ScrapeScheduler.schedule(
+      spark.createDataset(ts.toSeq), 0L, 60L)
+    val fetch = (url: String, tick: Long) =>
+      Seq(s"""up{instance="${url.drop(7).takeWhile(_ != ':')}",dc="self"} 1""")
+    val rows = ScrapeScheduler.runScrapes(sched, fetch)
+      .selectExpr("tags['instance']", "tags['dc']", "tags['env']")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(rows.map(_._2).forall(_ == "self")) // sample label wins
+    assert(rows.filter(r => r._1 == "h1" || r._1 == "h2").forall(_._3 === Some("prod")))
+    assert(rows.filter(r => r._1 == "h3" || r._1 == "h4").forall(_._3.isEmpty))
+  }
+
   test("fetch seam round-trip: job encode/decode, tick-time default, blacklist") {
     // deterministic fake fetcher: each (url, tick) yields one sample with
     // an explicit ms timestamp and one without (→ defaults to tick time),
