@@ -493,7 +493,8 @@ object EventQueries4 {
         concat(lit("http://"), col("n_name"), lit(":9100/metrics")).as("url"),
         lit("mydb").as("db"), lit("autogen").as("rp"),
         (lit(30L) + (col("n_nationkey") % 4).cast("long") * 30L).as("intervalS"),
-        lit(true).as("enabled"))
+        lit(true).as("enabled"),
+        map().cast("map<string,string>").as("labels"))
       .as[graft.sources.ScrapeScheduler.ScrapeTarget]
     graft.sources.ScrapeScheduler.schedule(targets, 0L, 3600L)
       .select(col("job"), col("url"), col("intervalS").as("interval_s"),
