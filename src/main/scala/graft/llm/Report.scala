@@ -24,13 +24,17 @@ object Report {
       idCol: String,
       textCol: String,
       shardCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // null text counts as an empty document, not a null that poisons the
+    // shard's sums (real corpora carry nulls; the oracle restates the
+    // same coalesce)
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = TextOps.tokens(txt)
     docs
       .select(col(shardCol).as("shard"),
         size(toks).cast("long").as("n_tok"),
-        length(col(textCol)).cast("long").as("n_chr"),
+        length(txt).cast("long").as("n_chr"),
         // 60-bit md5 hash, the repo-wide text identity (Dedup.exact key)
-        TextOps.h60(col(textCol)).as("th"))
+        TextOps.h60(txt).as("th"))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -233,9 +233,9 @@ object LlmQueries {
   val corpusStatsSql: String =
     s"""WITH b AS (
        SELECT source AS shard,
-              len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))::BIGINT AS n_tok,
-              length(text)::BIGINT AS n_chr,
-              ${h60sql("text")} AS th
+              len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> ''))::BIGINT AS n_tok,
+              length(coalesce(text, ''))::BIGINT AS n_chr,
+              ${h60sql("coalesce(text, '')")} AS th
        FROM documents)
        SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
               sum(n_chr)::BIGINT AS n_chars,
