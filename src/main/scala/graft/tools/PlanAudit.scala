@@ -16,6 +16,11 @@ package graft.tools
   *     IVF coarse quantizer is a model object, not a data-sized side.
   *   - q_batch_periods / q_fill_*: the generated period/bucket axis is a
   *     single-partition sequence by construction (tiny).
+  *   - q_pipeline_curate: the unigram-LM training total (`agg(sum(cnt))`)
+  *     is a global aggregate — partial per partition, then ONE row per
+  *     partition into the single-partition final agg; bounded at any
+  *     corpus size (the canonical two-phase global agg, not a data
+  *     funnel).
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
