@@ -661,11 +661,10 @@ object UdfProto {
         }
       }
     }
-    sendFramed(encodeInfoRequest())
-    await({ case _: RInfo => () }, "InfoResponse")
-    sendFramed(encodeInitRequest(options, taskId, nodeId))
-    await({ case RInit(ok, e) =>
-      if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
+    // the prober starts BEFORE the handshake, like the reference's
+    // keepalive goroutine starting at Open (udf/server.go:146-182) — an
+    // agent that hangs on InfoRequest must die by timeout too, not pin
+    // the task thread in readFrame forever
     if (keepaliveMs > 0) {
       val prober = new Thread(() => {
         val periodMs = math.max(1L, keepaliveMs / 2)
@@ -692,6 +691,11 @@ object UdfProto {
       prober.setDaemon(true)
       prober.start()
     }
+    sendFramed(encodeInfoRequest())
+    await({ case _: RInfo => () }, "InfoResponse")
+    sendFramed(encodeInitRequest(options, taskId, nodeId))
+    await({ case RInit(ok, e) =>
+      if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
     @volatile var writeError: Throwable = null
     val writer = new Thread(() => {
       if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)

@@ -450,6 +450,16 @@ class UdfProtoAgentSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("keepalive timeout"))
     assert((System.nanoTime() - t0) / 1e9 < 30, "kill was not prompt")
+    // a child that never even speaks the protocol (hangs before the
+    // handshake) must die by the same timeout — the prober starts before
+    // Info, like the reference's keepalive goroutine starting at Open
+    val t1 = System.nanoTime()
+    val e2 = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipePoints(spark.createDataset(pts.take(5)).coalesce(1),
+        Seq("sleep", "3600"), keepaliveMs = 400L).collect()
+    }
+    assert(e2.getMessage.contains("keepalive timeout"))
+    assert((System.nanoTime() - t1) / 1e9 < 30, "handshake hang not killed")
     // a healthy child under keepalive: probes interleave, results intact
     val small = spark.createDataset(pts.take(10)).coalesce(1)
     val ok = UdfProto.pipePoints(small, Seq("python3", "-u", stubPath, "ok"),
