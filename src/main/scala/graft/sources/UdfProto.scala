@@ -787,7 +787,8 @@ object UdfProto {
       database: String = "",
       retentionPolicy: String = "",
       taskId: String = "graft",
-      nodeId: String = "udf"): Dataset[LineProtocol.LinePoint] = {
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[LineProtocol.LinePoint] = {
     val spark = points.sparkSession
     import spark.implicits._
     val (db, rp) = (database, retentionPolicy)
@@ -797,7 +798,7 @@ object UdfProto {
       fieldsDouble = lp.fieldsFloat, fieldsInt = lp.fieldsInt,
       fieldsString = lp.fieldsStr, fieldsBool = lp.fieldsBool,
       byName = false))
-    pipePoints(proto, cmd, options, taskId, nodeId).map(p =>
+    pipePoints(proto, cmd, options, taskId, nodeId, keepaliveMs).map(p =>
       LineProtocol.LinePoint(p.name, p.tags, p.fieldsDouble, p.fieldsInt,
         p.fieldsBool, p.fieldsString, p.time))
   }
