@@ -31,6 +31,25 @@ object Sinks {
       .parquet(path)
   }
 
+  /** The `influxDBOut().create()` DDL the reference issues at task start
+    * (influxdb_out.go; integration expectations: `CREATE DATABASE db`,
+    * `CREATE DATABASE db WITH NAME rp` — TestStream_InfluxDBOut_
+    * CreateDatabase[AndRP], streamer_test.go:12577-12700). Identifiers
+    * quote only when they are not bare InfluxQL idents, matching the
+    * reference's QuoteIdent behavior on the same inputs. The statement
+    * goes to whatever query transport the caller injects — for the
+    * parquet-backed [[influxOut]] the "create" is a no-op (directories
+    * appear on write), but a real InfluxDB target needs these bytes. */
+  def createDatabaseStatement(db: String, rp: Option[String] = None): String = {
+    def ident(s: String): String =
+      if (s.nonEmpty && s.head.isLetter || s.headOption.contains('_'))
+        if (s.forall(c => c.isLetterOrDigit || c == '_')) s
+        else "\"" + s.replace("\"", "\\\"") + "\""
+      else "\"" + s.replace("\"", "\\\"") + "\""
+    s"CREATE DATABASE ${ident(db)}" +
+      rp.map(r => s" WITH NAME ${ident(r)}").getOrElse("")
+  }
+
   /** Serialize rows to line protocol: `measurement,tags fields timeNs`.
     * Pure Catalyst (concat/escape), so the writer is codegen'd and
     * distributes like any projection. */

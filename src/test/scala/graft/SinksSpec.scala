@@ -204,6 +204,16 @@ class SinksSpec extends SparkSpec {
       assert(times.take(2) == Seq(t0 + 400000L, t0 + 800000L), times.toString)
     } finally q.stop()
   }
+
+  test("GOLDEN TestStream_InfluxDBOut_CreateDatabase[AndRP]: the create DDL bytes") {
+    // streamer_test.go:12577-12700 expectations, byte-for-byte
+    assert(graft.sources.Sinks.createDatabaseStatement("db") == "CREATE DATABASE db")
+    assert(graft.sources.Sinks.createDatabaseStatement("db", Some("rp")) ==
+      "CREATE DATABASE db WITH NAME rp")
+    // non-bare identifiers quote like InfluxQL QuoteIdent
+    assert(graft.sources.Sinks.createDatabaseStatement("my-db", Some("0rp")) ==
+      "CREATE DATABASE \"my-db\" WITH NAME \"0rp\"")
+    }
 }
 
 /** JVM-static recorder for sink transports: executor closures in local mode
