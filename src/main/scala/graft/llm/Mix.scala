@@ -119,6 +119,41 @@ object Mix {
         (col("__start") % seqLen).as("pack_offset"))
   }
 
+  /** Token-budget sampling — fill each domain's TOKEN budget instead of
+    * sampling by rate: documents take a deterministic per-domain order
+    * (md5 of the id, the repo-wide reproducible shuffle), accumulate a
+    * running token sum, and a document is kept iff it STARTS inside the
+    * budget (the first doc to cross the line is kept, so every non-empty
+    * budget yields at least one document — the standard "fill then cut"
+    * convention). Domains absent from `budgets` use `defaultBudget`;
+    * budget < 0 means unlimited.
+    *
+    * Scale shape: one shuffle — the per-domain window for the running
+    * sum; all arithmetic integer, so the keep decision is exactly
+    * reproducible across engines and repartitionings. Output adds
+    * `tok_start` (tokens accumulated before this doc) and `n_tok`. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = -1L): DataFrame = {
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs
+      .withColumn("n_tok", size(TextOps.tokens(col(textCol))).cast("long"))
+      .withColumn("tok_start", coalesce(
+        sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .withColumn("__budget", budget)
+      .filter(col("__budget") < 0 || col("tok_start") < col("__budget"))
+      .drop("__budget")
+  }
+
   /** Driver-side repeat factors that re-weight observed domain sizes to
     * target corpus shares: factor_d = scale · targetShare_d / observedShare_d,
     * where shares are normalized over the domains present in both maps.

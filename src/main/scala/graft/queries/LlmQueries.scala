@@ -245,6 +245,34 @@ object LlmQueries {
               round((count(*) - count(DISTINCT th))::DOUBLE / count(*), 4) AS dup_rate
        FROM b GROUP BY shard ORDER BY shard""".replaceAll("\\s+", " ")
 
+  /** q_mix_token_budget: token-budget mixture sampling
+    * (Mix.tokenBudgetSample) — per-domain md5-ordered running token sums,
+    * keep documents STARTING inside the budget; src2 runs unlimited
+    * (budget -1), src3 takes the default. The oracle restates the window
+    * cumsum + budget cut 1:1. */
+  def mixTokenBudgetQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.tokenBudgetSample(docs(s, dir), "doc_id", "text", "source",
+      budgets = Map("src0" -> 20000L, "src1" -> 5000L, "src2" -> -1L),
+      defaultBudget = 2000L)
+      .select("doc_id", "source", "n_tok", "tok_start")
+      .orderBy("doc_id")
+  val mixTokenBudgetSql: String =
+    """WITH b AS (
+       SELECT doc_id, source,
+              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> ''))::BIGINT AS n_tok
+       FROM documents),
+       c AS (
+       SELECT doc_id, source, n_tok,
+              coalesce(sum(n_tok) OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - n_tok, 0)::BIGINT AS tok_start
+       FROM b)
+       SELECT doc_id, source, n_tok, tok_start FROM c
+       WHERE CASE source WHEN 'src0' THEN tok_start < 20000
+                         WHEN 'src1' THEN tok_start < 5000
+                         WHEN 'src2' THEN true
+                         ELSE tok_start < 2000 END
+       ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------- embedding near-dup
 
   /** DuckDB fragments for left-fold dot/norm matching Similarity exactly. */

@@ -703,6 +703,36 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("tokenBudgetSample fills each domain's budget in md5 order; boundary doc kept") {
+    val d = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b",
+      Seq.fill(10)(s"w$i").mkString(" "))) // every doc exactly 10 tokens
+      .toDF("doc_id", "source", "text")
+    val out = graft.llm.Mix.tokenBudgetSample(d, "doc_id", "text", "source",
+      budgets = Map("a" -> 25L), defaultBudget = -1L)
+      .as[(Long, String, String, Long, Long)].collect()
+    val a = out.filter(_._2 == "a")
+    val b = out.filter(_._2 == "b")
+    // budget 25 over 10-token docs: docs starting at 0, 10, 20 are kept
+    // (the third STARTS inside the budget), the fourth starts at 30 — cut
+    assert(a.length === 3)
+    assert(a.map(_._5).sorted.toSeq === Seq(0L, 10L, 20L))
+    // unlimited domain keeps everything
+    assert(b.length === 10)
+    // the kept set is the md5-order prefix: recompute it independently
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectA = (1L to 10L).sortBy(i => (md5hex(i.toString), i)).take(3).toSet
+    assert(a.map(_._1).toSet === expectA)
+    // deterministic on rerun
+    val again = graft.llm.Mix.tokenBudgetSample(d, "doc_id", "text", "source",
+      budgets = Map("a" -> 25L), defaultBudget = -1L)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // a zero budget keeps nothing (no doc STARTS inside it)
+    assert(graft.llm.Mix.tokenBudgetSample(d, "doc_id", "text", "source",
+      budgets = Map.empty, defaultBudget = 0L).count() === 0)
+  }
+
   test("PROPERTY: decontaminateSpans is consistent with contamination on the corpus") {
     // on the real documents table: every doc flagged by contamination is
     // either fragmented (frag count >= 1 with LESS than its token count
