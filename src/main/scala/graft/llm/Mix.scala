@@ -146,7 +146,10 @@ object Mix {
       .partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     docs
-      .withColumn("n_tok", size(TextOps.tokens(col(textCol))).cast("long"))
+      // null text = empty document (0 tokens), the Report.corpusStats
+      // convention — not a null that silently drops the row
+      .withColumn("n_tok",
+        size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long"))
       .withColumn("tok_start", coalesce(
         sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
       .withColumn("__budget", budget)

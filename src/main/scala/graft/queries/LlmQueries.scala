@@ -259,7 +259,7 @@ object LlmQueries {
   val mixTokenBudgetSql: String =
     """WITH b AS (
        SELECT doc_id, source,
-              len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> ''))::BIGINT AS n_tok
+              len(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), t -> t <> ''))::BIGINT AS n_tok
        FROM documents),
        c AS (
        SELECT doc_id, source, n_tok,
