@@ -28,10 +28,15 @@ import org.apache.spark.util.LongAccumulator
   *   - the emitted event carries the point time and `{old, new}` fields
   *     (:264-283).
   *
-  * The cluster connectors themselves (k8s/swarm/ec2 HTTP clients) stay
-  * out of the engine — `applyEvents` takes the `setReplicas` side effect
-  * as an injectable transport, the same seam as the alert handler
-  * runners in [[graft.sources.Sinks]]. Counters (increase_events,
+  * The cluster connectors' SOCKETS stay out of the engine — `applyEvents`
+  * takes the `setReplicas` side effect as an injectable transport, the
+  * same seam as the alert handler runners in [[graft.sources.Sinks]] —
+  * but the request SHAPES are first-class:
+  * [[graft.functions.AutoscaleClients]] formats the k8s Scale
+  * JSON-Patch, the swarm version-tagged Spec update, and the EC2
+  * SetDesiredCapacity query byte-exactly, and its
+  * `k8sSetReplicas`/`swarmSetReplicas`/`ec2SetReplicas` glue plugs
+  * straight into `applyEvents`. Counters (increase_events,
   * decrease_events, cooldown_drops — autoscale.go:20-23) are optional
   * Spark accumulators, the distributed equivalent of the node's expvars.
   *

@@ -677,10 +677,10 @@ object TickScript {
       if (df.columns.contains("ts_ns")) col("ts_ns")
       else unix_micros(col(timeCol)) * lit(1000L)
     val byType = inFields.groupBy(f => df.schema(f).dataType match {
-      case DoubleType | FloatType               => 'd'
-      case LongType | IntegerType | ShortType   => 'i'
-      case BooleanType                          => 'b'
-      case _                                    => 's'
+      case DoubleType | FloatType | _: DecimalType => 'd'
+      case LongType | IntegerType | ShortType      => 'i'
+      case BooleanType                             => 'b'
+      case _                                       => 's'
     })
     def fieldMap[T](tpe: Char, cast: String) = byType.get(tpe) match {
       case Some(fs) => map(fs.flatMap(f => Seq(lit(f), col(f).cast(cast))): _*)
