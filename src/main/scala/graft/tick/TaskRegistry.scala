@@ -88,6 +88,8 @@ class TaskRegistry {
       vars: Map[String, Any] = Map.empty): TaskDef = synchronized {
     val old = tasks.getOrElse(id, throw new NoSuchElementException(s"no task $id"))
     val parsed = TickScript.parse(script)
+    val missing = parsed.declared.keySet -- vars.keySet
+    require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
     val t = old.copy(tickscript = script, taskType = deriveType(script),
       dbrps = parsed.dbrps, vars = vars, error = "",
       modifiedMs = System.currentTimeMillis())
