@@ -450,6 +450,61 @@ object EventQueries4 {
     """SELECT event_id, value * 2.5 AS value, epoch_ns(ts) AS time_ns
        FROM events ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  /** q_udf_proto_batch: the BATCH-edge agent protocol inside the
+    * correctness gate — events group into bounded batches keyed by
+    * (user_id % 8, hour bucket), each batch streams to a REAL batch
+    * agent child (graft.tools.BatchStatsAgent via `java -cp`) as
+    * BeginBatch/Point/EndBatch frames (reference
+    * udf/server.go:445-519 writeBufferedBatch + 674-760 batch
+    * reassembly), and the agent's derived batches explode back to rows.
+    * The oracle restates the agent's per-batch stats (count + max — both
+    * order-exact) as window functions over the same keys. Batches are
+    * bounded by construction (one group-hour), so collect_list stays a
+    * windowed buffer, not an unbounded group. */
+  def udfProtoBatchQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Graft.events(s, dir)
+    val batches = ev
+      .select(
+        (col("user_id") % 8).cast("long").as("g"),
+        expr("ts_ns DIV 3600000000000").as("hb"),
+        col("ts_ns"), col("event_id"), col("value"))
+      .groupBy("g", "hb")
+      .agg(
+        collect_list(struct(col("ts_ns"), col("event_id"), col("value"))).as("pts"),
+        max("ts_ns").as("tmax"))
+      .as[(Long, Long, Seq[(Long, Long, Double)], Long)]
+      .map { case (g, hb, pts, tmax) =>
+        graft.sources.UdfProto.ProtoBatch(
+          name = "events", group = s"g=$g,hb=$hb",
+          tags = Map("g" -> g.toString, "hb" -> hb.toString),
+          byName = false, tmax = tmax,
+          points = pts.map { case (ts, eid, v) =>
+            graft.sources.UdfProto.ProtoPoint(
+              ts, "", "", "", s"g=$g,hb=$hb", Nil,
+              Map("eid" -> eid.toString), Map("value" -> v),
+              Map.empty, Map.empty, Map.empty, byName = false)
+          })
+      }
+    val cp = sys.props("java.class.path")
+    graft.sources.UdfProto.pipeBatches(
+        batches.coalesce(4),
+        Seq("java", "-cp", cp, "graft.tools.BatchStatsAgent"),
+        options = Seq("field" -> Seq(graft.sources.UdfProto.OptString("value"))))
+      .flatMap(b => b.points.map(p => (
+        p.tags("eid").toLong, p.fieldsDouble("value"),
+        p.fieldsDouble("vmax"), p.fieldsInt("batch_n"))))
+      .toDF("event_id", "value", "vmax", "batch_n")
+      .orderBy("event_id")
+  }
+  val udfProtoBatchSql: String =
+    """SELECT event_id, value,
+              MAX(value) OVER w AS vmax,
+              COUNT(*) OVER w AS batch_n
+       FROM events
+       WINDOW w AS (PARTITION BY user_id % 8, epoch_ns(ts) // 3600000000000)
+       ORDER BY event_id""".replaceAll("\\s+", " ")
+
   /** q_prom_roundtrip: events → exposition text → PrometheusScrape.parse →
     * toPointFrame (sources/PrometheusScrape.scala; reference
     * services/scraper/service.go:184-240 Append transform, job decode

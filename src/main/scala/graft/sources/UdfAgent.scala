@@ -13,6 +13,14 @@ import graft.sources.UdfProto._
   * messages; keepalives echo automatically (agent.go answers them in its
   * read loop without involving the handler).
   *
+  * STREAM-edge agents implement [[Handler.point]]; BATCH-edge agents
+  * additionally override [[Handler.info]] to declare BATCH edges and
+  * [[Handler.beginBatch]]/[[Handler.endBatch]] for the batch lifecycle
+  * (batch points between the markers still arrive via `point`). Stateful
+  * agents may override [[Handler.snapshot]]/[[Handler.restore]] — the
+  * server half drives the RPC pair via `restoreSnapshot`/`onSnapshot`
+  * on the UdfProto runners.
+  *
   * A handler that throws ends the loop with an `ErrorResponse` carrying
   * the message — the reference's contract for surfacing agent failure
   * (the server terminates the process on receipt, udf.proto:133-137).
@@ -20,8 +28,17 @@ import graft.sources.UdfProto._
 object UdfAgent {
 
   /** EdgeType (udf.proto:46-49). */
-  val Stream = 0
-  val Batch = 1
+  val Stream = UdfProto.EdgeStream
+  val Batch = UdfProto.EdgeBatch
+
+  /** Response emitter handed to batch lifecycle callbacks: a batch
+    * handler replies with its own BeginBatch/Point/EndBatch frames (or
+    * plain points for a BATCH→STREAM agent). */
+  trait Emit {
+    def point(p: ProtoPoint): Unit
+    def beginBatch(b: ProtoBeginBatch): Unit
+    def endBatch(e: ProtoEndBatch): Unit
+  }
 
   trait Handler {
     /** (wants, provides) — default STREAM→STREAM. */
@@ -31,6 +48,14 @@ object UdfAgent {
         nodeId: String): Either[String, Unit] = Right(())
     /** One point in; emit 0..N points out. */
     def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit
+    /** Batch lifecycle for BATCH-wants agents (udf.proto BeginBatch);
+      * batch points between the markers arrive via [[point]]. */
+    def beginBatch(b: ProtoBeginBatch, emit: Emit): Unit =
+      throw new UnsupportedOperationException(
+        "batch-edge framing not supported by this STREAM agent")
+    def endBatch(e: ProtoEndBatch, emit: Emit): Unit =
+      throw new UnsupportedOperationException(
+        "batch-edge framing not supported by this STREAM agent")
     def snapshot(): Array[Byte] = Array.emptyByteArray
     def restore(snapshot: Array[Byte]): Either[String, Unit] =
       Left("restore not implemented")
@@ -43,42 +68,40 @@ object UdfAgent {
     val in = new BufferedInputStream(in0)
     val out = new BufferedOutputStream(out0)
     def send(msg: Array[Byte]): Unit = { writeFramed(out, msg); out.flush() }
+    val emitter = new Emit {
+      def point(p: ProtoPoint): Unit = send(encodeResponsePoint(p))
+      def beginBatch(b: ProtoBeginBatch): Unit = send(encodeResponseBegin(b))
+      def endBatch(e: ProtoEndBatch): Unit = send(encodeResponseEnd(e))
+    }
     try {
       var eof = false
       while (!eof) {
-        val size = readUvarintOrEof(in)
-        if (size < 0) eof = true
-        else {
-          val buf = new Array[Byte](size.toInt)
-          var read = 0
-          while (read < size) {
-            val n = in.read(buf, read, size.toInt - read)
-            if (n < 0) throw new java.io.EOFException(
-              s"stream ended inside a $size-byte frame")
-            read += n
-          }
-          decodeRequest(buf) match {
-            case QInfo =>
-              val (w, p) = handler.info()
-              send(encodeResponseInfo(w, p))
-            case QInit(opts, task, node) =>
-              handler.init(opts, task, node) match {
-                case Right(_) => send(encodeResponseInit(success = true, ""))
-                case Left(e)  => send(encodeResponseInit(success = false, e))
-              }
-            case QKeepalive(t) => send(encodeResponseKeepalive(t))
-            case QSnapshot     => send(encodeResponseSnapshot(handler.snapshot()))
-            case QRestore(s) =>
-              handler.restore(s) match {
-                case Right(_) => send(encodeResponseRestore(success = true, ""))
-                case Left(e)  => send(encodeResponseRestore(success = false, e))
-              }
-            case QPoint(p) =>
-              handler.point(p, pt => send(encodeResponsePoint(pt)))
-            case _: QBegin | _: QEnd =>
-              throw new UnsupportedOperationException(
-                "batch-edge framing not supported by this STREAM agent")
-          }
+        // readFrameBytes bounds the declared length — a corrupt varint is
+        // a framing error, not an allocation
+        readFrameBytes(in) match {
+          case None => eof = true
+          case Some(buf) =>
+            decodeRequest(buf) match {
+              case QInfo =>
+                val (w, p) = handler.info()
+                send(encodeResponseInfo(w, p))
+              case QInit(opts, task, node) =>
+                handler.init(opts, task, node) match {
+                  case Right(_) => send(encodeResponseInit(success = true, ""))
+                  case Left(e)  => send(encodeResponseInit(success = false, e))
+                }
+              case QKeepalive(t) => send(encodeResponseKeepalive(t))
+              case QSnapshot     => send(encodeResponseSnapshot(handler.snapshot()))
+              case QRestore(s) =>
+                handler.restore(s) match {
+                  case Right(_) => send(encodeResponseRestore(success = true, ""))
+                  case Left(e)  => send(encodeResponseRestore(success = false, e))
+                }
+              case QPoint(p) =>
+                handler.point(p, emitter.point)
+              case QBegin(b) => handler.beginBatch(b, emitter)
+              case QEnd(e)   => handler.endBatch(e, emitter)
+            }
         }
       }
     } catch {

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.TimeUnit
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.Dataset
@@ -26,14 +27,33 @@ import org.apache.spark.sql.Dataset
   * scalars default to zero values.
   *
   * Scope mirrors ProcessUdf (the line-protocol bridge): one agent process
-  * per partition per (micro-)batch, stateless by contract — STREAM-edge
-  * agents only. Snapshot/Restore and the keepalive timer are not driven
-  * (Spark task liveness, speculation, and the completion-listener kill are
-  * the supervisor here); an agent that *sends* an unsolicited
-  * KeepaliveResponse is tolerated and skipped. Batch-edge agents
-  * (BeginBatch/EndBatch framing) are refused loudly.
+  * per partition per (micro-)batch. Both edge types are driven:
+  * STREAM-edge agents via [[runAgentPartition]]/[[pipePoints]], and
+  * BATCH-edge agents (BeginBatch/Point/EndBatch framing, the reference
+  * `Server.writeBufferedBatch`, udf/server.go:445-519 + 625-633) via
+  * [[runBatchAgentPartition]]/[[pipeBatches]] (BATCH→BATCH) and
+  * [[runBatchToPointsPartition]] (BATCH→STREAM). The InfoResponse edge
+  * types are validated against the runner in use, like the reference
+  * refuses a task whose edge types mismatch the agent's.
+  *
+  * The keepalive probe (udf/server.go:361-441) is driven when
+  * `keepaliveMs > 0` — see [[runAgentPartition]]. The Snapshot/Restore
+  * RPC pair (udf/server.go:289-300, udf.proto SnapshotRequest/
+  * RestoreRequest) is available as a per-partition seam: pass
+  * `restoreSnapshot` to replay a prior snapshot into the agent right
+  * after Init (the reference's restore point), and `onSnapshot` to
+  * request + receive a snapshot after the partition's input is fully
+  * streamed. Distributed state management stays Spark's job — streaming
+  * state lives in checkpointed state stores, and genuinely stateful
+  * agents should migrate to mapGroupsWithState — but the wire RPCs are
+  * fully spoken for agents that use them.
   */
 object UdfProto {
+
+  /** EdgeType (udf.proto:46-49). */
+  val EdgeStream = 0
+  val EdgeBatch = 1
+  private def edgeName(t: Int): String = if (t == EdgeBatch) "BATCH" else "STREAM"
 
   /** Mirror of `agent.Point` (udf.proto:167-180). */
   case class ProtoPoint(
@@ -49,6 +69,35 @@ object UdfProto {
       fieldsString: Map[String, String],
       fieldsBool: Map[String, Boolean],
       byName: Boolean)
+
+  /** Mirror of `agent.BeginBatch` (udf.proto:157-163): size is the point
+    * count, 0 = undetermined. */
+  case class ProtoBeginBatch(
+      name: String,
+      group: String,
+      tags: Map[String, String],
+      size: Long,
+      byName: Boolean)
+
+  /** Mirror of `agent.EndBatch` (udf.proto:187-193): carries tmax, which
+    * may not be known at BeginBatch. */
+  case class ProtoEndBatch(
+      name: String,
+      group: String,
+      tmax: Long,
+      tags: Map[String, String],
+      byName: Boolean)
+
+  /** A buffered batch — the engine-side analog of the reference's
+    * edge.BufferedBatchMessage (begin metadata + points + end), the unit
+    * a BATCH-edge agent consumes/produces. */
+  case class ProtoBatch(
+      name: String,
+      group: String,
+      tags: Map[String, String],
+      byName: Boolean,
+      tmax: Long,
+      points: Seq[ProtoPoint])
 
   /** Mirror of `agent.OptionValue` (udf.proto:81-90). The `type` enum is
     * derived from the variant (BOOL=0 INT=1 DOUBLE=2 STRING=3 DURATION=4). */
@@ -89,6 +138,32 @@ object UdfProto {
       if (shift > 63) throw new IllegalStateException("varint overflow")
     }
     acc // unreachable
+  }
+
+  /** Ceiling on a single frame's declared length. A corrupted or hostile
+    * varint must produce a framing error, not drive `new Array[Byte]`
+    * into a NegativeArraySizeException or a multi-GB allocation. */
+  val MaxFrameBytes: Int = 64 * 1024 * 1024
+
+  /** Read one varint-framed message; None at clean EOF. Declared lengths
+    * outside (0, MaxFrameBytes] are framing errors (no valid Request or
+    * Response frame is empty — every wrapper carries a oneof member). */
+  def readFrameBytes(in: InputStream): Option[Array[Byte]] = {
+    val size = readUvarintOrEof(in)
+    if (size < 0) None
+    else if (size == 0L || size > MaxFrameBytes)
+      throw new java.io.StreamCorruptedException(
+        s"invalid udf frame length $size (expected 1..$MaxFrameBytes)")
+    else {
+      val buf = new Array[Byte](size.toInt)
+      var read = 0
+      while (read < size) {
+        val n = in.read(buf, read, size.toInt - read)
+        if (n < 0) throw new EOFException(s"stream ended inside a $size-byte frame")
+        read += n
+      }
+      Some(buf)
+    }
   }
 
   // ----------------------------------------------------------- encoder
@@ -136,6 +211,11 @@ object UdfProto {
     w.bytes
   }
 
+  private def strMapField(w: ProtoWriter, field: Int, m: Map[String, String]): Unit =
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      w.msgField(field, mapEntry(k)(_.strAlways(2, v)))
+    }
+
   def encodePoint(p: ProtoPoint): Array[Byte] = {
     val w = new ProtoWriter
     w.varintField(1, p.time)
@@ -145,9 +225,7 @@ object UdfProto {
     w.strField(5, p.group)
     p.dimensions.foreach(d => w.strAlways(6, d))
     // sorted map order: deterministic bytes (wire-valid in any order)
-    p.tags.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      w.msgField(7, mapEntry(k)(_.strAlways(2, v)))
-    }
+    strMapField(w, 7, p.tags)
     p.fieldsDouble.toSeq.sortBy(_._1).foreach { case (k, v) =>
       w.msgField(8, mapEntry(k)(_.doubleAlways(2, v)))
     }
@@ -164,10 +242,44 @@ object UdfProto {
     w.bytes
   }
 
+  def encodeBeginBatch(b: ProtoBeginBatch): Array[Byte] = {
+    val w = new ProtoWriter
+    w.strField(1, b.name)
+    w.strField(2, b.group)
+    strMapField(w, 3, b.tags)
+    w.varintField(4, b.size)
+    w.boolField(5, b.byName)
+    w.bytes
+  }
+
+  def encodeEndBatch(e: ProtoEndBatch): Array[Byte] = {
+    val w = new ProtoWriter
+    w.strField(1, e.name)
+    w.strField(2, e.group)
+    w.varintField(3, e.tmax)
+    strMapField(w, 4, e.tags)
+    w.boolField(5, e.byName)
+    w.bytes
+  }
+
   /** `Request{point}` — wrapper field 17 (udf.proto:203-217). */
   def encodeRequestPoint(p: ProtoPoint): Array[Byte] = {
     val w = new ProtoWriter
     w.msgField(17, encodePoint(p))
+    w.bytes
+  }
+
+  /** `Request{begin}` — wrapper field 16. */
+  def encodeRequestBegin(b: ProtoBeginBatch): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(16, encodeBeginBatch(b))
+    w.bytes
+  }
+
+  /** `Request{end}` — wrapper field 18. */
+  def encodeRequestEnd(e: ProtoEndBatch): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(18, encodeEndBatch(e))
     w.bytes
   }
 
@@ -184,6 +296,24 @@ object UdfProto {
     inner.varintField(1, timeNs)
     val w = new ProtoWriter
     w.msgField(3, inner.bytes)
+    w.bytes
+  }
+
+  /** `Request{snapshot}` — an empty SnapshotRequest in wrapper field 4
+    * (udf/server.go:289-300). */
+  def encodeSnapshotRequest(): Array[Byte] = {
+    val w = new ProtoWriter
+    w.msgField(4, Array.emptyByteArray)
+    w.bytes
+  }
+
+  /** `Request{restore}` — RestoreRequest{bytes snapshot = 1} in wrapper
+    * field 5. */
+  def encodeRestoreRequest(snapshot: Array[Byte]): Array[Byte] = {
+    val inner = new ProtoWriter
+    if (snapshot.nonEmpty) inner.msgField(1, snapshot) // bytes: same wire shape as a message
+    val w = new ProtoWriter
+    w.msgField(5, inner.bytes)
     w.bytes
   }
 
@@ -275,9 +405,9 @@ object UdfProto {
   case class RSnapshot(snapshot: Array[Byte]) extends AgentResponse
   case class RRestore(success: Boolean, error: String) extends AgentResponse
   case class RError(error: String) extends AgentResponse
-  case class RBegin(name: String, group: String) extends AgentResponse
+  case class RBegin(begin: ProtoBeginBatch) extends AgentResponse
   case class RPoint(point: ProtoPoint) extends AgentResponse
-  case class REnd(name: String, group: String) extends AgentResponse
+  case class REnd(end: ProtoEndBatch) extends AgentResponse
 
   def decodePoint(buf: Array[Byte]): ProtoPoint = {
     val r = new ProtoReader(buf)
@@ -321,6 +451,58 @@ object UdfProto {
       }
     }
     ProtoPoint(time, name, db, rp, group, dims, tags, fd, fi, fs, fb, byName)
+  }
+
+  private def strEntry(r: ProtoReader): (String, String) = {
+    val er = new ProtoReader(r.bytesField())
+    var k = ""
+    var v = ""
+    while (er.hasMore) {
+      val (f, w) = er.readTag()
+      if (f == 1 && w == 2) k = er.strFieldV()
+      else if (f == 2 && w == 2) v = er.strFieldV()
+      else er.skip(w)
+    }
+    k -> v
+  }
+
+  def decodeBeginBatch(buf: Array[Byte]): ProtoBeginBatch = {
+    val r = new ProtoReader(buf)
+    var name = ""; var group = ""
+    var tags = Map.empty[String, String]
+    var size = 0L; var byName = false
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1 => name = r.strFieldV()
+        case 2 => group = r.strFieldV()
+        case 3 => tags += strEntry(r)
+        case 4 => size = r.uv()
+        case 5 => byName = r.uv() != 0L
+        case _ => r.skip(w)
+      }
+    }
+    ProtoBeginBatch(name, group, tags, size, byName)
+  }
+
+  def decodeEndBatch(buf: Array[Byte]): ProtoEndBatch = {
+    val r = new ProtoReader(buf)
+    var name = ""; var group = ""
+    var tmax = 0L
+    var tags = Map.empty[String, String]
+    var byName = false
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      f match {
+        case 1 => name = r.strFieldV()
+        case 2 => group = r.strFieldV()
+        case 3 => tmax = r.uv()
+        case 4 => tags += strEntry(r)
+        case 5 => byName = r.uv() != 0L
+        case _ => r.skip(w)
+      }
+    }
+    ProtoEndBatch(name, group, tmax, tags, byName)
   }
 
   def decodeResponse(buf: Array[Byte]): AgentResponse = {
@@ -368,9 +550,9 @@ object UdfProto {
               if (ff == 1 && ww == 2) msg = er.strFieldV() else er.skip(ww)
             }
             result = RError(msg)
-          case 16 => val (n, g) = nameGroup(inner, 2); result = RBegin(n, g)
+          case 16 => result = RBegin(decodeBeginBatch(inner))
           case 17 => result = RPoint(decodePoint(inner))
-          case 18 => val (n, g) = nameGroup(inner, 2); result = REnd(n, g)
+          case 18 => result = REnd(decodeEndBatch(inner))
           case _  => () // unknown wrapper field: skip (already consumed)
         }
       }
@@ -393,19 +575,6 @@ object UdfProto {
     (ok, err)
   }
 
-  private def nameGroup(inner: Array[Byte], groupField: Int): (String, String) = {
-    val r = new ProtoReader(inner)
-    var n = ""
-    var g = ""
-    while (r.hasMore) {
-      val (f, w) = r.readTag()
-      if (f == 1 && w == 2) n = r.strFieldV()
-      else if (f == groupField && w == 2) g = r.strFieldV()
-      else r.skip(w)
-    }
-    (n, g)
-  }
-
   // -------------------------------------- agent-side codec (Requests in,
   // Responses out — the other half of the wire, used by UdfAgent)
 
@@ -416,9 +585,9 @@ object UdfProto {
   case class QKeepalive(time: Long) extends AgentRequest
   case object QSnapshot extends AgentRequest
   case class QRestore(snapshot: Array[Byte]) extends AgentRequest
-  case class QBegin(name: String, group: String) extends AgentRequest
+  case class QBegin(begin: ProtoBeginBatch) extends AgentRequest
   case class QPoint(point: ProtoPoint) extends AgentRequest
-  case class QEnd(name: String, group: String) extends AgentRequest
+  case class QEnd(end: ProtoEndBatch) extends AgentRequest
 
   def decodeRequest(buf: Array[Byte]): AgentRequest = {
     val r = new ProtoReader(buf)
@@ -485,9 +654,9 @@ object UdfProto {
               if (ff == 1 && ww == 2) snap = sr.bytesField() else sr.skip(ww)
             }
             result = QRestore(snap)
-          case 16 => val (n, g) = nameGroup(inner, 2); result = QBegin(n, g)
+          case 16 => result = QBegin(decodeBeginBatch(inner))
           case 17 => result = QPoint(decodePoint(inner))
-          case 18 => val (n, g) = nameGroup(inner, 2); result = QEnd(n, g)
+          case 18 => result = QEnd(decodeEndBatch(inner))
           case _  => ()
         }
       }
@@ -556,41 +725,48 @@ object UdfProto {
     w.bytes
   }
 
+  /** `Response{begin}` — wrapper field 16 (Request and Response use the
+    * same data-flow field numbers, udf.proto:203-236). */
+  def encodeResponseBegin(b: ProtoBeginBatch): Array[Byte] = encodeRequestBegin(b)
+
+  /** `Response{end}` — wrapper field 18. */
+  def encodeResponseEnd(e: ProtoEndBatch): Array[Byte] = encodeRequestEnd(e)
+
   // ------------------------------------------------- partition runner
 
   private val MaxStderrBytes = 64 * 1024
+  private val ResponseQueueCapacity = 1024
 
-  /** One agent process for one partition: handshake (Info, Init), stream
-    * Points on stdin from a writer thread, iterate Response points
-    * lazily. Same lifecycle guards as ProcessUdf.runPartition:
-    * TaskContext propagated into helper threads, completion-listener
-    * kill, bounded stderr surfaced on non-zero exit.
+  /** One agent child process with its full lifecycle: stderr drain,
+    * dedicated RESPONSE READER thread, keepalive prober, handshake, and
+    * failure plumbing.
     *
-    * `keepaliveMs > 0` drives the reference server's liveness probe
-    * (udf/server.go:361-441): a KeepaliveRequest goes out every
-    * `keepaliveMs / 2`, ANY response resets the timer, and a child that
-    * answers nothing for `keepaliveMs` is killed with a named
-    * keepalive-timeout failure — closing the "child stops reading stdin
-    * and never writes stdout" stall the bridge otherwise only escapes
-    * via task speculation. Note the reference's own caveat applies: an
-    * agent busy inside one point longer than the timeout is
-    * indistinguishable from a hung one. */
-  def runAgentPartition(
-      cmd: Seq[String],
-      options: Seq[(String, Seq[OptVal])],
-      taskId: String,
-      nodeId: String,
-      input: Iterator[ProtoPoint],
-      keepaliveMs: Long = 0L): Iterator[ProtoPoint] = {
-    if (!input.hasNext) return Iterator.empty
-    val proc = new ProcessBuilder(cmd: _*).start()
-    val taskCtx = TaskContext.get()
+    * The reader thread mirrors the reference server's readData goroutine
+    * (udf/server.go:645-663): it drains stdout continuously into a
+    * bounded queue, so the keepalive timer (`lastResponseNs`) is fed the
+    * moment a response ARRIVES — not when the downstream Spark consumer
+    * happens to pull the output iterator. A consumer that sits between
+    * `next()` calls longer than keepaliveMs therefore cannot starve the
+    * timer into killing a healthy agent; only an agent that genuinely
+    * answers nothing dies. Keepalive responses are consumed by the
+    * reader itself (they only feed the timer, exactly the reference's
+    * `Response_Keepalive` no-op arm). Backpressure is the queue bound:
+    * when the consumer is slow the reader parks in `offer` with
+    * `readerIdle = false`, which the prober treats as alive — staleness
+    * only counts while the reader is actually WAITING on the agent. */
+  private final class AgentChild(cmd: Seq[String], keepaliveMs: Long) {
+    private val proc = new ProcessBuilder(cmd: _*).start()
+    private val taskCtx = TaskContext.get()
+    /** Set at task completion: unblocks reader `offer` loops so a killed
+      * task cannot leak a parked thread in a long-lived executor JVM. */
+    @volatile private var taskClosed = false
     Option(taskCtx).foreach(_.addTaskCompletionListener[Unit] { _ =>
+      taskClosed = true
       if (proc.isAlive) proc.destroyForcibly()
       ()
     })
-    val stderr = new java.io.ByteArrayOutputStream()
-    val errThread = new Thread(() => {
+    private val stderr = new java.io.ByteArrayOutputStream()
+    private val errThread = new Thread(() => {
       if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
       val es = proc.getErrorStream
       val buf = new Array[Byte](8192)
@@ -602,15 +778,16 @@ object UdfProto {
     }, "graft-udfproto-stderr")
     errThread.setDaemon(true)
     errThread.start()
-    val out = new BufferedOutputStream(proc.getOutputStream)
-    val in = new BufferedInputStream(proc.getInputStream)
+
+    private val out = new BufferedOutputStream(proc.getOutputStream)
+    private val in = new BufferedInputStream(proc.getInputStream)
     // frames from the writer thread and the keepalive prober interleave
     // on one pipe — serialize whole frames, never bytes. A ReentrantLock
     // (not synchronized) so the prober can TRY the lock: when the writer
     // is blocked on a full pipe holding it, the prober must skip the
     // probe and fall back to its elapsed check rather than block forever
     // behind the stalled write.
-    val writeLock = new java.util.concurrent.locks.ReentrantLock
+    private val writeLock = new java.util.concurrent.locks.ReentrantLock
     def sendFramed(msg: Array[Byte]): Unit = {
       writeLock.lock()
       try {
@@ -618,66 +795,65 @@ object UdfProto {
         out.flush()
       } finally writeLock.unlock()
     }
-    @volatile var lastResponseNs = System.nanoTime()
-    @volatile var keepaliveTimedOut = false
-    def fail(msg: String): Nothing = {
-      if (proc.isAlive) proc.destroyForcibly()
-      proc.waitFor()
-      errThread.join(2000)
-      val err = stderr.toString("UTF-8").trim
-      val ka = if (keepaliveTimedOut)
-        s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
-      throw new RuntimeException(
-        s"udf agent '${cmd.mkString(" ")}': $msg$ka" +
-          (if (err.nonEmpty) s"; stderr: $err" else ""))
-    }
-    def readFrame(): Option[AgentResponse] = {
-      val size = readUvarintOrEof(in)
-      if (size < 0) None
-      else {
-        val buf = new Array[Byte](size.toInt)
-        var read = 0
-        while (read < size) {
-          val n = in.read(buf, read, size.toInt - read)
-          if (n < 0) fail(s"stream ended inside a $size-byte frame")
-          read += n
+
+    @volatile private var lastResponseNs = System.nanoTime()
+    @volatile private var keepaliveTimedOut = false
+    @volatile private var readerIdle = true
+    private case object Eof
+    /** Eof or a Throwable, set exactly once when the reader exits. */
+    @volatile private var terminal: AnyRef = null
+    private val queue =
+      new java.util.concurrent.LinkedBlockingQueue[AgentResponse](ResponseQueueCapacity)
+
+    private val reader = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
+      try {
+        var done = false
+        while (!done && !taskClosed) {
+          readFrameBytes(in) match {
+            case None => done = true
+            case Some(buf) =>
+              lastResponseNs = System.nanoTime()
+              decodeResponse(buf) match {
+                case _: RKeepalive => () // timer food only, never queued
+                case resp =>
+                  readerIdle = false
+                  var put = false
+                  while (!put && !taskClosed)
+                    put = queue.offer(resp, 100, TimeUnit.MILLISECONDS)
+                  readerIdle = true
+              }
+          }
         }
-        lastResponseNs = System.nanoTime()
-        Some(decodeResponse(buf))
+      } catch {
+        case t: Throwable => terminal = t
+      } finally {
+        readerIdle = false
+        if (terminal == null) terminal = Eof
       }
-    }
-    // handshake on the task thread, exactly the reference server order
-    // (udf/server.go:249-288): Info, then Init; tolerate interleaved
-    // keepalives (the protocol is loosely coupled, udf.proto:24-31)
-    def await(pf: PartialFunction[AgentResponse, Unit], what: String): Unit = {
-      var done = false
-      while (!done) {
-        readFrame() match {
-          case None                    => fail(s"agent exited before $what")
-          case Some(RError(e))         => fail(s"agent error during $what: $e")
-          case Some(_: RKeepalive)     => ()
-          case Some(r) if pf.isDefinedAt(r) => pf(r); done = true
-          case Some(other)             => fail(s"unexpected $other awaiting $what")
-        }
-      }
-    }
+    }, "graft-udfproto-reader")
+    reader.setDaemon(true)
+    reader.start()
+
     // the prober starts BEFORE the handshake, like the reference's
     // keepalive goroutine starting at Open (udf/server.go:146-182) — an
-    // agent that hangs on InfoRequest must die by timeout too, not pin
-    // the task thread in readFrame forever
+    // agent that hangs on InfoRequest must die by timeout too. The
+    // reference's own caveat applies: an agent busy inside one point
+    // longer than the timeout is indistinguishable from a hung one.
     if (keepaliveMs > 0) {
       val prober = new Thread(() => {
         val periodMs = math.max(1L, keepaliveMs / 2)
         try {
-          while (proc.isAlive && !keepaliveTimedOut) {
+          while (proc.isAlive && !keepaliveTimedOut && !taskClosed) {
             Thread.sleep(periodMs)
-            if ((System.nanoTime() - lastResponseNs) / 1000000L > keepaliveMs) {
+            val staleMs = (System.nanoTime() - lastResponseNs) / 1000000L
+            if (readerIdle && staleMs > keepaliveMs) {
               keepaliveTimedOut = true
               // no lock needed: destroy unblocks any write stalled on the
               // dead pipe, which is exactly the stall being detected
               proc.destroyForcibly() // reader sees EOF → finish() fails with the ka note
             } else if (proc.isAlive &&
-                writeLock.tryLock(periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+                writeLock.tryLock(periodMs, TimeUnit.MILLISECONDS)) {
               try writeFramed(out, encodeKeepaliveRequest(System.nanoTime()))
               catch { case _: java.io.IOException => () } // racing child exit
               finally {
@@ -691,58 +867,315 @@ object UdfProto {
       prober.setDaemon(true)
       prober.start()
     }
-    sendFramed(encodeInfoRequest())
-    await({ case _: RInfo => () }, "InfoResponse")
-    sendFramed(encodeInitRequest(options, taskId, nodeId))
-    await({ case RInit(ok, e) =>
-      if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
-    @volatile var writeError: Throwable = null
-    val writer = new Thread(() => {
-      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
-      try {
-        input.foreach(p => sendFramed(encodeRequestPoint(p)))
-      } catch {
-        case _: java.io.IOException => () // agent closed stdin early
-        case t: Throwable           => writeError = t
-      } finally {
-        // close under the lock so a concurrent keepalive frame can't be
-        // torn mid-write by the close
-        writeLock.lock()
-        try out.close()
-        catch { case _: java.io.IOException => () }
-        finally writeLock.unlock()
+
+    def fail(msg: String): Nothing = {
+      if (proc.isAlive) proc.destroyForcibly()
+      proc.waitFor()
+      errThread.join(2000)
+      val err = stderr.toString("UTF-8").trim
+      val ka = if (keepaliveTimedOut)
+        s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
+      throw new RuntimeException(
+        s"udf agent '${cmd.mkString(" ")}': $msg$ka" +
+          (if (err.nonEmpty) s"; stderr: $err" else ""))
+    }
+
+    /** Next non-keepalive response from the reader, or None at agent
+      * EOF; reader failures surface here as task failures. */
+    def nextResponse(): Option[AgentResponse] = {
+      while (true) {
+        val r = queue.poll(100, TimeUnit.MILLISECONDS)
+        if (r != null) return Some(r)
+        val t = terminal
+        if (t != null && queue.isEmpty) t match {
+          case Eof            => return None
+          case err: Throwable => fail(s"agent stream error: ${err.getMessage}")
+        }
       }
-    }, "graft-udfproto-stdin")
-    writer.setDaemon(true)
-    writer.start()
+      None // unreachable
+    }
+
+    private def await(pf: PartialFunction[AgentResponse, Unit], what: String): Unit =
+      nextResponse() match {
+        case None                         => fail(s"agent exited before $what")
+        case Some(RError(e))              => fail(s"agent error during $what: $e")
+        case Some(r) if pf.isDefinedAt(r) => pf(r)
+        case Some(other)                  => fail(s"unexpected $other awaiting $what")
+      }
+
+    /** Reference server handshake order (udf/server.go:249-288): Info —
+      * with edge-type validation against the runner in use, as the
+      * reference refuses an agent whose edges mismatch the node — then
+      * Init, then the optional Restore (udf/server.go:303-315). */
+    def handshake(
+        options: Seq[(String, Seq[OptVal])], taskId: String, nodeId: String,
+        wants: Int, provides: Int, restoreSnapshot: Option[Array[Byte]]): Unit = {
+      sendFramed(encodeInfoRequest())
+      await({ case RInfo(w, p) =>
+        if (w != wants)
+          fail(s"agent wants a ${edgeName(w)} edge; this runner feeds ${edgeName(wants)}")
+        if (p != provides)
+          fail(s"agent provides a ${edgeName(p)} edge; this runner consumes ${edgeName(provides)}")
+      }, "InfoResponse")
+      sendFramed(encodeInitRequest(options, taskId, nodeId))
+      await({ case RInit(ok, e) =>
+        if (!ok) fail(s"agent init failed: $e") }, "InitResponse")
+      restoreSnapshot.foreach { snap =>
+        sendFramed(encodeRestoreRequest(snap))
+        await({ case RRestore(ok, e) =>
+          if (!ok) fail(s"agent restore failed: $e") }, "RestoreResponse")
+      }
+    }
+
+    @volatile private var writeError: Throwable = null
+
+    /** Feed the agent's stdin from a dedicated thread; optionally request
+      * a snapshot after the last data frame, then close stdin. */
+    def startWriter(body: (Array[Byte] => Unit) => Unit, snapshotAtEnd: Boolean): Thread = {
+      val writer = new Thread(() => {
+        if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
+        try {
+          body(sendFramed)
+          if (snapshotAtEnd) sendFramed(encodeSnapshotRequest())
+        } catch {
+          case _: java.io.IOException => () // agent closed stdin early
+          case t: Throwable           => writeError = t
+        } finally {
+          // close under the lock so a concurrent keepalive frame can't be
+          // torn mid-write by the close
+          writeLock.lock()
+          try out.close()
+          catch { case _: java.io.IOException => () }
+          finally writeLock.unlock()
+        }
+      }, "graft-udfproto-stdin")
+      writer.setDaemon(true)
+      writer.start()
+      writer
+    }
+
+    /** End-of-stream teardown: join threads, surface writer errors, exit
+      * codes, and keepalive kills. */
+    def finish(writer: Thread): Unit = {
+      writer.join()
+      reader.join(2000)
+      errThread.join(2000)
+      val code = proc.waitFor()
+      if (writeError != null) throw writeError
+      if (code != 0 || keepaliveTimedOut) {
+        val err = stderr.toString("UTF-8").trim
+        val ka = if (keepaliveTimedOut)
+          s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
+        throw new RuntimeException(
+          s"udf agent '${cmd.mkString(" ")}' exited $code$ka" +
+            (if (err.nonEmpty) s": $err" else ""))
+      }
+    }
+  }
+
+  /** One STREAM-edge agent process for one partition: handshake (Info,
+    * Init, optional Restore), stream Points on stdin from a writer
+    * thread, iterate Response points lazily off the reader queue. Same
+    * lifecycle guards as ProcessUdf.runPartition: TaskContext propagated
+    * into helper threads, completion-listener kill, bounded stderr
+    * surfaced on non-zero exit.
+    *
+    * `keepaliveMs > 0` drives the reference server's liveness probe
+    * (udf/server.go:361-441): a KeepaliveRequest goes out every
+    * `keepaliveMs / 2`, ANY response (read the moment it arrives, on the
+    * dedicated reader thread) resets the timer, and a child that answers
+    * nothing for `keepaliveMs` while the reader is waiting on it is
+    * killed with a named keepalive-timeout failure.
+    *
+    * `onSnapshot` requests the agent's state after the partition's input
+    * is fully streamed (SnapshotRequest before stdin close) and hands
+    * the bytes to the callback; `restoreSnapshot` replays such bytes
+    * into a fresh agent right after Init — the reference's
+    * Snapshot/Restore RPC pair (udf/server.go:289-315). */
+  def runAgentPartition(
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoPoint],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] = {
+    if (!input.hasNext) return Iterator.empty
+    val child = new AgentChild(cmd, keepaliveMs)
+    child.handshake(options, taskId, nodeId, EdgeStream, EdgeStream, restoreSnapshot)
+    val writer = child.startWriter(
+      send => input.foreach(p => send(encodeRequestPoint(p))),
+      snapshotAtEnd = onSnapshot != null)
     new Iterator[ProtoPoint] {
       private var nextPoint: ProtoPoint = advance()
       private var finished = false
-      @annotation.tailrec
-      private def advance(): ProtoPoint = readFrame() match {
-        case None                => null
-        case Some(RPoint(p))     => p
-        case Some(_: RKeepalive) => advance()
-        case Some(RError(e))     => fail(s"agent error: $e")
-        case Some(_: RBegin) | Some(_: REnd) =>
-          fail("batch-edge agent (BeginBatch/EndBatch) not supported; " +
-            "this runner streams STREAM-edge points")
-        case Some(other)         => fail(s"unexpected mid-stream $other")
+      private def advance(): ProtoPoint = {
+        while (true) {
+          child.nextResponse() match {
+            case None            => return null
+            case Some(RPoint(p)) => return p
+            case Some(RSnapshot(s)) =>
+              if (onSnapshot == null) child.fail("unsolicited SnapshotResponse")
+              onSnapshot(s)
+            case Some(RError(e)) => child.fail(s"agent error: $e")
+            case Some(_: RBegin) | Some(_: REnd) =>
+              child.fail("batch framing from a STREAM-providing agent; " +
+                "use runBatchAgentPartition for batch edges")
+            case Some(other) => child.fail(s"unexpected mid-stream $other")
+          }
+        }
+        null // unreachable
       }
       private def finish(): Unit = if (!finished) {
         finished = true
-        writer.join()
-        errThread.join(2000)
-        val code = proc.waitFor()
-        if (writeError != null) throw writeError
-        if (code != 0 || keepaliveTimedOut) {
-          val err = stderr.toString("UTF-8").trim
-          val ka = if (keepaliveTimedOut)
-            s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
-          throw new RuntimeException(
-            s"udf agent '${cmd.mkString(" ")}' exited $code$ka" +
-              (if (err.nonEmpty) s": $err" else ""))
+        child.finish(writer)
+      }
+      override def hasNext: Boolean = {
+        if (nextPoint != null) true
+        else { finish(); false }
+      }
+      override def next(): ProtoPoint = {
+        if (!hasNext) throw new NoSuchElementException("udf agent output exhausted")
+        val p = nextPoint
+        nextPoint = advance()
+        p
+      }
+    }
+  }
+
+  /** Stream one batch to the agent exactly like the reference server's
+    * writeBufferedBatch (udf/server.go:625-633): BeginBatch with the
+    * size hint, each point in the reduced batch-point shape
+    * (writeBatchPoint, udf/server.go:591-608 — time/group/tags/fields
+    * only), then EndBatch with tmax. */
+  private def sendBatch(send: Array[Byte] => Unit, b: ProtoBatch): Unit = {
+    send(encodeRequestBegin(
+      ProtoBeginBatch(b.name, b.group, b.tags, b.points.length.toLong, b.byName)))
+    b.points.foreach { p =>
+      send(encodeRequestPoint(ProtoPoint(
+        time = p.time, name = "", database = "", retentionPolicy = "",
+        group = b.group, dimensions = Nil, tags = p.tags,
+        fieldsDouble = p.fieldsDouble, fieldsInt = p.fieldsInt,
+        fieldsString = p.fieldsString, fieldsBool = p.fieldsBool,
+        byName = false)))
+    }
+    send(encodeRequestEnd(ProtoEndBatch(b.name, b.group, b.tmax, b.tags, byName = false)))
+  }
+
+  /** One BATCH→BATCH agent process for one partition (the reference's
+    * outliers-example shape): each input ProtoBatch streams as
+    * BeginBatch, Points, EndBatch frames, and the agent's response
+    * frames reassemble into output ProtoBatches exactly like the
+    * reference server's Response_Begin/Point/End arms
+    * (udf/server.go:674-760): Begin opens a buffer, Points append, End
+    * emits the buffered batch built from End.name/group/tags/tmax +
+    * Begin.byName. */
+  def runBatchAgentPartition(
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoBatch] = {
+    if (!input.hasNext) return Iterator.empty
+    val child = new AgentChild(cmd, keepaliveMs)
+    child.handshake(options, taskId, nodeId, EdgeBatch, EdgeBatch, restoreSnapshot)
+    val writer = child.startWriter(
+      send => input.foreach(b => sendBatch(send, b)),
+      snapshotAtEnd = onSnapshot != null)
+    new Iterator[ProtoBatch] {
+      private var begin: ProtoBeginBatch = null
+      private val pts = scala.collection.mutable.ArrayBuffer.empty[ProtoPoint]
+      private var nextBatch: ProtoBatch = advance()
+      private var finished = false
+      private def advance(): ProtoBatch = {
+        while (true) {
+          child.nextResponse() match {
+            case None =>
+              if (begin != null) child.fail("agent exited mid-batch (no EndBatch)")
+              return null
+            case Some(RBegin(b)) =>
+              if (begin != null) child.fail("nested BeginBatch from agent")
+              begin = b
+              pts.clear()
+            case Some(RPoint(p)) =>
+              if (begin == null)
+                child.fail("stream Point outside a batch from a BATCH-providing " +
+                  "agent; use runBatchToPointsPartition for BATCH→STREAM agents")
+              pts += p
+            case Some(REnd(e)) =>
+              if (begin == null) child.fail("EndBatch without BeginBatch")
+              val b = ProtoBatch(e.name, e.group, e.tags, begin.byName, e.tmax, pts.toVector)
+              begin = null
+              return b
+            case Some(RSnapshot(s)) =>
+              if (onSnapshot == null) child.fail("unsolicited SnapshotResponse")
+              onSnapshot(s)
+            case Some(RError(e)) => child.fail(s"agent error: $e")
+            case Some(other)     => child.fail(s"unexpected mid-stream $other")
+          }
         }
+        null // unreachable
+      }
+      private def finish(): Unit = if (!finished) {
+        finished = true
+        child.finish(writer)
+      }
+      override def hasNext: Boolean = {
+        if (nextBatch != null) true
+        else { finish(); false }
+      }
+      override def next(): ProtoBatch = {
+        if (!hasNext) throw new NoSuchElementException("udf agent output exhausted")
+        val b = nextBatch
+        nextBatch = advance()
+        b
+      }
+    }
+  }
+
+  /** One BATCH→STREAM agent process for one partition (the reference's
+    * moving_avg-example shape): batches in, plain points out. */
+  def runBatchToPointsPartition(
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] = {
+    if (!input.hasNext) return Iterator.empty
+    val child = new AgentChild(cmd, keepaliveMs)
+    child.handshake(options, taskId, nodeId, EdgeBatch, EdgeStream, restoreSnapshot)
+    val writer = child.startWriter(
+      send => input.foreach(b => sendBatch(send, b)),
+      snapshotAtEnd = onSnapshot != null)
+    new Iterator[ProtoPoint] {
+      private var nextPoint: ProtoPoint = advance()
+      private var finished = false
+      private def advance(): ProtoPoint = {
+        while (true) {
+          child.nextResponse() match {
+            case None            => return null
+            case Some(RPoint(p)) => return p
+            case Some(RSnapshot(s)) =>
+              if (onSnapshot == null) child.fail("unsolicited SnapshotResponse")
+              onSnapshot(s)
+            case Some(RError(e)) => child.fail(s"agent error: $e")
+            case Some(_: RBegin) | Some(_: REnd) =>
+              child.fail("batch framing from a STREAM-providing agent")
+            case Some(other) => child.fail(s"unexpected mid-stream $other")
+          }
+        }
+        null // unreachable
+      }
+      private def finish(): Unit = if (!finished) {
+        finished = true
+        child.finish(writer)
       }
       override def hasNext: Boolean = {
         if (nextPoint != null) true
@@ -774,6 +1207,41 @@ object UdfProto {
     require(cmd.nonEmpty, "UdfProto: empty command")
     val (argv, opts, tid, nid, ka) = (cmd, options, taskId, nodeId, keepaliveMs)
     points.mapPartitions(it => runAgentPartition(argv, opts, tid, nid, it, ka))
+  }
+
+  /** Pipe buffered batches through a BATCH→BATCH protobuf agent, one
+    * child per partition. Batches are the unit of work — the Spark-side
+    * analog of a windowed/grouped batch edge; a partition carries many
+    * batches, each framed BeginBatch, Points, EndBatch on the wire. */
+  def pipeBatches(
+      batches: Dataset[ProtoBatch],
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      taskId: String = "graft",
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[ProtoBatch] = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    require(cmd.nonEmpty, "UdfProto: empty command")
+    val (argv, opts, tid, nid, ka) = (cmd, options, taskId, nodeId, keepaliveMs)
+    batches.mapPartitions(it => runBatchAgentPartition(argv, opts, tid, nid, it, ka))
+  }
+
+  /** Pipe buffered batches through a BATCH→STREAM protobuf agent, one
+    * child per partition: each input batch may emit any number of plain
+    * points (e.g. one aggregate point per batch). */
+  def pipeBatchesToPoints(
+      batches: Dataset[ProtoBatch],
+      cmd: Seq[String],
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      taskId: String = "graft",
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[ProtoPoint] = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    require(cmd.nonEmpty, "UdfProto: empty command")
+    val (argv, opts, tid, nid, ka) = (cmd, options, taskId, nodeId, keepaliveMs)
+    batches.mapPartitions(it => runBatchToPointsPartition(argv, opts, tid, nid, it, ka))
   }
 
   /** The line-protocol bridge: run canonical parsed points

@@ -36,6 +36,105 @@ object ScaleAgent {
   }
 }
 
+object BatchStatsAgent {
+  /** BATCH→BATCH: re-emits each input batch with every point augmented
+    * by the batch's stats over `.field` (default "value") — int field
+    * `batch_n` = point count, double field `vmax` = max (order-exact
+    * arithmetic, unlike a float sum). The reference's outliers example
+    * shape (udf/agent/examples/outliers): a batch in, a derived batch
+    * out, meta carried Begin→End. */
+  def main(args: Array[String]): Unit = {
+    UdfAgent.run(new UdfAgent.Handler {
+      private var field = args.headOption.getOrElse("value")
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[ProtoPoint]
+      private var begin: ProtoBeginBatch = null
+      override def info(): (Int, Int) = (UdfAgent.Batch, UdfAgent.Batch)
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        options.collectFirst { case ("field", Seq(OptString(f))) => f }
+          .foreach(field = _)
+        Right(())
+      }
+      override def beginBatch(b: ProtoBeginBatch, emit: UdfAgent.Emit): Unit = {
+        begin = b
+        buf.clear()
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = buf += p
+      override def endBatch(e: ProtoEndBatch, emit: UdfAgent.Emit): Unit = {
+        val vs = buf.flatMap(_.fieldsDouble.get(field))
+        val vmax = if (vs.isEmpty) 0.0 else vs.max
+        emit.beginBatch(begin.copy(size = buf.length.toLong))
+        buf.foreach(p => emit.point(p.copy(
+          fieldsDouble = p.fieldsDouble + ("vmax" -> vmax),
+          fieldsInt = p.fieldsInt + ("batch_n" -> buf.length.toLong))))
+        emit.endBatch(e)
+        begin = null
+      }
+    }, System.in, System.out)
+  }
+}
+
+object BatchAggAgent {
+  /** BATCH→STREAM: one aggregate point per input batch (count + max of
+    * `.field`) at the batch's tmax — the reference's moving_avg batch
+    * handler shape (a batch collapses to a single emitted point). */
+  def main(args: Array[String]): Unit = {
+    UdfAgent.run(new UdfAgent.Handler {
+      private var field = args.headOption.getOrElse("value")
+      private var n = 0L
+      private var vmax = Double.NegativeInfinity
+      private var tags = Map.empty[String, String]
+      override def info(): (Int, Int) = (UdfAgent.Batch, UdfAgent.Stream)
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        options.collectFirst { case ("field", Seq(OptString(f))) => f }
+          .foreach(field = _)
+        Right(())
+      }
+      override def beginBatch(b: ProtoBeginBatch, emit: UdfAgent.Emit): Unit = {
+        n = 0L
+        vmax = Double.NegativeInfinity
+        tags = b.tags
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = {
+        p.fieldsDouble.get(field).foreach { v => if (v > vmax) vmax = v }
+        n += 1
+      }
+      override def endBatch(e: ProtoEndBatch, emit: UdfAgent.Emit): Unit =
+        emit.point(ProtoPoint(
+          time = e.tmax, name = e.name, database = "", retentionPolicy = "",
+          group = e.group, dimensions = Nil, tags = tags,
+          fieldsDouble = Map("vmax" -> (if (n == 0) 0.0 else vmax)),
+          fieldsInt = Map("n" -> n), fieldsString = Map.empty,
+          fieldsBool = Map.empty, byName = false))
+    }, System.in, System.out)
+  }
+}
+
+object CounterAgent {
+  /** Stateful STREAM agent exercising the Snapshot/Restore RPC pair
+    * (udf/server.go:289-315): every point gains int field `seq` = the
+    * agent's lifetime point count; snapshot() encodes that count,
+    * restore() resumes from it — state continuity across processes is
+    * observable in the emitted sequence. */
+  def main(args: Array[String]): Unit = {
+    UdfAgent.run(new UdfAgent.Handler {
+      private var n = 0L
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = {
+        n += 1
+        emit(p.copy(fieldsInt = p.fieldsInt + ("seq" -> n)))
+      }
+      override def snapshot(): Array[Byte] =
+        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      override def restore(snapshot: Array[Byte]): Either[String, Unit] = {
+        val s = new String(snapshot, java.nio.charset.StandardCharsets.UTF_8)
+        try { n = s.toLong; Right(()) }
+        catch { case _: NumberFormatException => Left(s"bad snapshot '$s'") }
+      }
+    }, System.in, System.out)
+  }
+}
+
 object MovingAvgAgent {
   /** Per-(name, tags) moving average of `field` over a count window of
     * `size` — the reference's moving_avg example agent semantics: one

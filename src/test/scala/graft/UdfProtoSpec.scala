@@ -122,6 +122,97 @@ class UdfProtoSpec extends SparkSpec {
     assert(UdfProto.decodePoint(UdfProto.encodePoint(p)) === p)
   }
 
+  // ------------------------------------------------ batch frame goldens
+
+  test("BeginBatch/EndBatch encode to exact wire bytes (udf.proto:157-193)") {
+    val b = ProtoBeginBatch("m", "g", Map("h" -> "a"), 3L, byName = true)
+    val beginInner: Array[Byte] = Array(
+      0x0a, 0x01, 0x6d, // field 1 name "m"
+      0x12, 0x01, 0x67, // field 2 group "g"
+      0x1a, 0x06, 0x0a, 0x01, 0x68, 0x12, 0x01, 0x61, // field 3 tags {"h":"a"}
+      0x20, 0x03, // field 4 size 3
+      0x28, 0x01 // field 5 byName
+    ).map(_.toByte)
+    assert(UdfProto.encodeBeginBatch(b).toSeq === beginInner.toSeq)
+    // wrapper field 16 wire 2 → tag varint 130 = [0x82, 0x01]
+    val reqB = UdfProto.encodeRequestBegin(b)
+    assert(reqB.take(2).toSeq === Seq(0x82.toByte, 0x01.toByte))
+    assert(reqB.drop(3).toSeq === beginInner.toSeq)
+    val e = ProtoEndBatch("m", "g", 99L, Map("h" -> "a"), byName = false)
+    val endInner: Array[Byte] = Array(
+      0x0a, 0x01, 0x6d,
+      0x12, 0x01, 0x67,
+      0x18, 0x63, // field 3 tmax 99
+      0x22, 0x06, 0x0a, 0x01, 0x68, 0x12, 0x01, 0x61 // field 4 tags
+    ).map(_.toByte)
+    assert(UdfProto.encodeEndBatch(e).toSeq === endInner.toSeq)
+    // wrapper field 18 wire 2 → tag varint 146 = [0x92, 0x01]
+    val reqE = UdfProto.encodeRequestEnd(e)
+    assert(reqE.take(2).toSeq === Seq(0x92.toByte, 0x01.toByte))
+    // both directions decode the same frames (Request/Response share
+    // data-flow field numbers)
+    assert(UdfProto.decodeRequest(reqB) === QBegin(b))
+    assert(UdfProto.decodeRequest(reqE) === QEnd(e))
+    assert(UdfProto.decodeResponse(UdfProto.encodeResponseBegin(b)) === RBegin(b))
+    assert(UdfProto.decodeResponse(UdfProto.encodeResponseEnd(e)) === REnd(e))
+  }
+
+  test("Snapshot/Restore RPC frames match the reference wire shapes") {
+    // Request{snapshot}: empty SnapshotRequest in field 4 → tag 0x22 len 0
+    assert(UdfProto.encodeSnapshotRequest().toSeq ===
+      Seq(0x22.toByte, 0x00.toByte))
+    assert(UdfProto.decodeRequest(UdfProto.encodeSnapshotRequest()) === QSnapshot)
+    // Request{restore}: RestoreRequest{snapshot="abc"} in field 5
+    val restore = UdfProto.encodeRestoreRequest("abc".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(restore.toSeq === Seq(0x2a, 0x05, 0x0a, 0x03, 'a'.toInt, 'b'.toInt, 'c'.toInt).map(_.toByte))
+    UdfProto.decodeRequest(restore) match {
+      case QRestore(s) => assert(new String(s, "UTF-8") === "abc")
+      case other       => fail(s"expected QRestore, got $other")
+    }
+    // Response{snapshot} / Response{restore} round-trip the server decoder
+    UdfProto.decodeResponse(UdfProto.encodeResponseSnapshot("xyz".getBytes("UTF-8"))) match {
+      case RSnapshot(s) => assert(new String(s, "UTF-8") === "xyz")
+      case other        => fail(s"expected RSnapshot, got $other")
+    }
+    assert(UdfProto.decodeResponse(UdfProto.encodeResponseRestore(success = true, "")) ===
+      RRestore(true, ""))
+    assert(UdfProto.decodeResponse(UdfProto.encodeResponseRestore(success = false, "nope")) ===
+      RRestore(false, "nope"))
+  }
+
+  test("readFrameBytes rejects hostile frame lengths before allocating") {
+    import java.io.ByteArrayInputStream
+    // varint declaring 2^34 bytes — must be a framing error, not an OOM
+    val huge = new ByteArrayInputStream(
+      Array(0x80, 0x80, 0x80, 0x80, 0x40).map(_.toByte))
+    val e1 = intercept[java.io.StreamCorruptedException] {
+      UdfProto.readFrameBytes(huge)
+    }
+    assert(e1.getMessage.contains("frame length"))
+    // zero-length frame: no valid Request/Response is empty
+    intercept[java.io.StreamCorruptedException] {
+      UdfProto.readFrameBytes(new ByteArrayInputStream(Array(0x00.toByte)))
+    }
+    // a valid frame passes intact; clean EOF is None
+    val msg = UdfProto.encodeInfoRequest()
+    val b = new java.io.ByteArrayOutputStream()
+    UdfProto.writeFramed(b, msg)
+    val in = new ByteArrayInputStream(b.toByteArray)
+    assert(UdfProto.readFrameBytes(in).get.toSeq === msg.toSeq)
+    assert(UdfProto.readFrameBytes(in) === None)
+    // the agent loop uses the same guard: a hostile length kills the
+    // loop with the framing error (after emitting an ErrorResponse)
+    val agentErr = intercept[java.io.StreamCorruptedException] {
+      graft.sources.UdfAgent.run(
+        new graft.sources.UdfAgent.Handler {
+          def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = emit(p)
+        },
+        new ByteArrayInputStream(Array(0x80, 0x80, 0x80, 0x80, 0x40).map(_.toByte)),
+        new java.io.ByteArrayOutputStream())
+    }
+    assert(agentErr.getMessage.contains("frame length"))
+  }
+
 }
 
 object UdfProtoSpec {
@@ -221,6 +312,43 @@ object UdfProtoSpec {
         |        e = W(); e.s(1, k); e.vi(2, 1 if p['fb'][k] else 0); w.m(12, e.b)
         |    return w.b
         |
+        |def parse_marker(buf, tags_f, int_f):
+        |    # BeginBatch: name=1 group=2 tags=3 size=4 byName=5
+        |    # EndBatch:   name=1 group=2 tmax=3 tags=4 byName=5
+        |    r = R(buf)
+        |    m = {'name': '', 'group': '', 'tags': {}, 'iv': 0, 'byName': False}
+        |    while r.more():
+        |        f, w = r.tag()
+        |        if f == 1: m['name'] = r.s()
+        |        elif f == 2: m['group'] = r.s()
+        |        elif f == tags_f:
+        |            er = R(r.bts()); k = ''; v = ''
+        |            while er.more():
+        |                ef, ew = er.tag()
+        |                if ef == 1: k = er.s()
+        |                elif ef == 2: v = er.s()
+        |                else: er.skip(ew)
+        |            m['tags'][k] = v
+        |        elif f == int_f: m['iv'] = r.uv()
+        |        elif f == 5: m['byName'] = bool(r.uv())
+        |        else: r.skip(w)
+        |    return m
+        |
+        |def enc_marker(m, tags_f, int_f):
+        |    w = W()
+        |    if m['name']: w.s(1, m['name'])
+        |    if m['group']: w.s(2, m['group'])
+        |    if tags_f < int_f:
+        |        for k in sorted(m['tags']):
+        |            e = W(); e.s(1, k); e.s(2, m['tags'][k]); w.m(tags_f, e.b)
+        |        if m['iv']: w.vi(int_f, m['iv'])
+        |    else:
+        |        if m['iv']: w.vi(int_f, m['iv'])
+        |        for k in sorted(m['tags']):
+        |            e = W(); e.s(1, k); e.s(2, m['tags'][k]); w.m(tags_f, e.b)
+        |    if m['byName']: w.vi(5, 1)
+        |    return w.b
+        |
         |def respond(out, field, inner):
         |    w = W(); w.m(field, inner)
         |    lw = W(); lw.uv(len(w.b))
@@ -229,7 +357,7 @@ object UdfProtoSpec {
         |def main():
         |    mode = sys.argv[1] if len(sys.argv) > 1 else 'ok'
         |    fin = sys.stdin.buffer; fout = sys.stdout.buffer
-        |    inited = False; opt_desc = ''
+        |    inited = False; opt_desc = ''; cur_begin = None; cur_pts = []
         |    while True:
         |        n = read_uvarint(fin)
         |        if n is None: break
@@ -238,7 +366,11 @@ object UdfProtoSpec {
         |        f, w = r.tag()
         |        inner = r.bts() if w == 2 else b''
         |        if f == 1:
-        |            respond(fout, 1, b'')  # InfoResponse: STREAM/STREAM defaults
+        |            if mode == 'batch':
+        |                iw = W(); iw.vi(1, 1); iw.vi(2, 1)  # BATCH wants+provides
+        |                respond(fout, 1, iw.b)
+        |            else:
+        |                respond(fout, 1, b'')  # InfoResponse: STREAM/STREAM defaults
         |        elif f == 2:
         |            ir = R(inner); parts = []; task = ''
         |            while ir.more():
@@ -273,6 +405,22 @@ object UdfProtoSpec {
         |                inited = True
         |        elif f == 3:
         |            respond(fout, 3, inner)
+        |        elif f == 16:
+        |            if not inited: sys.exit(3)
+        |            cur_begin = parse_marker(inner, 3, 4); cur_pts = []
+        |        elif f == 18:
+        |            if not inited or cur_begin is None: sys.exit(3)
+        |            end = parse_marker(inner, 4, 3)
+        |            cur_begin['iv'] = len(cur_pts)
+        |            respond(fout, 16, enc_marker(cur_begin, 3, 4))
+        |            for p in cur_pts:
+        |                for k in p['fd']: p['fd'][k] = p['fd'][k] * 2.0
+        |                p['tags']['agent'] = 'py'
+        |                respond(fout, 17, enc_point(p))
+        |            respond(fout, 18, enc_marker(end, 4, 3))
+        |            cur_begin = None; cur_pts = []
+        |        elif f == 17 and cur_begin is not None:
+        |            cur_pts.append(parse_point(inner))
         |        elif f == 17:
         |            if not inited: sys.exit(3)
         |            if mode == 'stall':
@@ -466,6 +614,155 @@ class UdfProtoAgentSpec extends SparkSpec {
       keepaliveMs = 200L).collect().sortBy(_.time)
     assert(ok.length === 10)
     assert(ok.map(_.fieldsDouble("v")).toSeq === (1 to 10).map(_ * 2.0))
+  }
+
+  test("slow downstream consumer under keepalive is NOT killed (reader thread keeps the timer fed)") {
+    // the regression the dedicated reader thread closes: responses used
+    // to be read only when the task thread pulled the iterator, so a
+    // consumer pausing > keepaliveMs between next() calls let the timer
+    // go stale and the prober killed a perfectly healthy agent
+    val pts = (1 to 4).map(i => ProtoPoint(
+      i.toLong, "m", "", "", "", Nil, Map.empty, Map("v" -> i * 1.0),
+      Map.empty, Map.empty, Map.empty, byName = false))
+    val it = UdfProto.runAgentPartition(
+      Seq("python3", "-u", stubPath, "ok"), Nil, "t", "n",
+      pts.iterator, keepaliveMs = 300L)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[ProtoPoint]
+    while (it.hasNext) {
+      acc += it.next()
+      Thread.sleep(700) // far beyond keepaliveMs: only reader-thread draining survives this
+    }
+    assert(acc.map(_.fieldsDouble("v")).sorted === Seq(2.0, 4.0, 6.0, 8.0))
+  }
+
+  test("BATCH→BATCH: a real Scala batch agent round-trips BufferedBatch framing") {
+    val batches = (0 until 3).map { g =>
+      ProtoBatch(
+        name = "cpu", group = s"host=h$g", tags = Map("host" -> s"h$g"),
+        byName = false, tmax = 10000L * (g + 1),
+        points = (1 to 4 + g).map(i => ProtoPoint(
+          i * 1000L + g, "", "", "", s"host=h$g", Nil,
+          Map("i" -> i.toString), Map("value" -> (i * 1.0 + g * 10)),
+          Map.empty, Map.empty, Map.empty, byName = false)))
+    }
+    val out = UdfProto.pipeBatches(
+        spark.createDataset(batches).coalesce(2),
+        Seq("java", "-cp", sys.props("java.class.path"), "graft.tools.BatchStatsAgent"),
+        options = Seq("field" -> Seq(OptString("value"))))
+      .collect().sortBy(_.group)
+    assert(out.length === 3)
+    out.zip(batches).foreach { case (o, b) =>
+      assert(o.name === b.name && o.group === b.group)
+      assert(o.tags === b.tags && o.tmax === b.tmax)
+      assert(o.points.length === b.points.length)
+      val vmax = b.points.map(_.fieldsDouble("value")).max
+      o.points.foreach { p =>
+        assert(p.fieldsDouble("vmax") === vmax)
+        assert(p.fieldsInt("batch_n") === b.points.length.toLong)
+      }
+      assert(o.points.map(_.fieldsDouble("value")).sorted ===
+        b.points.map(_.fieldsDouble("value")).sorted)
+    }
+  }
+
+  test("BATCH→BATCH against the independent Python codec (batch-mode stub)") {
+    val batches = (0 until 2).map { g =>
+      ProtoBatch(
+        name = "reqs", group = s"dc=d$g", tags = Map("dc" -> s"d$g"),
+        byName = false, tmax = 777L + g,
+        points = (1 to 3).map(i => ProtoPoint(
+          i * 10L + g, "", "", "", s"dc=d$g", Nil,
+          Map("k" -> s"$g-$i"), Map("v" -> (i * 2.0)),
+          Map.empty, Map.empty, Map.empty, byName = false)))
+    }
+    val out = UdfProto.pipeBatches(
+        spark.createDataset(batches).coalesce(1),
+        Seq("python3", "-u", stubPath, "batch"))
+      .collect().sortBy(_.group)
+    assert(out.length === 2)
+    out.zip(batches).foreach { case (o, b) =>
+      assert(o.name === b.name && o.group === b.group && o.tmax === b.tmax)
+      assert(o.tags === b.tags)
+      assert(o.points.length === 3)
+      // the stub doubles float fields and tags each batch point
+      o.points.sortBy(_.time).zip(b.points).foreach { case (op, bp) =>
+        assert(op.fieldsDouble("v") === bp.fieldsDouble("v") * 2.0)
+        assert(op.tags === bp.tags + ("agent" -> "py"))
+      }
+    }
+  }
+
+  test("BATCH→STREAM: one aggregate point per batch (BatchAggAgent)") {
+    val batches = (0 until 3).map { g =>
+      ProtoBatch(
+        name = "cpu", group = s"host=h$g", tags = Map("host" -> s"h$g"),
+        byName = false, tmax = 5000L * (g + 1),
+        points = (1 to 5).map(i => ProtoPoint(
+          i * 1000L, "", "", "", s"host=h$g", Nil,
+          Map.empty, Map("value" -> (i * 1.0 + g * 100)),
+          Map.empty, Map.empty, Map.empty, byName = false)))
+    }
+    val out = UdfProto.pipeBatchesToPoints(
+        spark.createDataset(batches).coalesce(1),
+        Seq("java", "-cp", sys.props("java.class.path"), "graft.tools.BatchAggAgent"))
+      .collect().sortBy(_.group)
+    assert(out.length === 3)
+    out.zip(batches).foreach { case (p, b) =>
+      assert(p.time === b.tmax && p.name === "cpu" && p.group === b.group)
+      assert(p.tags === b.tags)
+      assert(p.fieldsInt("n") === 5L)
+      assert(p.fieldsDouble("vmax") === b.points.map(_.fieldsDouble("value")).max)
+    }
+  }
+
+  test("edge-type mismatch fails fast at InfoResponse, both directions") {
+    val cp = sys.props("java.class.path")
+    val onePoint = spark.createDataset(Seq(ProtoPoint(
+      1L, "m", "", "", "", Nil, Map.empty, Map("v" -> 1.0),
+      Map.empty, Map.empty, Map.empty, byName = false))).coalesce(1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipePoints(onePoint,
+        Seq("java", "-cp", cp, "graft.tools.BatchStatsAgent")).collect()
+    }
+    assert(e1.getMessage.contains("wants a BATCH edge"))
+    val oneBatch = spark.createDataset(Seq(ProtoBatch(
+      "m", "", Map.empty, byName = false, tmax = 1L,
+      points = Seq(ProtoPoint(1L, "", "", "", "", Nil, Map.empty,
+        Map("v" -> 1.0), Map.empty, Map.empty, Map.empty, byName = false)))))
+      .coalesce(1)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      UdfProto.pipeBatches(oneBatch,
+        Seq("java", "-cp", cp, "graft.tools.ScaleAgent")).collect()
+    }
+    assert(e2.getMessage.contains("wants a STREAM edge"))
+  }
+
+  test("Snapshot/Restore RPCs carry agent state across processes (CounterAgent)") {
+    val cp = sys.props("java.class.path")
+    def pts(r: Range): Seq[ProtoPoint] = r.map(i => ProtoPoint(
+      i.toLong, "m", "", "", "", Nil, Map.empty, Map("v" -> 1.0),
+      Map.empty, Map.empty, Map.empty, byName = false))
+    // first life: 5 points, snapshot requested after the stream
+    var snap: Array[Byte] = null
+    val first = UdfProto.runAgentPartition(
+      Seq("java", "-cp", cp, "graft.tools.CounterAgent"), Nil, "t", "n",
+      pts(1 to 5).iterator, onSnapshot = b => snap = b).toList
+    assert(first.map(_.fieldsInt("seq")) === (1L to 5L).toList)
+    assert(snap != null && new String(snap, "UTF-8") === "5")
+    // second life: restore replays the snapshot right after Init — the
+    // sequence continues where the first process stopped
+    val second = UdfProto.runAgentPartition(
+      Seq("java", "-cp", cp, "graft.tools.CounterAgent"), Nil, "t", "n",
+      pts(6 to 8).iterator, restoreSnapshot = Some(snap)).toList
+    assert(second.map(_.fieldsInt("seq")) === List(6L, 7L, 8L))
+    // a corrupt snapshot fails the handshake with the agent's message
+    val e = intercept[RuntimeException] {
+      UdfProto.runAgentPartition(
+        Seq("java", "-cp", cp, "graft.tools.CounterAgent"), Nil, "t", "n",
+        pts(1 to 1).iterator,
+        restoreSnapshot = Some("junk".getBytes("UTF-8"))).toList
+    }
+    assert(e.getMessage.contains("restore failed") && e.getMessage.contains("bad snapshot"))
   }
 
   test("init failure and agent ErrorResponse both fail the task with the message") {
