@@ -40,12 +40,35 @@ object Sinks {
     * goes to whatever query transport the caller injects — for the
     * parquet-backed [[influxOut]] the "create" is a no-op (directories
     * appear on write), but a real InfluxDB target needs these bytes. */
+  /** InfluxQL keyword tokens (public influxql token list): an identifier
+    * that lexes as a keyword must be quoted even when it looks bare —
+    * `CREATE DATABASE select` is invalid, `CREATE DATABASE "select"`
+    * is not. */
+  private val InfluxQLKeywords: Set[String] = Set(
+    "ALL", "ALTER", "ANALYZE", "AND", "ANY", "AS", "ASC", "BEGIN", "BY",
+    "CARDINALITY", "CREATE", "CONTINUOUS", "DATABASE", "DATABASES",
+    "DEFAULT", "DELETE", "DESC", "DESTINATIONS", "DIAGNOSTICS", "DISTINCT",
+    "DROP", "DURATION", "END", "EVERY", "EXACT", "EXPLAIN", "FIELD", "FOR",
+    "FROM", "GRANT", "GRANTS", "GROUP", "GROUPS", "IN", "INF", "INSERT",
+    "INTO", "KEY", "KEYS", "KILL", "LIMIT", "MEASUREMENT", "MEASUREMENTS",
+    "NAME", "OFFSET", "ON", "OR", "ORDER", "PASSWORD", "POLICY", "POLICIES",
+    "PRIVILEGES", "QUERIES", "QUERY", "READ", "REPLICATION", "RESAMPLE",
+    "RETENTION", "REVOKE", "SELECT", "SERIES", "SET", "SHOW", "SHARD",
+    "SHARDS", "SLIMIT", "SOFFSET", "STATS", "SUBSCRIPTION", "SUBSCRIPTIONS",
+    "TAG", "TO", "USER", "USERS", "VALUES", "WHERE", "WITH", "WRITE",
+    "TRUE", "FALSE")
+
   def createDatabaseStatement(db: String, rp: Option[String] = None): String = {
-    def ident(s: String): String =
-      if (s.nonEmpty && s.head.isLetter || s.headOption.contains('_'))
-        if (s.forall(c => c.isLetterOrDigit || c == '_')) s
-        else "\"" + s.replace("\"", "\\\"") + "\""
-      else "\"" + s.replace("\"", "\\\"") + "\""
+    // bare iff ASCII [A-Za-z_][A-Za-z0-9_]* AND not an InfluxQL keyword —
+    // influxql.IdentNeedsQuotes semantics (Unicode "letters" like é are
+    // NOT bare idents to the InfluxQL lexer, and keywords always quote)
+    def firstOk(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+    def restOk(c: Char) = firstOk(c) || (c >= '0' && c <= '9')
+    def ident(s: String): String = {
+      val bare = s.nonEmpty && firstOk(s.head) && s.drop(1).forall(restOk) &&
+        !InfluxQLKeywords.contains(s.toUpperCase(java.util.Locale.ROOT))
+      if (bare) s else "\"" + s.replace("\"", "\\\"") + "\""
+    }
     s"CREATE DATABASE ${ident(db)}" +
       rp.map(r => s" WITH NAME ${ident(r)}").getOrElse("")
   }

@@ -657,12 +657,19 @@ object TickScript {
     * `.alpha(0.5)` the same way), `inFields` split into the typed
     * fieldsDouble/Int/String/Bool maps by column type exactly like the
     * reference server's fieldsToTypedMaps (udf/server.go:521-554), and
-    * the agent's output points come back as `outFields` columns. */
+    * the agent's output points come back as columns: `outFields` are
+    * NUMERIC outputs (fieldsDouble coalesced with fieldsInt, as double);
+    * agents emitting string or bool output fields list those in
+    * `outFieldsStr` / `outFieldsBool` so each lands with its own type
+    * (a name in the wrong list reads the wrong typed map → null, the
+    * same miss a reference task sees when a field changes type). */
   def protobufUdf(
       cmd: Seq[String],
       tagCols: Seq[String],
       inFields: Seq[String],
       outFields: Seq[String],
+      outFieldsStr: Seq[String] = Nil,
+      outFieldsBool: Seq[String] = Nil,
       timeCol: String = "time",
       measurementCol: String = "measurement",
       propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
@@ -705,7 +712,9 @@ object TickScript {
         col("name").as(measurementCol) +:
         (tagCols.map(t => col("tags")(t).as(t)) ++
           outFields.map(f => coalesce(col("fieldsDouble")(f),
-            col("fieldsInt")(f).cast("double")).as(f))): _*)
+            col("fieldsInt")(f).cast("double")).as(f)) ++
+          outFieldsStr.map(f => col("fieldsString")(f).as(f)) ++
+          outFieldsBool.map(f => col("fieldsBool")(f).as(f))): _*)
   }
 
   /** Default property→InitRequest.options mapping for [[protobufUdf]]:

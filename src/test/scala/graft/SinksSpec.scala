@@ -213,6 +213,17 @@ class SinksSpec extends SparkSpec {
     // non-bare identifiers quote like InfluxQL QuoteIdent
     assert(graft.sources.Sinks.createDatabaseStatement("my-db", Some("0rp")) ==
       "CREATE DATABASE \"my-db\" WITH NAME \"0rp\"")
+    // InfluxQL keywords are not bare idents even though they match the
+    // ident charset — SELECT/select must quote (any case), as must
+    // Unicode "letters" the InfluxQL lexer does not accept bare
+    assert(graft.sources.Sinks.createDatabaseStatement("select") ==
+      "CREATE DATABASE \"select\"")
+    assert(graft.sources.Sinks.createDatabaseStatement("DB", Some("Name")) ==
+      "CREATE DATABASE DB WITH NAME \"Name\"") // NAME is a keyword, DB is not
+    assert(graft.sources.Sinks.createDatabaseStatement("sélect") ==
+      "CREATE DATABASE \"sélect\"")
+    assert(graft.sources.Sinks.createDatabaseStatement("db\"x") ==
+      "CREATE DATABASE \"db\\\"x\"")
     }
 }
 

@@ -514,6 +514,33 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(out === Array(("cpu", "a", 3.0, 1000L), ("cpu", "b", 5.0, 2000L)))
   }
 
+  test("protobufUdf outFieldsStr/outFieldsBool surface string and bool agent outputs typed") {
+    import graft.tick.TickScript
+    val source = Seq(
+      ("cpu", "a", new java.sql.Timestamp(1000), 1.5, true),
+      ("cpu", "b", new java.sql.Timestamp(2000), 2.5, false))
+      .toDF("measurement", "host", "time", "value", "up")
+    val agent = TickScript.protobufUdf(
+      Seq("python3", "-u", stubPath, "ok"),
+      tagCols = Seq("host"), inFields = Seq("value", "up"),
+      outFields = Seq("value"),
+      outFieldsStr = Seq("opts"), outFieldsBool = Seq("up"))
+    val script =
+      """stream
+        ||from().measurement('cpu')
+        ||@pyagent().mark('x')
+        |""".stripMargin
+    val out = TickScript.compile(script, source, udfs = Map("pyagent" -> agent))
+      .select("host", "value", "opts", "up").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    // the stub doubles floats, echoes bools, and writes the option echo
+    // into fieldsString("opts") — each output lands with its own type
+    assert(out === Array(
+      ("a", 3.0, "mark=x|graft", true),
+      ("b", 5.0, "mark=x|graft", false)))
+  }
+
   test("fuzz: 200 nasty points survive the independent-codec agent round trip") {
     // protobuf strings are length-delimited: embedded newlines, quotes,
     // backslashes and multibyte text need NO escaping — the exact
