@@ -128,8 +128,21 @@ object Mix {
     * convention). Domains absent from `budgets` use `defaultBudget`;
     * budget < 0 means unlimited.
     *
-    * Scale shape: one shuffle — the per-domain window for the running
-    * sum; all arithmetic integer, so the keep decision is exactly
+    * Scale shape — a TWO-PHASE prefix sum, because training mixes have
+    * few, huge domains (5-100 domains over 100 TB): a single
+    * `Window.partitionBy(domain)` would sort-and-scan an entire domain
+    * in ONE task. Instead the first 2 md5 hex digits bucket each domain
+    * into 256 slices (the bucket is a PREFIX of the ordering key, so
+    * slice boundaries respect the order and the arithmetic is
+    * unchanged): per-(domain, bucket) token totals aggregate map-side
+    * into a tiny frame (domains × 256 rows), cumulative bucket offsets
+    * come from a window over THAT frame, and the offsets broadcast back
+    * onto a running sum windowed within (domain, bucket) — the widest
+    * task owns 1/256th of a domain. Costs one extra (partial-agg) pass
+    * over the corpus; callers with pre-counted tokens can keep that
+    * pass cheap by projecting only (id, domain, n_tok).
+    *
+    * All arithmetic integer, so the keep decision is exactly
     * reproducible across engines and repartitionings. Output adds
     * `tok_start` (tokens accumulated before this doc) and `n_tok`. */
   def tokenBudgetSample(
@@ -142,19 +155,39 @@ object Mix {
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (d, b)) => when(col(domainCol) === d, lit(b)).otherwise(acc)
     }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs
+    val base = docs
       // null text = empty document (0 tokens), the Report.corpusStats
       // convention — not a null that silently drops the row
       .withColumn("n_tok",
         size(TextOps.tokens(coalesce(col(textCol), lit("")))).cast("long"))
-      .withColumn("tok_start", coalesce(
-        sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__bk", substring(col("__h"), 1, 2))
+    // phase 1: per-(domain, bucket) totals → cumulative offsets. The
+    // aggregate is tiny by construction; its window is over that tiny
+    // frame, not the corpus.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d")).orderBy(col("__b"))
+    val offsets = base
+      .groupBy(col(domainCol).as("__d"), col("__bk").as("__b"))
+      .agg(sum(col("n_tok")).as("__btok"))
+      .withColumn("__off",
+        coalesce(sum(col("__btok")).over(wOff) - col("__btok"), lit(0L)))
+      .select(col("__d"), col("__b"), col("__off"))
+    // phase 2: running sum inside each (domain, bucket) slice + the
+    // broadcast bucket offset = the exact per-domain running sum
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__bk"))
+      .orderBy(col("__h"), col(idCol))
+    base
+      // null-safe on the domain: a null domain is one group, as it was
+      // under partitionBy(domain)
+      .join(broadcast(offsets),
+        col(domainCol) <=> col("__d") && col("__bk") === col("__b"), "left")
+      .withColumn("tok_start", col("__off") + coalesce(
+        sum(col("n_tok")).over(wRun) - col("n_tok"), lit(0L)))
       .withColumn("__budget", budget)
       .filter(col("__budget") < 0 || col("tok_start") < col("__budget"))
-      .drop("__budget")
+      .drop("__budget", "__h", "__bk", "__d", "__b", "__off")
   }
 
   /** Driver-side repeat factors that re-weight observed domain sizes to

@@ -75,6 +75,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), "window not partitioned on the shard key")
   }
 
+  test("tokenBudgetSample never gives one task a whole domain (two-phase prefix sum)") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = graft.llm.Mix.tokenBudgetSample(
+      graft.Graft.table(spark, dir, "documents"), "doc_id", "text", "source",
+      Map("web" -> 1000L), 500L)
+    val wins = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators")
+    // the corpus-side running sum (the window ORDERED BY the md5 hash)
+    // must partition by (domain, md5-prefix bucket) — partitioning by the
+    // domain alone would sort-and-scan an entire domain in ONE task at
+    // 100 TB (training mixes have 5-100 domains)
+    val corpusWins = wins.filter(_.orderSpec.map(_.child).exists {
+      case a: Attribute => a.name == "__h"
+      case _            => false
+    })
+    assert(corpusWins.nonEmpty, "expected the corpus running-sum window")
+    corpusWins.foreach { w =>
+      val parts = w.partitionSpec.collect { case a: Attribute => a.name }
+      assert(parts.toSet == Set("source", "__bk"),
+        s"corpus window partitions on $parts — a whole domain in one task")
+    }
+    // the per-bucket offsets land via broadcast, not a corpus shuffle
+    assert(plan(out).contains("BroadcastHashJoin"),
+      "bucket offsets should broadcast onto the corpus")
+  }
+
   test("ScrapeScheduler.schedule is generator-only: no Exchange, no driver loop") {
     import spark.implicits._
     val targets = (0 until 100).map(i => graft.sources.ScrapeScheduler.ScrapeTarget(
