@@ -80,6 +80,85 @@ object ScrapeScheduler {
       .as[ScrapeTarget]
   }
 
+  /** One `[[static-discovery]]` section of a reference config file
+    * (services/static_discovery/config.go:12-20): a labeled group of
+    * statically-listed targets, uniquely identified by `id`. */
+  case class StaticDiscoveryConfig(
+      id: String,
+      enabled: Boolean = false,
+      targets: Seq[String] = Nil,
+      labels: Map[String, String] = Map.empty)
+
+  /** Parse the `[[static-discovery]]` sections out of a reference TOML
+    * config (the kapacitor.conf shape those sections live in). Subset
+    * parser for exactly what that section uses — array-of-tables
+    * headers, `enabled` bool, `id` string, `targets` string array, and
+    * the `[static-discovery.labels]` sub-table — so an existing config
+    * file is data, not a daemon: any other section header ends the
+    * current static-discovery scope and is ignored. */
+  def parseStaticDiscovery(toml: String): Seq[StaticDiscoveryConfig] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[StaticDiscoveryConfig]
+    var cur: StaticDiscoveryConfig = null
+    var inLabels = false
+    def flush(): Unit = if (cur != null) { out += cur; cur = null }
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && t.head == '"' && t.last == '"')
+        t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      else t
+    }
+    toml.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#")) ()
+      else if (line == "[[static-discovery]]") { flush(); cur = StaticDiscoveryConfig(""); inLabels = false }
+      else if (line == "[static-discovery.labels]" && cur != null) inLabels = true
+      else if (line.startsWith("[")) { flush(); inLabels = false } // any other section
+      else if (cur != null && line.contains("=")) {
+        val (k, vRaw) = line.splitAt(line.indexOf('='))
+        val key = k.trim
+        val v = vRaw.drop(1).trim
+        if (inLabels) cur = cur.copy(labels = cur.labels + (key -> unquote(v)))
+        else key match {
+          case "enabled" => cur = cur.copy(enabled = v.startsWith("true"))
+          case "id"      => cur = cur.copy(id = unquote(v))
+          case "targets" =>
+            val inner = v.stripPrefix("[").stripSuffix("]")
+            val ts = inner.split(",").map(_.trim).filter(_.nonEmpty).map(unquote).toSeq
+            cur = cur.copy(targets = ts)
+          case _ => () // unknown keys tolerated, like TOML override layering
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Discovery-as-data for static configs: each enabled section becomes
+    * ScrapeTarget rows exactly like the Prometheus StaticConfig the
+    * reference builds from it (config.go:41-66 PromConfig — one labeled
+    * target group, Source = ID, one address per target; disabled
+    * configs register nothing, service.go:73-80). `job = id`, group
+    * labels attach to every target. Configs are config-scale (a TOML
+    * file), so rows materialize driver-side into a Dataset that joins
+    * the same [[schedule]]/[[runScrapes]] path as any discovery. */
+  def targetsFromStaticDiscovery(
+      spark: org.apache.spark.sql.SparkSession,
+      configs: Seq[StaticDiscoveryConfig],
+      db: String,
+      rp: String,
+      intervalS: Long,
+      scheme: String = "http",
+      metricsPath: String = "/metrics"): Dataset[ScrapeTarget] = {
+    import spark.implicits._
+    val rows = configs.filter(_.enabled).flatMap { c =>
+      require(c.id.nonEmpty, "static discovery must be given a ID") // config.go:29-33
+      c.targets.map(t => ScrapeTarget(
+        c.id, s"$scheme://$t$metricsPath", db, rp, intervalS,
+        enabled = true, labels = c.labels))
+    }
+    spark.createDataset(rows)
+  }
+
   /** The tick grid: one row per (target, tick_s) over [startS, stopS),
     * tick_s ≡ h60(url) (mod intervalS). Columns: job, url, db, rp,
     * intervalS, tick_s. */

@@ -84,6 +84,71 @@ class ScrapeSchedulerSpec extends SparkSpec {
     assert(rows.filter(r => r._1 == "h3" || r._1 == "h4").forall(_._3.isEmpty))
   }
 
+  test("static-discovery config sections parse as data and become schedulable targets") {
+    // the reference's [[static-discovery]] TOML shape
+    // (services/static_discovery/config.go:12-20) inside a larger config
+    // file — other sections, comments, disabled configs all in play
+    val toml =
+      """# kapacitor.conf excerpt
+        |[http]
+        |  bind-address = ":9092"
+        |
+        |[[static-discovery]]
+        |  enabled = true
+        |  id = "static1"
+        |  targets = ["localhost:9100", "host2:9100"]
+        |  [static-discovery.labels]
+        |    region = "us-east"
+        |    tier = "web"
+        |
+        |[[static-discovery]]
+        |  enabled = false
+        |  id = "disabled1"
+        |  targets = ["ghost:9100"]
+        |
+        |[[static-discovery]]
+        |  enabled = true
+        |  id = "static2"
+        |  targets = ["db1:9104"]
+        |
+        |[[scraper]]
+        |  enabled = true
+        |  name = "unrelated"
+        |""".stripMargin
+    val configs = ScrapeScheduler.parseStaticDiscovery(toml)
+    assert(configs === Seq(
+      ScrapeScheduler.StaticDiscoveryConfig("static1", enabled = true,
+        Seq("localhost:9100", "host2:9100"),
+        Map("region" -> "us-east", "tier" -> "web")),
+      ScrapeScheduler.StaticDiscoveryConfig("disabled1", enabled = false,
+        Seq("ghost:9100"), Map.empty),
+      ScrapeScheduler.StaticDiscoveryConfig("static2", enabled = true,
+        Seq("db1:9104"), Map.empty)))
+    // PromConfig semantics: job = id, one row per target, group labels on
+    // every row; disabled configs register nothing (service.go:73-80)
+    val ts = ScrapeScheduler.targetsFromStaticDiscovery(
+      spark, configs, db = "db", rp = "rp", intervalS = 30L)
+      .collect().sortBy(_.url)
+    assert(ts.map(t => (t.job, t.url)).toSeq === Seq(
+      ("static2", "http://db1:9104/metrics"),
+      ("static1", "http://host2:9100/metrics"),
+      ("static1", "http://localhost:9100/metrics")))
+    assert(ts.filter(_.job == "static1").forall(
+      _.labels === Map("region" -> "us-east", "tier" -> "web")))
+    assert(!ts.exists(_.job == "disabled1"))
+    // the rows ride the same schedule grid as any discovery source
+    val grid = ScrapeScheduler.schedule(
+      spark.createDataset(ts.toSeq), 0L, 120L)
+    assert(grid.groupBy("url").count().collect().forall(_.getLong(1) === 4L))
+    // an id-less config is invalid, like config.go Validate
+    val e = intercept[IllegalArgumentException] {
+      ScrapeScheduler.targetsFromStaticDiscovery(spark,
+        Seq(ScrapeScheduler.StaticDiscoveryConfig("", enabled = true, Seq("x:1"))),
+        "db", "rp", 30L).collect()
+    }
+    assert(e.getMessage.contains("ID"))
+  }
+
   test("fetch seam round-trip: job encode/decode, tick-time default, blacklist") {
     // deterministic fake fetcher: each (url, tick) yields one sample with
     // an explicit ms timestamp and one without (→ defaults to tick time),
