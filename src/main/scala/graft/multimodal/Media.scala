@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * is real and tested. Image and audio decode are REAL (JDK codecs:
   * javax.imageio, javax.sound); video gets REAL container metadata
   * ([[probeVideo]]: MP4 `moov/mvhd/tkhd/stsz` + AVI `avih` header parsing)
-  * while its frame-content features stay STUBBED ([[decodeStub]] — the JDK
-  * ships no video codec), clearly marked, with the exact signature an
-  * ffmpeg-backed implementation would have.
+  * and REAL first-keyframe luminance for the AVI flavors a pure JDK can
+  * decode — MJPEG (frame chunks are JPEGs) and uncompressed BI_RGB DIB
+  * ([[aviKeyframeLuminance]]). Codec'd streams (H.264/… — the JDK ships
+  * no video codec) carry a NULL feature, never a fabricated one;
+  * [[decodeStub]] remains the explicitly-fake decoder for pipeline-shape
+  * tests.
   *
   * Scale posture: all transforms are `mapPartitions`-shaped (one JVM-local
   * pass, no shuffle); heavy payloads should be read with a small
@@ -100,35 +103,39 @@ object Media {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.bytes))
       } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) decodeStub(blob, featureDim)
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val feat = new Array[Float](featureDim)
-      var s = 0
-      while (s < featureDim) {
-        val x0 = (w.toLong * s / featureDim).toInt
-        val x1 = math.max((w.toLong * (s + 1) / featureDim).toInt, x0 + 1)
-        // bounded sampling grid: at most 8×8 pixels per strip
-        val xs = math.max(1, (x1 - x0) / 8)
-        val ys = math.max(1, h / 8)
-        var acc = 0.0; var npx = 0
-        var y = 0
-        while (y < h) {
-          var x = x0
-          while (x < x1 && x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            acc += lum / 255.0; npx += 1
-            x += xs
-          }
-          y += ys
+    else MediaFeatures(blob.media_id, blob.kind, img.getWidth, img.getHeight, 1,
+      lumStrips(img.getWidth, img.getHeight, featureDim, img.getRGB))
+  }
+
+  /** Mean luminance over `featureDim` vertical strips of a `w`×`h` pixel
+    * grid read through `rgb(x, y)` (packed 0xRRGGBB) — the shared
+    * feature for every real pixel source (decoded images, AVI
+    * keyframes). Bounded sampling: at most 8×8 pixels per strip. */
+  private def lumStrips(w: Int, h: Int, featureDim: Int, rgb: (Int, Int) => Int): Array[Float] = {
+    val feat = new Array[Float](featureDim)
+    var s = 0
+    while (s < featureDim) {
+      val x0 = (w.toLong * s / featureDim).toInt
+      val x1 = math.max((w.toLong * (s + 1) / featureDim).toInt, x0 + 1)
+      val xs = math.max(1, (x1 - x0) / 8)
+      val ys = math.max(1, h / 8)
+      var acc = 0.0; var npx = 0
+      var y = 0
+      while (y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val v = rgb(x, y)
+          val lum = 0.299 * ((v >> 16) & 0xff) + 0.587 * ((v >> 8) & 0xff) +
+            0.114 * (v & 0xff)
+          acc += lum / 255.0; npx += 1
+          x += xs
         }
-        feat(s) = if (npx == 0) 0f else (acc / npx).toFloat
-        s += 1
+        y += ys
       }
-      MediaFeatures(blob.media_id, blob.kind, w, h, 1, feat)
+      feat(s) = if (npx == 0) 0f else (acc / npx).toFloat
+      s += 1
     }
+    feat
   }
 
   /** REAL audio decode via javax.sound.sampled — the JDK ships WAV/AIFF/AU
@@ -287,27 +294,137 @@ object Media {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** REAL video container metadata — the JDK ships no video CODEC, but
-    * dims/duration/frame-count live in plain container headers, so this
-    * parses MP4/MOV (`moov/mvhd/tkhd/stsz`) and AVI RIFF (`avih`) directly:
-    * header-only probing, exactly how binaryFile pipelines qualify video at
-    * scale without paying a decode.
+  /** RIFF children of [from, to): (id, listType or "", payloadStart,
+    * payloadEnd); chunks pad to even offsets, LIST/RIFF carry a list-type
+    * fourcc ahead of their payload. */
+  private def riffChildren(b: Array[Byte], from: Int, to: Int): Seq[(String, String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, String, Int, Int)]
+    var o = from
+    while (o + 8 <= to) {
+      val id = fourcc(b, o)
+      val size = le32(b, o + 4).toInt
+      if (size < 0 || o + 8 + size > to) return out.result() // malformed tail
+      val lt = if ((id == "LIST" || id == "RIFF") && size >= 4) fourcc(b, o + 8) else ""
+      val ps = if (lt.nonEmpty) o + 12 else o + 8
+      out += ((id, lt, ps, o + 8 + size))
+      o += 8 + size + (size & 1)
+    }
+    out.result()
+  }
+
+  /** The AVI's first 'vids' stream, from the hdrl strl lists:
+    * (streamIndex, biBitCount, biCompression, biWidth, signed biHeight) —
+    * strh identifies the stream kind, strf is its BITMAPINFOHEADER. */
+  private def aviVideoStreamInfo(b: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    val top = riffChildren(b, 12, b.length)
+    val hdrl = top.find(c => c._1 == "LIST" && c._2 == "hdrl").getOrElse(return None)
+    riffChildren(b, hdrl._3, hdrl._4)
+      .filter(c => c._1 == "LIST" && c._2 == "strl")
+      .zipWithIndex
+      .flatMap { case (sl, idx) =>
+        val kids = riffChildren(b, sl._3, sl._4)
+        val isVids = kids.find(_._1 == "strh")
+          .exists(k => k._4 - k._3 >= 4 && fourcc(b, k._3) == "vids")
+        if (!isVids) None
+        else kids.find(_._1 == "strf").collect {
+          case f if f._4 - f._3 >= 40 =>
+            val p = f._3
+            (idx, (le32(b, p + 14) & 0xffffL).toInt, le32(b, p + 16),
+              le32(b, p + 4).toInt, le32(b, p + 8).toInt)
+        }
+      }
+      .headOption
+  }
+
+  /** First data chunk of stream `streamIdx` in the movi list ('NNdc'
+    * compressed / 'NNdb' uncompressed DIB), descending into 'rec '
+    * groups. */
+  private def aviFirstFrame(b: Array[Byte], streamIdx: Int): Option[Array[Byte]] = {
+    val top = riffChildren(b, 12, b.length)
+    val movi = top.find(c => c._1 == "LIST" && c._2 == "movi").getOrElse(return None)
+    val pre = f"$streamIdx%02d"
+    def scan(from: Int, to: Int): Option[Array[Byte]] =
+      riffChildren(b, from, to).iterator.flatMap {
+        case ("LIST", "rec ", s, e) => scan(s, e)
+        case (id, _, s, e)
+            if id.startsWith(pre) && (id.endsWith("dc") || id.endsWith("db")) && e > s =>
+          Some(java.util.Arrays.copyOfRange(b, s, e))
+        case _ => None
+      }.nextOption()
+    scan(movi._3, movi._4)
+  }
+
+  /** REAL first-keyframe luminance for the AVI flavors the JDK can decode
+    * without an external codec: MJPEG (each frame chunk is a JPEG —
+    * javax.imageio ships that codec) and uncompressed BI_RGB 24/32-bit
+    * DIB frames (raw BGR(A) rows, bottom-up unless biHeight < 0, rows
+    * padded to 4 bytes). Returns the decoded frame's (width, height,
+    * luminance strips); None when the stream's codec needs a real video
+    * decoder. */
+  def aviKeyframeLuminance(b: Array[Byte], featureDim: Int = 8): Option[(Int, Int, Array[Float])] =
+    try {
+      aviVideoStreamInfo(b).flatMap { case (idx, bitCount, comp, w0, hRaw) =>
+        aviFirstFrame(b, idx).flatMap { frame =>
+          val img =
+            try {
+              javax.imageio.ImageIO.setUseCache(false)
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            } catch { case scala.util.control.NonFatal(_) => null }
+          if (img != null)
+            Some((img.getWidth, img.getHeight,
+              lumStrips(img.getWidth, img.getHeight, featureDim, img.getRGB)))
+          else if (comp == 0L && (bitCount == 24 || bitCount == 32) && w0 > 0 && hRaw != 0) {
+            val h = math.abs(hRaw)
+            val bpp = bitCount / 8
+            val stride = ((w0 * bpp + 3) / 4) * 4
+            if (frame.length < stride.toLong * h) None
+            else {
+              val topDown = hRaw < 0
+              def rgbAt(x: Int, y: Int): Int = {
+                val row = if (topDown) y else h - 1 - y
+                val o = row * stride + x * bpp
+                ((frame(o + 2) & 0xff) << 16) | ((frame(o + 1) & 0xff) << 8) | (frame(o) & 0xff)
+              }
+              Some((w0, h, lumStrips(w0, h, featureDim, rgbAt)))
+            }
+          } else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL video probing — container metadata always (MP4/MOV
+    * `moov/mvhd/tkhd/stsz`, AVI RIFF `avih`: header-only, exactly how
+    * binaryFile pipelines qualify video at scale without paying a
+    * decode), plus REAL first-keyframe content features where a pure-JDK
+    * decode exists: MJPEG and uncompressed-DIB AVI streams
+    * ([[aviKeyframeLuminance]] — the same vertical-strip luminance as
+    * [[decodeImage]]).
     *
     * DEPENDENCY POLICY (settled): no external codec will be added — the
-    * build is zero-egress and the JDK ships none — so on this REAL path
-    * the video content-feature slot is NULL, never fabricated. Downstream
-    * consumers null-check (MediaSpec pins it); [[decodeStub]] remains the
-    * explicitly-fake test decoder for pipeline-shape work. Unparseable
-    * payloads keep the stub's fake dims (the pipeline stays total) but
-    * still carry a null feature: content was not decoded either way. */
+    * build is zero-egress and the JDK ships no H.264/H.265/VP9 decoder —
+    * so for codec'd streams (all MP4 video, non-MJPEG AVI) the feature
+    * slot is NULL, never fabricated. Downstream consumers null-check
+    * (MediaSpec pins it); [[decodeStub]] remains the explicitly-fake
+    * test decoder for pipeline-shape work. Unparseable payloads keep the
+    * stub's fake dims (the pipeline stays total) but still carry a null
+    * feature: content was not decoded either way. */
   def probeVideo(blob: MediaBlob, featureDim: Int = 8): MediaFeatures = {
     if (blob.kind != "video") return decodeStub(blob, featureDim)
-    parseMp4(blob.bytes).orElse(parseAvi(blob.bytes)) match {
+    parseMp4(blob.bytes) match {
       case Some(meta) =>
+        // MP4 frames are codec-encoded (H.264/...): metadata real, content null
         decodeStub(blob, featureDim).copy(
           width = meta.width, height = meta.height,
           n_frames = math.max(meta.nFrames, 1), feature = null)
-      case None => decodeStub(blob, featureDim).copy(feature = null)
+      case None => parseAvi(blob.bytes) match {
+        case Some(meta) =>
+          decodeStub(blob, featureDim).copy(
+            width = meta.width, height = meta.height,
+            n_frames = math.max(meta.nFrames, 1),
+            feature = aviKeyframeLuminance(blob.bytes, featureDim).map(_._3).orNull)
+        case None => decodeStub(blob, featureDim).copy(feature = null)
+      }
     }
   }
 

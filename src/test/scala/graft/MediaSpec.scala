@@ -175,6 +175,91 @@ class MediaSpec extends SparkSpec {
     riff.array() ++ body
   }
 
+  /** Full AVI RIFF with one video stream (hdrl: avih + strl{strh,strf})
+    * and one frame chunk in movi — the structure aviKeyframeLuminance
+    * walks. */
+  private def aviWithFrame(w: Int, h: Int, frames: Int, usPerFrame: Int,
+      bitCount: Int, compression: Int, chunkId: String,
+      frame: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val base = id.getBytes("ISO-8859-1") ++ le(payload.length) ++ payload
+      if (payload.length % 2 == 1) base :+ 0.toByte else base
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("ISO-8859-1") ++ payload)
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames).putInt(0).putInt(1).putInt(0)
+    avih.putInt(w).putInt(h) // trailing reserved bytes stay zero
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("ISO-8859-1"))
+    strh.put((if (compression == 0) "DIB " else "MJPG").getBytes("ISO-8859-1"))
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bitCount.toShort)
+    strf.putInt(compression)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", chunk(chunkId, frame))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+  }
+
+  test("MJPEG AVI: first keyframe decodes through the JDK JPEG codec — REAL luminance") {
+    // frame = an actual JPEG of a synthetic gradient image
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val v = x * 255 / 15
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val avi = aviWithFrame(16, 8, 30, 33333, bitCount = 24,
+      compression = 0x47504A4D /* 'MJPG' le */, chunkId = "00dc", frame = jpeg)
+    val (kw, kh, feat) = Media.aviKeyframeLuminance(avi, featureDim = 4).get
+    assert(kw == 16 && kh == 8)
+    // identical to decoding the same JPEG as an image — same codec, same strips
+    val asImage = Media.decodeImage(Media.MediaBlob(1L, "image", jpeg, 0, 0, 0, 0L),
+      featureDim = 4)
+    assert(feat.toSeq == asImage.feature.toSeq)
+    assert(feat(0) < feat(3), "gradient: left strip darker than right")
+    // probeVideo carries the REAL feature alongside the container metadata
+    val blob = Media.MediaBlob(30L, "video", avi, 0, 0, 0, 0L)
+    val f = Media.probeVideo(blob, featureDim = 4)
+    assert(f.width == 16 && f.height == 8 && f.n_frames == 30)
+    assert(f.feature != null && f.feature.toSeq == feat.toSeq)
+  }
+
+  test("uncompressed BI_RGB AVI: raw bottom-up DIB rows yield exact strip luminance") {
+    // 4×2 frame: left half white, right half black; 24-bit BGR rows padded
+    // to 4 bytes (stride 12), bottom-up
+    val w = 4; val h = 2
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dib = new Array[Byte](stride * h)
+    for (row <- 0 until h; x <- 0 until w) {
+      val v = if (x < 2) 0xff.toByte else 0x00.toByte
+      val o = row * stride + x * 3
+      dib(o) = v; dib(o + 1) = v; dib(o + 2) = v
+    }
+    val avi = aviWithFrame(w, h, 1, 40000, bitCount = 24, compression = 0,
+      chunkId = "00db", frame = dib)
+    val (kw, kh, feat) = Media.aviKeyframeLuminance(avi, featureDim = 2).get
+    assert(kw == 4 && kh == 2)
+    assert(math.abs(feat(0) - 1.0f) < 1e-3, s"white strip: ${feat(0)}")
+    assert(math.abs(feat(1)) < 1e-3, s"black strip: ${feat(1)}")
+    // a codec'd stream (not MJPEG/DIB) still refuses to fabricate: the
+    // fake 'h264' frame can't decode → null feature, container dims real
+    val codecd = aviWithFrame(w, h, 1, 40000, bitCount = 24,
+      compression = 0x34363268 /* 'h264' */, chunkId = "00dc",
+      frame = Array[Byte](1, 2, 3, 4))
+    val f = Media.probeVideo(Media.MediaBlob(31L, "video", codecd, 0, 0, 0, 0L))
+    assert(f.width == 4 && f.feature == null)
+  }
+
   test("probeVideo parses a real MP4 header: dims, frame count, duration") {
     val blob = Media.MediaBlob(9L, "video", mp4Bytes(320, 240, 48, 1000, 2000),
       declared_width = 0, declared_height = 0, sample_rate = 0, duration_ms = 0L)
