@@ -675,32 +675,9 @@ object TickScript {
       propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
       : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
     import graft.sources.UdfProto
-    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     import spark.implicits._
-    val meas =
-      if (df.columns.contains(measurementCol)) col(measurementCol) else lit("points")
-    val ns =
-      if (df.columns.contains("ts_ns")) col("ts_ns")
-      else unix_micros(col(timeCol)) * lit(1000L)
-    val byType = inFields.groupBy(f => df.schema(f).dataType match {
-      case DoubleType | FloatType | _: DecimalType => 'd'
-      case LongType | IntegerType | ShortType      => 'i'
-      case BooleanType                             => 'b'
-      case _                                       => 's'
-    })
-    def fieldMap[T](tpe: Char, cast: String) = byType.get(tpe) match {
-      case Some(fs) => map(fs.flatMap(f => Seq(lit(f), col(f).cast(cast))): _*)
-      case None     => map().cast(s"map<string,$cast>")
-    }
-    val tagMap =
-      if (tagCols.isEmpty) map().cast("map<string,string>")
-      else map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*)
-    val pts = df.select(
-        ns.cast("long").as("_t"), meas.cast("string").as("_n"),
-        tagMap.as("_tg"), fieldMap('d', "double").as("_fd"),
-        fieldMap('i', "long").as("_fi"), fieldMap('s', "string").as("_fs"),
-        fieldMap('b', "boolean").as("_fb"))
+    val pts = typedUdfInput(df, tagCols, inFields, timeCol, measurementCol)
       .as[(Long, String, Map[String, String], Map[String, Double],
            Map[String, Long], Map[String, String], Map[String, Boolean])]
       .map { case (t, n, tg, fd, fi, fs, fb) =>
@@ -715,6 +692,112 @@ object TickScript {
             col("fieldsInt")(f).cast("double")).as(f)) ++
           outFieldsStr.map(f => col("fieldsString")(f).as(f)) ++
           outFieldsBool.map(f => col("fieldsBool")(f).as(f))): _*)
+  }
+
+  /** Shared typed-maps projection for the protobuf UDF builders: the
+    * frame reduced to (_t ns, _n measurement, _tg tags, _fd/_fi/_fs/_fb
+    * typed field maps) — `inFields` split by column type exactly like
+    * the reference server's fieldsToTypedMaps (udf/server.go:521-554). */
+  private def typedUdfInput(
+      df: DataFrame, tagCols: Seq[String], inFields: Seq[String],
+      timeCol: String, measurementCol: String,
+      extraCols: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val meas =
+      if (df.columns.contains(measurementCol)) col(measurementCol) else lit("points")
+    val ns =
+      if (df.columns.contains("ts_ns")) col("ts_ns")
+      else unix_micros(col(timeCol)) * lit(1000L)
+    val byType = inFields.groupBy(f => df.schema(f).dataType match {
+      case DoubleType | FloatType | _: DecimalType => 'd'
+      case LongType | IntegerType | ShortType      => 'i'
+      case BooleanType                             => 'b'
+      case _                                       => 's'
+    })
+    def fieldMap(tpe: Char, cast: String) = byType.get(tpe) match {
+      case Some(fs) => map(fs.flatMap(f => Seq(lit(f), col(f).cast(cast))): _*)
+      case None     => map().cast(s"map<string,$cast>")
+    }
+    val tagMap =
+      if (tagCols.isEmpty) map().cast("map<string,string>")
+      else map(tagCols.flatMap(t => Seq(lit(t), col(t).cast("string"))): _*)
+    df.select(Seq(
+      ns.cast("long").as("_t"), meas.cast("string").as("_n"),
+      tagMap.as("_tg"), fieldMap('d', "double").as("_fd"),
+      fieldMap('i', "long").as("_fi"), fieldMap('s', "string").as("_fs"),
+      fieldMap('b', "boolean").as("_fb")) ++ extraCols: _*)
+  }
+
+  /** Registry entry for a BATCH-edge protobuf agent on a WINDOWED chain
+    * (`stream |from() |window() |@outliers()` — the reference feeds such
+    * a UDF whole batches, one BeginBatch/Point/EndBatch framing per
+    * window per group, udf/server.go:445-519): rows group into one
+    * ProtoBatch per (measurement, window bucket, tag group), stream
+    * through [[graft.sources.UdfProto.pipeBatches]], and the agent's
+    * derived batches explode back to rows. Batch meta must ride through
+    * the agent the way the reference's batch reassembly expects
+    * (End.tags become the output group — BatchStatsAgent-style agents
+    * that echo Begin/End meta satisfy this); the window bucket travels
+    * in a reserved `__bucket_s` batch tag so the chain stays windowed
+    * downstream. Each batch buffers in memory exactly once
+    * (window-bounded, the same bound the reference's BufferedBatch
+    * holds). Output typing follows [[protobufUdf]]: numeric `outFields`,
+    * typed `outFieldsStr`/`outFieldsBool`. */
+  def protobufBatchUdf(
+      cmd: Seq[String],
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      outFieldsStr: Seq[String] = Nil,
+      outFieldsBool: Seq[String] = Nil,
+      timeCol: String = "time",
+      measurementCol: String = "measurement",
+      bucketCol: String = "bucket_s",
+      propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
+      : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
+    import graft.sources.UdfProto
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(df.columns.contains(bucketCol),
+      s"@batch-edge UDF needs a windowed chain: no '$bucketCol' column — " +
+        "add |window() before the @udf, or use protobufUdf for stream edges")
+    val pts = typedUdfInput(df, tagCols, inFields, timeCol, measurementCol,
+        extraCols = Seq(col(bucketCol).cast("long").as("_bk")))
+      .as[(Long, String, Map[String, String], Map[String, Double],
+           Map[String, Long], Map[String, String], Map[String, Boolean], Long)]
+    val batches = pts
+      .groupByKey { case (_, n, tg, _, _, _, _, bk) =>
+        (n, bk, tg.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+      }
+      .mapGroups { (key, it) =>
+        val (n, bk, gstr) = key
+        // time-ordered like the reference's buffered batches; the window
+        // bound caps the buffer
+        val rows = it.toVector.sortBy(_._1)
+        UdfProto.ProtoBatch(
+          name = n, group = gstr,
+          tags = rows.head._3 + ("__bucket_s" -> bk.toString),
+          byName = false, tmax = rows.map(_._1).max,
+          points = rows.map { case (t, _, tg, fd, fi, fs, fb, _) =>
+            UdfProto.ProtoPoint(t, "", "", "", gstr, Nil, tg, fd, fi, fs, fb,
+              byName = false)
+          })
+      }
+    val out = UdfProto.pipeBatches(batches, cmd, propsToOptions(props))
+      .flatMap(b => b.points.map(p =>
+        (b.name, b.tags, p.time, p.tags, p.fieldsDouble, p.fieldsInt,
+          p.fieldsString, p.fieldsBool)))
+      .toDF("_n", "_btags", "_t", "_ptags", "_fd", "_fi", "_fs", "_fb")
+    out.select(
+      timestamp_micros(expr("_t DIV 1000")).as(timeCol) +:
+        col("_n").as(measurementCol) +:
+        element_at(col("_btags"), "__bucket_s").cast("long").as(bucketCol) +:
+        (tagCols.map(t => coalesce(
+          element_at(col("_ptags"), t), element_at(col("_btags"), t)).as(t)) ++
+          outFields.map(f => coalesce(col("_fd")(f),
+            col("_fi")(f).cast("double")).as(f)) ++
+          outFieldsStr.map(f => col("_fs")(f).as(f)) ++
+          outFieldsBool.map(f => col("_fb")(f).as(f))): _*)
   }
 
   /** Default property→InitRequest.options mapping for [[protobufUdf]]:

@@ -742,6 +742,49 @@ class UdfProtoAgentSpec extends SparkSpec {
     }
   }
 
+  test("TICKscript windowed |@udf() drives a BATCH-edge agent per (group, window)") {
+    import graft.tick.TickScript
+    val rows = for {
+      h <- Seq("a", "b")
+      (t, v) <- Seq((1, 1.0), (3, 5.0), (5, 2.0), (12, 7.0), (14, 4.0))
+    } yield ("cpu", h, new java.sql.Timestamp(t * 1000L),
+      v + (if (h == "b") 10.0 else 0.0))
+    val source = rows.toDF("measurement", "host", "time", "value")
+    val agent = TickScript.protobufBatchUdf(
+      Seq("java", "-cp", sys.props("java.class.path"), "graft.tools.BatchStatsAgent"),
+      tagCols = Seq("host"), inFields = Seq("value"),
+      outFields = Seq("value", "vmax", "batch_n"))
+    val script =
+      """stream
+        ||from().measurement('cpu').groupBy('host')
+        ||window().period(10s).every(10s)
+        ||@bstats().field('value')
+        |""".stripMargin
+    val out = TickScript.compile(script, source, udfs = Map("bstats" -> agent))
+      .select("host", "bucket_s", "value", "vmax", "batch_n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 10)
+    // the agent saw one batch per (group, window): its per-batch stats
+    // must match a per-(host, bucket) recomputation
+    out.groupBy(t => (t._1, t._2)).foreach { case ((h, bk), grp) =>
+      val vmax = grp.map(_._3).max
+      assert(grp.forall(_._4 === vmax), s"vmax wrong for ($h, $bk)")
+      assert(grp.forall(_._5 === grp.size.toDouble), s"batch_n wrong for ($h, $bk)")
+    }
+    val sizes = out.groupBy(t => (t._1, t._2)).view.mapValues(_.size).values.toSeq.sorted
+    assert(sizes === Seq(2, 2, 3, 3)) // two hosts × two real windows
+    // a stream (un-windowed) chain refuses the batch-edge UDF loudly
+    val e = intercept[IllegalArgumentException] {
+      TickScript.compile(
+        """stream
+          ||from().measurement('cpu')
+          ||@bstats()
+          |""".stripMargin, source, udfs = Map("bstats" -> agent))
+    }
+    assert(e.getMessage.contains("windowed"))
+  }
+
   test("edge-type mismatch fails fast at InfoResponse, both directions") {
     val cp = sys.props("java.class.path")
     val onePoint = spark.createDataset(Seq(ProtoPoint(
