@@ -785,6 +785,43 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(e.getMessage.contains("windowed"))
   }
 
+  test("streaming pipeBatches: batch-edge agents run per micro-batch, output ≡ batch") {
+    // pipeBatches is mapPartitions-shaped, so pre-assembled batches (from
+    // a windowed stateful stage or foreachBatch) stream through BATCH
+    // agents exactly like points do through STREAM agents
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val batches = (0 until 4).map { g =>
+      ProtoBatch(
+        name = "cpu", group = s"host=h$g", tags = Map("host" -> s"h$g"),
+        byName = false, tmax = 1000L * (g + 1),
+        points = (1 to 3).map(i => ProtoPoint(
+          i * 100L + g, "", "", "", s"host=h$g", Nil,
+          Map.empty, Map("value" -> (i * 1.0 + g * 10)),
+          Map.empty, Map.empty, Map.empty, byName = false)))
+    }
+    val cmd = Seq("java", "-cp", sys.props("java.class.path"), "graft.tools.BatchStatsAgent")
+    val ms = MemoryStream[ProtoBatch]
+    val q = UdfProto.pipeBatches(ms.toDS(), cmd)
+      .writeStream.format("memory").queryName("udfproto_batches")
+      .outputMode("append").start()
+    try {
+      ms.addData(batches.take(2)); q.processAllAvailable()
+      ms.addData(batches.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("udfproto_batches").as[ProtoBatch].collect()
+        .sortBy(_.group)
+      val direct = UdfProto.pipeBatches(spark.createDataset(batches), cmd)
+        .collect().sortBy(_.group)
+      assert(streamed.toSeq === direct.toSeq)
+      assert(direct.length === 4)
+      direct.zip(batches).foreach { case (o, b) =>
+        assert(o.points.forall(_.fieldsInt("batch_n") === 3L))
+        assert(o.points.forall(_.fieldsDouble("vmax") ===
+          b.points.map(_.fieldsDouble("value")).max))
+      }
+    } finally q.stop()
+  }
+
   test("edge-type mismatch fails fast at InfoResponse, both directions") {
     val cp = sys.props("java.class.path")
     val onePoint = spark.createDataset(Seq(ProtoPoint(
