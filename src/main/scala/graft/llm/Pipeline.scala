@@ -40,6 +40,8 @@ object Pipeline {
       minFragTokens: Int = 1,
       mixRates: Map[String, Double] = Map.empty,
       defaultMixRate: Double = 1.0,
+      mixTokenBudgets: Map[String, Long] = Map.empty,
+      defaultTokenBudget: Long = -1L,
       seqLen: Int = 512,
       materializeSurvivors: Boolean = true)
 
@@ -155,16 +157,26 @@ object Pipeline {
           .select(col("doc_id").as(idCol)).distinct())
         nearKept.join(bad, Seq(idCol), "left_anti")
     })
-    // stage 7: deterministic domain mixing
+    // stage 7: deterministic domain mixing — by rate (stratifiedSample) or
+    // by TOKEN budget (tokenBudgetSample, the fill-then-cut convention);
+    // budget mixing wins when configured, and its exact per-doc token
+    // counts feed packing directly (one tokenize, not two)
+    var budgetNTok: Option[DataFrame] = None
     val mixed = tap("mixed", {
-      if (cfg.mixRates.isEmpty && cfg.defaultMixRate >= 1.0) decon
+      if (cfg.mixTokenBudgets.nonEmpty || cfg.defaultTokenBudget >= 0) {
+        val tb = Mix.tokenBudgetSample(decon, idCol, textCol, shardCol,
+          cfg.mixTokenBudgets, cfg.defaultTokenBudget)
+        budgetNTok = Some(tb.select(col(idCol), col("n_tok")))
+        tb.drop("n_tok", "tok_start")
+      }
+      else if (cfg.mixRates.isEmpty && cfg.defaultMixRate >= 1.0) decon
       else Mix.stratifiedSample(decon, idCol, shardCol, cfg.mixRates, cfg.defaultMixRate)
     })
     // stage 8: pack into fixed token sequences per shard — token counts
     // come from the scrub stage when it ran (it rewrote the text, so the
     // shared tokens frame is stale for scrubbed docs), else from the
     // shared tokens frame; both are id equi-joins, no re-tokenize
-    tap("packed", scrubNTok.orElse(
+    tap("packed", scrubNTok.orElse(budgetNTok).orElse(
       toksF.map(tf => tf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok")))) match {
       case Some(counts) =>
         Mix.packSequencesCounted(

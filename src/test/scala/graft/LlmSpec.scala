@@ -703,6 +703,35 @@ class LlmSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("Pipeline.curate token-budget mixing: stage 7 fills budgets, counts feed packing") {
+    // unique texts so dedup/decon pass everything through — the budget
+    // stage's effect is isolated
+    val rows = (1L to 12L).map(i => (i,
+      if (i <= 8) "web" else "books",
+      s"document number $i with some distinct words w$i x$i y$i z$i here")).toSeq
+      .toDF("doc_id", "source", "text")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val out = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(
+        langs = Set.empty, requireC4Keep = false, nearDup = false,
+        mixTokenBudgets = Map("web" -> 30L, "books" -> 15L), seqLen = 16),
+      Some(counts))
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // survivors = exactly tokenBudgetSample over the same frame
+    val direct = graft.llm.Mix.tokenBudgetSample(rows, "doc_id", "text", "source",
+      Map("web" -> 30L, "books" -> 15L), -1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.keySet === direct)
+    assert(counts("mixed") === direct.size.toLong)
+    assert(counts("packed") === counts("mixed"))
+    // packing used the budget stage's exact token counts: every doc is 12
+    // tokens ("document number N with some distinct words wN xN yN zN
+    // here"), so pack offsets advance by 12 within each shard
+    val web = out.values.filter(_._2 == "web").toSeq.sortBy(_._1)
+    assert(web.forall(_._3 === 12L))
+    assert(web.map(r => r._4 * 16 + r._5) === web.indices.map(_ * 12L))
+  }
+
   test("tokenBudgetSample fills each domain's budget in md5 order; boundary doc kept") {
     val d = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b",
       Seq.fill(10)(s"w$i").mkString(" "))) // every doc exactly 10 tokens
