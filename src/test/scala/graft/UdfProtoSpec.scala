@@ -157,6 +157,24 @@ class UdfProtoSpec extends SparkSpec {
     assert(UdfProto.decodeResponse(UdfProto.encodeResponseEnd(e)) === REnd(e))
   }
 
+  test("fuzz: 200 nasty BeginBatch/EndBatch markers round-trip both codec halves") {
+    val nasty = "a\nb\t\"c\"\\d,e=f 漢字 π end"
+    val rnd = new scala.util.Random(15L)
+    def rs(): String = (0 until rnd.nextInt(12)).map(_ => nasty(rnd.nextInt(nasty.length))).mkString
+    (1 to 200).foreach { _ =>
+      val b = ProtoBeginBatch(rs(), rs(),
+        (0 until rnd.nextInt(4)).map(j => s"t$j" -> rs()).toMap,
+        rnd.nextLong(), rnd.nextBoolean())
+      val e = ProtoEndBatch(rs(), rs(), rnd.nextLong(),
+        (0 until rnd.nextInt(4)).map(j => s"t$j" -> rs()).toMap,
+        rnd.nextBoolean())
+      assert(UdfProto.decodeRequest(UdfProto.encodeRequestBegin(b)) === QBegin(b))
+      assert(UdfProto.decodeRequest(UdfProto.encodeRequestEnd(e)) === QEnd(e))
+      assert(UdfProto.decodeResponse(UdfProto.encodeResponseBegin(b)) === RBegin(b))
+      assert(UdfProto.decodeResponse(UdfProto.encodeResponseEnd(e)) === REnd(e))
+    }
+  }
+
   test("Snapshot/Restore RPC frames match the reference wire shapes") {
     // Request{snapshot}: empty SnapshotRequest in field 4 → tag 0x22 len 0
     assert(UdfProto.encodeSnapshotRequest().toSeq ===
