@@ -61,6 +61,49 @@ object UdfAgent {
       Left("restore not implemented")
   }
 
+  /** Socket-server mode — the reference agent library's accept loop
+    * (agent.go Server over a unix listener; the daemon side of a
+    * `[udf.functions.x] socket = "/path"` config): bind a unix-domain
+    * socket, serve EACH connection with a FRESH handler from
+    * `newHandler` on its own daemon thread (connections are independent
+    * protocol sessions), until the returned handle is closed. A server
+    * outlives any one task — the long-running deployment shape, vs the
+    * child-per-partition `run` over stdio. */
+  def serveSocket(path: java.nio.file.Path, newHandler: () => Handler): AutoCloseable = {
+    import java.nio.channels.{Channels, ServerSocketChannel}
+    java.nio.file.Files.deleteIfExists(path)
+    val server = ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    server.bind(java.net.UnixDomainSocketAddress.of(path))
+    @volatile var closed = false
+    val acceptor = new Thread(() => {
+      try {
+        while (!closed) {
+          val ch = server.accept()
+          val session = new Thread(() => {
+            try run(newHandler(), Channels.newInputStream(ch), Channels.newOutputStream(ch))
+            catch { case _: Throwable => () } // a broken session ends itself only
+            finally {
+              try ch.close() catch { case _: java.io.IOException => () }
+            }
+          }, "graft-udfagent-session")
+          session.setDaemon(true)
+          session.start()
+        }
+      } catch {
+        case _: java.nio.channels.ClosedChannelException => () // close() racing accept()
+        case _: java.nio.channels.AsynchronousCloseException => ()
+      }
+    }, "graft-udfagent-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    () => {
+      closed = true
+      try server.close() catch { case _: java.io.IOException => () }
+      java.nio.file.Files.deleteIfExists(path)
+      ()
+    }
+  }
+
   /** Drive the agent loop until stdin EOF. Synchronous single-thread
     * (the reference agent's read loop shape); responses flush per
     * message so a 1:1 server never stalls on pipe buffers. */

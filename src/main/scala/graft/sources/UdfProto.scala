@@ -737,6 +737,90 @@ object UdfProto {
   private val MaxStderrBytes = 64 * 1024
   private val ResponseQueueCapacity = 1024
 
+  /** The two agent attachments of the reference config
+    * (services/udf/config.go:20-47): a CHILD PROCESS (`prog`/`args`,
+    * one per partition) or a long-running UNIX-DOMAIN SOCKET server
+    * (`socket = "/path"`, kapacitor's UDFSocket/NewSocketConn,
+    * udf.go:280-357 — each connection is an independent protocol
+    * session). The AgentChild lifecycle is transport-agnostic, exactly
+    * like the reference's udf.Server over io.Reader/WriteCloser. */
+  private trait AgentTransport {
+    def in: InputStream
+    def out: OutputStream
+    def alive: Boolean
+    def destroy(): Unit
+    /** Block until the agent side is done; (exitCode, stderrTail) —
+      * (0, "") for sockets, which have neither. */
+    def waitDone(): (Int, String)
+    def describe: String
+  }
+
+  private final class ProcessTransport(cmd: Seq[String], taskCtx: TaskContext)
+      extends AgentTransport {
+    private val proc = new ProcessBuilder(cmd: _*).start()
+    private val stderrBuf = new java.io.ByteArrayOutputStream()
+    private val errThread = new Thread(() => {
+      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
+      val es = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      var n = es.read(buf)
+      while (n >= 0) {
+        if (stderrBuf.size < MaxStderrBytes) stderrBuf.write(buf, 0, n)
+        n = es.read(buf)
+      }
+    }, "graft-udfproto-stderr")
+    errThread.setDaemon(true)
+    errThread.start()
+    val in = new BufferedInputStream(proc.getInputStream)
+    val out = new BufferedOutputStream(proc.getOutputStream)
+    def alive: Boolean = proc.isAlive
+    def destroy(): Unit = { if (proc.isAlive) proc.destroyForcibly(); () }
+    def waitDone(): (Int, String) = {
+      val code = proc.waitFor()
+      errThread.join(2000)
+      (code, stderrBuf.toString("UTF-8").trim)
+    }
+    def describe: String = cmd.mkString(" ")
+  }
+
+  private final class SocketTransport(path: String) extends AgentTransport {
+    private val ch = java.nio.channels.SocketChannel.open(
+      java.net.UnixDomainSocketAddress.of(path))
+    @volatile private var closed = false
+    // NOT Channels.newInput/OutputStream: those synchronize every op on
+    // the channel's blockingLock, so the reader thread parked in read()
+    // would block every write — the runner NEEDS one concurrent reader +
+    // one writer, which SocketChannel.read/write themselves allow.
+    // out.close() half-closes (shutdownOutput): the writer finishing its
+    // stream must not tear down the channel — responses are still in
+    // flight the other way (the socket analog of closing a child's stdin).
+    val in: InputStream = new BufferedInputStream(new InputStream {
+      override def read(): Int = {
+        val one = new Array[Byte](1)
+        val n = read(one, 0, 1)
+        if (n < 0) -1 else one(0) & 0xff
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int =
+        try ch.read(java.nio.ByteBuffer.wrap(b, off, len))
+        catch { case _: java.nio.channels.ClosedChannelException => -1 }
+    })
+    val out: OutputStream = new BufferedOutputStream(new OutputStream {
+      override def write(b: Int): Unit = write(Array(b.toByte), 0, 1)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        val buf = java.nio.ByteBuffer.wrap(b, off, len)
+        while (buf.hasRemaining) ch.write(buf)
+      }
+      override def close(): Unit = { ch.shutdownOutput(); () }
+    })
+    def alive: Boolean = !closed && ch.isOpen
+    def destroy(): Unit = {
+      closed = true
+      try ch.close() catch { case _: java.io.IOException => () }
+    }
+    def waitDone(): (Int, String) = { destroy(); (0, "") }
+    def describe: String = s"unix:$path"
+  }
+
   /** One agent child process with its full lifecycle: stderr drain,
     * dedicated RESPONSE READER thread, keepalive prober, handshake, and
     * failure plumbing.
@@ -754,33 +838,20 @@ object UdfProto {
     * when the consumer is slow the reader parks in `offer` with
     * `readerIdle = false`, which the prober treats as alive — staleness
     * only counts while the reader is actually WAITING on the agent. */
-  private final class AgentChild(cmd: Seq[String], keepaliveMs: Long) {
-    private val proc = new ProcessBuilder(cmd: _*).start()
+  private final class AgentChild(mkTransport: TaskContext => AgentTransport, keepaliveMs: Long) {
     private val taskCtx = TaskContext.get()
+    private val transport = mkTransport(taskCtx)
     /** Set at task completion: unblocks reader `offer` loops so a killed
       * task cannot leak a parked thread in a long-lived executor JVM. */
     @volatile private var taskClosed = false
     Option(taskCtx).foreach(_.addTaskCompletionListener[Unit] { _ =>
       taskClosed = true
-      if (proc.isAlive) proc.destroyForcibly()
+      transport.destroy()
       ()
     })
-    private val stderr = new java.io.ByteArrayOutputStream()
-    private val errThread = new Thread(() => {
-      if (taskCtx != null) org.apache.spark.GraftTaskContextBridge.set(taskCtx)
-      val es = proc.getErrorStream
-      val buf = new Array[Byte](8192)
-      var n = es.read(buf)
-      while (n >= 0) {
-        if (stderr.size < MaxStderrBytes) stderr.write(buf, 0, n)
-        n = es.read(buf)
-      }
-    }, "graft-udfproto-stderr")
-    errThread.setDaemon(true)
-    errThread.start()
 
-    private val out = new BufferedOutputStream(proc.getOutputStream)
-    private val in = new BufferedInputStream(proc.getInputStream)
+    private val out = transport.out
+    private val in = transport.in
     // frames from the writer thread and the keepalive prober interleave
     // on one pipe — serialize whole frames, never bytes. A ReentrantLock
     // (not synchronized) so the prober can TRY the lock: when the writer
@@ -844,15 +915,15 @@ object UdfProto {
       val prober = new Thread(() => {
         val periodMs = math.max(1L, keepaliveMs / 2)
         try {
-          while (proc.isAlive && !keepaliveTimedOut && !taskClosed) {
+          while (transport.alive && !keepaliveTimedOut && !taskClosed) {
             Thread.sleep(periodMs)
             val staleMs = (System.nanoTime() - lastResponseNs) / 1000000L
             if (readerIdle && staleMs > keepaliveMs) {
               keepaliveTimedOut = true
               // no lock needed: destroy unblocks any write stalled on the
               // dead pipe, which is exactly the stall being detected
-              proc.destroyForcibly() // reader sees EOF → finish() fails with the ka note
-            } else if (proc.isAlive &&
+              transport.destroy() // reader sees EOF → finish() fails with the ka note
+            } else if (transport.alive &&
                 writeLock.tryLock(periodMs, TimeUnit.MILLISECONDS)) {
               try writeFramed(out, encodeKeepaliveRequest(System.nanoTime()))
               catch { case _: java.io.IOException => () } // racing child exit
@@ -869,14 +940,12 @@ object UdfProto {
     }
 
     def fail(msg: String): Nothing = {
-      if (proc.isAlive) proc.destroyForcibly()
-      proc.waitFor()
-      errThread.join(2000)
-      val err = stderr.toString("UTF-8").trim
+      transport.destroy()
+      val (_, err) = transport.waitDone()
       val ka = if (keepaliveTimedOut)
         s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
       throw new RuntimeException(
-        s"udf agent '${cmd.mkString(" ")}': $msg$ka" +
+        s"udf agent '${transport.describe}': $msg$ka" +
           (if (err.nonEmpty) s"; stderr: $err" else ""))
     }
 
@@ -959,19 +1028,23 @@ object UdfProto {
     def finish(writer: Thread): Unit = {
       writer.join()
       reader.join(2000)
-      errThread.join(2000)
-      val code = proc.waitFor()
+      val (code, err) = transport.waitDone()
       if (writeError != null) throw writeError
       if (code != 0 || keepaliveTimedOut) {
-        val err = stderr.toString("UTF-8").trim
         val ka = if (keepaliveTimedOut)
           s" (keepalive timeout: no response in ${keepaliveMs}ms)" else ""
         throw new RuntimeException(
-          s"udf agent '${cmd.mkString(" ")}' exited $code$ka" +
+          s"udf agent '${transport.describe}' exited $code$ka" +
             (if (err.nonEmpty) s": $err" else ""))
       }
     }
   }
+
+  private def processChild(cmd: Seq[String], keepaliveMs: Long): AgentChild =
+    new AgentChild(ctx => new ProcessTransport(cmd, ctx), keepaliveMs)
+
+  private def socketChild(path: String, keepaliveMs: Long): AgentChild =
+    new AgentChild(_ => new SocketTransport(path), keepaliveMs)
 
   /** One STREAM-edge agent process for one partition: handshake (Info,
     * Init, optional Restore), stream Points on stdin from a writer
@@ -1000,9 +1073,37 @@ object UdfProto {
       input: Iterator[ProtoPoint],
       keepaliveMs: Long = 0L,
       restoreSnapshot: Option[Array[Byte]] = None,
-      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] = {
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] =
+    runStreamPartition(() => processChild(cmd, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  /** [[runAgentPartition]] against a long-running unix-socket agent
+    * server (the reference's `socket = "/path"` config,
+    * udf.go:280-357): each partition dials one fresh connection — an
+    * independent protocol session, exactly how the reference treats
+    * socket connections. */
+  def runSocketAgentPartition(
+      socketPath: String,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoPoint],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] =
+    runStreamPartition(() => socketChild(socketPath, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  private def runStreamPartition(
+      mkChild: () => AgentChild,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoPoint],
+      restoreSnapshot: Option[Array[Byte]],
+      onSnapshot: Array[Byte] => Unit): Iterator[ProtoPoint] = {
     if (!input.hasNext) return Iterator.empty
-    val child = new AgentChild(cmd, keepaliveMs)
+    val child = mkChild()
     child.handshake(options, taskId, nodeId, EdgeStream, EdgeStream, restoreSnapshot)
     val writer = child.startWriter(
       send => input.foreach(p => send(encodeRequestPoint(p))),
@@ -1079,9 +1180,33 @@ object UdfProto {
       input: Iterator[ProtoBatch],
       keepaliveMs: Long = 0L,
       restoreSnapshot: Option[Array[Byte]] = None,
-      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoBatch] = {
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoBatch] =
+    runBatchPartition(() => processChild(cmd, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  /** [[runBatchAgentPartition]] against a unix-socket agent server. */
+  def runSocketBatchAgentPartition(
+      socketPath: String,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoBatch] =
+    runBatchPartition(() => socketChild(socketPath, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  private def runBatchPartition(
+      mkChild: () => AgentChild,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      restoreSnapshot: Option[Array[Byte]],
+      onSnapshot: Array[Byte] => Unit): Iterator[ProtoBatch] = {
     if (!input.hasNext) return Iterator.empty
-    val child = new AgentChild(cmd, keepaliveMs)
+    val child = mkChild()
     child.handshake(options, taskId, nodeId, EdgeBatch, EdgeBatch, restoreSnapshot)
     val writer = child.startWriter(
       send => input.foreach(b => sendBatch(send, b)),
@@ -1149,7 +1274,7 @@ object UdfProto {
       restoreSnapshot: Option[Array[Byte]] = None,
       onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] = {
     if (!input.hasNext) return Iterator.empty
-    val child = new AgentChild(cmd, keepaliveMs)
+    val child = processChild(cmd, keepaliveMs)
     child.handshake(options, taskId, nodeId, EdgeBatch, EdgeStream, restoreSnapshot)
     val writer = child.startWriter(
       send => input.foreach(b => sendBatch(send, b)),
@@ -1207,6 +1332,41 @@ object UdfProto {
     require(cmd.nonEmpty, "UdfProto: empty command")
     val (argv, opts, tid, nid, ka) = (cmd, options, taskId, nodeId, keepaliveMs)
     points.mapPartitions(it => runAgentPartition(argv, opts, tid, nid, it, ka))
+  }
+
+  /** [[pipePoints]] against a long-running unix-socket agent server (the
+    * reference's `[udf.functions.x] socket = "/path"` attachment): no
+    * child is spawned — each partition dials one connection to the
+    * server, which must be reachable at `socketPath` on every executor
+    * host (on a real cluster that means a node-local daemon, the same
+    * deployment contract the reference's socket UDFs have). */
+  def pipePointsSocket(
+      points: Dataset[ProtoPoint],
+      socketPath: String,
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      taskId: String = "graft",
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[ProtoPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    require(socketPath.nonEmpty, "UdfProto: empty socket path")
+    val (path, opts, tid, nid, ka) = (socketPath, options, taskId, nodeId, keepaliveMs)
+    points.mapPartitions(it => runSocketAgentPartition(path, opts, tid, nid, it, ka))
+  }
+
+  /** [[pipeBatches]] against a unix-socket agent server. */
+  def pipeBatchesSocket(
+      batches: Dataset[ProtoBatch],
+      socketPath: String,
+      options: Seq[(String, Seq[OptVal])] = Nil,
+      taskId: String = "graft",
+      nodeId: String = "udf",
+      keepaliveMs: Long = 0L): Dataset[ProtoBatch] = {
+    val spark = batches.sparkSession
+    import spark.implicits._
+    require(socketPath.nonEmpty, "UdfProto: empty socket path")
+    val (path, opts, tid, nid, ka) = (socketPath, options, taskId, nodeId, keepaliveMs)
+    batches.mapPartitions(it => runSocketBatchAgentPartition(path, opts, tid, nid, it, ka))
   }
 
   /** Pipe buffered batches through a BATCH→BATCH protobuf agent, one

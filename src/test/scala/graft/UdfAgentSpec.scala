@@ -109,6 +109,75 @@ class UdfAgentSpec extends SparkSpec {
     }
   }
 
+  test("unix-socket agent server: partitions dial independent sessions (socket config analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_sock")
+    val path = dir.resolve("agent.sock")
+    val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = UdfAgent.serveSocket(path, () => new UdfAgent.Handler {
+      sessions.incrementAndGet()
+      private var factor = 1.0
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        options.collectFirst { case ("factor", Seq(OptDouble(f))) => f }
+          .foreach(factor = _)
+        Right(())
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit =
+        emit(p.copy(fieldsDouble = p.fieldsDouble.view.mapValues(_ * factor).toMap))
+    })
+    try {
+      val pts = (1 to 30).map(i => ProtoPoint(
+        i * 1000L, "cpu", "", "", "", Nil, Map.empty, Map("v" -> i * 1.0),
+        Map.empty, Map.empty, Map.empty, byName = false))
+      val out = UdfProto.pipePointsSocket(
+          spark.createDataset(pts).repartition(3), path.toString,
+          options = Seq("factor" -> Seq(OptDouble(3.0))))
+        .collect().sortBy(_.time)
+      assert(out.length === 30)
+      out.zip(pts).foreach { case (o, p) =>
+        assert(o.fieldsDouble("v") === p.fieldsDouble("v") * 3.0)
+      }
+      // one fresh handler per connection: independent protocol sessions,
+      // exactly the reference's socket-connection contract
+      assert(sessions.get() === 3)
+    } finally server.close()
+  }
+
+  test("unix-socket BATCH agent server serves pipeBatchesSocket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_sockb")
+    val path = dir.resolve("batch.sock")
+    val server = UdfAgent.serveSocket(path, () => new UdfAgent.Handler {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[ProtoPoint]
+      private var begin: ProtoBeginBatch = null
+      override def info(): (Int, Int) = (UdfAgent.Batch, UdfAgent.Batch)
+      override def beginBatch(b: ProtoBeginBatch, emit: UdfAgent.Emit): Unit = {
+        begin = b; buf.clear()
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = buf += p
+      override def endBatch(e: ProtoEndBatch, emit: UdfAgent.Emit): Unit = {
+        emit.beginBatch(begin.copy(size = buf.length.toLong))
+        buf.foreach(p => emit.point(p.copy(
+          fieldsInt = p.fieldsInt + ("n" -> buf.length.toLong))))
+        emit.endBatch(e)
+      }
+    })
+    try {
+      val batches = (0 until 2).map(g => ProtoBatch(
+        "m", s"g=$g", Map("g" -> g.toString), byName = false, tmax = 100L + g,
+        points = (1 to 3 + g).map(i => ProtoPoint(
+          i.toLong, "", "", "", s"g=$g", Nil, Map.empty, Map("v" -> i * 1.0),
+          Map.empty, Map.empty, Map.empty, byName = false))))
+      val out = UdfProto.pipeBatchesSocket(
+          spark.createDataset(batches).coalesce(1), path.toString)
+        .collect().sortBy(_.group)
+      assert(out.length === 2)
+      out.zip(batches).foreach { case (o, b) =>
+        assert(o.tmax === b.tmax && o.tags === b.tags)
+        assert(o.points.forall(_.fieldsInt("n") === b.points.length.toLong))
+      }
+    } finally server.close()
+  }
+
   test("MovingAvgAgent matches a driver-side moving average per group") {
     val pts = (1 to 24).map(i => ProtoPoint(
       i * 1000L, "cpu", "", "", "", Nil, Map("host" -> s"h${i % 2}"),
