@@ -673,6 +673,43 @@ object TickScript {
       timeCol: String = "time",
       measurementCol: String = "measurement",
       propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
+      : (DataFrame, Seq[Call]) => DataFrame =
+    protobufUdfWith((pts, opts) => graft.sources.UdfProto.pipePoints(pts, cmd, opts),
+      tagCols, inFields, outFields, outFieldsStr, outFieldsBool,
+      timeCol, measurementCol, propsToOptions)
+
+  /** [[protobufUdf]] against a long-running unix-socket agent server —
+    * the reference's `[udf.functions.x] socket = "/path"` attachment
+    * (services/udf/config.go:20-47): no child is spawned; each partition
+    * dials one connection. */
+  def protobufSocketUdf(
+      socketPath: String,
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      outFieldsStr: Seq[String] = Nil,
+      outFieldsBool: Seq[String] = Nil,
+      timeCol: String = "time",
+      measurementCol: String = "measurement",
+      propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
+      : (DataFrame, Seq[Call]) => DataFrame =
+    protobufUdfWith(
+      (pts, opts) => graft.sources.UdfProto.pipePointsSocket(pts, socketPath, opts),
+      tagCols, inFields, outFields, outFieldsStr, outFieldsBool,
+      timeCol, measurementCol, propsToOptions)
+
+  private def protobufUdfWith(
+      pipe: (org.apache.spark.sql.Dataset[graft.sources.UdfProto.ProtoPoint],
+             Seq[(String, Seq[graft.sources.UdfProto.OptVal])])
+        => org.apache.spark.sql.Dataset[graft.sources.UdfProto.ProtoPoint],
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      outFieldsStr: Seq[String],
+      outFieldsBool: Seq[String],
+      timeCol: String,
+      measurementCol: String,
+      propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])])
       : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
     import graft.sources.UdfProto
     val spark = df.sparkSession
@@ -683,7 +720,7 @@ object TickScript {
       .map { case (t, n, tg, fd, fi, fs, fb) =>
         UdfProto.ProtoPoint(t, n, "", "", "", Nil, tg, fd, fi, fs, fb, byName = false)
       }
-    val out = UdfProto.pipePoints(pts, cmd, propsToOptions(props)).toDF()
+    val out = pipe(pts, propsToOptions(props)).toDF()
     out.select(
       timestamp_micros(expr("time DIV 1000")).as(timeCol) +:
         col("name").as(measurementCol) +:

@@ -143,6 +143,40 @@ class UdfAgentSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("TICKscript |@udf() binds a socket agent (protobufSocketUdf)") {
+    import graft.tick.TickScript
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_socktick")
+    val path = dir.resolve("tick.sock")
+    val server = UdfAgent.serveSocket(path, () => new UdfAgent.Handler {
+      private var factor = 1.0
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        options.collectFirst { case ("factor", Seq(OptInt(f))) => f.toDouble }
+          .foreach(factor = _)
+        Right(())
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit =
+        emit(p.copy(fieldsDouble = p.fieldsDouble.view.mapValues(_ * factor).toMap))
+    })
+    try {
+      val source = Seq(
+        ("cpu", "a", new java.sql.Timestamp(1000), 1.5),
+        ("cpu", "b", new java.sql.Timestamp(2000), 2.5))
+        .toDF("measurement", "host", "time", "value")
+      val agent = TickScript.protobufSocketUdf(path.toString,
+        tagCols = Seq("host"), inFields = Seq("value"), outFields = Seq("value"))
+      val out = TickScript.compile(
+          """stream
+            ||from().measurement('cpu')
+            ||@sockagent().factor(4)
+            |""".stripMargin, source, udfs = Map("sockagent" -> agent))
+        .select("host", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      assert(out === Array(("a", 6.0), ("b", 10.0)))
+    } finally server.close()
+  }
+
   test("unix-socket BATCH agent server serves pipeBatchesSocket") {
     val dir = java.nio.file.Files.createTempDirectory("graft_udf_sockb")
     val path = dir.resolve("batch.sock")
