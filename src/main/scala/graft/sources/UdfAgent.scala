@@ -43,6 +43,13 @@ object UdfAgent {
   trait Handler {
     /** (wants, provides) — default STREAM→STREAM. */
     def info(): (Int, Int) = (Stream, Stream)
+    /** Declared option signatures (InfoResponse.options: name → expected
+      * OptVal.typeId per arg, udf.proto OptionInfo). Declaring them buys
+      * define-time validation on the server half (unknown name / arg
+      * count / arg type fail the handshake with the reference's
+      * pipeline/udf.go errors); the empty default keeps options
+      * unvalidated. */
+    def declaredOptions(): Map[String, Seq[Int]] = Map.empty
     /** Left(error) fails init. */
     def init(options: Seq[(String, Seq[OptVal])], taskId: String,
         nodeId: String): Either[String, Unit] = Right(())
@@ -127,7 +134,7 @@ object UdfAgent {
             decodeRequest(buf) match {
               case QInfo =>
                 val (w, p) = handler.info()
-                send(encodeResponseInfo(w, p))
+                send(encodeResponseInfo(w, p, handler.declaredOptions()))
               case QInit(opts, task, node) =>
                 handler.init(opts, task, node) match {
                   case Right(_) => send(encodeResponseInit(success = true, ""))

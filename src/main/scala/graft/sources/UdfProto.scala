@@ -399,7 +399,12 @@ object UdfProto {
   }
 
   sealed trait AgentResponse
-  case class RInfo(wants: Int, provides: Int) extends AgentResponse
+  /** `options`: the agent's declared option signatures
+    * (InfoResponse.options, udf.proto:54 + OptionInfo:65 — option name →
+    * expected ValueType ids per arg). Empty = the agent declares nothing
+    * and accepts options unvalidated. */
+  case class RInfo(wants: Int, provides: Int,
+      options: Map[String, Seq[Int]] = Map.empty) extends AgentResponse
   case class RInit(success: Boolean, error: String) extends AgentResponse
   case class RKeepalive(time: Long) extends AgentResponse
   case class RSnapshot(snapshot: Array[Byte]) extends AgentResponse
@@ -517,13 +522,37 @@ object UdfProto {
           case 1 =>
             val ir = new ProtoReader(inner)
             var wants = 0; var provides = 0
+            var opts = Map.empty[String, Seq[Int]]
             while (ir.hasMore) {
               val (ff, ww) = ir.readTag()
               if (ff == 1 && ww == 0) wants = ir.uv().toInt
               else if (ff == 2 && ww == 0) provides = ir.uv().toInt
+              else if (ff == 3 && ww == 2) {
+                // options map entry: key=1 name, value=2 OptionInfo
+                val er = new ProtoReader(ir.bytesField())
+                var k = ""
+                var types = Vector.empty[Int]
+                while (er.hasMore) {
+                  val (ef, ew) = er.readTag()
+                  if (ef == 1 && ew == 2) k = er.strFieldV()
+                  else if (ef == 2 && ew == 2) {
+                    val or = new ProtoReader(er.bytesField())
+                    while (or.hasMore) {
+                      val (of, ow) = or.readTag()
+                      if (of == 1 && ow == 2) {
+                        // packed repeated ValueType (proto3 default)
+                        val pr = new ProtoReader(or.bytesField())
+                        while (pr.hasMore) types :+= pr.uv().toInt
+                      } else if (of == 1 && ow == 0) types :+= or.uv().toInt
+                      else or.skip(ow)
+                    }
+                  } else er.skip(ew)
+                }
+                opts += (k -> types)
+              }
               else ir.skip(ww)
             }
-            result = RInfo(wants, provides)
+            result = RInfo(wants, provides, opts)
           case 2 => val (s, e) = successError(inner); result = RInit(s, e)
           case 3 =>
             val kr = new ProtoReader(inner)
@@ -666,10 +695,21 @@ object UdfProto {
     result
   }
 
-  def encodeResponseInfo(wants: Int, provides: Int): Array[Byte] = {
+  def encodeResponseInfo(wants: Int, provides: Int,
+      options: Map[String, Seq[Int]] = Map.empty): Array[Byte] = {
     val inner = new ProtoWriter
     inner.varintField(1, wants.toLong)
     inner.varintField(2, provides.toLong)
+    options.toSeq.sortBy(_._1).foreach { case (name, types) =>
+      val oi = new ProtoWriter
+      if (types.nonEmpty) {
+        // packed repeated ValueType (proto3 default encoding)
+        val packed = new java.io.ByteArrayOutputStream()
+        types.foreach(t => writeUvarint(packed, t.toLong))
+        oi.msgField(1, packed.toByteArray)
+      }
+      inner.msgField(3, mapEntry(name)(_.msgField(2, oi.bytes)))
+    }
     val w = new ProtoWriter
     w.msgField(1, inner.bytes)
     w.bytes
@@ -975,16 +1015,38 @@ object UdfProto {
     /** Reference server handshake order (udf/server.go:249-288): Info —
       * with edge-type validation against the runner in use, as the
       * reference refuses an agent whose edges mismatch the node — then
-      * Init, then the optional Restore (udf/server.go:303-315). */
+      * Init, then the optional Restore (udf/server.go:303-315). When the
+      * agent DECLARES option signatures (InfoResponse.options), the Init
+      * options validate against them with the reference's define-time
+      * errors (pipeline/udf.go:128-160: unknown name, arg count, arg
+      * type); an agent declaring nothing keeps the permissive contract. */
     def handshake(
         options: Seq[(String, Seq[OptVal])], taskId: String, nodeId: String,
         wants: Int, provides: Int, restoreSnapshot: Option[Array[Byte]]): Unit = {
       sendFramed(encodeInfoRequest())
-      await({ case RInfo(w, p) =>
+      await({ case RInfo(w, p, declared) =>
         if (w != wants)
           fail(s"agent wants a ${edgeName(w)} edge; this runner feeds ${edgeName(wants)}")
         if (p != provides)
           fail(s"agent provides a ${edgeName(p)} edge; this runner consumes ${edgeName(provides)}")
+        if (declared.nonEmpty) {
+          def tn(t: Int) = t match {
+            case 0 => "BOOL"; case 1 => "INT"; case 2 => "DOUBLE"
+            case 3 => "STRING"; case 4 => "DURATION"; case x => s"TYPE($x)"
+          }
+          options.foreach { case (name, vals) =>
+            declared.get(name) match {
+              case None => fail(s"unknown option $name")
+              case Some(types) =>
+                if (vals.length != types.length)
+                  fail(s"unexpected number of args to $name, got ${vals.length} expected ${types.length}")
+                vals.zip(types).foreach { case (v, t) =>
+                  if (v.typeId != t)
+                    fail(s"unexpected arg to $name, got ${tn(v.typeId)} expected ${tn(t)}")
+                }
+            }
+          }
+        }
       }, "InfoResponse")
       sendFramed(encodeInitRequest(options, taskId, nodeId))
       await({ case RInit(ok, e) =>

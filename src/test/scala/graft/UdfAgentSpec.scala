@@ -109,6 +109,60 @@ class UdfAgentSpec extends SparkSpec {
     }
   }
 
+  test("declared options: golden wire bytes and define-time validation (pipeline/udf.go:128-160)") {
+    // InfoResponse{options:{"factor":[DOUBLE]}} — exact proto3 bytes:
+    // wrapper field1, inner field3 map entry{key=1 "factor",
+    // value=2 OptionInfo{packed valueTypes=1 [2]}}
+    val enc = UdfProto.encodeResponseInfo(0, 0, Map("factor" -> Seq(2)))
+    val expected = Array(
+      0x0a, 0x0f, // Response.info, len 15
+      0x1a, 0x0d, // options entry, len 13
+      0x0a, 0x06, 'f'.toInt, 'a'.toInt, 'c'.toInt, 't'.toInt, 'o'.toInt, 'r'.toInt,
+      0x12, 0x03, 0x0a, 0x01, 0x02 // OptionInfo{valueTypes packed [DOUBLE]}
+    ).map(_.toByte)
+    assert(enc.toSeq === expected.toSeq)
+    assert(UdfProto.decodeResponse(enc) === RInfo(0, 0, Map("factor" -> Seq(2))))
+    // unpacked repeated enum decodes too (proto2-style writers)
+    val unpacked = Array(
+      0x0a, 0x0e, 0x1a, 0x0c,
+      0x0a, 0x06, 'f'.toInt, 'a'.toInt, 'c'.toInt, 't'.toInt, 'o'.toInt, 'r'.toInt,
+      0x12, 0x02, 0x08, 0x02).map(_.toByte)
+    assert(UdfProto.decodeResponse(unpacked) === RInfo(0, 0, Map("factor" -> Seq(2))))
+    // a live declaring agent: valid options pass; unknown name, wrong
+    // type, and wrong arity fail the handshake with the reference errors
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_opts")
+    val path = dir.resolve("opts.sock")
+    def handler() = new UdfAgent.Handler {
+      private var factor = 1.0
+      override def declaredOptions(): Map[String, Seq[Int]] =
+        Map("factor" -> Seq(2), "label" -> Seq(3, 1)) // DOUBLE; (STRING, INT)
+      override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
+          nodeId: String): Either[String, Unit] = {
+        options.collectFirst { case ("factor", Seq(OptDouble(f))) => f }
+          .foreach(factor = _)
+        Right(())
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit =
+        emit(p.copy(fieldsDouble = p.fieldsDouble.view.mapValues(_ * factor).toMap))
+    }
+    val server = UdfAgent.serveSocket(path, () => handler())
+    try {
+      val one = Seq(ProtoPoint(1L, "m", "", "", "", Nil, Map.empty,
+        Map("v" -> 2.0), Map.empty, Map.empty, Map.empty, byName = false))
+      def run(opts: Seq[(String, Seq[OptVal])]) =
+        UdfProto.runSocketAgentPartition(path.toString, opts, "t", "n", one.iterator).toList
+      assert(run(Seq("factor" -> Seq(OptDouble(5.0)),
+        "label" -> Seq(OptString("x"), OptInt(3))))
+        .head.fieldsDouble("v") === 10.0)
+      val e1 = intercept[RuntimeException] { run(Seq("bogus" -> Seq(OptInt(1)))) }
+      assert(e1.getMessage.contains("unknown option bogus"))
+      val e2 = intercept[RuntimeException] { run(Seq("factor" -> Seq(OptInt(5)))) }
+      assert(e2.getMessage.contains("unexpected arg to factor, got INT expected DOUBLE"))
+      val e3 = intercept[RuntimeException] { run(Seq("label" -> Seq(OptString("x")))) }
+      assert(e3.getMessage.contains("unexpected number of args to label, got 1 expected 2"))
+    } finally server.close()
+  }
+
   test("unix-socket agent server: partitions dial independent sessions (socket config analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_udf_sock")
     val path = dir.resolve("agent.sock")
