@@ -24,6 +24,8 @@ object ScaleAgent {
     val argvFactor = args.headOption.map(_.toDouble)
     UdfAgent.run(new UdfAgent.Handler {
       private var factor = argvFactor.getOrElse(1.0)
+      override def declaredOptions(): Map[String, Seq[Int]] =
+        Map("factor" -> Seq(OptDouble(0).typeId))
       override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
           nodeId: String): Either[String, Unit] = {
         options.collectFirst { case ("factor", Seq(OptDouble(f))) => f }
@@ -147,6 +149,10 @@ object MovingAvgAgent {
       private var outAs = args.lift(2).getOrElse("avg")
       private val windows =
         scala.collection.mutable.Map.empty[(String, Map[String, String]), scala.collection.mutable.Queue[Double]]
+      override def declaredOptions(): Map[String, Seq[Int]] = Map(
+        "field" -> Seq(OptString("").typeId),
+        "size" -> Seq(OptInt(0).typeId),
+        "as" -> Seq(OptString("").typeId))
       override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
           nodeId: String): Either[String, Unit] = {
         options.foreach {
