@@ -86,6 +86,41 @@ class UdfBatchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("open windows survive a checkpointed restart") {
+    // points land in an open window before the restart; the sentinel that
+    // closes it arrives after — the emitted batch can only contain the
+    // pre-restart points if the window state persisted through the
+    // checkpoint
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ubs_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[ProtoBatch]()
+    def sink(df: org.apache.spark.sql.Dataset[ProtoBatch], id: Long): Unit =
+      df.collect().foreach(got.add)
+    val ms1 = MemoryStream[ProtoPoint]
+    val q1 = UdfBatchStream.assembleBatches(ms1.toDS(), periodS = 10L)
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch(sink _).start()
+    try {
+      ms1.addData(pt("host=a", 1, 1.0), pt("host=a", 3, 2.0))
+      q1.processAllAvailable()
+      assert(got.isEmpty) // window [0,10) still open
+    } finally q1.stop()
+    val ms2 = MemoryStream[ProtoPoint]
+    ms2.addData(pt("host=a", 1, 1.0), pt("host=a", 3, 2.0)) // batch 0 re-definition for offset-log replay
+    val q2 = UdfBatchStream.assembleBatches(ms2.toDS(), periodS = 10L)
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch(sink _).start()
+    try {
+      ms2.addData(pt("host=a", 5, 3.0), pt("host=sentinel", 100, 0.0))
+      q2.processAllAvailable()
+      val batches = got.toArray(Array.empty[ProtoBatch]).filter(_.group == "host=a")
+      assert(batches.length === 1, s"window must emit exactly once, got ${batches.length}")
+      assert(batches.head.points.map(_.fieldsDouble("value")).sorted.toSeq ===
+        Seq(1.0, 2.0, 3.0), "pre-restart points must survive in state")
+    } finally q2.stop()
+  }
+
   test("a degenerate group caps its window buffer and counts the overflow") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
