@@ -570,6 +570,62 @@ object EventQueries4 {
               CAST(unnest(range(phase, 3600, interval_s)) AS BIGINT) AS tick_s
        FROM ph ORDER BY job, tick_s""".replaceAll("\\s+", " ")
 
+  /** q_scrape_run: the scrape loop END-TO-END inside the oracle gate —
+    * schedule grid (ScrapeScheduler.schedule, phase-staggered ticks) →
+    * injectable fetch seam producing deterministic exposition text →
+    * PrometheusScrape parse/decode (runScrapes: target labels overlay
+    * beneath sample labels, job encoded db|rp|name and decoded back,
+    * explicit sample timestamps win while timestamp-less samples default
+    * to the TICK time — the scrape loop stamping wall time,
+    * services/scraper/service.go:184-240). q_scrape_schedule checks the
+    * grid alone; this entry pins the whole composition. */
+  def scrapeRunQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+    val targets = nation.select(
+        col("n_name").as("job"),
+        concat(lit("http://"), col("n_name"), lit(":9100/metrics")).as("url"),
+        lit("db").as("db"), lit("rp").as("rp"),
+        (lit(60L) + (col("n_nationkey") % 3).cast("long") * 60L).as("intervalS"),
+        lit(true).as("enabled"),
+        map(lit("dc"),
+          concat(lit("dc"), (col("n_nationkey") % 4).cast("string"))).as("labels"))
+      .as[graft.sources.ScrapeScheduler.ScrapeTarget]
+    val sched = graft.sources.ScrapeScheduler.schedule(targets, 0L, 1800L)
+    val fetch = (url: String, tick: Long) => {
+      val host = url.stripPrefix("http://").takeWhile(_ != ':')
+      Seq(
+        // explicit ms timestamp ≠ tick: explicit must win
+        s"""node_up{instance="$host"} 1 ${(tick + 1) * 1000}""",
+        // no timestamp: defaults to the tick time
+        s"""node_load{instance="$host"} ${(host.length + tick % 7).toDouble}""")
+    }
+    graft.sources.ScrapeScheduler.runScrapes(sched, fetch)
+      .select(col("measurement"), col("job"), col("db"), col("rp"),
+        element_at(col("tags"), "instance").as("instance"),
+        element_at(col("tags"), "dc").as("dc"),
+        col("value"), col("time_ms"))
+      .orderBy("measurement", "instance", "time_ms")
+  }
+  val scrapeRunSql: String =
+    """WITH t AS (
+       SELECT n_name AS job, n_name AS host,
+              'http://' || n_name || ':9100/metrics' AS url,
+              CAST(60 + (n_nationkey % 3) * 60 AS BIGINT) AS interval_s,
+              'dc' || CAST(n_nationkey % 4 AS VARCHAR) AS dc
+       FROM nation),
+       ph AS (SELECT *, ('0x' || substr(md5(url), 1, 15))::BIGINT % interval_s AS phase FROM t),
+       g AS (SELECT job, host, dc,
+                    CAST(unnest(range(phase, 1800, interval_s)) AS BIGINT) AS tick_s
+             FROM ph)
+       SELECT 'node_up' AS measurement, job, 'db' AS db, 'rp' AS rp,
+              host AS instance, dc, 1.0::DOUBLE AS value,
+              (tick_s + 1) * 1000 AS time_ms FROM g
+       UNION ALL
+       SELECT 'node_load', job, 'db', 'rp', host, dc,
+              CAST(length(host) + tick_s % 7 AS DOUBLE), tick_s * 1000 FROM g
+       ORDER BY measurement, instance, time_ms""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------------- autoscale
 
   /** q_autoscale: the autoscale FSM (streaming/AutoscaleStream, reference
