@@ -107,6 +107,38 @@ object Media {
       lumStrips(img.getWidth, img.getHeight, featureDim, img.getRGB))
   }
 
+  /** REAL image resize — javax.imageio decode → Graphics2D bilinear
+    * scale → PNG re-encode, all JDK: bounds the longer edge to `maxDim`
+    * preserving aspect ratio (the standard training-data normalization
+    * before feature extraction). Already-small images, non-image kinds,
+    * and undecodable payloads pass through UNCHANGED so the pipeline
+    * stays total; partition-local like every media transform (compose as
+    * `blobs.map(b => Media.resizeImage(b, 256))`). */
+  def resizeImage(blob: MediaBlob, maxDim: Int = 256): MediaBlob = {
+    if (blob.kind != "image") return blob
+    val img =
+      try {
+        javax.imageio.ImageIO.setUseCache(false)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.bytes))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || (img.getWidth <= maxDim && img.getHeight <= maxDim)) blob
+    else {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      blob.copy(bytes = bos.toByteArray, declared_width = w, declared_height = h)
+    }
+  }
+
   /** Mean luminance over `featureDim` vertical strips of a `w`×`h` pixel
     * grid read through `rgb(x, y)` (packed 0xRRGGBB) — the shared
     * feature for every real pixel source (decoded images, AVI

@@ -56,6 +56,27 @@ class MediaSpec extends SparkSpec {
     assert(fb.feature.forall(f => f < 0.01f))
   }
 
+  test("resizeImage bounds the longer edge, preserves aspect and content; pass-through otherwise") {
+    // 64×16 white PNG → maxDim 32 → 32×8, still white
+    val big = Media.MediaBlob(40L, "image", pngBytes(64, 16, 0xFFFFFF), 0, 0, 0, 0L)
+    val small = Media.resizeImage(big, maxDim = 32)
+    assert(small.declared_width == 32 && small.declared_height == 8)
+    val dec = Media.decodeImage(small, featureDim = 4)
+    assert(dec.width == 32 && dec.height == 8)
+    dec.feature.foreach(f => assert(math.abs(f - 1.0f) < 1e-2, s"white stayed white: $f"))
+    // resize is distributed-composable: map over the typed Dataset
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(big)).map(b => Media.resizeImage(b, 32))
+    assert(ds.collect().head.declared_width == 32)
+    // already-small, non-image, and undecodable payloads pass through
+    val tiny = Media.MediaBlob(41L, "image", pngBytes(8, 8, 0), 0, 0, 0, 0L)
+    assert(Media.resizeImage(tiny, 32) eq tiny)
+    val junk = Media.MediaBlob(42L, "image", Array[Byte](1, 2, 3), 0, 0, 0, 0L)
+    assert(Media.resizeImage(junk, 32) eq junk)
+    val audio = Media.MediaBlob(43L, "audio", pngBytes(64, 16, 0), 0, 0, 0, 0L)
+    assert(Media.resizeImage(audio, 32) eq audio)
+  }
+
   test("decodeImage falls back to the stub on undecodable payloads") {
     def flat(f: Media.MediaFeatures) =
       (f.media_id, f.kind, f.width, f.height, f.n_frames, f.feature.toSeq)
