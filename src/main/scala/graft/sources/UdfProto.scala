@@ -26,15 +26,21 @@ import org.apache.spark.sql.Dataset
   * fields skip by wire type, fields may arrive in any order, absent
   * scalars default to zero values.
   *
-  * Scope mirrors ProcessUdf (the line-protocol bridge): one agent process
-  * per partition per (micro-)batch. Both edge types are driven:
-  * STREAM-edge agents via [[runAgentPartition]]/[[pipePoints]], and
-  * BATCH-edge agents (BeginBatch/Point/EndBatch framing, the reference
-  * `Server.writeBufferedBatch`, udf/server.go:445-519 + 625-633) via
-  * [[runBatchAgentPartition]]/[[pipeBatches]] (BATCH→BATCH) and
-  * [[runBatchToPointsPartition]] (BATCH→STREAM). The InfoResponse edge
-  * types are validated against the runner in use, like the reference
-  * refuses a task whose edge types mismatch the agent's.
+  * Scope mirrors ProcessUdf (the line-protocol bridge): one agent
+  * attachment per partition per (micro-)batch. Both edge types are
+  * driven: STREAM-edge agents via [[runAgentPartition]]/[[pipePoints]],
+  * and BATCH-edge agents (BeginBatch/Point/EndBatch framing, the
+  * reference `Server.writeBufferedBatch`, udf/server.go:445-519 +
+  * 625-633) via [[runBatchAgentPartition]]/[[pipeBatches]] (BATCH→BATCH)
+  * and [[runBatchToPointsPartition]] (BATCH→STREAM). Both config
+  * attachments are driven too (services/udf/config.go:20-47): child
+  * processes, or long-running unix-socket agent servers via the
+  * `*Socket*` variants — one fresh connection per partition, each an
+  * independent protocol session. The InfoResponse edge types are
+  * validated against the runner in use, like the reference refuses a
+  * task whose edge types mismatch the agent's; when the agent DECLARES
+  * option signatures (InfoResponse.options), Init options validate with
+  * the reference's define-time errors (pipeline/udf.go:128-160).
   *
   * The keepalive probe (udf/server.go:361-441) is driven when
   * `keepaliveMs > 0` — see [[runAgentPartition]]. The Snapshot/Restore
