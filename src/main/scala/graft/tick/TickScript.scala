@@ -130,6 +130,15 @@ object TickScript {
   /** A negated arg whose operand may be a script var, resolved (then
     * negated) at compile time — e.g. shift(-period). */
   case class NegArg(v: Any)
+  /** A duration literal in ARG position (`.period(10s)`, `.opt(1s)`).
+    * The wrapper keeps duration-ness through to UDF options: the
+    * reference types option values (udf.proto OptionValue — a DURATION
+    * arrives as int64 nanos, pipeline/udf.go), so an agent switching on
+    * ValueType must see DURATION, not a bare DOUBLE. Node params unwrap
+    * via [[num]] (seconds), identical arithmetic to the old bare-Double
+    * representation. Lambda-position durations stay second-scale ELit
+    * doubles (the repo's expression convention). */
+  case class Dur(seconds: Double)
   /** A parsed script: template var defaults (literals/lambdas/lists),
     * declared-but-unbound template vars (name → type), and the chains. */
   case class Script(defaults: Map[String, Any], declared: Map[String, String], chains: Seq[Chain],
@@ -286,7 +295,7 @@ object TickScript {
       def primary(): Any = peek match {
         case Some(TStr(v)) => next(); v
         case Some(TNum(v, i)) => next(); if (i) v.toLong else v
-        case Some(TDur(v)) => next(); v
+        case Some(TDur(v)) => next(); Dur(v)
         case Some(TIdent(nm)) if resolve(nm).isDefined => next(); EVar(nm)
         case t => throw new IllegalArgumentException(s"unexpected template value $t")
       }
@@ -299,6 +308,16 @@ object TickScript {
           case "*" => a * b; case "+" => a + b; case "-" => a - b; case _ => a / b }
         case (a: Long, b: Double) => mk(op, a.toDouble, b)
         case (a: Double, b: Long) => mk(op, a, b.toDouble)
+        // duration arithmetic stays a duration (Go: time.Duration is an
+        // int64 — d+d, d-d, d*n, n*d, d/n are durations) except the
+        // dimensionless ratio d/d (tick/eval evaluates var decls eagerly)
+        case (Dur(a), Dur(b)) =>
+          if (op == "/") a / b
+          else Dur(mk(op, a, b).asInstanceOf[Double])
+        case (Dur(a), b: Long)   => Dur(mk(op, a, b.toDouble).asInstanceOf[Double])
+        case (Dur(a), b: Double) => Dur(mk(op, a, b).asInstanceOf[Double])
+        case (a: Long, Dur(b))   => Dur(mk(op, a.toDouble, b).asInstanceOf[Double])
+        case (a: Double, Dur(b)) => Dur(mk(op, a, b).asInstanceOf[Double])
         case _ =>
           def toE(x: Any): Expr = x match { case e: Expr => e; case v => ELit(v) }
           EBin(op, toE(l), toE(r))
@@ -330,17 +349,22 @@ object TickScript {
       case Some(TLambda) => next(); parseOr()
       case Some(TStr(v)) => next(); v
       case Some(TNum(v, i)) => next(); if (i) v.toLong else v
-      case Some(TDur(v)) => next(); v
+      case Some(TDur(v)) => next(); Dur(v)
       case Some(TOp("-")) =>
         next()
         parseArg() match {
           case l: Long => -l
           case d: Double => -d
+          case Dur(s) => Dur(-s)
           case other => NegArg(other) // a var ref: resolve first, negate then
         }
       case Some(TIdent(v)) =>
         next()
         if (peek.contains(TOp("("))) FnArg(v, parseArgList()) // e.g. time(1m)
+        // bool literals are reserved words in arg position too (tick/ast
+        // lexes TRUE/FALSE as bool tokens everywhere, not only in lambdas)
+        else if (v == "TRUE") true
+        else if (v == "FALSE") false
         else v
       case Some(TOp("*")) => next(); "*" // star dimension
       case t => throw new IllegalArgumentException(s"unexpected arg token $t")
@@ -520,6 +544,14 @@ object TickScript {
                        case _ => a / b }
           case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
           case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
+          // duration arithmetic mirrors parseTemplateValue.mk: a duration
+          // operand keeps duration-ness except the d/d ratio
+          case (Dur(a), Dur(b)) =>
+            if (op == "/") a / b else Dur(resolveBin(op, a, b))
+          case (Dur(a), b: Long)   => Dur(resolveBin(op, a, b.toDouble))
+          case (Dur(a), b: Double) => Dur(resolveBin(op, a, b))
+          case (a: Long, Dur(b))   => Dur(resolveBin(op, a.toDouble, b))
+          case (a: Double, Dur(b)) => Dur(resolveBin(op, a, b))
           case (a, b) => // a lambda operand — stays a symbolic tree
             def toE(x: Any): Expr = x match { case e: Expr => e; case lv => ELit(lv) }
             EBin(op, toE(a), toE(b))
@@ -549,6 +581,7 @@ object TickScript {
       case NegArg(inner) => resolveArgs(Seq(inner)).map {
         case l: Long => -l
         case d: Double => -d
+        case Dur(s) => Dur(-s)
         case other => throw new IllegalArgumentException(s"cannot negate $other")
       }
       case e: Expr => Seq(substExpr(e))
@@ -643,11 +676,14 @@ object TickScript {
             col("fieldsInt")(f).cast("double")).as(f))): _*)
   }
 
-  /** Default property→argv mapping for [[processUdf]]. */
+  /** Default property→argv mapping for [[processUdf]]: durations render
+    * as their second count, bools Go-style lowercase (strconv.FormatBool). */
   def defaultUdfArgs(props: Seq[Call]): Seq[String] =
     props.flatMap(c => s"--${c.name}" +: c.args.map {
-      case ELit(v) => v.toString
-      case v       => v.toString
+      case ELit(v)    => v.toString
+      case Dur(s)     => s.toString
+      case b: Boolean => if (b) "true" else "false"
+      case v          => v.toString
     })
 
   /** Registry entry like [[processUdf]], but for an UNMODIFIED reference
@@ -848,6 +884,7 @@ object TickScript {
       case i: Int     => OptInt(i.toLong)
       case d: Double  => OptDouble(d)
       case s: String  => OptString(s)
+      case Dur(s)     => OptDuration(math.round(s * 1e9)) // int64 nanos on the wire
       case other      => OptString(other.toString)
     }
     props.map(c => c.name -> c.args.map(conv))
@@ -866,6 +903,7 @@ object TickScript {
     case d: Double => d
     case l: Long   => l.toDouble
     case i: Int    => i.toDouble
+    case Dur(s)    => s // node params take durations as seconds
     case other     => throw new IllegalArgumentException(s"expected number, got $other")
   }
 

@@ -170,10 +170,43 @@ class ProcessUdfSpec extends SparkSpec {
         |""".stripMargin
     val out = TickScript.compile(script, src, udfs = Map("customFunc" -> custom))
     assert(out.select("customField").collect().map(_.getDouble(0)).toSeq === Seq(42.0))
-    // the option surface parsed exactly as declared in the reference script
+    // the option surface parsed exactly as declared in the reference
+    // script, each literal TYPED as the reference's InitRequest would
+    // carry it (bool/int/double/string/duration — udf.proto OptionValue)
     assert(seenOpts.map(_.name) === Seq("opt1", "opt2"))
     assert(seenOpts(0).args === Seq("count"))
-    assert(seenOpts(1).args === Seq("FALSE", 1L, 1.0, "1.0", 1.0))
+    assert(seenOpts(1).args === Seq(false, 1L, 1.0, "1.0", TickScript.Dur(1.0)))
+  }
+
+  test("UDF option literals carry reference types: BOOL and DURATION, through var arithmetic") {
+    import graft.tick.TickScript
+    import graft.tick.TickScript.{Call, Dur}
+    import graft.sources.UdfProto.{OptBool, OptDuration}
+    val src = Seq(("cpu", new java.sql.Timestamp(0), 1.0))
+      .toDF("measurement", "time", "value")
+    var seen: Seq[Call] = null
+    val cap: (org.apache.spark.sql.DataFrame, Seq[Call]) => org.apache.spark.sql.DataFrame =
+      (df, props) => { seen = props; df }
+    val script =
+      """var halfMin = 30s
+        |var p = 2 * halfMin
+        |stream
+        |	|from()
+        |	@agent()
+        |		.flag(TRUE)
+        |		.timeout(-10s)
+        |		.period(p)
+        |""".stripMargin
+    TickScript.compile(script, src, udfs = Map("agent" -> cap))
+    assert(seen.map(c => c.name -> c.args) === Seq(
+      "flag" -> Seq(true), "timeout" -> Seq(Dur(-10.0)), "period" -> Seq(Dur(60.0))))
+    // the default InitRequest mapping then types each literal exactly as
+    // the reference's pipeline/udf.go does (udf.proto OptionValue:
+    // DURATION = int64 nanos, BOOL native — not a stringified double)
+    assert(TickScript.defaultUdfOptions(seen) === Seq(
+      "flag" -> Seq(OptBool(true)),
+      "timeout" -> Seq(OptDuration(-10000000000L)),
+      "period" -> Seq(OptDuration(60000000000L))))
   }
 
   test("TICKscript @udf must be registered at definition time") {
