@@ -119,23 +119,46 @@ object Decontaminate {
         bgPerDoc.groupBy("gram").agg(count(lit(1)).as("__bdf"))
           .filter(col("__bdf") <= maxGramDf).select("gram"),
         "gram")).select("gram").distinct()
-    val toks = TextOps.tokens(col(textCol))
     // positional path: contaminated docs only. The id set is usually tiny
     // (contamination volume) but is NOT bounded by construction — no
     // forced broadcast; AQE broadcasts it when it is in fact small.
-    val cd = docs.join(contIds, Seq(idCol))
-      .select(col(idCol), toks.as("toks"))
-      .withColumn("ntok", size(col("toks")))
-    val posGrams = cd
-      .filter(col("ntok") >= n)
-      .select(col(idCol), explode(expr(
-        s"""transform(sequence(1, ntok - ${n - 1}), i -> named_struct(
-            'pos', i,
-            'gram', CAST(conv(substring(md5(array_join(slice(toks, i, $n), ' ')), 1, 15), 16, 10) AS BIGINT)))"""))
-        .as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
-    val badPos = posGrams.join(broadcast(bg), "gram")
+    val cd = tokenized(docs.join(contIds, Seq(idCol)), idCol, textCol)
+    val badPos = positionalGrams(cd, idCol, n).join(broadcast(bg), "gram")
       .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("badPos"))
+    fragmentByBadStarts(docs, badPos, idCol, textCol, n, margin, minKeepTokens)
+  }
+
+  /** (id, toks, ntok) projection under the repo-wide oracle tokenization. */
+  private[llm] def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")))
+
+  /** Positional n-grams over a [[tokenized]] frame: one (id, pos, gram)
+    * row per n-token window, pos 1-based, gram the repo-wide 60-bit
+    * md5-prefix hash (h60 — the oracle restates it exactly). Sub-n-token
+    * documents contribute nothing. A per-row generator: no shuffle. */
+  private[llm] def positionalGrams(cd: DataFrame, idCol: String, n: Int): DataFrame = cd
+    .filter(col("ntok") >= n)
+    .select(col(idCol), explode(expr(
+      s"""transform(sequence(1, ntok - ${n - 1}), i -> named_struct(
+          'pos', i,
+          'gram', CAST(conv(substring(md5(array_join(slice(toks, i, $n), ' ')), 1, 15), 16, 10) AS BIGINT)))"""))
+      .as("pg"))
+    .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+
+  /** Cut documents around bad n-gram START positions and keep the clean
+    * fragments: token t is removed iff some bad start p covers it
+    * ([p - margin, p + n - 1 + margin]); each maximal surviving run of
+    * ≥ `minKeepTokens` tokens becomes an (id, frag_idx, frag_text, n_tok)
+    * row, numbered in document order. Documents with no `badPos` row pass
+    * through whole (frag_idx 0). `badPos`: (idCol, badPos sorted int
+    * array). Affected docs only take the positional fold — pure per-row
+    * column work, no shuffle beyond the joins shown. */
+  private[llm] def fragmentByBadStarts(
+      docs: DataFrame, badPos: DataFrame, idCol: String, textCol: String,
+      n: Int, margin: Int, minKeepTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val cd = tokenized(docs, idCol, textCol)
     // token t is removed iff some bad gram start p covers it (with margin)
     val cleanPos = filter(sequence(lit(1), col("ntok")),
       t => !exists(col("badPos"),
@@ -161,7 +184,7 @@ object Decontaminate {
       .select(col(idCol), col("frag_idx").cast("long").as("frag_idx"),
         array_join(slice(col("toks"), col("r.s"), col("r.l")), " ").as("frag_text"),
         col("r.l").cast("long").as("n_tok"))
-    val cleanDocs = docs.join(contIds, Seq(idCol), "left_anti")
+    val cleanDocs = docs.join(badPos, Seq(idCol), "left_anti")
       .select(col(idCol), lit(0L).as("frag_idx"),
         array_join(toks, " ").as("frag_text"),
         size(toks).cast("long").as("n_tok"))

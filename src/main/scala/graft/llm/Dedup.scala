@@ -57,6 +57,51 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("dup_of")).cast("boolean"))
   }
 
+  /** Cross-document exact duplicate-SPAN removal — the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), restated at word-n-gram granularity:
+    * document-level dedup misses boilerplate (licenses, templates, quoted
+    * passages) pasted into otherwise-distinct pages, so the span pass
+    * cuts any n-token run that also appears in ANOTHER document, keeping
+    * the occurrence in the smallest doc_id (keep-first, deterministic).
+    * Intra-document repeats are a different defect with a different
+    * treatment ([[TextOps]]' repetition scorer); a gram repeated only
+    * within one document is NOT cut here.
+    *
+    * Output matches [[Decontaminate.decontaminateSpans]]: one row per
+    * surviving fragment (idCol, frag_idx, frag_text, n_tok), untouched
+    * documents whole at frag_idx 0.
+    *
+    * Scale shape: positional grams are a per-row generator (no shuffle);
+    * the duplicated-gram table needs only (min, max) of doc_id per gram —
+    * cross-doc ⟺ min ≠ max — so the one corpus-volume shuffle is a
+    * partial+final min/max agg, NO count(DISTINCT) Expand and no
+    * position collection (an adversarially common gram costs 16 bytes of
+    * agg state, not a posting list). The duplicated-gram set
+    * (duplication volume, not corpus volume) joins back to the gram
+    * stream on the 60-bit hash — AQE broadcasts it when small — and only
+    * AFFECTED documents take the positional fragment fold. */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      margin: Int = 0,
+      minKeepTokens: Int = 1): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    val grams = Decontaminate.positionalGrams(
+      Decontaminate.tokenized(docs, idCol, textCol), idCol, n)
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
+      .filter(col("__keep") =!= col("__mx"))
+      .select(col("gram"), col("__keep"))
+    val badPos = grams.join(dup, "gram")
+      .filter(col(idCol) =!= col("__keep"))
+      .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("badPos"))
+    Decontaminate.fragmentByBadStarts(
+      docs, badPos, idCol, textCol, n, margin, minKeepTokens)
+  }
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * k-component signatures over word-`shingleN` shingles, banded `bands` ×

@@ -224,6 +224,64 @@ object LlmQueries {
        SELECT * FROM frag UNION ALL SELECT * FROM clean
        ORDER BY doc_id, frag_idx""".replaceAll("\\s+", " ")
 
+  /** q_dedup_spans: cross-document exact duplicate-span removal
+    * (Dedup.dedupSpans, the Lee et al. substring-dedup shape) — an
+    * 8-gram appearing in more than one document is cut everywhere except
+    * the smallest doc_id holding it; surviving runs of ≥ 5 tokens become
+    * fragments. The oracle restates the min≠max-per-gram rule and the
+    * same islands fold. */
+  def dedupSpansQ(s: SparkSession, dir: String): DataFrame = {
+    // The synthetic corpus's only natural cross-doc duplication is
+    // whole-document copies — which this op handles but which never
+    // exercises a PARTIAL cut. Every 25th document therefore re-enters
+    // as a "quoting" doc: its full text plus a unique 8-token tail. The
+    // quoted body is cut (the original keeps it), the tail survives as a
+    // fragment — the span path runs end-to-end inside the oracle gate.
+    val d = docs(s, dir).select("doc_id", "text")
+    val quoting = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qq ww ee rr tt yy uu x"),
+          col("doc_id").cast("string")).as("text"))
+    graft.llm.Dedup.dedupSpans(d.unionByName(quoting), "doc_id", "text",
+        n = 8, minKeepTokens = 5)
+      .orderBy("doc_id", "frag_idx")
+  }
+  val dedupSpansSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' qq ww ee rr tt yy uu x' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 25 = 0),
+       tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+               FROM base),
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tok),
+       pg AS (SELECT doc_id, i, ${h60sql("array_to_string(toks[i:i+7], ' ')")} AS gram FROM pos),
+       dup AS (SELECT gram, min(doc_id) AS keep FROM pg
+               GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       bad AS (SELECT DISTINCT p.doc_id, p.i AS p
+               FROM pg p JOIN dup d ON p.gram = d.gram AND p.doc_id <> d.keep),
+       tkn AS (SELECT t.doc_id, unnest(range(1, len(t.toks) + 1)) AS t
+               FROM tok t JOIN (SELECT DISTINCT doc_id FROM bad) USING (doc_id)),
+       cl AS (SELECT k.doc_id, k.t FROM tkn k
+              WHERE NOT EXISTS (SELECT 1 FROM bad c
+                WHERE c.doc_id = k.doc_id AND k.t BETWEEN c.p AND c.p + 7)),
+       isl AS (SELECT doc_id, t,
+                      t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+               FROM cl),
+       fr AS (SELECT doc_id, min(t) AS s, count(*) AS l
+              FROM isl GROUP BY doc_id, grp HAVING count(*) >= 5),
+       frag AS (SELECT f.doc_id,
+                       CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.s) - 1 AS BIGINT) AS frag_idx,
+                       array_to_string(t.toks[f.s:f.s + f.l - 1], ' ') AS frag_text,
+                       CAST(f.l AS BIGINT) AS n_tok
+                FROM fr f JOIN tok t USING (doc_id)),
+       clean AS (SELECT doc_id, CAST(0 AS BIGINT) AS frag_idx,
+                        array_to_string(toks, ' ') AS frag_text,
+                        CAST(len(toks) AS BIGINT) AS n_tok
+                 FROM tok WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM bad)
+                   AND len(toks) >= 5)
+       SELECT * FROM frag UNION ALL SELECT * FROM clean
+       ORDER BY doc_id, frag_idx""".replaceAll("\\s+", " ")
+
   /** q_corpus_stats: the per-shard audit report (Report.corpusStats) —
     * doc/token/char volumes, token-length spread, exact-duplicate rate
     * from the 60-bit text hash — one aggregation pass, restated 1:1. */

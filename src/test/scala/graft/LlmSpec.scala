@@ -333,6 +333,30 @@ class LlmSpec extends SparkSpec {
     assert(strict.forall(_._2 == 0L)) // every doc whole
   }
 
+  test("dedupSpans cuts cross-doc repeated n-grams, keeps the smallest doc_id's copy") {
+    // "one two three four" is pasted into docs 1, 5 and 9: doc 1 (the
+    // smallest id) keeps it, the others lose the covered tokens. Doc 7's
+    // repeats are intra-document only (min doc = max doc per gram) and
+    // are NOT touched — that defect belongs to the repetition scorer.
+    val docs = Seq(
+      (1L, "one two three four tail1 tail2 tail3"),
+      (5L, "head1 head2 head3 one two three four"),
+      (9L, "one two three four"),
+      (7L, "aa bb cc dd aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupSpans(docs, "doc_id", "text", n = 3, minKeepTokens = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (1L, 0L, "one two three four tail1 tail2 tail3", 7L),
+      (5L, 0L, "head1 head2 head3", 3L), // doc 9 is fully covered: vanishes
+      (7L, 0L, "aa bb cc dd aa bb cc dd", 8L)))
+    // a higher fragment floor drops doc 5's 3-token remnant too
+    val strictKeep = graft.llm.Dedup
+      .dedupSpans(docs, "doc_id", "text", n = 3, minKeepTokens = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(strictKeep.map(_._1) === Seq(1L, 7L))
+  }
+
   test("driver union-find path equals the distributed star labels on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.tabulate(300)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
