@@ -740,6 +740,46 @@ class GoldenReplaySpec2 extends SparkSpec {
     assert(rows == Seq((50.0, 18L)))
   }
 
+  test("TestBatch_Delete_GroupBy fixture golden: empty-fields points take the default") {
+    // batcher_test.go:1033-1069 on its OWN fixture (not the Delete one):
+    // some points arrive with an EMPTY field map — after delete('mean')
+    // they are indistinguishable from the rest, default fills all five,
+    // and each batch sums to 50 at its last point time
+    val b = brplRebased("TestBatch_Delete_GroupBy.0")
+      .select(col("batch_idx"), col("time"), expr("tags['dc']").as("dc"),
+        expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+    val p = Pipe(b, "time", Seq("dc", "batch_idx"))
+      .delete("mean", "dc")
+      .default("mean" -> 10.0)
+    assert(!p.dims.contains("dc")) // deleting a dim regroups
+    val rows = p.df.groupBy("batch_idx")
+      .agg(sum("mean").as("sum"), max(unix_timestamp(col("time"))).as("t"))
+      .orderBy("batch_idx").select("sum", "t").as[(Double, Long)].collect().toSeq
+    assert(rows == Seq((50.0, 8L), (50.0, 18L)))
+  }
+
+  test("TestBatch_Join golden: exact-time join, per-era count, windowed sum") {
+    // batcher_test.go:1970-2016: cpu0/cpu1 means join on exact times, 5
+    // joined slots per 10s era, the 20s window sums two eras → 10 at t=28
+    val Seq(c0, c1) = brplRebasedJoint("TestBatch_Join.0", "TestBatch_Join.1")
+    def side(df: org.apache.spark.sql.DataFrame) = Pipe(
+      df.select(col("time"), expr("CAST(fields['mean'] AS DOUBLE)").as("mean")),
+      "time", Nil)
+    val joined = side(c0).joinMulti("cpu0", Seq((side(c1), "cpu1")),
+        toleranceSeconds = 0, on = Nil, fill = Pipe.FillNone)
+      .filter(col("cpu0_mean").isNotNull && col("cpu1_mean").isNotNull)
+    val counts = joined
+      .withColumn("era", floor(col("jt_us") / 10000000L))
+      .groupBy("era").agg(count(lit(1)).cast("double").as("count"),
+        max("jt_us").as("t_us"))
+      .select(timestamp_micros(col("t_us")).as("time"), col("count"))
+    val w = WindowFSM.windowByTime(counts, "time", Nil, 20, 20)
+    val lastEmit = w.agg(max("wemit_us")).head.getLong(0)
+    assert(lastEmit == 28000000L)
+    assert(w.filter(col("wemit_us") === lastEmit)
+      .agg(sum("count")).head.getDouble(0) == 10.0)
+  }
+
   test("TestBatch_Flatten golden: per-dc service columns within 5s buckets") {
     // batcher_test.go:1724-1782: groupBy(dc) |flatten().on('service')
     // .tolerance(5s) over the t∈[10,20) batch era
@@ -795,6 +835,37 @@ class GoldenReplaySpec2 extends SparkSpec {
       ("A", "auth", "log", 2.0),
       ("B", "cart", "auth", 7.0 / 6.0), ("B", "cart", "log", 7.0 / 4.0),
       ("B", "auth", "log", 6.0 / 4.0)))
+  }
+
+  test("TestBatch_Combine fixture golden: both 5s buckets of the middle era") {
+    // batcher_test.go:1784-1862 on the DEDICATED fixture (the assertions
+    // above replay the same values from the Flatten fixture): bucket 10
+    // holds cart/auth/log at 10/11/12, bucket 15 at 15/16/17 — the er's
+    // six t=15 ratios plus the first bucket's
+    val base = brplRebased("TestBatch_Combine.0")
+      .withColumn("t", unix_timestamp(col("time")))
+      .filter(col("t") >= 10 && col("t") < 20)
+      .select(col("time"), expr("tags['dc']").as("dc"),
+        expr("tags['service']").as("service"),
+        expr("CAST(fields['value'] AS DOUBLE)").as("value"))
+      .withColumn("pid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("dc").orderBy("time")))
+    val pairs = Pipe(base, "time", Seq("dc"), idCol = Some("pid"))
+      .combinePairs(lit(true), lit(true), 5, ("first", "second"))
+      .withColumn("ratio", col("first_value") / col("second_value"))
+    val got = pairs.select("bucket_s", "dc", "first_service", "second_service", "ratio")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (10L, "A", "cart", "auth", 8.0 / 4.0), (10L, "A", "cart", "log", 8.0 / 7.0),
+      (10L, "A", "auth", "log", 4.0 / 7.0),
+      (10L, "B", "cart", "auth", 3.0 / 9.0), (10L, "B", "cart", "log", 3.0 / 5.0),
+      (10L, "B", "auth", "log", 9.0 / 5.0),
+      (15L, "A", "cart", "auth", 3.0 / 2.0), (15L, "A", "cart", "log", 3.0),
+      (15L, "A", "auth", "log", 2.0),
+      (15L, "B", "cart", "auth", 7.0 / 6.0), (15L, "B", "cart", "log", 7.0 / 4.0),
+      (15L, "B", "auth", "log", 6.0 / 4.0)))
   }
 
   test("TestBatch_Combine_Filtered golden: the auth point owns the first slot") {
