@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
       "bucket offsets should broadcast onto the corpus")
   }
 
+  test("dedupSpans' corpus shuffle is a partial min/max agg: no Expand, no posting lists") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Dedup.dedupSpans(docs, "doc_id", "text", n = 8))
+    // cross-doc ⟺ min≠max must compile to a partial+final hash aggregate
+    // on the gram hash — a count(DISTINCT doc_id) would show as Expand
+    assert(!p.contains("Expand"), s"count-distinct Expand leaked into dedupSpans:\n${p.take(2000)}")
+    assert("partial_min|partial_max".r.findAllIn(p).nonEmpty,
+      s"min/max agg not partial (map-side combine lost):\n${p.take(2000)}")
+    // nothing in the plan may go cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into dedupSpans:\n${p.take(2000)}")
+  }
+
   test("ScrapeScheduler.schedule is generator-only: no Exchange, no driver loop") {
     import spark.implicits._
     val targets = (0 until 100).map(i => graft.sources.ScrapeScheduler.ScrapeTarget(
