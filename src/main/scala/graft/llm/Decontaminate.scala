@@ -122,29 +122,27 @@ object Decontaminate {
     // positional path: contaminated docs only. The id set is usually tiny
     // (contamination volume) but is NOT bounded by construction — no
     // forced broadcast; AQE broadcasts it when it is in fact small.
-    val cd = tokenized(docs.join(contIds, Seq(idCol)), idCol, textCol)
-    val badPos = positionalGrams(cd, idCol, n).join(broadcast(bg), "gram")
+    val badPos = positionalGrams(docs.join(contIds, Seq(idCol)), idCol, textCol, n)
+      .join(broadcast(bg), "gram")
       .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("badPos"))
     fragmentByBadStarts(docs, badPos, idCol, textCol, n, margin, minKeepTokens)
   }
 
-  /** (id, toks, ntok) projection under the repo-wide oracle tokenization. */
-  private[llm] def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-      .withColumn("ntok", size(col("toks")))
-
-  /** Positional n-grams over a [[tokenized]] frame: one (id, pos, gram)
-    * row per n-token window, pos 1-based, gram the repo-wide 60-bit
-    * md5-prefix hash (h60 — the oracle restates it exactly). Sub-n-token
-    * documents contribute nothing. A per-row generator: no shuffle. */
-  private[llm] def positionalGrams(cd: DataFrame, idCol: String, n: Int): DataFrame = cd
-    .filter(col("ntok") >= n)
-    .select(col(idCol), explode(expr(
-      s"""transform(sequence(1, ntok - ${n - 1}), i -> named_struct(
-          'pos', i,
-          'gram', CAST(conv(substring(md5(array_join(slice(toks, i, $n), ' ')), 1, 15), 16, 10) AS BIGINT)))"""))
-      .as("pg"))
-    .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+  /** Positional n-grams: one (id, pos, gram) row per n-token window, pos
+    * 1-based, gram the repo-wide 60-bit md5-prefix hash (h60 — the oracle
+    * restates it exactly). Sub-n-token documents contribute nothing. The
+    * NON-distinct [[graft.expressions.ShingleHashes]] pass already emits
+    * hashes in position order, so posexplode's index IS the gram start —
+    * one fused JVM pass per document (no interpreted md5 HOF), no
+    * shuffle. */
+  private[llm] def positionalGrams(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val fn = graft.expressions.ShingleHashes.register(
+      docs.sparkSession, n, distinct = false, wholeDocIfShort = false)
+    docs.select(col(idCol),
+        posexplode(call_function(fn, col(textCol))).as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("gram"))
+  }
 
   /** Cut documents around bad n-gram START positions and keep the clean
     * fragments: token t is removed iff some bad start p covers it
@@ -158,7 +156,8 @@ object Decontaminate {
       docs: DataFrame, badPos: DataFrame, idCol: String, textCol: String,
       n: Int, margin: Int, minKeepTokens: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val cd = tokenized(docs, idCol, textCol)
+    val cd = docs.select(col(idCol), toks.as("toks"))
+      .withColumn("ntok", size(col("toks")))
     // token t is removed iff some bad gram start p covers it (with margin)
     val cleanPos = filter(sequence(lit(1), col("ntok")),
       t => !exists(col("badPos"),

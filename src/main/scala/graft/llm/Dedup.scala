@@ -89,8 +89,7 @@ object Dedup {
       margin: Int = 0,
       minKeepTokens: Int = 1): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
-    val grams = Decontaminate.positionalGrams(
-      Decontaminate.tokenized(docs, idCol, textCol), idCol, n)
+    val grams = Decontaminate.positionalGrams(docs, idCol, textCol, n)
     val dup = grams.groupBy("gram")
       .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
       .filter(col("__keep") =!= col("__mx"))
