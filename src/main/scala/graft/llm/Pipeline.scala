@@ -32,6 +32,8 @@ object Pipeline {
       maxAvgNll: Option[Double] = None,
       perplexityVocab: Int = 4096,
       nearDup: Boolean = true,
+      spanDedup: Boolean = false,
+      spanDedupN: Int = 8,
       benchmark: Option[DataFrame] = None,
       contaminationN: Int = 3,
       minOverlap: Long = 3L,
@@ -124,38 +126,55 @@ object Pipeline {
         exactKept.join(drop, Seq(idCol), "left_anti")
       }
     })
+    // Fragment reassembly shared by the two span-surgery stages: rejoin a
+    // doc's surviving fragments in document order (single spaces — the
+    // normalized token space every later stage works in); docs with zero
+    // surviving fragments vanish via the inner join. The checkpoint
+    // carries rewritten text (not just ids) — the surgery genuinely
+    // rewrites the column, so there is no narrower frame to pin. The
+    // fragment token counts are exact for the rejoined text, so packing
+    // can reuse them instead of re-tokenizing.
+    def reassemble(frags: DataFrame): DataFrame = surv(frags.groupBy(idCol).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("frag_idx"), col("frag_text")))),
+          s => s.getField("frag_text")),
+        " ").as("__re_text"),
+      sum("n_tok").cast("long").as("__re_ntok")))
+    def rewrite(base: DataFrame, re: DataFrame): DataFrame =
+      base.drop(textCol).join(re.select(col(idCol), col("__re_text").as(textCol)), Seq(idCol))
+    // stage 5b: cross-document duplicate-SPAN removal (exact substring
+    // dedup, Lee et al.) — after whole-doc dedup, cut any n-gram run
+    // that still appears in ANOTHER surviving document (boilerplate,
+    // quoted passages), keeping the smallest-id copy; a doc with nothing
+    // ≥ minFragTokens left vanishes
+    var spanNTok: Option[DataFrame] = None
+    val spanKept = tap("span_dedup", {
+      if (!cfg.spanDedup) nearKept
+      else {
+        val re = reassemble(Dedup.dedupSpans(nearKept, idCol, textCol,
+          n = cfg.spanDedupN, minKeepTokens = cfg.minFragTokens))
+        spanNTok = Some(re.select(col(idCol), col("__re_ntok").as("n_tok")))
+        rewrite(nearKept, re)
+      }
+    })
     // stage 6: benchmark decontamination — drop whole docs, or (scrub
     // mode) cut only the contaminated spans and keep the rest
     var scrubNTok: Option[DataFrame] = None
     val decon = tap("decontaminated", cfg.benchmark match {
-      case None => nearKept
+      case None => spanKept
       case Some(bench) if cfg.scrubSpans =>
-        val frags = Decontaminate.decontaminateSpans(
-          nearKept, bench, idCol, textCol,
+        val re = reassemble(Decontaminate.decontaminateSpans(
+          spanKept, bench, idCol, textCol,
           n = cfg.contaminationN, margin = cfg.spanMargin,
-          minKeepTokens = cfg.minFragTokens, minOverlap = cfg.minOverlap)
-        // reassemble per doc in fragment order; docs with zero surviving
-        // fragments vanish via the inner join. This checkpoint carries
-        // scrubbed text (not just ids) — the scrub genuinely rewrites
-        // the column, so there is no narrower frame to pin.
-        val re = surv(frags.groupBy(idCol).agg(
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("frag_idx"), col("frag_text")))),
-              s => s.getField("frag_text")),
-            " ").as("__scrub_text"),
-          sum("n_tok").cast("long").as("__scrub_ntok")))
-        // fragment token counts are exact for the rejoined text (single-
-        // space joins in normalized token space), so packing can reuse
-        // them instead of re-tokenizing the scrubbed corpus
-        scrubNTok = Some(re.select(col(idCol), col("__scrub_ntok").as("n_tok")))
-        nearKept.drop(textCol)
-          .join(re.select(col(idCol), col("__scrub_text").as(textCol)), Seq(idCol))
+          minKeepTokens = cfg.minFragTokens, minOverlap = cfg.minOverlap))
+        scrubNTok = Some(re.select(col(idCol), col("__re_ntok").as("n_tok")))
+        rewrite(spanKept, re)
       case Some(bench) =>
-        val bad = surv(Decontaminate.contamination(nearKept, bench, idCol, textCol,
+        val bad = surv(Decontaminate.contamination(spanKept, bench, idCol, textCol,
           n = cfg.contaminationN, minOverlap = cfg.minOverlap)
           .select(col("doc_id").as(idCol)).distinct())
-        nearKept.join(bad, Seq(idCol), "left_anti")
+        spanKept.join(bad, Seq(idCol), "left_anti")
     })
     // stage 7: deterministic domain mixing — by rate (stratifiedSample) or
     // by TOKEN budget (tokenBudgetSample, the fill-then-cut convention);
@@ -173,10 +192,13 @@ object Pipeline {
       else Mix.stratifiedSample(decon, idCol, shardCol, cfg.mixRates, cfg.defaultMixRate)
     })
     // stage 8: pack into fixed token sequences per shard — token counts
-    // come from the scrub stage when it ran (it rewrote the text, so the
-    // shared tokens frame is stale for scrubbed docs), else from the
-    // shared tokens frame; both are id equi-joins, no re-tokenize
-    tap("packed", scrubNTok.orElse(budgetNTok).orElse(
+    // come from the LATEST stage that rewrote or re-counted the text
+    // (budget mixing counts the final text; the scrub stage rewrites
+    // post-span-dedup text; span dedup rewrites post-near-dup text — in
+    // each case every earlier count is stale for the rewritten docs),
+    // else from the shared tokens frame; all are id equi-joins, no
+    // re-tokenize
+    tap("packed", budgetNTok.orElse(scrubNTok).orElse(spanNTok).orElse(
       toksF.map(tf => tf.select(col(idCol), size(col("__toks")).cast("long").as("n_tok")))) match {
       case Some(counts) =>
         Mix.packSequencesCounted(

@@ -685,6 +685,31 @@ class LlmSpec extends SparkSpec {
     assert(m2.weights == m.weights && m2.bias == m.bias)
   }
 
+  test("Pipeline.curate span-dedup stage: the shared boilerplate is cut once, packing sees the cut counts") {
+    // docs 1 and 4 share a 10-token boilerplate suffix (3 cross-doc
+    // 8-grams); span dedup keeps doc 1's copy, cuts doc 4 down to its
+    // 9-token body, and packing must consume the POST-CUT token counts
+    // without re-tokenizing (spanNTok feeds packSequencesCounted)
+    val boiler = "all rights reserved contact the site admin for license terms."
+    val rows = Seq(
+      (1L, "web", s"alpha body with its own words here today.\n$boiler"),
+      (4L, "web", s"totally different second body text goes right here now.\n$boiler"),
+      (9L, "web", "an unrelated document stands completely alone in the corpus.\nnothing shared appears between these two tidy lines."))
+      .toDF("doc_id", "source", "text")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val out = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(nearDup = false, spanDedup = true, seqLen = 12),
+      Some(counts))
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    assert(counts("span_dedup") == 3L) // nothing vanished, one doc shrank
+    assert(out == Map(1L -> 18L, 4L -> 9L, 9L -> 17L))
+    // without the stage the suffix stays, and doc 4 keeps all 19 tokens
+    val off = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(nearDup = false, seqLen = 12))
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    assert(off(4L) == 19L)
+  }
+
   test("Pipeline.curate runs the full C4/CCNet recipe with per-stage audit counts") {
     val en1 = "the quick brown fox jumps over the lazy dog.\nit runs to the river for a drink."
     val en2 = "a solid paragraph of useful english text is here.\nit is written for the reader in full sentences."
