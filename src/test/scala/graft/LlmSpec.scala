@@ -811,6 +811,50 @@ class LlmSpec extends SparkSpec {
       budgets = Map.empty, defaultBudget = 0L).count() === 0)
   }
 
+  test("PROPERTY: dedupSpans matches a brute-force span cut on random corpora") {
+    // independent reference implementation: per-doc n-grams, a gram is
+    // dup iff it occurs in >1 distinct doc, keep = min doc; covered
+    // positions cut; maximal clean runs >= minKeep survive in order
+    def brute(docs: Seq[(Long, String)], n: Int, minKeep: Int): Set[(Long, Long, String, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val occ = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(n).filter(_.length == n).zipWithIndex
+          .map { case (g, i) => (g.mkString(" "), id, i + 1) } }
+      val keepOf = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1)
+        .map { case (g, os) => g -> os.map(_._2).min }
+      val badByDoc = occ.filter { case (g, id, _) =>
+        keepOf.get(g).exists(_ != id) }.groupBy(_._2)
+      toks.flatMap { case (id, ts) =>
+        val bad = badByDoc.getOrElse(id, Nil).map(_._3).toSet
+        val clean = (1 to ts.length).filterNot(t =>
+          bad.exists(p => t >= p && t <= p + n - 1))
+        val runs = clean.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: rest), t) if h.head + 1 == t => (t :: h) :: rest
+          case (acc, t) => List(t) :: acc
+        }.map(_.reverse).reverse.filter(_.length >= minKeep)
+        runs.zipWithIndex.map { case (r, i) =>
+          (id, i.toLong, r.map(p => ts(p - 1)).mkString(" "), r.length.toLong) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    (1 to 5).foreach { trial =>
+      val docs = (1L to 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val n = 2 + rnd.nextInt(3) // 2..4: tiny vocab makes dup grams plentiful
+      val minKeep = 1 + rnd.nextInt(2)
+      val got = graft.llm.Dedup
+        .dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n = n,
+          minKeepTokens = minKeep)
+        .as[(Long, Long, String, Long)].collect().toSet
+      val want = brute(docs, n, minKeep)
+      assert(got == want, s"trial $trial (n=$n, minKeep=$minKeep): " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("PROPERTY: decontaminateSpans is consistent with contamination on the corpus") {
     // on the real documents table: every doc flagged by contamination is
     // either fragmented (frag count >= 1 with LESS than its token count
