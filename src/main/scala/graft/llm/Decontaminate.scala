@@ -135,7 +135,7 @@ object Decontaminate {
     * hashes in position order, so posexplode's index IS the gram start —
     * one fused JVM pass per document (no interpreted md5 HOF), no
     * shuffle. */
-  private[llm] def positionalGrams(
+  private[graft] def positionalGrams(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val fn = graft.expressions.ShingleHashes.register(
       docs.sparkSession, n, distinct = false, wholeDocIfShort = false)

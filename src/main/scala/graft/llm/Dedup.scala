@@ -87,18 +87,27 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       margin: Int = 0,
-      minKeepTokens: Int = 1): DataFrame = {
+      minKeepTokens: Int = 1): DataFrame =
+    Decontaminate.fragmentByBadStarts(
+      docs, spanBadPositions(docs, idCol, textCol, n), idCol, textCol,
+      n, margin, minKeepTokens)
+
+  /** The bad-position half of [[dedupSpans]]: per affected document, the
+    * sorted 1-based gram START positions whose n-gram also occurs in a
+    * smaller-id document — (idCol, badPos array<int>). Public so the
+    * streaming parity harness ([[graft.streaming.SpanDedupStream]]) can
+    * compare against the exact batch definition. */
+  def spanBadPositions(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n-gram size must be positive")
     val grams = Decontaminate.positionalGrams(docs, idCol, textCol, n)
     val dup = grams.groupBy("gram")
       .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
       .filter(col("__keep") =!= col("__mx"))
       .select(col("gram"), col("__keep"))
-    val badPos = grams.join(dup, "gram")
+    grams.join(dup, "gram")
       .filter(col(idCol) =!= col("__keep"))
       .groupBy(idCol).agg(sort_array(collect_set(col("pos"))).as("badPos"))
-    Decontaminate.fragmentByBadStarts(
-      docs, badPos, idCol, textCol, n, margin, minKeepTokens)
   }
 
   /** MinHash + LSH near-duplicate pairs.

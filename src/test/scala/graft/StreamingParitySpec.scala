@@ -241,6 +241,42 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span dedup over a document stream ≡ the batch aggregate (gram-registry state)") {
+    // the batch min/max aggregate (Dedup.spanBadPositions) and the
+    // streaming gram registry (SpanDedupStream.badPositions) consume the
+    // SAME positionalGrams front-end and must flag identical positions
+    // under in-order arrival — streamed across two micro-batches so a
+    // later batch hits grams claimed in an earlier one
+    implicit val ctx = spark.sqlContext
+    val boiler = "all rights reserved contact the site admin for license terms"
+    val docs = Seq(
+      (1L, s"alpha body with its own words here today $boiler"),
+      (4L, s"totally different second body text goes right here now $boiler"),
+      (7L, s"$boiler and then some trailing content of its very own"),
+      (9L, "an unrelated document stands completely alone in this corpus"))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.spanBadPositions(docs, "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"badPos").as("pos"))
+      .as[(Long, Int)].collect().toSet
+    assert(batch == Set((4L, 10), (4L, 11), (4L, 12), (7L, 1), (7L, 2), (7L, 3)))
+    val occ = graft.llm.Decontaminate.positionalGrams(docs, "doc_id", "text", 8)
+      .select($"doc_id".as("docId"), $"pos", $"gram")
+      .as[graft.streaming.SpanDedupStream.GramOcc].collect().toSeq
+    val ms = MemoryStream[graft.streaming.SpanDedupStream.GramOcc]
+    val q = graft.streaming.SpanDedupStream.badPositions(ms.toDS())
+      .writeStream.format("memory").queryName("sd_par").outputMode("update").start()
+    try {
+      val (first, rest) = occ.partition(_.docId <= 4)
+      ms.addData(first)
+      q.processAllAvailable()
+      ms.addData(rest) // doc 7's boilerplate was claimed in the PREVIOUS batch
+      q.processAllAvailable()
+      val streamed = spark.table("sd_par")
+        .select($"docId", $"pos").as[(Long, Int)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("decontamination over a document stream ≡ the batch operator (stream-static join)") {
     // the benchmark side is static by nature; the corpus side streams —
     // Decontaminate's plan (explode → broadcast join → per-pair agg) runs
