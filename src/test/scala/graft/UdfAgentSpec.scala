@@ -135,7 +135,8 @@ class UdfAgentSpec extends SparkSpec {
     def handler() = new UdfAgent.Handler {
       private var factor = 1.0
       override def declaredOptions(): Map[String, Seq[Int]] =
-        Map("factor" -> Seq(2), "label" -> Seq(3, 1)) // DOUBLE; (STRING, INT)
+        // DOUBLE; (STRING, INT); DURATION
+        Map("factor" -> Seq(2), "label" -> Seq(3, 1), "every" -> Seq(4))
       override def init(options: Seq[(String, Seq[OptVal])], taskId: String,
           nodeId: String): Either[String, Unit] = {
         options.collectFirst { case ("factor", Seq(OptDouble(f))) => f }
@@ -160,6 +161,13 @@ class UdfAgentSpec extends SparkSpec {
       assert(e2.getMessage.contains("unexpected arg to factor, got INT expected DOUBLE"))
       val e3 = intercept[RuntimeException] { run(Seq("label" -> Seq(OptString("x")))) }
       assert(e3.getMessage.contains("unexpected number of args to label, got 1 expected 2"))
+      // a DURATION-declared option takes the typed literal TICKscript's
+      // `.every(1s)` produces (defaultUdfOptions → OptDuration nanos) and
+      // refuses the bare double the pre-typed parser would have sent
+      assert(run(Seq("every" -> Seq(OptDuration(1000000000L))))
+        .head.fieldsDouble("v") === 2.0)
+      val e4 = intercept[RuntimeException] { run(Seq("every" -> Seq(OptDouble(1.0)))) }
+      assert(e4.getMessage.contains("unexpected arg to every, got DOUBLE expected DURATION"))
     } finally server.close()
   }
 
