@@ -14,7 +14,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.llm.Decontaminate.positionalGrams]] — the SAME fused
   * ShingleHashes front-end as the batch aggregate, so streaming and batch
   * flag identical positions when documents arrive in id order
-  * (SpanDedupStreamSpec pins it). Canonical-copy semantics follow arrival:
+  * (StreamingParitySpec pins it). Canonical-copy semantics follow arrival:
   * the FIRST document to present a gram keeps it (ties inside one
   * micro-batch break by doc id, matching the batch min-id rule); a
   * later-arriving smaller id would be flagged instead — the same
@@ -47,6 +47,7 @@ object SpanDedupStream {
           // the batch aggregate's min-id rule under in-order arrival
           val sorted = it.toSeq.sortBy(o => (o.docId, o.pos))
           val out = Seq.newBuilder[BadPos]
+          val hadClaim = gs.exists
           var keep = gs.getOption.map(_.keep)
           sorted.foreach { o =>
             keep match {
@@ -55,7 +56,9 @@ object SpanDedupStream {
               case _ => () // same doc re-presenting its own gram: not a dup
             }
           }
-          keep.foreach(k => gs.update(GramState(k)))
+          // a claim never changes once set — skip the redundant state-store
+          // write (one put per duplicated gram per batch otherwise)
+          if (!hadClaim) keep.foreach(k => gs.update(GramState(k)))
           out.result().iterator
       }
   }

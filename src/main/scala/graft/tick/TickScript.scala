@@ -205,7 +205,9 @@ object TickScript {
       val chains = Seq.newBuilder[Chain]
       val defaults = scala.collection.mutable.LinkedHashMap.empty[String, Any]
       val declared = Map.newBuilder[String, String]
-      val typeNames = Set("string", "lambda", "duration", "int", "float")
+      // the reference's full declared-type list (tick/eval.go:275-297)
+      val typeNames = Set("string", "lambda", "duration", "int", "float",
+        "bool", "regex", "list", "star")
       while (toks.nonEmpty) {
         var varName: Option[String] = None
         var isTemplateValue = false
@@ -296,6 +298,8 @@ object TickScript {
         case Some(TStr(v)) => next(); v
         case Some(TNum(v, i)) => next(); if (i) v.toLong else v
         case Some(TDur(v)) => next(); Dur(v)
+        case Some(TIdent("TRUE")) => next(); true
+        case Some(TIdent("FALSE")) => next(); false
         case Some(TIdent(nm)) if resolve(nm).isDefined => next(); EVar(nm)
         case t => throw new IllegalArgumentException(s"unexpected template value $t")
       }
@@ -310,9 +314,10 @@ object TickScript {
         case (a: Double, b: Long) => mk(op, a, b.toDouble)
         // duration arithmetic stays a duration (Go: time.Duration is an
         // int64 — d+d, d-d, d*n, n*d, d/n are durations) except the
-        // dimensionless ratio d/d (tick/eval evaluates var decls eagerly)
+        // dimensionless ratio d/d, which is int64-nanos division and
+        // TRUNCATES like the (Long, Long) case above
         case (Dur(a), Dur(b)) =>
-          if (op == "/") a / b
+          if (op == "/") math.round(a * 1e9) / math.round(b * 1e9)
           else Dur(mk(op, a, b).asInstanceOf[Double])
         case (Dur(a), b: Long)   => Dur(mk(op, a, b.toDouble).asInstanceOf[Double])
         case (Dur(a), b: Double) => Dur(mk(op, a, b).asInstanceOf[Double])
@@ -518,7 +523,20 @@ object TickScript {
     val parsed = parse(script)
     val missing = parsed.declared.keySet -- templateVars.keySet
     require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
-    val rawScope = parsed.defaults ++ templateVars
+    // coerce bindings by their DECLARED type: a duration-declared var
+    // bound with a plain number (the natural caller binding — seconds)
+    // must carry duration-ness to typed consumers (UDF options validate
+    // DURATION vs DOUBLE), exactly as the reference coerces Var values
+    // against the declared ast.ValueType (tick/eval.go:275-310)
+    val boundVars = templateVars.map { case (k, v) =>
+      k -> ((parsed.declared.get(k), v) match {
+        case (Some("duration"), d: Double) => Dur(d)
+        case (Some("duration"), l: Long)   => Dur(l.toDouble)
+        case (Some("duration"), i: Int)    => Dur(i.toDouble)
+        case _                             => v
+      })
+    }
+    val rawScope = parsed.defaults ++ boundVars
     // a var default may be a deferred arithmetic tree over OTHER vars
     // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
     // templateVars override of the referenced var propagates (the
@@ -545,9 +563,11 @@ object TickScript {
           case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
           case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
           // duration arithmetic mirrors parseTemplateValue.mk: a duration
-          // operand keeps duration-ness except the d/d ratio
+          // operand keeps duration-ness except the d/d ratio (truncated
+          // int64-nanos division, like Go)
           case (Dur(a), Dur(b)) =>
-            if (op == "/") a / b else Dur(resolveBin(op, a, b))
+            if (op == "/") math.round(a * 1e9) / math.round(b * 1e9)
+            else Dur(resolveBin(op, a, b))
           case (Dur(a), b: Long)   => Dur(resolveBin(op, a, b.toDouble))
           case (Dur(a), b: Double) => Dur(resolveBin(op, a, b))
           case (a: Long, Dur(b))   => Dur(resolveBin(op, a.toDouble, b))
@@ -566,6 +586,11 @@ object TickScript {
     def substExpr(e: Expr): Expr = e match {
       case EVar(n) if scope.contains(n) => scope(n) match {
         case ex: Expr => substExpr(ex) // a var may reference further vars
+        // a duration var in a lambda position substitutes at second
+        // scale, exactly like a lambda-position duration LITERAL does
+        // (parsePrimary keeps ELit(Double) — the repo-wide expression
+        // convention for durations)
+        case Dur(s) => ELit(s)
         case v => ELit(v)
       }
       case EBin(op, l, r) => EBin(op, substExpr(l), substExpr(r))
@@ -677,13 +702,13 @@ object TickScript {
   }
 
   /** Default property→argv mapping for [[processUdf]]: durations render
-    * as their second count, bools Go-style lowercase (strconv.FormatBool). */
+    * as their second count; bools via toString, which already matches
+    * Go's strconv.FormatBool ("true"/"false"). */
   def defaultUdfArgs(props: Seq[Call]): Seq[String] =
     props.flatMap(c => s"--${c.name}" +: c.args.map {
-      case ELit(v)    => v.toString
-      case Dur(s)     => s.toString
-      case b: Boolean => if (b) "true" else "false"
-      case v          => v.toString
+      case ELit(v) => v.toString
+      case Dur(s)  => s.toString
+      case v       => v.toString
     })
 
   /** Registry entry like [[processUdf]], but for an UNMODIFIED reference
@@ -895,6 +920,16 @@ object TickScript {
   private def asExpr(a: Any): Expr = a match {
     case e: Expr => e
     case v => ELit(v)
+  }
+
+  /** Prop-arg scalar for LITERAL (non-numeric-param) positions —
+    * default()/sideload field values, query-node fill: durations surface
+    * as their second count (`lit(Dur)` is not a Spark literal), booleans
+    * and everything else pass through. */
+  private def scalarArg(a: Any): Any = a match {
+    case Dur(s)  => s
+    case ELit(v) => v
+    case other   => other
   }
 
   /** TICKscript numerals surface as Long (integral literal) or Double
@@ -1115,7 +1150,7 @@ object TickScript {
             concat(parts.toSeq: _*)
           }).getOrElse(throw new IllegalArgumentException("sideload needs .order()"))
           val defaults = n.props.filter(c => c.name == "field" || c.name == "tag")
-            .map(c => c.args(0).toString -> lit(c.args(1)).cast("string"))
+            .map(c => c.args(0).toString -> lit(scalarArg(c.args(1))).cast("string"))
           st = St(st.pipe.copy(df = graft.operators.Sideload.sideload(
             st.pipe.df, levels, cfg, defaults.toMap)), st.bucketed)
         case "stats" =>
@@ -1159,7 +1194,8 @@ object TickScript {
           st = St(p2, st.bucketed)
         case "sample" => st = St(st.pipe.sampleN(num(n.args.head).toInt), st.bucketed)
         case "default" =>
-          val kvs = n.props.filter(_.name == "field").map(c => c.args(0).toString -> c.args(1))
+          val kvs = n.props.filter(_.name == "field")
+            .map(c => c.args(0).toString -> scalarArg(c.args(1)))
           // .tag() defaults use the missing-or-empty rule (default.go:100-106)
           val tags = n.props.filter(_.name == "tag").map(c => c.args(0).toString -> c.args(1).toString)
           st = St(st.pipe.default(kvs: _*).defaultTags(tags: _*), st.bucketed)
@@ -1348,7 +1384,7 @@ object TickScript {
                   out = aliased.map(_._1).foldLeft(
                     groups.crossJoin(range)
                       .join(out, (p.dims :+ "bucket_s").toSeq, "left")) {
-                    (d, a) => d.withColumn(a, coalesce(col(a), lit(c.args.head)))
+                    (d, a) => d.withColumn(a, coalesce(col(a), lit(scalarArg(c.args.head))))
                   }
                 }
               }

@@ -1196,6 +1196,44 @@ class TickScriptSpec extends SparkSpec {
     assert(overridden.filter($"level" === 3).count() > 0)
   }
 
+  test("typed duration/bool vars: lambda substitution, literal props, declared coercion, d/d truncation") {
+    import graft.tick.TickScript.{Call, Dur}
+    // review findings on the Dur wrapper: a duration VAR in a lambda must
+    // substitute at second scale like a duration literal; a duration in a
+    // literal prop position (default().field) must not crash lit(); a
+    // duration-declared template var bound with a plain number carries
+    // duration-ness to UDF options; `var b = TRUE` parses; d/d divides
+    // like Go int64 nanos (truncated)
+    var seen: Seq[Call] = null
+    val cap: (org.apache.spark.sql.DataFrame, Seq[Call]) => org.apache.spark.sql.DataFrame =
+      (df, props) => { seen = props; df }
+    val script =
+      """var every duration
+        |var p = 10s
+        |var flag = TRUE
+        |var ratio = 90s / 60s
+        |stream
+        |	|from()
+        |		.measurement('cpu')
+        |		.groupBy('host')
+        |	|default()
+        |		.field('timeout', 5s)
+        |	|where(lambda: "value" >= p - 10.0 + ratio - 1.0)
+        |	@agent()
+        |		.every(every)
+        |""".stripMargin
+    val out = TickScript.compile(script, alertFixture,
+      templateVars = Map("every" -> 60.0), udfs = Map("agent" -> cap))
+    // declared-duration coercion: the plain 60.0 binding became a Dur
+    assert(seen.map(c => c.name -> c.args) === Seq("every" -> Seq(Dur(60.0))))
+    assert(TickScript.defaultUdfOptions(seen) ===
+      Seq("every" -> Seq(graft.sources.UdfProto.OptDuration(60000000000L))))
+    // 90s/60s truncates to 1 (Go int64-nanos division), so the where
+    // lambda is value >= 10 - 10 + 1 - 1 = 0: everything passes, and the
+    // default'd duration field landed as its second count
+    assert(out.filter($"timeout" === 5.0).count() == out.count() && out.count() > 0)
+  }
+
   test("var aliases of lambdas resolve; constant lambdas fold; WHERE range comparisons refuse") {
     // review round 2: `var crit_l = base` (lambda alias) must substitute;
     // `lambda: 60*5` folds to a constant that still compiles in lambda
