@@ -179,10 +179,12 @@ object Mix {
       .partitionBy(col(domainCol), col("__bk"))
       .orderBy(col("__h"), col(idCol))
     base
-      // null-safe on the domain: a null domain is one group, as it was
-      // under partitionBy(domain)
+      // null-safe on BOTH keys: a null domain is one group (as it was
+      // under partitionBy(domain)), and a null id hashes to a null
+      // bucket — `===` there would miss the offsets row and silently
+      // drop the row under a finite budget
       .join(broadcast(offsets),
-        col(domainCol) <=> col("__d") && col("__bk") === col("__b"), "left")
+        col(domainCol) <=> col("__d") && col("__bk") <=> col("__b"), "left")
       .withColumn("tok_start", col("__off") + coalesce(
         sum(col("n_tok")).over(wRun) - col("n_tok"), lit(0L)))
       .withColumn("__budget", budget)

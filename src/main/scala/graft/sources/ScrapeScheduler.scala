@@ -95,7 +95,9 @@ object ScrapeScheduler {
     * headers, `enabled` bool, `id` string, `targets` string array, and
     * the `[static-discovery.labels]` sub-table — so an existing config
     * file is data, not a daemon: any other section header ends the
-    * current static-discovery scope and is ignored. */
+    * current static-discovery scope and is ignored. Inline `#` comments
+    * are stripped (quote-aware, per the TOML rule); arrays must sit on
+    * one line — the subset the reference's own config examples use. */
   def parseStaticDiscovery(toml: String): Seq[StaticDiscoveryConfig] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[StaticDiscoveryConfig]
     var cur: StaticDiscoveryConfig = null
@@ -107,8 +109,24 @@ object ScrapeScheduler {
         t.substring(1, t.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
       else t
     }
+    // '#' outside a quoted string starts a comment (TOML); escapes
+    // inside quotes are honored so `id = "a#b"` keeps its hash
+    def stripComment(s: String): String = {
+      var inStr = false
+      var esc = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (esc) esc = false
+        else if (inStr && c == '\\') esc = true
+        else if (c == '"') inStr = !inStr
+        else if (c == '#' && !inStr) return s.substring(0, i)
+        i += 1
+      }
+      s
+    }
     toml.linesIterator.foreach { raw =>
-      val line = raw.trim
+      val line = stripComment(raw).trim
       if (line.isEmpty || line.startsWith("#")) ()
       else if (line == "[[static-discovery]]") { flush(); cur = StaticDiscoveryConfig(""); inLabels = false }
       else if (line == "[static-discovery.labels]" && cur != null) inLabels = true

@@ -1176,6 +1176,20 @@ object UdfProto {
     val writer = child.startWriter(
       send => input.foreach(p => send(encodeRequestPoint(p))),
       snapshotAtEnd = onSnapshot != null)
+    pointOutput(child, writer, onSnapshot,
+      "batch framing from a STREAM-providing agent; " +
+        "use runBatchAgentPartition for batch edges")
+  }
+
+  /** Shared STREAM-output half of [[runStreamPartition]] and
+    * [[runBatchToPointsPartition]]: drain point responses from a child
+    * whose PROVIDES edge is STREAM, whatever the writer feeds it.
+    * `batchFramingError` names the right runner when the agent turns
+    * out to speak batch framing instead. */
+  private def pointOutput(
+      child: AgentChild, writer: Thread,
+      onSnapshot: Array[Byte] => Unit,
+      batchFramingError: String): Iterator[ProtoPoint] =
     new Iterator[ProtoPoint] {
       private var nextPoint: ProtoPoint = advance()
       private var finished = false
@@ -1188,9 +1202,7 @@ object UdfProto {
               if (onSnapshot == null) child.fail("unsolicited SnapshotResponse")
               onSnapshot(s)
             case Some(RError(e)) => child.fail(s"agent error: $e")
-            case Some(_: RBegin) | Some(_: REnd) =>
-              child.fail("batch framing from a STREAM-providing agent; " +
-                "use runBatchAgentPartition for batch edges")
+            case Some(_: RBegin) | Some(_: REnd) => child.fail(batchFramingError)
             case Some(other) => child.fail(s"unexpected mid-stream $other")
           }
         }
@@ -1211,7 +1223,6 @@ object UdfProto {
         p
       }
     }
-  }
 
   /** Stream one batch to the agent exactly like the reference server's
     * writeBufferedBatch (udf/server.go:625-633): BeginBatch with the
@@ -1340,47 +1351,39 @@ object UdfProto {
       input: Iterator[ProtoBatch],
       keepaliveMs: Long = 0L,
       restoreSnapshot: Option[Array[Byte]] = None,
-      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] = {
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] =
+    batchToPointsPartition(() => processChild(cmd, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  /** [[runBatchToPointsPartition]] against a unix-socket agent server. */
+  def runSocketBatchToPointsPartition(
+      socketPath: String,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      keepaliveMs: Long = 0L,
+      restoreSnapshot: Option[Array[Byte]] = None,
+      onSnapshot: Array[Byte] => Unit = null): Iterator[ProtoPoint] =
+    batchToPointsPartition(() => socketChild(socketPath, keepaliveMs),
+      options, taskId, nodeId, input, restoreSnapshot, onSnapshot)
+
+  private def batchToPointsPartition(
+      mkChild: () => AgentChild,
+      options: Seq[(String, Seq[OptVal])],
+      taskId: String,
+      nodeId: String,
+      input: Iterator[ProtoBatch],
+      restoreSnapshot: Option[Array[Byte]],
+      onSnapshot: Array[Byte] => Unit): Iterator[ProtoPoint] = {
     if (!input.hasNext) return Iterator.empty
-    val child = processChild(cmd, keepaliveMs)
+    val child = mkChild()
     child.handshake(options, taskId, nodeId, EdgeBatch, EdgeStream, restoreSnapshot)
     val writer = child.startWriter(
       send => input.foreach(b => sendBatch(send, b)),
       snapshotAtEnd = onSnapshot != null)
-    new Iterator[ProtoPoint] {
-      private var nextPoint: ProtoPoint = advance()
-      private var finished = false
-      private def advance(): ProtoPoint = {
-        while (true) {
-          child.nextResponse() match {
-            case None            => return null
-            case Some(RPoint(p)) => return p
-            case Some(RSnapshot(s)) =>
-              if (onSnapshot == null) child.fail("unsolicited SnapshotResponse")
-              onSnapshot(s)
-            case Some(RError(e)) => child.fail(s"agent error: $e")
-            case Some(_: RBegin) | Some(_: REnd) =>
-              child.fail("batch framing from a STREAM-providing agent")
-            case Some(other) => child.fail(s"unexpected mid-stream $other")
-          }
-        }
-        null // unreachable
-      }
-      private def finish(): Unit = if (!finished) {
-        finished = true
-        child.finish(writer)
-      }
-      override def hasNext: Boolean = {
-        if (nextPoint != null) true
-        else { finish(); false }
-      }
-      override def next(): ProtoPoint = {
-        if (!hasNext) throw new NoSuchElementException("udf agent output exhausted")
-        val p = nextPoint
-        nextPoint = advance()
-        p
-      }
-    }
+    pointOutput(child, writer, onSnapshot,
+      "batch framing from a STREAM-providing agent")
   }
 
   // ------------------------------------------------------ Spark surface

@@ -106,7 +106,11 @@ object BatchAggAgent {
         emit.point(ProtoPoint(
           time = e.tmax, name = e.name, database = "", retentionPolicy = "",
           group = e.group, dimensions = Nil, tags = tags,
-          fieldsDouble = Map("vmax" -> (if (n == 0) 0.0 else vmax)),
+          // guard on the max actually having been fed, not the point
+          // count — a non-empty batch whose points all lack the field
+          // must not leak the -Infinity sentinel downstream
+          fieldsDouble = Map("vmax" ->
+            (if (vmax == Double.NegativeInfinity) 0.0 else vmax)),
           fieldsInt = Map("n" -> n), fieldsString = Map.empty,
           fieldsBool = Map.empty, byName = false))
     }, System.in, System.out)

@@ -809,6 +809,16 @@ class LlmSpec extends SparkSpec {
     // a zero budget keeps nothing (no doc STARTS inside it)
     assert(graft.llm.Mix.tokenBudgetSample(d, "doc_id", "text", "source",
       budgets = Map.empty, defaultBudget = 0L).count() === 0)
+    // review finding: a NULL id hashes to a null bucket — the offsets
+    // join must be null-safe on the bucket too, or the row silently
+    // vanishes under a finite budget
+    val withNull = d.unionByName(
+      Seq((Option.empty[Long], "a", "nul doc here")).toDF("doc_id", "source", "text"))
+    val nsOut = graft.llm.Mix.tokenBudgetSample(withNull, "doc_id", "text", "source",
+      budgets = Map("a" -> 1000L), defaultBudget = -1L)
+      .as[(Option[Long], String, String, Long, Long)].collect()
+    assert(nsOut.count(_._1.isEmpty) === 1) // the null-id row survives
+    assert(nsOut.filter(_._1.isEmpty).forall(_._5 >= 0L)) // with a real tok_start
   }
 
   test("PROPERTY: dedupSpans matches a brute-force span cut on random corpora") {

@@ -94,12 +94,13 @@ class ScrapeSchedulerSpec extends SparkSpec {
         |  bind-address = ":9092"
         |
         |[[static-discovery]]
-        |  enabled = true
-        |  id = "static1"
-        |  targets = ["localhost:9100", "host2:9100"]
+        |  enabled = true  # primary group
+        |  id = "static1"  # annotated, like a real ops config
+        |  targets = ["localhost:9100", "host2:9100"] # scrape both
         |  [static-discovery.labels]
         |    region = "us-east"
         |    tier = "web"
+        |    zone = "a#1"
         |
         |[[static-discovery]]
         |  enabled = false
@@ -119,7 +120,8 @@ class ScrapeSchedulerSpec extends SparkSpec {
     assert(configs === Seq(
       ScrapeScheduler.StaticDiscoveryConfig("static1", enabled = true,
         Seq("localhost:9100", "host2:9100"),
-        Map("region" -> "us-east", "tier" -> "web")),
+        // inline comments stripped quote-aware: the "a#1" hash survives
+        Map("region" -> "us-east", "tier" -> "web", "zone" -> "a#1")),
       ScrapeScheduler.StaticDiscoveryConfig("disabled1", enabled = false,
         Seq("ghost:9100"), Map.empty),
       ScrapeScheduler.StaticDiscoveryConfig("static2", enabled = true,
@@ -134,7 +136,7 @@ class ScrapeSchedulerSpec extends SparkSpec {
       ("static1", "http://host2:9100/metrics"),
       ("static1", "http://localhost:9100/metrics")))
     assert(ts.filter(_.job == "static1").forall(
-      _.labels === Map("region" -> "us-east", "tier" -> "web")))
+      _.labels === Map("region" -> "us-east", "tier" -> "web", "zone" -> "a#1")))
     assert(!ts.exists(_.job == "disabled1"))
     // the rows ride the same schedule grid as any discovery source
     val grid = ScrapeScheduler.schedule(
