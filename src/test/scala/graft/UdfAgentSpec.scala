@@ -171,6 +171,45 @@ class UdfAgentSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("BATCH→STREAM over the unix-socket attachment; field-less batch emits 0.0, not -Infinity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_udf_b2p")
+    val path = dir.resolve("agg.sock")
+    def handler() = new UdfAgent.Handler {
+      override def info(): (Int, Int) = (UdfAgent.Batch, UdfAgent.Stream)
+      private var n = 0L
+      private var vmax = Double.NegativeInfinity
+      private var tags = Map.empty[String, String]
+      override def beginBatch(b: ProtoBeginBatch, emit: UdfAgent.Emit): Unit = {
+        n = 0L; vmax = Double.NegativeInfinity; tags = b.tags
+      }
+      def point(p: ProtoPoint, emit: ProtoPoint => Unit): Unit = {
+        p.fieldsDouble.get("value").foreach(v => if (v > vmax) vmax = v); n += 1
+      }
+      override def endBatch(e: ProtoEndBatch, emit: UdfAgent.Emit): Unit =
+        emit.point(ProtoPoint(e.tmax, e.name, "", "", e.group, Nil, tags,
+          Map("vmax" -> (if (vmax == Double.NegativeInfinity) 0.0 else vmax)),
+          Map("n" -> n), Map.empty, Map.empty, byName = false))
+    }
+    val server = UdfAgent.serveSocket(path, () => handler())
+    try {
+      val batches = Seq(
+        ProtoBatch("cpu", "host=a", Map("host" -> "a"), byName = false, 5000L,
+          (1 to 4).map(i => ProtoPoint(i * 1000L, "", "", "", "host=a", Nil,
+            Map.empty, Map("value" -> i * 1.0),
+            Map.empty, Map.empty, Map.empty, byName = false))),
+        // every point lacks the aggregated field: the max must land as
+        // 0.0, never the -Infinity sentinel line protocol cannot carry
+        ProtoBatch("cpu", "host=b", Map("host" -> "b"), byName = false, 9000L,
+          (1 to 2).map(i => ProtoPoint(i * 1000L, "", "", "", "host=b", Nil,
+            Map.empty, Map.empty,
+            Map("other" -> i.toLong), Map.empty, Map.empty, byName = false))))
+      val out = UdfProto.runSocketBatchToPointsPartition(
+        path.toString, Nil, "t", "n", batches.iterator).toList.sortBy(_.group)
+      assert(out.map(p => (p.group, p.fieldsDouble("vmax"), p.fieldsInt("n"))) ===
+        List(("host=a", 4.0, 4L), ("host=b", 0.0, 2L)))
+    } finally server.close()
+  }
+
   test("unix-socket agent server: partitions dial independent sessions (socket config analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_udf_sock")
     val path = dir.resolve("agent.sock")
