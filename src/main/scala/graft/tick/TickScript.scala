@@ -856,31 +856,8 @@ object TickScript {
     import graft.sources.UdfProto
     val spark = df.sparkSession
     import spark.implicits._
-    require(df.columns.contains(bucketCol),
-      s"@batch-edge UDF needs a windowed chain: no '$bucketCol' column — " +
-        "add |window() before the @udf, or use protobufUdf for stream edges")
-    val pts = typedUdfInput(df, tagCols, inFields, timeCol, measurementCol,
-        extraCols = Seq(col(bucketCol).cast("long").as("_bk")))
-      .as[(Long, String, Map[String, String], Map[String, Double],
-           Map[String, Long], Map[String, String], Map[String, Boolean], Long)]
-    val batches = pts
-      .groupByKey { case (_, n, tg, _, _, _, _, bk) =>
-        (n, bk, tg.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
-      }
-      .mapGroups { (key, it) =>
-        val (n, bk, gstr) = key
-        // time-ordered like the reference's buffered batches; the window
-        // bound caps the buffer
-        val rows = it.toVector.sortBy(_._1)
-        UdfProto.ProtoBatch(
-          name = n, group = gstr,
-          tags = rows.head._3 + ("__bucket_s" -> bk.toString),
-          byName = false, tmax = rows.map(_._1).max,
-          points = rows.map { case (t, _, tg, fd, fi, fs, fb, _) =>
-            UdfProto.ProtoPoint(t, "", "", "", gstr, Nil, tg, fd, fi, fs, fb,
-              byName = false)
-          })
-      }
+    val batches = assembleUdfBatches(df, tagCols, inFields, timeCol,
+      measurementCol, bucketCol)
     val out = UdfProto.pipeBatches(batches, cmd, propsToOptions(props))
       .flatMap(b => b.points.map(p =>
         (b.name, b.tags, p.time, p.tags, p.fieldsDouble, p.fieldsInt,
@@ -896,6 +873,77 @@ object TickScript {
             col("_fi")(f).cast("double")).as(f)) ++
           outFieldsStr.map(f => col("_fs")(f).as(f)) ++
           outFieldsBool.map(f => col("_fb")(f).as(f))): _*)
+  }
+
+  /** Registry entry for a BATCH→STREAM protobuf agent on a windowed
+    * chain — the reference's moving_avg example shape
+    * (udf/agent/examples/moving_avg): each (measurement, window, group)
+    * batch streams to the agent as BeginBatch/Points/EndBatch, and the
+    * agent answers with PLAIN POINTS (no batch framing back), so the
+    * chain continues as a point stream — no bucket column survives, the
+    * same edge change the reference applies when a batch-wants agent
+    * provides a stream. Input assembly is [[protobufBatchUdf]]'s; output
+    * typing follows [[protobufUdf]]. */
+  def protobufBatchToPointsUdf(
+      cmd: Seq[String],
+      tagCols: Seq[String],
+      inFields: Seq[String],
+      outFields: Seq[String],
+      outFieldsStr: Seq[String] = Nil,
+      outFieldsBool: Seq[String] = Nil,
+      timeCol: String = "time",
+      measurementCol: String = "measurement",
+      bucketCol: String = "bucket_s",
+      propsToOptions: Seq[Call] => Seq[(String, Seq[graft.sources.UdfProto.OptVal])] = defaultUdfOptions)
+      : (DataFrame, Seq[Call]) => DataFrame = (df, props) => {
+    import graft.sources.UdfProto
+    val batches = assembleUdfBatches(df, tagCols, inFields, timeCol,
+      measurementCol, bucketCol)
+    val out = UdfProto.pipeBatchesToPoints(batches, cmd, propsToOptions(props)).toDF()
+    out.select(
+      timestamp_micros(expr("time DIV 1000")).as(timeCol) +:
+        col("name").as(measurementCol) +:
+        (tagCols.map(t => col("tags")(t).as(t)) ++
+          outFields.map(f => coalesce(col("fieldsDouble")(f),
+            col("fieldsInt")(f).cast("double")).as(f)) ++
+          outFieldsStr.map(f => col("fieldsString")(f).as(f)) ++
+          outFieldsBool.map(f => col("fieldsBool")(f).as(f))): _*)
+  }
+
+  /** Shared batch assembly for the BATCH-edge binders: rows of a
+    * windowed chain group into one ProtoBatch per (measurement, window
+    * bucket, tag group), time-ordered like the reference's buffered
+    * batches (the window bound caps the buffer); the bucket travels in
+    * the reserved `__bucket_s` batch tag. */
+  private def assembleUdfBatches(
+      df: DataFrame, tagCols: Seq[String], inFields: Seq[String],
+      timeCol: String, measurementCol: String, bucketCol: String)
+      : org.apache.spark.sql.Dataset[graft.sources.UdfProto.ProtoBatch] = {
+    import graft.sources.UdfProto
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(df.columns.contains(bucketCol),
+      s"@batch-edge UDF needs a windowed chain: no '$bucketCol' column — " +
+        "add |window() before the @udf, or use protobufUdf for stream edges")
+    typedUdfInput(df, tagCols, inFields, timeCol, measurementCol,
+        extraCols = Seq(col(bucketCol).cast("long").as("_bk")))
+      .as[(Long, String, Map[String, String], Map[String, Double],
+           Map[String, Long], Map[String, String], Map[String, Boolean], Long)]
+      .groupByKey { case (_, n, tg, _, _, _, _, bk) =>
+        (n, bk, tg.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+      }
+      .mapGroups { (key, it) =>
+        val (n, bk, gstr) = key
+        val rows = it.toVector.sortBy(_._1)
+        UdfProto.ProtoBatch(
+          name = n, group = gstr,
+          tags = rows.head._3 + ("__bucket_s" -> bk.toString),
+          byName = false, tmax = rows.map(_._1).max,
+          points = rows.map { case (t, _, tg, fd, fi, fs, fb, _) =>
+            UdfProto.ProtoPoint(t, "", "", "", gstr, Nil, tg, fd, fi, fs, fb,
+              byName = false)
+          })
+      }
   }
 
   /** Default property→InitRequest.options mapping for [[protobufUdf]]:

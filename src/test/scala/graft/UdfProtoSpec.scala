@@ -803,6 +803,37 @@ class UdfProtoAgentSpec extends SparkSpec {
     assert(e.getMessage.contains("windowed"))
   }
 
+  test("TICKscript windowed |@udf() drives a BATCH→STREAM agent: one point per window") {
+    // the reference's moving_avg shape bound into a script: batches in,
+    // plain points out — the chain continues as a point stream (no
+    // bucket column), one emitted point per (host, window) at tmax
+    import graft.tick.TickScript
+    val rows = for {
+      h <- Seq("a", "b")
+      (t, v) <- Seq((1, 1.0), (3, 5.0), (5, 2.0), (12, 7.0), (14, 4.0))
+    } yield ("cpu", h, new java.sql.Timestamp(t * 1000L),
+      v + (if (h == "b") 10.0 else 0.0))
+    val source = rows.toDF("measurement", "host", "time", "value")
+    val agent = TickScript.protobufBatchToPointsUdf(
+      Seq("java", "-cp", sys.props("java.class.path"), "graft.tools.BatchAggAgent"),
+      tagCols = Seq("host"), inFields = Seq("value"), outFields = Seq("vmax"))
+    val script =
+      """stream
+        ||from().measurement('cpu').groupBy('host')
+        ||window().period(10s).every(10s)
+        ||@bagg().field('value')
+        |""".stripMargin
+    val out = TickScript.compile(script, source, udfs = Map("bagg" -> agent))
+    assert(!out.columns.contains("bucket_s")) // point edge now
+    val got = out.select("host", "time", "vmax")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // per (host, window) maxima at each window's last point time
+    assert(got === Seq(
+      ("a", 5000L, 5.0), ("a", 14000L, 7.0),
+      ("b", 5000L, 15.0), ("b", 14000L, 17.0)))
+  }
+
   test("streaming pipeBatches: batch-edge agents run per micro-batch, output ≡ batch") {
     // pipeBatches is mapPartitions-shaped, so pre-assembled batches (from
     // a windowed stateful stage or foreachBatch) stream through BATCH
