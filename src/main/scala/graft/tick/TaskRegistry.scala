@@ -107,13 +107,30 @@ class TaskRegistry {
     t
   }
 
+  /** The template update path (dao.go template replace): new script,
+    * declared vars recomputed; instantiated tasks keep their old script
+    * until individually redefined, as the reference's load path does. */
+  def redefineTemplate(id: String, script: String): TemplateDef = synchronized {
+    val old = templates.getOrElse(id,
+      throw new NoSuchElementException(s"no template $id"))
+    val parsed = TickScript.parse(script)
+    val t = old.copy(tickscript = script, taskType = deriveType(script),
+      declaredVars = parsed.declared)
+    templates(id) = t
+    t
+  }
+
   /** Instantiate a template as a task with bound vars (Task.TemplateID +
-    * Task.Vars). */
+    * Task.Vars). `dbrps`, when non-empty, overrides the script-header
+    * dbrps — the client.TaskVars shape a load-directory vars file
+    * carries (client.go TaskVars.CreateTaskOptions). */
   def defineFromTemplate(taskId: String, templateId: String,
-      vars: Map[String, Any]): TaskDef = synchronized {
+      vars: Map[String, Any],
+      dbrps: Seq[(String, String)] = Nil): TaskDef = synchronized {
     val tpl = templates.getOrElse(templateId,
       throw new NoSuchElementException(s"no template $templateId"))
-    val t = define(taskId, tpl.tickscript, vars).copy(templateId = Some(templateId))
+    var t = define(taskId, tpl.tickscript, vars).copy(templateId = Some(templateId))
+    if (dbrps.nonEmpty) t = t.copy(dbrps = dbrps)
     tasks(taskId) = t
     t
   }
@@ -162,4 +179,6 @@ class TaskRegistry {
   }
 
   def listTemplates(): Seq[TemplateDef] = synchronized(templates.values.toSeq)
+
+  def getTemplate(id: String): Option[TemplateDef] = synchronized(templates.get(id))
 }

@@ -83,6 +83,44 @@ class TaskRegistrySpec extends SparkSpec {
     assert(b.status === reg.Disabled && b.error.nonEmpty)
   }
 
+  test("LoadDir: the reference's own examples/load tree populates a registry") {
+    // services/load as data: templates, .tick tasks, template-instance
+    // vars files (yaml AND json, typed vars), topic handler specs — the
+    // reference's shipped example directory, verbatim
+    val reg = new TaskRegistry
+    val loaded = graft.tick.LoadDir.load("/root/reference/examples/load", reg)
+    assert(loaded.templateIds.sorted === Seq("base_template", "implicit_template"))
+    assert(loaded.taskIds.sorted ===
+      Seq("another", "base", "cpu_alert", "implicit", "join", "other", "poll_cpu", "post"))
+    // the json vars file decodes identically to the yaml ones
+    val base = reg.get("base").get
+    assert(base.templateId === Some("base_template"))
+    assert(base.dbrps === Seq(("telegraf", "autogen")))
+    assert(base.vars("window") === graft.tick.TickScript.Dur(60.0)) // "1m" typed
+    assert(base.vars("groups") === Seq("host", "dc"))               // typed list
+    assert(base.vars("measurement") === "cpu")
+    assert(base.vars("warn").isInstanceOf[graft.tick.TickScript.Expr]) // lambda source
+    val other = reg.get("other").get // the .json variant
+    assert(other.vars("window") === graft.tick.TickScript.Dur(60.0))
+    // handler specs carry the client.TopicHandlerOptions shape
+    assert(loaded.handlers.map(h => (h.topic, h.id, h.kind, h.matchExpr)).sorted === Seq(
+      ("cpu", "example", "slack", "changed() == TRUE"),
+      ("cpu", "other", "slack", "changed() == TRUE")))
+    assert(loaded.handlers.forall(_.options("channel") == "#alerts"))
+    // a loaded template-instance task ENABLES: typed vars reach compile
+    // (duration → window period, lambda → alert predicate, list → groupBy)
+    val src = Seq(
+      ("cpu", "cpu-total", "h1", "dc1", new java.sql.Timestamp(1000L), 5.0),
+      ("cpu", "cpu-total", "h1", "dc1", new java.sql.Timestamp(2000L), 25.0),
+      ("cpu", "cpu0", "h1", "dc1", new java.sql.Timestamp(3000L), 99.0))
+      .toDF("measurement", "cpu", "host", "dc", "time", "usage_idle")
+    val out = reg.enable("base", src)
+    // mean of the two cpu-total points (15) trips warn (< 30) not crit (< 10)
+    assert(out.count() === 1)
+    assert(out.select("mean").as[Double].head() === 15.0)
+    assert(reg.get("base").get.status === reg.Enabled)
+  }
+
   test("list filters by glob pattern like the list handler") {
     val reg = new TaskRegistry
     Seq("cpu_alert", "cpu_batch", "mem_alert").foreach(id => reg.define(id, script))
