@@ -37,6 +37,79 @@ object AlertTopics {
   def fanOut(events: DataFrame, subscriptions: DataFrame): DataFrame =
     events.join(broadcast(subscriptions), "topic")
 
+  /** Compile a topic-handler MATCH expression — the `match:` line of a
+    * handler spec (client.TopicHandlerOptions, e.g. `changed() == TRUE`)
+    * — into a boolean Column over an alert-event frame, exactly the
+    * reference's newMatchHandler semantics
+    * (services/alert/handlers.go:372-521): the five event functions
+    * `changed()` / `level()` / `name()` / `taskName()` /
+    * `alertDuration()` bind to the given columns, the bare identifiers
+    * OK/INFO/WARNING/CRITICAL are the int64 levels 0-3
+    * (matchIdentifiers), and the rest of the lambda grammar
+    * (AND/OR/comparisons/arithmetic/regex) folds structurally. Unknown
+    * identifiers refuse loudly like the reference's AST walk; unknown
+    * functions refuse at COMPILE time (the reference defers that failure
+    * to per-event evaluation — same outcome, earlier and louder).
+    * `durationS` carries the alert duration at second scale, the repo's
+    * duration-in-expressions convention. */
+  def matchColumn(
+      matchExpr: String,
+      level: org.apache.spark.sql.Column,
+      prevLevel: org.apache.spark.sql.Column,
+      name: org.apache.spark.sql.Column,
+      taskName: org.apache.spark.sql.Column,
+      durationS: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.tick.TickScript
+    import graft.tick.TickScript._
+    import org.apache.spark.sql.Column
+    def fold(e: Expr): Column = e match {
+      case EFn("changed", Nil)       => level =!= prevLevel
+      case EFn("level", Nil)         => level.cast("long")
+      case EFn("name", Nil)          => name
+      case EFn("taskName", Nil)      => taskName
+      case EFn("alertDuration", Nil) => durationS
+      case EFn(f, _) => throw new IllegalArgumentException(
+        s"unknown function '$f' in match expression: $matchExpr")
+      case EVar("OK")       => lit(0L)
+      case EVar("INFO")     => lit(1L)
+      case EVar("WARNING")  => lit(2L)
+      case EVar("CRITICAL") => lit(3L)
+      case EVar(other) => throw new IllegalArgumentException(
+        s"""unknown identifier "$other" in match expression: $matchExpr""")
+      case EField(f) => throw new IllegalArgumentException(
+        s"""match expressions have no field scope (got "$f"): $matchExpr""")
+      case ELit(v) => lit(v)
+      case ENeg(x) => -fold(x)
+      case EBin(op, l, r) => op match {
+        case "AND" => fold(l) && fold(r)
+        case "OR"  => fold(l) || fold(r)
+        case "=="  => fold(l) === fold(r)
+        case "!="  => fold(l) =!= fold(r)
+        case ">"   => fold(l) > fold(r)
+        case ">="  => fold(l) >= fold(r)
+        case "<"   => fold(l) < fold(r)
+        case "<="  => fold(l) <= fold(r)
+        case "=~"  => fold(l).rlike(r match {
+          case ELit(s: String) => s
+          case other => throw new IllegalArgumentException(s"=~ needs a pattern, got $other")
+        })
+        case "!~"  => !fold(l).rlike(r match {
+          case ELit(s: String) => s
+          case other => throw new IllegalArgumentException(s"!~ needs a pattern, got $other")
+        })
+        case "+" => fold(l) + fold(r)
+        case "-" => fold(l) - fold(r)
+        case "*" => fold(l) * fold(r)
+        case "/" => fold(l) / fold(r)
+        case other => throw new IllegalArgumentException(
+          s"unsupported operator '$other' in match expression: $matchExpr")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported match construct $other in: $matchExpr")
+    }
+    fold(TickScript.lambdaExpr(matchExpr))
+  }
+
   /** Suppress candidate events inhibited by an active non-OK inhibitor.
     *
     * @param candidates      events of the inhibited category:

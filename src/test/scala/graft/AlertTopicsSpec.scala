@@ -77,4 +77,30 @@ class AlertTopicsSpec extends SparkSpec {
       .select("name", "handler").as[(String, String)].collect().toSet
     assert(out == Set(("ev1", "slack"), ("ev1", "pagerduty"), ("ev2", "log")))
   }
+
+  test("handler match expressions filter events like the reference's newMatchHandler") {
+    // services/alert/handlers.go:372-521: changed()/level()/name()/
+    // taskName()/alertDuration() + OK/INFO/WARNING/CRITICAL identifiers
+    val ev = Seq(
+      ("cpu", 3, 0, "cpu", "t1", 10.0),  // changed, CRITICAL
+      ("cpu", 2, 2, "cpu", "t1", 300.0), // unchanged WARNING, 5m in
+      ("cpu", 0, 3, "mem", "t2", 0.0))   // recovery to OK
+      .toDF("topic", "level", "prev_level", "name", "task", "dur_s")
+    def m(s: String) = AlertTopics.matchColumn(s, col("level"), col("prev_level"),
+      col("name"), col("task"), col("dur_s"))
+    assert(ev.filter(m("changed() == TRUE")).count() === 2)
+    assert(ev.filter(m("level() == CRITICAL")).count() === 1)
+    assert(ev.filter(m("level() >= WARNING AND name() == 'cpu'")).count() === 2)
+    assert(ev.filter(m("changed() == TRUE AND level() == OK")).count() === 1)
+    assert(ev.filter(m("alertDuration() > 60.0")).count() === 1)
+    assert(ev.filter(m("taskName() =~ 't[0-9]'")).count() === 3)
+    // reference parity on refusals: unknown identifier (the AST walk) and
+    // unknown function (we refuse at compile, the reference at eval)
+    intercept[IllegalArgumentException](m("UNKNOWN == 1"))
+    intercept[IllegalArgumentException](m("bogus() == TRUE"))
+    // a LoadDir handler spec's match line binds directly
+    val reg = new graft.tick.TaskRegistry
+    val loaded = graft.tick.LoadDir.load("/root/reference/examples/load", reg)
+    assert(ev.filter(m(loaded.handlers.head.matchExpr)).count() === 2)
+  }
 }
