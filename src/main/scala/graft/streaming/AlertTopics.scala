@@ -46,10 +46,16 @@ object AlertTopics {
     * `alertDuration()` bind to the given columns, the bare identifiers
     * OK/INFO/WARNING/CRITICAL are the int64 levels 0-3
     * (matchIdentifiers), and the rest of the lambda grammar
-    * (AND/OR/comparisons/arithmetic/regex) folds structurally. Unknown
-    * identifiers refuse loudly like the reference's AST walk; unknown
-    * functions refuse at COMPILE time (the reference defers that failure
-    * to per-event evaluation — same outcome, earlier and louder).
+    * (AND/OR/comparisons/arithmetic/regex) compiles through the shared
+    * expression compiler ([[graft.tick.TickScript.exprToColumn]]) after
+    * leaf substitution, so the operator semantics cannot drift from the
+    * lambda language. Unknown identifiers refuse loudly like the
+    * reference's AST walk; a known function with arguments gets the
+    * reference's "takes no arguments" error; unknown functions refuse at
+    * COMPILE time (the reference defers that failure to per-event
+    * evaluation — same outcome, earlier and louder). An EMPTY match line
+    * is match-all — the reference only wraps a handler in
+    * newMatchHandler when `spec.Match != ""` (service.go:1119).
     * `durationS` carries the alert duration at second scale, the repo's
     * duration-in-expressions convention. */
   def matchColumn(
@@ -62,52 +68,28 @@ object AlertTopics {
     import graft.tick.TickScript
     import graft.tick.TickScript._
     import org.apache.spark.sql.Column
-    def fold(e: Expr): Column = e match {
-      case EFn("changed", Nil)       => level =!= prevLevel
-      case EFn("level", Nil)         => level.cast("long")
-      case EFn("name", Nil)          => name
-      case EFn("taskName", Nil)      => taskName
-      case EFn("alertDuration", Nil) => durationS
+    if (matchExpr.trim.isEmpty) return lit(true)
+    val fns: Map[String, Column] = Map(
+      "changed" -> (level =!= prevLevel), "level" -> level.cast("long"),
+      "name" -> name, "taskName" -> taskName, "alertDuration" -> durationS)
+    val ids: Map[String, Long] =
+      Map("OK" -> 0L, "INFO" -> 1L, "WARNING" -> 2L, "CRITICAL" -> 3L)
+    def subst(e: Expr): Expr = e match {
+      case EFn(f, Nil) if fns.contains(f) => ELit(fns(f))
+      case EFn(f, _) if fns.contains(f) => throw new IllegalArgumentException(
+        s"$f takes no arguments")
       case EFn(f, _) => throw new IllegalArgumentException(
         s"unknown function '$f' in match expression: $matchExpr")
-      case EVar("OK")       => lit(0L)
-      case EVar("INFO")     => lit(1L)
-      case EVar("WARNING")  => lit(2L)
-      case EVar("CRITICAL") => lit(3L)
+      case EVar(v) if ids.contains(v) => ELit(ids(v))
       case EVar(other) => throw new IllegalArgumentException(
         s"""unknown identifier "$other" in match expression: $matchExpr""")
       case EField(f) => throw new IllegalArgumentException(
         s"""match expressions have no field scope (got "$f"): $matchExpr""")
-      case ELit(v) => lit(v)
-      case ENeg(x) => -fold(x)
-      case EBin(op, l, r) => op match {
-        case "AND" => fold(l) && fold(r)
-        case "OR"  => fold(l) || fold(r)
-        case "=="  => fold(l) === fold(r)
-        case "!="  => fold(l) =!= fold(r)
-        case ">"   => fold(l) > fold(r)
-        case ">="  => fold(l) >= fold(r)
-        case "<"   => fold(l) < fold(r)
-        case "<="  => fold(l) <= fold(r)
-        case "=~"  => fold(l).rlike(r match {
-          case ELit(s: String) => s
-          case other => throw new IllegalArgumentException(s"=~ needs a pattern, got $other")
-        })
-        case "!~"  => !fold(l).rlike(r match {
-          case ELit(s: String) => s
-          case other => throw new IllegalArgumentException(s"!~ needs a pattern, got $other")
-        })
-        case "+" => fold(l) + fold(r)
-        case "-" => fold(l) - fold(r)
-        case "*" => fold(l) * fold(r)
-        case "/" => fold(l) / fold(r)
-        case other => throw new IllegalArgumentException(
-          s"unsupported operator '$other' in match expression: $matchExpr")
-      }
-      case other => throw new IllegalArgumentException(
-        s"unsupported match construct $other in: $matchExpr")
+      case EBin(op, l, r) => EBin(op, subst(l), subst(r))
+      case ENeg(x) => ENeg(subst(x))
+      case other => other
     }
-    fold(TickScript.lambdaExpr(matchExpr))
+    TickScript.exprToColumn(subst(TickScript.lambdaExpr(matchExpr)))
   }
 
   /** Suppress candidate events inhibited by an active non-OK inhibitor.

@@ -22,8 +22,9 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * Load order matches the reference's load(): templates, then .tick
   * tasks, then template-instance vars files, then handlers — so a vars
   * file can always see its template. Create-or-update: an existing
-  * task/template is replaced (the reference's update branch; only the
-  * created-timestamp bookkeeping differs).
+  * task/template is replaced IN PLACE — status and created-timestamp
+  * preserved, and a failed validation leaves the old definition intact
+  * (the reference's UpdateTask branch).
   *
   * Typed vars decode through the REAL script grammar: a duration value
   * `"1m"` or a lambda source `"\"mean\" < 30.0"` is parsed exactly as
@@ -78,8 +79,11 @@ object LoadDir {
   /** One client.Var `{"type": t, "value": v}` (client.go Vars — the
     * typed template-var wire shape). */
   private[tick] def decodeVar(node: JsonNode): Any = {
-    val tpe = node.get("type").asText
+    val tpeNode = node.get("type")
+    require(tpeNode != null, s"var entry missing 'type': $node")
+    val tpe = tpeNode.asText
     val v = node.get("value")
+    require(v != null, s"var entry missing 'value': $node")
     tpe match {
       case "string" | "regex" => v.asText
       case "int"              => v.asLong
@@ -128,8 +132,12 @@ object LoadDir {
         import scala.jdk.CollectionConverters._
         vs.fields().asScala.map(e => e.getKey -> decodeVar(e.getValue)).toMap
       }.getOrElse(Map.empty[String, Any])
-      if (registry.get(id).isDefined) registry.delete(id)
-      registry.defineFromTemplate(id, tplId, vars, dbrps.toSeq)
+      // create-or-update, status-preserving like the .tick branch (the
+      // reference's UpdateTask path); a failed validation leaves the
+      // previously loaded task intact
+      if (registry.get(id).isDefined)
+        registry.redefineFromTemplate(id, tplId, vars, dbrps.toSeq)
+      else registry.defineFromTemplate(id, tplId, vars, dbrps.toSeq)
       id
     }
     val handlers = files(base.resolve("handlers"), Seq(".yaml", ".yml", ".json")).map { p =>

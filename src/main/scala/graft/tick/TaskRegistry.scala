@@ -135,6 +135,21 @@ class TaskRegistry {
     t
   }
 
+  /** The template-instance UPDATE path (the reference load service's
+    * UpdateTask branch for vars files, load/service.go:448-466):
+    * status/created bookkeeping preserved, and the old task survives a
+    * failed validation intact — [[redefine]] validates before mutating. */
+  def redefineFromTemplate(taskId: String, templateId: String,
+      vars: Map[String, Any],
+      dbrps: Seq[(String, String)] = Nil): TaskDef = synchronized {
+    val tpl = templates.getOrElse(templateId,
+      throw new NoSuchElementException(s"no template $templateId"))
+    var t = redefine(taskId, tpl.tickscript, vars).copy(templateId = Some(templateId))
+    if (dbrps.nonEmpty) t = t.copy(dbrps = dbrps)
+    tasks(taskId) = t
+    t
+  }
+
   /** Compile the task against `source` and mark it enabled. A compile
     * failure is recorded on the task (Error field), the task stays
     * disabled, and the failure rethrows — the reference's

@@ -781,7 +781,18 @@ object TickScript {
       .map { case (t, n, tg, fd, fi, fs, fb) =>
         UdfProto.ProtoPoint(t, n, "", "", "", Nil, tg, fd, fi, fs, fb, byName = false)
       }
-    val out = pipe(pts, propsToOptions(props)).toDF()
+    protoPointsFrame(pipe(pts, propsToOptions(props)).toDF(),
+      tagCols, outFields, outFieldsStr, outFieldsBool, timeCol, measurementCol)
+  }
+
+  /** Shared output projection for the point-producing protobuf binders:
+    * a ProtoPoint frame back to chain columns, each output field typed
+    * by its list (numeric outFields coalesce double|int; string/bool by
+    * name). */
+  private def protoPointsFrame(
+      out: DataFrame, tagCols: Seq[String], outFields: Seq[String],
+      outFieldsStr: Seq[String], outFieldsBool: Seq[String],
+      timeCol: String, measurementCol: String): DataFrame =
     out.select(
       timestamp_micros(expr("time DIV 1000")).as(timeCol) +:
         col("name").as(measurementCol) +:
@@ -790,7 +801,6 @@ object TickScript {
             col("fieldsInt")(f).cast("double")).as(f)) ++
           outFieldsStr.map(f => col("fieldsString")(f).as(f)) ++
           outFieldsBool.map(f => col("fieldsBool")(f).as(f))): _*)
-  }
 
   /** Shared typed-maps projection for the protobuf UDF builders: the
     * frame reduced to (_t ns, _n measurement, _tg tags, _fd/_fi/_fs/_fb
@@ -899,15 +909,9 @@ object TickScript {
     import graft.sources.UdfProto
     val batches = assembleUdfBatches(df, tagCols, inFields, timeCol,
       measurementCol, bucketCol)
-    val out = UdfProto.pipeBatchesToPoints(batches, cmd, propsToOptions(props)).toDF()
-    out.select(
-      timestamp_micros(expr("time DIV 1000")).as(timeCol) +:
-        col("name").as(measurementCol) +:
-        (tagCols.map(t => col("tags")(t).as(t)) ++
-          outFields.map(f => coalesce(col("fieldsDouble")(f),
-            col("fieldsInt")(f).cast("double")).as(f)) ++
-          outFieldsStr.map(f => col("fieldsString")(f).as(f)) ++
-          outFieldsBool.map(f => col("fieldsBool")(f).as(f))): _*)
+    protoPointsFrame(
+      UdfProto.pipeBatchesToPoints(batches, cmd, propsToOptions(props)).toDF(),
+      tagCols, outFields, outFieldsStr, outFieldsBool, timeCol, measurementCol)
   }
 
   /** Shared batch assembly for the BATCH-edge binders: rows of a

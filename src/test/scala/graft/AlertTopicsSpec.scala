@@ -94,10 +94,16 @@ class AlertTopicsSpec extends SparkSpec {
     assert(ev.filter(m("changed() == TRUE AND level() == OK")).count() === 1)
     assert(ev.filter(m("alertDuration() > 60.0")).count() === 1)
     assert(ev.filter(m("taskName() =~ 't[0-9]'")).count() === 3)
-    // reference parity on refusals: unknown identifier (the AST walk) and
-    // unknown function (we refuse at compile, the reference at eval)
+    // an absent/empty match line is match-all (the reference only wraps
+    // in newMatchHandler when spec.Match != "")
+    assert(ev.filter(m("")).count() === 3)
+    // reference parity on refusals: unknown identifier (the AST walk),
+    // unknown function (we refuse at compile, the reference at eval),
+    // and a known function with arguments gets the reference's error
     intercept[IllegalArgumentException](m("UNKNOWN == 1"))
     intercept[IllegalArgumentException](m("bogus() == TRUE"))
+    val eArgs = intercept[IllegalArgumentException](m("changed(1) == TRUE"))
+    assert(eArgs.getMessage.contains("changed takes no arguments"))
     // a LoadDir handler spec's match line binds directly
     val reg = new graft.tick.TaskRegistry
     val loaded = graft.tick.LoadDir.load("/root/reference/examples/load", reg)

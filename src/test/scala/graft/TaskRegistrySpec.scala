@@ -119,6 +119,11 @@ class TaskRegistrySpec extends SparkSpec {
     assert(out.count() === 1)
     assert(out.select("mean").as[Double].head() === 15.0)
     assert(reg.get("base").get.status === reg.Enabled)
+    // a RE-load is the reference's update branch: status preserved for
+    // both .tick tasks and template-instance vars files
+    graft.tick.LoadDir.load("/root/reference/examples/load", reg)
+    assert(reg.get("base").get.status === reg.Enabled)
+    assert(reg.get("base").get.templateId === Some("base_template"))
   }
 
   test("list filters by glob pattern like the list handler") {
