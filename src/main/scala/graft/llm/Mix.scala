@@ -182,8 +182,11 @@ object Mix {
       // null-safe on BOTH keys: a null domain is one group (as it was
       // under partitionBy(domain)), and a null id hashes to a null
       // bucket — `===` there would miss the offsets row and silently
-      // drop the row under a finite budget
-      .join(broadcast(offsets),
+      // drop the row under a finite budget.
+      // No broadcast hint: offsets is |domains|×256 rows, tiny for the
+      // documented 5-100 huge-domain shape but unbounded for
+      // many-small-domain corpora — let AQE pick the join strategy.
+      .join(offsets,
         col(domainCol) <=> col("__d") && col("__bk") <=> col("__b"), "left")
       .withColumn("tok_start", col("__off") + coalesce(
         sum(col("n_tok")).over(wRun) - col("n_tok"), lit(0L)))

@@ -137,7 +137,11 @@ object ScrapeScheduler {
         val v = vRaw.drop(1).trim
         if (inLabels) cur = cur.copy(labels = cur.labels + (key -> unquote(v)))
         else key match {
-          case "enabled" => cur = cur.copy(enabled = v.startsWith("true"))
+          case "enabled" =>
+            // TOML booleans are exactly `true`/`false` — reject anything else
+            require(v == "true" || v == "false",
+              s"static-discovery: enabled must be true or false, got '$v'")
+            cur = cur.copy(enabled = v == "true")
           case "id"      => cur = cur.copy(id = unquote(v))
           case "targets" =>
             val inner = v.stripPrefix("[").stripSuffix("]")

@@ -92,7 +92,10 @@ object LoadDir {
       case "star"             => "*"
       case "duration" =>
         // the client marshals durations as strings ("1m"); an int64 is
-        // the raw nanosecond form
+        // the raw nanosecond form. The nanos→Double-seconds conversion
+        // follows the repo-wide Double-seconds convention and loses
+        // sub-nanosecond fidelity for durations ≥ ~2^53 ns (~104 days);
+        // exact nanos aren't load-bearing anywhere downstream.
         if (v.isNumber) TickScript.Dur(v.asLong / 1e9)
         else parseScriptValue(v.asText)
       case "lambda" => parseScriptValue("lambda: " + v.asText)

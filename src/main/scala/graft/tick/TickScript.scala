@@ -873,10 +873,19 @@ object TickScript {
         (b.name, b.tags, p.time, p.tags, p.fieldsDouble, p.fieldsInt,
           p.fieldsString, p.fieldsBool)))
       .toDF("_n", "_btags", "_t", "_ptags", "_fd", "_fi", "_fs", "_fb")
+    // Agents must echo Begin/End batch meta (including the synthetic
+    // __bucket_s tag); an agent that rewrites batch tags would otherwise
+    // yield a silently-null bucket column downstream — fail loudly instead.
+    val bucketBack = when(element_at(col("_btags"), "__bucket_s").isNull,
+      raise_error(concat(
+        lit("protobufBatchUdf: agent response lost the __bucket_s batch tag "
+          + "(measurement="), col("_n"),
+        lit("); agents must echo BeginBatch/EndBatch meta tags"))))
+      .otherwise(element_at(col("_btags"), "__bucket_s").cast("long"))
     out.select(
       timestamp_micros(expr("_t DIV 1000")).as(timeCol) +:
         col("_n").as(measurementCol) +:
-        element_at(col("_btags"), "__bucket_s").cast("long").as(bucketCol) +:
+        bucketBack.as(bucketCol) +:
         (tagCols.map(t => coalesce(
           element_at(col("_ptags"), t), element_at(col("_btags"), t)).as(t)) ++
           outFields.map(f => coalesce(col("_fd")(f),
