@@ -123,4 +123,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"schedule grid shuffles:\n${p.take(1200)}")
     assert(p.contains("Generate"), "tick grid not produced by a generator")
   }
+
+  test("FluxSchedule.fireTimes expands per task with no shuffle") {
+    import spark.implicits._
+    val defs = (0 until 100).map(i => graft.tick.FluxSchedule.FluxTaskDef(
+      i.toLong,
+      if (i % 2 == 0) s"@every ${60 * (1 + i % 4)}s" else "*/15 * * * * *",
+      i % 3, 1000L + i)).toDS()
+    val p = plan(graft.tick.FluxSchedule.fireTimes(defs, 86400L))
+    assert(!p.contains("Exchange"), s"fire-time expansion shuffles:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "@every fires not produced by a generator")
+  }
 }
