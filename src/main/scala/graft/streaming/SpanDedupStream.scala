@@ -35,6 +35,20 @@ object SpanDedupStream {
   case class BadPos(docId: Long, pos: Int)
   case class GramState(keep: Long)
 
+  /** Flag every (docId, pos) whose gram was already claimed by another
+    * document.
+    *
+    * ARRIVAL-ORDER CONTRACT: the registry awards each gram to its FIRST
+    * arrival (ties inside one micro-batch break by doc id). Only when
+    * documents arrive in ascending doc-id order does this reproduce the
+    * batch aggregate's min-id rule ([[graft.llm.Dedup.spanBadPositions]]
+    * keeps the SMALLEST doc id). Under out-of-order arrival the result
+    * is still a valid keep-one — exactly one copy of every duplicated
+    * span survives unflagged — but the survivor is the earliest
+    * ARRIVAL, not the minimum id, so positions flagged by streaming and
+    * batch can differ (StreamingParitySpec pins both behaviors). Callers
+    * needing batch-identical output under disorder should buffer to
+    * id order per window before feeding the stream. */
   def badPositions(occ: Dataset[GramOcc]): Dataset[BadPos] = {
     val spark = occ.sparkSession
     import spark.implicits._

@@ -277,6 +277,47 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("span dedup out-of-order arrival: a valid keep-one, NOT the batch min-id rule") {
+    // the documented arrival-order contract (SpanDedupStream.badPositions):
+    // streaming awards a gram to its FIRST arrival, so feeding doc 7 before
+    // docs 1 and 4 flags THEIR boilerplate instead of doc 7's — exactly one
+    // copy still survives per gram, but it is not the min-id survivor
+    implicit val ctx = spark.sqlContext
+    val boiler = "all rights reserved contact the site admin for license terms"
+    val docs = Seq(
+      (1L, s"alpha body with its own words here today $boiler"),
+      (4L, s"totally different second body text goes right here now $boiler"),
+      (7L, s"$boiler and then some trailing content of its very own"))
+      .toDF("doc_id", "text")
+    val batch = graft.llm.Dedup.spanBadPositions(docs, "doc_id", "text", n = 8)
+      .select($"doc_id", explode($"badPos").as("pos"))
+      .as[(Long, Int)].collect().toSet
+    val occ = graft.llm.Decontaminate.positionalGrams(docs, "doc_id", "text", 8)
+      .select($"doc_id".as("docId"), $"pos", $"gram")
+      .as[graft.streaming.SpanDedupStream.GramOcc].collect().toSeq
+    val ms = MemoryStream[graft.streaming.SpanDedupStream.GramOcc]
+    val q = graft.streaming.SpanDedupStream.badPositions(ms.toDS())
+      .writeStream.format("memory").queryName("sd_ooo").outputMode("update").start()
+    try {
+      val (late, early) = occ.partition(_.docId == 7L)
+      ms.addData(late) // doc 7 arrives FIRST and claims the boilerplate
+      q.processAllAvailable()
+      ms.addData(early)
+      q.processAllAvailable()
+      val streamed = spark.table("sd_ooo")
+        .select($"docId", $"pos").as[(Long, Int)].collect().toSet
+      // not the min-id outcome (batch flags doc 7's copy, keeping doc 1's)
+      assert(batch.exists(_._1 == 7L) && !streamed.exists(_._1 == 7L))
+      assert(streamed !== batch)
+      // but still a valid keep-one: docs 1 and 4 are flagged on the
+      // boilerplate span, doc 7 (the first arrival) survives unflagged
+      assert(streamed.map(_._1) === Set(1L, 4L))
+      // same number of flags either way: each non-survivor copy of the
+      // 10-word boilerplate carries the same 3 pure-boilerplate grams
+      assert(streamed.size === batch.size)
+    } finally q.stop()
+  }
+
   test("decontamination over a document stream ≡ the batch operator (stream-static join)") {
     // the benchmark side is static by nature; the corpus side streams —
     // Decontaminate's plan (explode → broadcast join → per-pair agg) runs
