@@ -127,6 +127,22 @@ object Bench {
         }.toMap
         (sl, sl.collect { case (n, r) if r > 15.0 && small(n) > 0.05 => n }.toSeq.sorted)
       }
+    // Post-suite isolated re-measure of the most expensive queries: the
+    // 100+-query suite inflates its heaviest entries (JIT/codegen cache
+    // thrash + ContextCleaner lag — q_pipeline_curate has read 7.4 s in
+    // suite vs 3.6-3.9 s isolated across rounds). Re-timing the top
+    // queries alone at the end, same session, puts the steady-state
+    // number IN the artifact instead of only in ad-hoc dev runs, so a
+    // suite-reading jump can be adjudicated against the same round's
+    // isolated number directly.
+    val isolated: Map[String, Double] =
+      if (names.nonEmpty) Map.empty
+      else {
+        val top = results.sortBy(-_._2).take(3).map(_._1)
+        val lookup = selected.toMap
+        runSuite(spark, top.map(n => n -> lookup(n)), sfDir, repeat = 5,
+          verbose = true).toMap
+      }
     def jnum(v: Double): String = f"$v%.4f"
     // stdout stays the driver's ONE-line contract, but compact (4-decimal
     // times) so the driver's bounded tail capture never truncates the
@@ -145,11 +161,15 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val isoJson = isolated.toSeq.sorted
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_times.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs,"slopes":$slopesJson,"slope_flags":$flagsJson}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs,"isolated":$isoJson,"slopes":$slopesJson,"slope_flags":$flagsJson}""")
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"slope_flags":$flagsJson,"sf":"$sfDir"}""")
+    val isoOut = isolated.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"isolated":$isoOut,"slope_flags":$flagsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * ([[aviKeyframeLuminance]]). Codec'd streams (H.264/… — the JDK ships
   * no video codec) carry a NULL feature, never a fabricated one;
   * [[decodeStub]] remains the explicitly-fake decoder for pipeline-shape
-  * tests.
+  * tests. The null-for-codec'd-video stance is PERMANENT policy under the
+  * zero-dependency constraint: every MP4 video track is codec'd (MJPEG-
+  *in-MP4 does not occur in practice — MJPEG ships in AVI, which is
+  * handled), so no pure-JVM MP4 keyframe path exists to add; a
+  * deployment wanting real H.264 features plugs a decoder into the
+  * [[decodeReal]] seam rather than changing this module.
   *
   * Scale posture: all transforms are `mapPartitions`-shaped (one JVM-local
   * pass, no shuffle); heavy payloads should be read with a small

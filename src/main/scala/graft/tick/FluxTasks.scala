@@ -339,7 +339,8 @@ object FluxTasks {
   final class FluxExecutor(
       service: FluxTaskService,
       runQuery: QueryRunner,
-      clock: () => Long) {
+      clock: () => Long,
+      onRunFinished: Run => Unit = _ => ()) {
 
     /** executor.go:180 Execute / :237 createRun + worker. */
     def execute(taskId: Long, scheduledForS: Long, runAtS: Long): Run = {
@@ -390,7 +391,11 @@ object FluxTasks {
       service.addRunLog(taskId, runId, clock(), s"Completed(${status})")
       service.updateRunState(taskId, runId, clock(), status)
       errMsg.foreach(m => service.addRunLog(taskId, runId, clock(), m))
-      service.finishRun(taskId, runId)
+      val finished = service.finishRun(taskId, runId)
+      // the AnalyticalStorage seam (analytical_storage.go:154-160):
+      // FinishRun also records the run into the analytical store
+      onRunFinished(finished)
+      finished
     }
   }
 
@@ -472,10 +477,11 @@ object FluxTasks {
   final class FluxTaskSystem(
       val clock: () => Long,
       runQuery: QueryRunner,
-      onErr: (Long, Long, String) => Unit = (_, _, _) => ()) {
+      onErr: (Long, Long, String) => Unit = (_, _, _) => (),
+      onRunFinished: Run => Unit = _ => ()) {
 
     val service = new FluxTaskService(clock)
-    val executor = new FluxExecutor(service, runQuery, clock)
+    val executor = new FluxExecutor(service, runQuery, clock, onRunFinished)
     val scheduler = new FluxScheduler(
       (id, sf, ra) => { executor.execute(id, sf, ra); () },
       (id, t) => service.updateLastScheduled(id, t),
