@@ -332,6 +332,42 @@ object FluxTasks {
     * [[FluxExecutor.executeRun]]). */
   type QueryRunner = (Task, Long) => Either[String, Unit]
 
+  /** executor.go:33 LimitFunc: None = run may proceed, Some(msg) = the
+    * limit is reached (msg is the reference's error text). */
+  type LimitFunc = (Task, Run) => Option[String]
+
+  val noLimit: LimitFunc = (_, _) => None
+
+  /** executor/limits.go:13-52 ConcurrencyLimit: rank the task's
+    * currently-running runs by scheduledFor (stable — older first); a
+    * run whose rank is at or past the task's concurrency is rejected
+    * with the runs-in-front count, as is a run not yet in the list when
+    * the list already exceeds the limit. `concurrencyOf` extracts the
+    * task's declared concurrency (the reference parses it from the Flux
+    * options; None = unlimited). */
+  def concurrencyLimit(
+      service: FluxTaskService,
+      concurrencyOf: Task => Option[Int]): LimitFunc = (t, r) =>
+    concurrencyOf(t).flatMap { limit =>
+      val runs = service.currentlyRunning(t.id).sortBy(_.scheduledForS)
+      def err(inFront: Int) = Some(
+        s"could not execute task, concurrency limit reached, runs in front: $inFront")
+      if (runs.length <= limit) None
+      else runs.indexWhere(_.id == r.id) match {
+        case i if i >= limit => err(i - limit)
+        case i if i >= 0 => None
+        case _ => err(runs.length - limit)
+      }
+    }
+
+  /** Raised by [[FluxExecutor.executeRun]] when the limit blocks a run:
+    * the run stays in the running set with the "Task limit reached" log
+    * line, resumable once capacity frees (the reference worker instead
+    * sleeps and re-checks every second — a deterministic engine surfaces
+    * the block to the caller, executor.go:367-385). */
+  class RunLimited(val taskId: Long, val runId: Long, msg: String)
+      extends IllegalStateException(msg)
+
   /** task/backend/executor/executor.go — the run FSM, synchronous.
     * Each execute() drives one run through
     * scheduled → started → success|failed and finishes it, emitting the
@@ -340,7 +376,8 @@ object FluxTasks {
       service: FluxTaskService,
       runQuery: QueryRunner,
       clock: () => Long,
-      onRunFinished: Run => Unit = _ => ()) {
+      onRunFinished: Run => Unit = _ => (),
+      limit: LimitFunc = noLimit) {
 
     /** executor.go:180 Execute / :237 createRun + worker. */
     def execute(taskId: Long, scheduledForS: Long, runAtS: Long): Run = {
@@ -374,6 +411,12 @@ object FluxTasks {
 
     private def executeRun(taskId: Long, runId: Long): Run = {
       val task = service.findTaskByID(taskId)
+      // the worker's limit check (executor.go:367-385): a blocked run
+      // logs the limit error and stays current, resumable later
+      limit(task, service.findRunByID(taskId, runId)).foreach { msg =>
+        service.addRunLog(taskId, runId, clock(), s"Task limit reached: $msg")
+        throw new RunLimited(taskId, runId, msg)
+      }
       // worker.start (executor.go:401-414)
       service.addRunLog(taskId, runId, clock(),
         s"""Started task from script: "${task.flux}"""")
@@ -478,10 +521,12 @@ object FluxTasks {
       val clock: () => Long,
       runQuery: QueryRunner,
       onErr: (Long, Long, String) => Unit = (_, _, _) => (),
-      onRunFinished: Run => Unit = _ => ()) {
+      onRunFinished: Run => Unit = _ => (),
+      concurrencyOf: Task => Option[Int] = _ => None) {
 
     val service = new FluxTaskService(clock)
-    val executor = new FluxExecutor(service, runQuery, clock, onRunFinished)
+    val executor = new FluxExecutor(service, runQuery, clock, onRunFinished,
+      concurrencyLimit(service, concurrencyOf))
     val scheduler = new FluxScheduler(
       (id, sf, ra) => { executor.execute(id, sf, ra); () },
       (id, t) => service.updateLastScheduled(id, t),

@@ -339,6 +339,52 @@ class FluxTaskSpec extends AnyFunSuite {
     intercept[TaskNotFound] { sys.service.findTaskByID(t2.id) }
   }
 
+  test("concurrency limit ranks runs by scheduledFor (executor limits_test.go:16)") {
+    val service = new FluxTaskService(() => 1000L)
+    val t1 = service.createTask(TaskCreate(name = "c1", flux = "f", every = "1s"))
+    val r1 = service.createRun(t1.id, 100L, 104L)
+    val r2 = service.createRun(t1.id, 101L, 104L)
+    val r3 = service.createRun(t1.id, 102L, 104L)
+    val r4 = Run(999L, t1.id, RunStatus.Scheduled, 104L, 104L) // not saved
+    val cl1 = concurrencyLimit(service, _ => Some(1))
+    assert(cl1(t1, r1).isEmpty, "oldest run proceeds")
+    assert(cl1(t1, r2) === Some(
+      "could not execute task, concurrency limit reached, runs in front: 0"))
+    assert(cl1(t1, r3) === Some(
+      "could not execute task, concurrency limit reached, runs in front: 1"))
+    assert(cl1(t1, r4) === Some(
+      "could not execute task, concurrency limit reached, runs in front: 2"))
+    val cl10 = concurrencyLimit(service, _ => Some(10))
+    assert(cl10(t1, r4).isEmpty, "under the limit passes even unsaved")
+    assert(concurrencyLimit(service, _ => None)(t1, r2).isEmpty, "no declared limit")
+    // exactly at the limit is allowed (len > limit is the trip condition)
+    val t2 = service.createTask(TaskCreate(name = "c2", flux = "f", every = "1s"))
+    val s1 = service.createRun(t2.id, 100L, 100L)
+    assert(concurrencyLimit(service, _ => Some(1))(t2, s1).isEmpty)
+  }
+
+  test("a limited run blocks with the limit log line and stays resumable") {
+    var now = 1000L
+    val sys = new FluxTaskSystem(() => now, (_, _) => Right(()),
+      concurrencyOf = _ => Some(1))
+    val t = sys.createTask(TaskCreate(name = "n", flux = "fx", every = "1m"))
+    // a stuck older run occupies the slot
+    val stuck = sys.service.createRun(t.id, 50L, 50L)
+    val blocked = intercept[RunLimited] { sys.executor.execute(t.id, 60L, 60L) }
+    val cur = sys.service.currentlyRunning(t.id)
+    assert(cur.length === 2, "blocked run stays current")
+    val br = cur.find(_.id == blocked.runId).get
+    assert(br.status === RunStatus.Scheduled)
+    assert(br.logs.map(_.message) === Vector(
+      "Task limit reached: could not execute task, concurrency limit reached, runs in front: 0"))
+    // capacity frees → the blocked run resumes to completion
+    sys.service.updateRunState(t.id, stuck.id, now, RunStatus.Success)
+    sys.service.finishRun(t.id, stuck.id)
+    val done = sys.executor.resumeCurrentRun(t.id, blocked.runId)
+    assert(done.status === RunStatus.Success)
+    assert(sys.service.currentlyRunning(t.id).isEmpty)
+  }
+
   test("end-to-end: scheduled runs update the task through the whole stack") {
     var now = 1000L
     val outcomes = scala.collection.mutable.ArrayBuffer[Long]()
