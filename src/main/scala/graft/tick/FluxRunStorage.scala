@@ -133,17 +133,30 @@ object FluxRunStorage {
     /** The recorded history as points (feed to sinks / parquet). */
     def points: Seq[LineProtocol.LinePoint] = recorded.toSeq
 
-    /** analytical_storage.go:194-308 FindRuns: live kv runs first, then
+    /** analytical_storage.go:194-308 FindRuns: the kv runs (manual
+      * queue + running set, via the service's filter laws) first, then
       * recorded history for the task sorted scheduledFor-desc, limited;
-      * completed runs shadow their stale live entries (combineRuns). */
-    def findRuns(taskId: Long, limit: Int = 100): Seq[FluxTasks.Run] = {
+      * completed runs shadow their stale live entries (combineRuns).
+      * Time bounds are strict (after, before); unlike the kv default,
+      * `before` here defaults to unbounded — the analytical side's
+      * window is the store's retention, not the wall clock. */
+    def findRuns(
+        taskId: Long,
+        limit: Int = 100,
+        afterTimeS: Option[Long] = None,
+        beforeTimeS: Option[Long] = None): Seq[FluxTasks.Run] = {
       require(limit > 0 && limit <= 500, "limit out of bounds") // taskmodel page laws
-      val current = service.currentlyRunning(taskId).take(limit)
+      val filter = FluxTasks.RunFilter(afterTimeS,
+        Some(beforeTimeS.getOrElse(Long.MaxValue)), limit)
+      val current = service.findRuns(taskId, filter)
       if (current.length >= limit) return current
+      val before = beforeTimeS.getOrElse(Long.MaxValue)
+      val after = afterTimeS.getOrElse(Long.MinValue)
       val history = recorded.toSeq
         .filter(p => p.measurement == measurement &&
           p.tags.get("taskID").contains(idString(taskId)))
         .map(readRun)
+        .filter(r => r.scheduledForS > after && r.scheduledForS < before)
         .sortBy(-_.scheduledForS)
         .take(limit - current.length)
       val completedIds = history.map(_.id).toSet

@@ -114,6 +114,20 @@ object FluxTasks {
       lastRunStatus: Option[String] = None,
       lastRunError: Option[String] = None)
 
+  /** taskmodel.TaskFilter (the kv-relevant fields). */
+  final case class TaskFilter(
+      name: Option[String] = None,
+      status: Option[String] = None,
+      after: Option[Long] = None,
+      limit: Int = 0)
+
+  /** taskmodel.RunFilter: strict (afterTime, beforeTime) bounds on
+    * scheduledFor; beforeTime defaults to now. */
+  final case class RunFilter(
+      afterTimeS: Option[Long] = None,
+      beforeTimeS: Option[Long] = None,
+      limit: Int = 0)
+
   class TaskNotFound(id: Long) extends NoSuchElementException(s"task $id not found")
   class RunNotFound extends NoSuchElementException("run not found")
   class RunAlreadyQueued extends IllegalStateException(
@@ -156,6 +170,37 @@ object FluxTasks {
       tasks.getOrElse(id, throw new TaskNotFound(id))
 
     def findTasks(): Seq[Task] = tasks.values.toSeq
+
+    /** kv/task.go:187-292 findTasks: page-size laws (negative → too
+      * small, > 500 → too large, 0 → default 100), `after`-id paging on
+      * the id-ordered store, exact name/status matching, stop at limit. */
+    def findTasks(filter: TaskFilter): Seq[Task] = {
+      if (filter.limit < 0) fail("page size too small")
+      if (filter.limit > 500) fail("page size too large")
+      val limit = if (filter.limit == 0) 100 else filter.limit
+      tasks.values.toSeq
+        .filter(t => filter.after.forall(t.id > _))
+        .filter(t => filter.name.forall(_ == t.name))
+        .filter(t => filter.status.forall(_ == t.status))
+        .take(limit)
+    }
+
+    /** kv/task.go:634-689 findRuns: page-size laws, then the MANUAL
+      * queue first and the running set second, keeping runs whose
+      * scheduledFor is strictly inside (afterTime, beforeTime) —
+      * beforeTime defaults to now — up to the limit. */
+    def findRuns(taskId: Long, filter: RunFilter = RunFilter()): Seq[Run] = {
+      if (filter.limit < 0 || filter.limit > 500) fail("run limit out of bounds")
+      val limit = if (filter.limit == 0) 100 else filter.limit
+      val before = filter.beforeTimeS.getOrElse(clock())
+      val after = filter.afterTimeS.getOrElse(Long.MinValue)
+      (manualRuns(taskId) ++ currentlyRunning(taskId))
+        .filter(r => r.scheduledForS > after && r.scheduledForS < before)
+        .take(limit)
+    }
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(msg)
 
     /** kv/task.go:383-511 updateTask — including the inactive→active
       * reset of latestCompleted/latestScheduled to now and the

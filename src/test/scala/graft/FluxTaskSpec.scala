@@ -339,6 +339,39 @@ class FluxTaskSpec extends AnyFunSuite {
     intercept[TaskNotFound] { sys.service.findTaskByID(t2.id) }
   }
 
+  test("findTasks/findRuns filter laws (kv/task.go:187-292,634-689)") {
+    var now = 1000L
+    val service = new FluxTaskService(() => now)
+    val a = service.createTask(TaskCreate(name = "alpha", every = "1m"))
+    val b = service.createTask(TaskCreate(name = "beta", every = "1m"))
+    val c = service.createTask(TaskCreate(name = "alpha", every = "1m",
+      status = TaskStatus.Inactive))
+    assert(service.findTasks(TaskFilter()).map(_.id) === Seq(a.id, b.id, c.id))
+    assert(service.findTasks(TaskFilter(name = Some("alpha"))).map(_.id) ===
+      Seq(a.id, c.id))
+    assert(service.findTasks(TaskFilter(name = Some("alpha"),
+      status = Some(TaskStatus.Active))).map(_.id) === Seq(a.id))
+    assert(service.findTasks(TaskFilter(after = Some(a.id))).map(_.id) ===
+      Seq(b.id, c.id), "after-id paging")
+    assert(service.findTasks(TaskFilter(limit = 2)).map(_.id) === Seq(a.id, b.id))
+    intercept[IllegalArgumentException] { service.findTasks(TaskFilter(limit = -1)) }
+    intercept[IllegalArgumentException] { service.findTasks(TaskFilter(limit = 501)) }
+
+    // runs: manual queue first, then running set, strict time bounds
+    now = 10000L
+    val m = service.forceRun(a.id, 3000L)
+    val r1 = service.createRun(a.id, 2000L, 2000L)
+    val r2 = service.createRun(a.id, 9000L, 9000L)
+    assert(service.findRuns(a.id).map(_.id) === Seq(m.id, r1.id, r2.id))
+    assert(service.findRuns(a.id, RunFilter(afterTimeS = Some(2000L)))
+      .map(_.id) === Seq(m.id, r2.id), "strictly after")
+    assert(service.findRuns(a.id, RunFilter(beforeTimeS = Some(3000L)))
+      .map(_.id) === Seq(r1.id), "strictly before")
+    now = 5000L // beforeTime defaults to NOW: r2 (9000) is in the future
+    assert(service.findRuns(a.id).map(_.id) === Seq(m.id, r1.id))
+    assert(service.findRuns(a.id, RunFilter(limit = 1)).map(_.id) === Seq(m.id))
+  }
+
   test("concurrency limit ranks runs by scheduledFor (executor limits_test.go:16)") {
     val service = new FluxTaskService(() => 1000L)
     val t1 = service.createTask(TaskCreate(name = "c1", flux = "f", every = "1s"))
