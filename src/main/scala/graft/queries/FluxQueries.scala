@@ -126,6 +126,77 @@ object FluxQueries {
       .orderBy("task_id")
   }
 
+  /** q_fluxtask_sql: the WHOLE flux-task SQL path inside the gate —
+    * self-describing task scripts (`option task = {...}` headers parsed
+    * by TaskOptions), scheduled through the real TreeScheduler fold,
+    * each fire executing its task's SPARK SQL via FluxSql with the
+    * reference's extern bindings (`:now` = the fire's logical time,
+    * `:last_success` = the previous successful fire, NULL first) — so
+    * every task computes incremental per-event-type count/sum windows
+    * over `events`, gap-free. The oracle restates fires (the @every
+    * alignment arithmetic) and windows (lag over fires) in DuckDB. */
+  def fluxtaskSqlQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Graft.events(s, dir)
+      .select(timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        col("event_type"), col("value"))
+      .createOrReplaceTempView("flux_gate_events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val keys = s.read.parquet(s"$dir/region.parquet")
+      .select(col("r_regionkey").cast("long")).as[Long].collect().sorted
+    val base = 1704067200L    // 2024-01-01T00:00:00Z (the events epoch)
+    val horizon = 1705795200L // 2024-01-21T00:00:00Z
+
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    var now = 0L
+    val sys = new FluxTasks.FluxTaskSystem(
+      () => now,
+      graft.tick.FluxSql.sqlQueryRunner(s, (task, sf, df) => {
+        val r = df.collect().head
+        out += ((task.id - 1, sf, r.getLong(0), r.getDouble(1)))
+      }))
+    for (k <- keys) {
+      now = base
+      sys.createTask(graft.tick.TaskOptions.taskCreateFromScript(
+        s"""option task = {name: "etl$k", every: ${86400 * (1 + k % 3)}s, offset: ${k * 60}s}
+           |SELECT count(*) AS n, coalesce(sum(value), 0.0) AS s
+           |FROM flux_gate_events
+           |WHERE event_type = '${types(k.toInt)}'
+           |  AND ts > coalesce(:last_success, timestamp'1970-01-01')
+           |  AND ts <= :now""".stripMargin))
+    }
+    now = horizon
+    sys.advanceTo(horizon)
+    out.toSeq.toDF("task_id", "scheduled_for_s", "n", "s")
+      .orderBy("task_id", "scheduled_for_s")
+  }
+
+  val fluxtaskSqlSql: String =
+    s"""WITH t AS (
+       SELECT CAST(r_regionkey AS BIGINT) AS task_id,
+              CAST(86400 * (1 + r_regionkey % 3) AS BIGINT) AS every_s,
+              CAST(r_regionkey * 60 AS BIGINT) AS offset_s,
+              ['click','error','purchase','signup','view'][r_regionkey + 1] AS et
+       FROM region),
+       f AS (
+       SELECT task_id, et,
+              CAST(unnest(range(aligned + every_s, 1705795200 - offset_s + 1, every_s)) AS BIGINT) AS fire
+       FROM (SELECT *, ((1704067200 + ${FluxCron.GoZeroOffsetSec}) // every_s) * every_s
+                       - ${FluxCron.GoZeroOffsetSec} AS aligned
+             FROM t)),
+       w AS (
+       SELECT task_id, et, fire,
+              lag(fire, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY task_id ORDER BY fire) AS prev
+       FROM f)
+       SELECT w.task_id, w.fire AS scheduled_for_s,
+              count(e.ts) AS n,
+              coalesce(sum(e.value), 0.0) AS s
+       FROM w LEFT JOIN events e
+         ON e.event_type = w.et
+        AND epoch_us(e.ts) > w.prev * 1000000
+        AND epoch_us(e.ts) <= w.fire * 1000000
+       GROUP BY 1, 2 ORDER BY 1, 2""".replaceAll("\\s+", " ")
+
   val fluxtaskRunsSql: String = {
     val fires = fluxtaskScheduleSql.stripSuffix(" ORDER BY task_id, scheduled_for_s")
     s"""WITH fires AS MATERIALIZED ($fires),

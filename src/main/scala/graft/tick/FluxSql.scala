@@ -24,6 +24,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ErrQueryError does. */
 object FluxSql {
 
+  /** Drop a leading `option task = {...}` header (quote-aware), leaving
+    * the SQL body — the reference's compiler consumes the option
+    * statement natively; SQL needs it stripped. */
+  def stripTaskHeader(script: String): String = {
+    val m = "(?s)\\s*option\\s+task\\s*=\\s*\\{".r.findPrefixMatchOf(script)
+    m match {
+      case None => script
+      case Some(h) =>
+        var i = h.end
+        var inStr = false
+        while (i < script.length && (inStr || script(i) != '}')) {
+          if (script(i) == '"') inStr = !inStr
+          else if (inStr && script(i) == '\\') i += 1
+          i += 1
+        }
+        if (i >= script.length) script else script.substring(i + 1)
+    }
+  }
+
   /** Build a QueryRunner over `spark`. `onResult` is the result drain /
     * sink action (the task's side effect — write, alert, materialize);
     * it runs on the executor's thread per fire. */
@@ -33,7 +52,7 @@ object FluxSql {
         (_, _, df) => { df.count(); () }): FluxTasks.QueryRunner =
     (task, scheduledForS) =>
       try {
-        val df = spark.sql(task.flux, Map(
+        val df = spark.sql(stripTaskHeader(task.flux), Map(
           "now" -> java.time.Instant.ofEpochSecond(scheduledForS),
           "last_success" -> task.latestSuccessS
             .map(java.time.Instant.ofEpochSecond(_)).orNull))
