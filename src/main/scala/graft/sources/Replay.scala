@@ -174,10 +174,18 @@ object Replay {
     } finally w.close()
   }
 
-  private def jsonStr(s: String): String =
+  /** Go json.Marshal / json.NewEncoder string escaping, INCLUDING the
+    * default SetEscapeHTML(true): `<`, `>`, `&` render as `<`,
+    * `>`, `&`, so produced bytes are comparable against
+    * reference-written files. Shared with
+    * [[graft.tick.FluxRunStorage]] (run-log JSON). */
+  private[graft] def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case '<' => "\\u003c"
+      case '>' => "\\u003e"
+      case '&' => "\\u0026"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""

@@ -170,8 +170,12 @@ object ConfigOverride {
           if (o.delete || o.create)
             fail(s"section ${o.section} is not a list section")
           if (o.element.nonEmpty) fail(s"unknown section ${o.section}")
+          // overrides apply onto the zero struct when the section is
+          // absent from the config (the reference's typed config struct
+          // always exists), same as the create path's Initer defaults
           val cur = elements.headOption.getOrElse(
-            spec.options.map(op => op.name -> null).toMap)
+            spec.options.map(op =>
+              op.name -> spec.init.getOrElse(op.name, op.zero)).toMap)
           state = state.updated(o.section, Seq(applyOptions(spec, cur, o)))
         case Some(key) =>
           if (o.delete) {

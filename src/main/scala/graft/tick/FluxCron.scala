@@ -170,16 +170,19 @@ object FluxCron {
       lo: Int,
       hi: Int,
       names: Seq[String]): (Set[Int], Boolean) = {
+    // 7 = Sunday in the dow field, by convention — but only normalize
+    // AFTER range expansion, so "5-7" (Fri-Sun) and "0-7" stay valid
+    // ranges instead of becoming (5,0)/(0,0).
+    val isDow = names == dowNames
+    val hiTok = if (isDow) 7 else hi
     def num(tok: String): Int = {
       val up = tok.toUpperCase
       val byName = names.indexOf(up)
       val v =
         if (byName >= 0) byName + (if (names == monthNames) 1 else 0)
         else tok.toInt
-      // 7 = Sunday in the dow field, by convention
-      val norm = if (names == dowNames && v == 7) 0 else v
-      require(norm >= lo && norm <= hi, s"cron field value $tok out of [$lo,$hi]")
-      norm
+      require(v >= lo && v <= hiTok, s"cron field value $tok out of [$lo,$hiTok]")
+      v
     }
     var star = false
     val out = scala.collection.mutable.Set[Int]()
@@ -195,12 +198,12 @@ object FluxCron {
         else
           range.split("-") match {
             case Array(x)    => if (step == 1) { val v = num(x); (v, v) }
-                                else (num(x), hi) // "a/step" runs to the max
+                                else (num(x), hiTok) // "a/step" runs to the max
             case Array(x, y) => (num(x), num(y))
             case _ => throw new IllegalArgumentException(s"bad cron range '$range'")
           }
       require(a <= b, s"inverted cron range '$item'")
-      (a to b by step).foreach(out += _)
+      (a to b by step).foreach(v => out += (if (isDow && v == 7) 0 else v))
     }
     (out.toSet, star)
   }

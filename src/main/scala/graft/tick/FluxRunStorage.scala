@@ -39,13 +39,9 @@ object FluxRunStorage {
 
   private def rfc3339(sec: Long): String = Replay.rfc3339Nano(sec * 1000000000L)
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  // Go json.Marshal escaping (incl. default HTML escaping) — one
+  // implementation, shared with the replay writers
+  private def jsonStr(s: String): String = Replay.jsonStr(s)
 
   /** taskmodel.Log array JSON (json.Marshal field order/omitempty). */
   private[tick] def logsJson(logs: Seq[FluxTasks.RunLog]): String =

@@ -41,7 +41,11 @@ object FluxSchedule {
     val isPlainEvery = udf { (cron: String) =>
       cron.trim match {
         case everyRe(d) =>
-          try FluxCron.parseDuration(d)._2 == 0 // months need the calendar fold
+          // months need the calendar fold; secs == 0 (sub-second or
+          // empty interval) must take the general path so it raises
+          // FluxCron's clear "@every interval must be positive" rather
+          // than a DIV-by-zero in the column arithmetic below
+          try { val (s, mo) = FluxCron.parseDuration(d); mo == 0 && s > 0 }
           catch { case _: Exception => false }
         case _ => false
       }

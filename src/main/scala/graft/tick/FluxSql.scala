@@ -24,24 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ErrQueryError does. */
 object FluxSql {
 
-  /** Drop a leading `option task = {...}` header (quote-aware), leaving
-    * the SQL body — the reference's compiler consumes the option
-    * statement natively; SQL needs it stripped. */
-  def stripTaskHeader(script: String): String = {
-    val m = "(?s)\\s*option\\s+task\\s*=\\s*\\{".r.findPrefixMatchOf(script)
-    m match {
-      case None => script
-      case Some(h) =>
-        var i = h.end
-        var inStr = false
-        while (i < script.length && (inStr || script(i) != '}')) {
-          if (script(i) == '"') inStr = !inStr
-          else if (inStr && script(i) == '\\') i += 1
-          i += 1
-        }
-        if (i >= script.length) script else script.substring(i + 1)
+  /** Drop the `option task = {...}` header (quote-aware), leaving the
+    * SQL body — the reference's compiler consumes the option statement
+    * natively; SQL needs it stripped. Uses the SAME locator as
+    * [[TaskOptions.fromScript]], so any script the parser accepts (the
+    * header may sit after a leading `-- comment`) is stripped the same
+    * way here — the two can never disagree. */
+  def stripTaskHeader(script: String): String =
+    TaskOptions.locateHeaders(script) match {
+      case Seq((hs, _, he)) if he >= 0 =>
+        script.substring(0, hs) + script.substring(he)
+      case _ => script
     }
-  }
 
   /** Build a QueryRunner over `spark`. `onResult` is the result drain /
     * sink action (the task's side effect — write, alert, materialize);

@@ -397,7 +397,10 @@ object FluxTasks {
       val runs = service.currentlyRunning(t.id).sortBy(_.scheduledForS)
       def err(inFront: Int) = Some(
         s"could not execute task, concurrency limit reached, runs in front: $inFront")
-      if (runs.length <= limit) None
+      // short-circuit allow only under the limit (limits.go:31
+      // `len(runs) < limit`): at exactly `limit` running runs, a run
+      // not yet in the list must be rejected with "runs in front: 0"
+      if (runs.length < limit) None
       else runs.indexWhere(_.id == r.id) match {
         case i if i >= limit => err(i - limit)
         case i if i >= 0 => None

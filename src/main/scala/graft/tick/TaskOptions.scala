@@ -59,10 +59,13 @@ object TaskOptions {
   private def parseObject(body: String): Seq[(String, String)] = {
     val noComments = body.linesIterator
       .map { l =>
-        // strip // comments outside strings
-        var inStr = false; var i = 0; var cut = l.length
+        // strip // comments outside strings (escape-aware, like
+        // ScrapeScheduler.stripComment — `"a\"//b"` must not be cut)
+        var inStr = false; var esc = false; var i = 0; var cut = l.length
         while (i < l.length - 1 && cut == l.length) {
-          if (l(i) == '"' ) inStr = !inStr
+          if (esc) esc = false
+          else if (inStr && l(i) == '\\') esc = true
+          else if (l(i) == '"') inStr = !inStr
           else if (!inStr && l(i) == '/' && l(i + 1) == '/') cut = i
           i += 1
         }
@@ -96,24 +99,36 @@ object TaskOptions {
     pairs.result()
   }
 
+  /** Locate every `option task = {...}` header in `script`. Each hit is
+    * (headerStart, bodyStart, headerEnd) where headerEnd is the index
+    * just PAST the closing brace, or -1 if the object is unterminated.
+    * The single scanner shared by [[fromScript]] (the parser) and
+    * [[FluxSql.stripTaskHeader]] (the stripper) so the two can never
+    * disagree about where a header is. */
+  private[tick] def locateHeaders(script: String): Seq[(Int, Int, Int)] = {
+    val headerRe = "(?s)option\\s+task\\s*=\\s*\\{".r
+    headerRe.findAllMatchIn(script).toSeq.map { m =>
+      // quote-aware scan to the matching close brace
+      var i = m.end
+      var inStr = false
+      while (i < script.length && (inStr || script(i) != '}')) {
+        if (script(i) == '"' ) inStr = !inStr
+        else if (inStr && script(i) == '\\') i += 1
+        i += 1
+      }
+      (m.start, m.end, if (i >= script.length) -1 else i + 1)
+    }
+  }
+
   /** FromScriptAST (options.go:160-200): locate the single
     * `option task = {...}` statement, extract + validate. */
   def fromScript(script: String): Options = {
-    val headerRe = "(?s)option\\s+task\\s*=\\s*\\{".r
-    val starts = headerRe.findAllMatchIn(script).toSeq
-    if (starts.isEmpty) fail("no task options defined")
-    if (starts.length > 1) fail("multiple task options defined")
-    // quote-aware scan to the matching close brace
-    var i = starts.head.end
-    val bs = i
-    var inStr = false
-    while (i < script.length && (inStr || script(i) != '}')) {
-      if (script(i) == '"' ) inStr = !inStr
-      else if (inStr && script(i) == '\\') i += 1
-      i += 1
-    }
-    if (i >= script.length) fail("unterminated task options object")
-    val pairs = parseObject(script.substring(bs, i))
+    val headers = locateHeaders(script)
+    if (headers.isEmpty) fail("no task options defined")
+    if (headers.length > 1) fail("multiple task options defined")
+    val (_, bs, he) = headers.head
+    if (he < 0) fail("unterminated task options object")
+    val pairs = parseObject(script.substring(bs, he - 1))
 
     var o = Options()
     def strLit(k: String, v: String): String = {

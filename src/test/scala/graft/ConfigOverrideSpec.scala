@@ -92,6 +92,21 @@ class ConfigOverrideSpec extends AnyFunSuite {
     assert(names === Seq("password"))
   }
 
+  test("overriding a section absent from the config applies onto the zero struct") {
+    // a single-struct section missing from the loaded config is the Go
+    // zero struct, not a null map — the override must land, typed
+    val noB = config - "section-b"
+    val out = overrideConfig(schema, noB, Seq(
+      Override("section-b", options = Map("option3" -> "from-zero"))))
+    assert(out("section-b").head("option3") === "from-zero")
+    // numeric sections get their typed zeros, so weak conversion works
+    val noNums = config - "section-nums"
+    val out2 = overrideConfig(schema, noNums, Seq(
+      Override("section-nums", options = Map("Int" -> "9"))))
+    assert(out2("section-nums").head("Int") === 9L)
+    assert(out2("section-nums").head("Float64") === 0.0, "untouched options keep zeros")
+  }
+
   test("created elements start from Init defaults (override_test.go:1401)") {
     val out = overrideConfig(schema, config, Seq(
       Override("section-d", create = true, options = Map("id" -> "w"))))

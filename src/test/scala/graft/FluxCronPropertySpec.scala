@@ -79,6 +79,27 @@ class FluxCronPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dow 7 normalizes to Sunday per expanded element, not per range endpoint") {
+    // "0-7" is every day — a restricted set covering the full range
+    val all = FluxCron.parse("0 0 * * 0-7").asInstanceOf[FluxCron.Cron]
+    assert(all.dow == (0 to 6).toSet)
+    assert(!all.dowStar)
+    // "5-7" is Fri..Sun, not an inverted range
+    val friSun = FluxCron.parse("0 0 * * 5-7").asInstanceOf[FluxCron.Cron]
+    assert(friSun.dow == Set(5, 6, 0))
+    // single 7 is Sunday; "7/2" starts at Sunday-as-7 and runs to max
+    assert(FluxCron.parse("0 0 * * 7").asInstanceOf[FluxCron.Cron].dow == Set(0))
+    assert(FluxCron.parse("0 0 * * 7/2").asInstanceOf[FluxCron.Cron].dow == Set(0))
+    // a Fri-Sun schedule actually fires on Sunday (2023-10-01 was one)
+    val dt = java.time.LocalDateTime.of(2023, 9, 30, 23, 59, 59)
+    val sun = java.time.LocalDateTime.ofEpochSecond(
+      friSun.next(dt.toEpochSecond(java.time.ZoneOffset.UTC)), 0,
+      java.time.ZoneOffset.UTC)
+    assert(sun.getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+    // 8 is still out of range
+    intercept[IllegalArgumentException](FluxCron.parse("0 0 * * 8"))
+  }
+
   test("fire sequence from an aligned start stays on the @every grid") {
     val genStep = Gen.oneOf(60L, 420L, 3600L)
     val genT = Gen.choose(1400000000L, 1700000000L)

@@ -57,6 +57,38 @@ class FluxSqlSpec extends SparkSpec {
     assert(batches.toSeq === Seq((180L, 180L), (360L, 180L), (540L, 180L)))
   }
 
+  test("stripTaskHeader strips exactly what TaskOptions.fromScript parses") {
+    // header after a leading SQL comment: the parser accepts it, so the
+    // stripper must remove it there too (not just at offset 0)
+    val prefixed =
+      "-- daily etl\noption task = {name: \"t\", every: 1h}\nSELECT 1 AS one"
+    assert(graft.tick.TaskOptions.fromScript(prefixed).name == "t")
+    assert(FluxSql.stripTaskHeader(prefixed) == "-- daily etl\n\nSELECT 1 AS one")
+    // braces inside string values don't end the header early
+    val braces =
+      "option task = {name: \"a}b\", every: 1h}\nSELECT 2"
+    assert(FluxSql.stripTaskHeader(braces) == "\nSELECT 2")
+    // no header / unterminated header: script passes through unchanged
+    assert(FluxSql.stripTaskHeader("SELECT 3") == "SELECT 3")
+    val unterminated = "option task = {name: \"x\""
+    assert(FluxSql.stripTaskHeader(unterminated) == unterminated)
+  }
+
+  test("a header-prefixed script runs end-to-end: parsed AND stripped coherently") {
+    val script =
+      "-- etl\noption task = {name: \"hdr\", every: 120s}\nSELECT 42L AS v"
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    var now = 0L
+    val sys = new FluxTasks.FluxTaskSystem(
+      () => now,
+      FluxSql.sqlQueryRunner(spark, (_, _, df) => seen += df.collect().head.getLong(0)))
+    sys.createTask(graft.tick.TaskOptions.taskCreateFromScript(script))
+    now = 240L
+    sys.advanceTo(now)
+    assert(seen.toSeq === Seq(42L, 42L))
+    assert(sys.service.findTaskByID(1L).lastRunStatus === FluxTasks.RunStatus.Success)
+  }
+
   test("a bad query fails the run with ErrQueryError semantics") {
     var now = 1000L
     val sys = new FluxTasks.FluxTaskSystem(

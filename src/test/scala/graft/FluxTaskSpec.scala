@@ -390,10 +390,37 @@ class FluxTaskSpec extends AnyFunSuite {
     val cl10 = concurrencyLimit(service, _ => Some(10))
     assert(cl10(t1, r4).isEmpty, "under the limit passes even unsaved")
     assert(concurrencyLimit(service, _ => None)(t1, r2).isEmpty, "no declared limit")
-    // exactly at the limit is allowed (len > limit is the trip condition)
+    // a saved run ranked under the limit proceeds even when the running
+    // set is exactly at the limit…
     val t2 = service.createTask(TaskCreate(name = "c2", flux = "f", every = "1s"))
     val s1 = service.createRun(t2.id, 100L, 100L)
     assert(concurrencyLimit(service, _ => Some(1))(t2, s1).isEmpty)
+    // …but a run NOT yet in the running set is rejected there — the
+    // limits.go:31 short-circuit is strictly `len(runs) < limit`
+    val unsaved = Run(998L, t2.id, RunStatus.Scheduled, 101L, 101L)
+    assert(concurrencyLimit(service, _ => Some(1))(t2, unsaved) === Some(
+      "could not execute task, concurrency limit reached, runs in front: 0"))
+  }
+
+  test("kv cancelRun is status-only; the executor's cancel stamps finishedAt") {
+    // kv/task.go:743 CancelRun mutates status alone — no log line, no
+    // finishedAt; the canceled finish stamp is the executor FSM's job
+    // (FluxExecutor.cancel). Pin both halves so the two paths don't drift.
+    var now = 1000L
+    val sys = new FluxTaskSystem(() => now, (_, _) => Right(()))
+    val t = sys.createTask(TaskCreate(name = "cx", flux = "f", every = "1m"))
+    val r1 = sys.service.createRun(t.id, 100L, 100L)
+    sys.service.cancelRun(t.id, r1.id)
+    val r1b = sys.service.findRunByID(t.id, r1.id)
+    assert(r1b.status === RunStatus.Canceled)
+    assert(r1b.finishedAtS.isEmpty && r1b.logs.isEmpty, "kv path is status-only")
+    val r2 = sys.service.createRun(t.id, 200L, 200L)
+    now = 1234L
+    sys.executor.cancel(t.id, r2.id)
+    val r2b = sys.service.findRunByID(t.id, r2.id)
+    assert(r2b.status === RunStatus.Canceled)
+    assert(r2b.finishedAtS === Some(1234L))
+    assert(r2b.logs.map(_.message) === Vector("Run canceled"))
   }
 
   test("a limited run blocks with the limit log line and stays resumable") {
@@ -468,5 +495,18 @@ class FluxScheduleSpec extends SparkSpec {
     sch.advanceTo(horizon)
     assert(got.toSeq === fired.sorted.toSeq)
     assert(got.nonEmpty && !got.exists(_._1 == 5L))
+  }
+
+  test("sub-second @every raises the engine's clear error, not a DIV-by-zero") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val defs = Seq(FluxTaskDef(1, "@every 500ms", 0, 1000))
+    val e = intercept[org.apache.spark.SparkException] {
+      FluxSchedule.fireTimes(defs.toDS(), 2000L).collect()
+    }
+    // routed down the general path → FluxCron.Every's positivity require
+    assert(Option(e.getMessage).getOrElse("").contains("must be positive") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("must be positive")))
   }
 }

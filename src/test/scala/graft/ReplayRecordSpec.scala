@@ -135,6 +135,21 @@ class ReplayRecordSpec extends SparkSpec {
     // empty name/tags/points omitted; zero tmax is Go's zero time
     assert(Replay.brplDoc(Replay.RecordedBatch("", Replay.GoZeroTimeNs)) ===
       """{"tmax":"0001-01-01T00:00:00Z"}""" + "\n")
+    // Go's json.Encoder HTML-escapes by default: <, >, & become \u00xx
+    val esc = Replay.brplDoc(Replay.RecordedBatch(
+      "a<b", Replay.GoZeroTimeNs, tags = Map("k" -> "x&y")))
+    assert(esc ===
+      "{\"name\":\"a\\u003cb\",\"tmax\":\"0001-01-01T00:00:00Z\"," +
+      "\"tags\":{\"k\":\"x\\u0026y\"}}\n")
+    // and the Spark-side reader decodes them back (standard JSON escapes)
+    val path2 = tmp(".brpl")
+    val fw = new java.io.FileWriter(path2); fw.write(esc +
+      """{"name":"c>d","tmax":"2015-10-30T17:14:12Z","points":[{"fields":{"s":"p>q"},"time":"2015-10-30T17:14:12Z"}]}""" + "\n")
+    fw.close()
+    val rows = Replay.readBrpl(spark, path2).collect()
+    assert(rows.exists(_.getString(1) == "c>d"))
+    assert(rows.find(_.getString(1) == "c>d").get
+      .getMap[String, String](4)("s") == "p>q")
   }
 
   test("record → replay ≡ direct: a windowed aggregate on both paths") {

@@ -81,6 +81,23 @@ class TaskOptionsSpec extends AnyFunSuite {
     assert(o === Options(name = "c", every = "2m"))
   }
 
+  test("comment stripping honors escaped quotes inside string values") {
+    // `\"` must not toggle string state: a // inside the string stays,
+    // a // after the value is cut
+    val o = TaskOptions.fromScript(
+      "option task = {\n" +
+        "  name: \"say \\\"hi\\\"\", // greeting\n" +
+        "  every: 1m,\n" +
+        "}\nSELECT 1")
+    assert(o.name === "say \"hi\"")
+    val o2 = TaskOptions.fromScript(
+      "option task = {\n" +
+        "  name: \"a\\\"//not-a-comment\",\n" +
+        "  every: 1m,\n" +
+        "}\nSELECT 1")
+    assert(o2.name === "a\"//not-a-comment")
+  }
+
   test("the script path wires into the task system with its own concurrency") {
     var now = 1000L
     var ran = 0
