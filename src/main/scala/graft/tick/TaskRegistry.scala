@@ -185,6 +185,53 @@ class TaskRegistry {
 
   def get(id: String): Option[TaskDef] = synchronized(tasks.get(id))
 
+  /** The stored script at a retrieval format — the `script-format`
+    * query param of the task/template GET handlers (task_store
+    * service.go:1064-1075): `"formatted"` (the default) runs the
+    * stored source through [[TickFormat.format]], falling back to the
+    * raw text if formatting fails so a syntax quirk can never make a
+    * task unretrievable; `"raw"` returns the text as defined. */
+  def script(id: String, scriptFormat: String = "formatted"): Option[String] =
+    synchronized(tasks.get(id)).map(t => renderScript(t.tickscript, scriptFormat))
+
+  /** [[script]] for templates (service.go:1612-1623). */
+  def templateScript(id: String, scriptFormat: String = "formatted"): Option[String] =
+    synchronized(templates.get(id)).map(t => renderScript(t.tickscript, scriptFormat))
+
+  /** The task's DOT graph — the `dot` field of `kapacitor show`
+    * (task_store service.go:1082-1093): an enabled (executing) task
+    * renders the EDot stats view at the requested `dot-view`
+    * (`"attributes"` default, `"labels"` for the human xlabel form);
+    * a disabled task renders the plain edge graph. Stats default to
+    * the reference's initial zeros — callers with live counters pass
+    * them through. */
+  def dot(id: String, dotView: String = "attributes",
+      stats: String => Seq[(String, String)] = _ => TickDot.zeroStats,
+      processed: (String, String) => Long = (_, _) => 0L): Option[String] = {
+    val labels = dotView match {
+      case "attributes" => false
+      case "labels" => true
+      case other => throw new IllegalArgumentException(
+        s"invalid dot-view '$other': must be 'attributes' or 'labels'")
+    }
+    synchronized(tasks.get(id)).map { t =>
+      if (t.status == Enabled)
+        TickDot.edot(t.tickscript, t.id, labels = labels, stats = stats,
+          processed = processed)
+      else TickDot.dot(t.tickscript, t.id)
+    }
+  }
+
+  private def renderScript(raw: String, scriptFormat: String): String =
+    scriptFormat match {
+      case "formatted" =>
+        try TickFormat.format(raw)
+        catch { case _: IllegalArgumentException => raw }
+      case "raw" => raw
+      case other => throw new IllegalArgumentException(
+        s"invalid script-format '$other': must be 'formatted' or 'raw'")
+    }
+
   /** List tasks, optionally filtered by a glob on the id (the list
     * handler's pattern match, service.go:513-678). */
   def list(pattern: String = "*"): Seq[TaskDef] = synchronized {

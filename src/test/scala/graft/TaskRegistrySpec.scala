@@ -134,4 +134,28 @@ class TaskRegistrySpec extends SparkSpec {
     assert(reg.list("*_alert").map(_.id) === Seq("cpu_alert", "mem_alert"))
     assert(reg.list("nope*").isEmpty)
   }
+
+  test("script retrieval honors script-format like the GET handlers") {
+    val reg = new TaskRegistry
+    // raw on one line; formatted breaks the chain per the fmt laws
+    reg.define("fmt", "stream|from().measurement('cpu')|eval(lambda: \"value\" * 2.0).as('v2')")
+    assert(reg.script("fmt", "raw").get ===
+      "stream|from().measurement('cpu')|eval(lambda: \"value\" * 2.0).as('v2')")
+    assert(reg.script("fmt").get ===
+      "stream\n" +
+        "    |from()\n" +
+        "        .measurement('cpu')\n" +
+        "    |eval(lambda: \"value\" * 2.0)\n" +
+        "        .as('v2')\n")
+    // formatted is the default and idempotent through the formatter
+    assert(reg.script("fmt") === reg.script("fmt", "formatted"))
+    assert(reg.script("missing").isEmpty)
+    intercept[IllegalArgumentException](reg.script("fmt", "pretty"))
+    // templates take the same path
+    reg.defineTemplate("tpl", "var m string\nstream|from().measurement(m)")
+    assert(reg.templateScript("tpl").get ===
+      "var m string\n\nstream\n    |from()\n        .measurement(m)\n")
+    assert(reg.templateScript("tpl", "raw").get ===
+      "var m string\nstream|from().measurement(m)")
+  }
 }
