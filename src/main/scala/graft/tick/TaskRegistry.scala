@@ -107,9 +107,23 @@ class TaskRegistry {
     t
   }
 
-  /** The template update path (dao.go template replace): new script,
-    * declared vars recomputed; instantiated tasks keep their old script
-    * until individually redefined, as the reference's load path does. */
+  /** The template UPDATE path (task_store handleUpdateTemplate,
+    * service.go:1739-1826 + updateAllAssociatedTasks :1828-1927): the
+    * new script propagates to every task instantiated from this
+    * template, keeping each task's bound vars. Laws matched:
+    *  - the new script validates first; an invalid script leaves
+    *    template and tasks untouched;
+    *  - each associated task takes the new script/type; its dbrps are
+    *    replaced by the NEW script's header dbrps when either script
+    *    version declares any, else kept;
+    *  - an ENABLED task re-validates (the reference restarts it —
+    *    startTask is where an unbound newly-declared var fails); a
+    *    disabled task takes the script unvalidated, failing later at
+    *    enable, exactly like the reference;
+    *  - on the first task failure, every task updated so far rolls
+    *    back to the old script/type/dbrps and the error rethrows — but
+    *    the TEMPLATE keeps the new definition (the reference saves the
+    *    template before walking tasks and only tasks roll back). */
   def redefineTemplate(id: String, script: String): TemplateDef = synchronized {
     val old = templates.getOrElse(id,
       throw new NoSuchElementException(s"no template $id"))
@@ -117,6 +131,29 @@ class TaskRegistry {
     val t = old.copy(tickscript = script, taskType = deriveType(script),
       declaredVars = parsed.declared)
     templates(id) = t
+
+    val oldDbrps = TickScript.parse(old.tickscript).dbrps
+    val replaceDbrps = oldDbrps.nonEmpty || parsed.dbrps.nonEmpty
+    val associated = tasks.values.filter(_.templateId.contains(id)).toSeq
+    val previous = associated.map(a => a.id -> a).toMap
+    val updated = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      for (task <- associated) {
+        updated += task.id
+        if (task.status == Enabled) {
+          val missing = parsed.declared.keySet -- task.vars.keySet
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"error reloading associated task ${task.id}: unbound template vars: ${missing.mkString(", ")}")
+        }
+        tasks(task.id) = task.copy(tickscript = script, taskType = t.taskType,
+          dbrps = if (replaceDbrps) parsed.dbrps else task.dbrps,
+          modifiedMs = System.currentTimeMillis())
+      }
+    } catch {
+      case e: Throwable =>
+        updated.foreach(tid => tasks(tid) = previous(tid))
+        throw e
+    }
     t
   }
 
@@ -221,6 +258,34 @@ class TaskRegistry {
       else TickDot.dot(t.tickscript, t.id)
     }
   }
+
+  /** A template's vars as the API shape (the `vars` field of template
+    * GET — every default/declared var with type, value, description;
+    * task_store convertTemplate → client.Vars). */
+  def templateVars(id: String): Option[Seq[(String, TickVars.Var)]] =
+    synchronized(templates.get(id)).map(t => TickVars.vars(t.tickscript))
+
+  /** [[templateVars]] rendered as the wire JSON object. */
+  def templateVarsJson(id: String): Option[String] =
+    synchronized(templates.get(id)).map(t => TickVars.varsJson(t.tickscript))
+
+  /** A task's BOUND vars as the API shape (the `vars` field of a task
+    * GET — the vars it was created with, typed via its template's
+    * declarations when it has one; task_store convertToClientVars). */
+  def taskVars(id: String): Option[Seq[(String, TickVars.Var)]] =
+    synchronized(tasks.get(id)).map { t =>
+      val declared = t.templateId.flatMap(templates.get)
+        .map(_.declaredVars).getOrElse(Map.empty)
+      TickVars.boundVars(t.vars, declared)
+    }
+
+  /** [[taskVars]] rendered as the wire JSON object. */
+  def taskVarsJson(id: String): Option[String] =
+    synchronized(tasks.get(id)).map { t =>
+      val declared = t.templateId.flatMap(templates.get)
+        .map(_.declaredVars).getOrElse(Map.empty)
+      TickVars.boundVarsJson(t.vars, declared)
+    }
 
   private def renderScript(raw: String, scriptFormat: String): String =
     scriptFormat match {

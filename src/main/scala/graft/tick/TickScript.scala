@@ -280,6 +280,9 @@ object TickScript {
     def parseTemplateValue(resolve: String => Option[Any]): Any = {
       peek match {
         case Some(TLambda) => next(); return parseOr()
+        // a star template var (`var g = *`) — the same "*" representation
+        // star ARG positions use, so groupBy(g) splices like groupBy(*)
+        case Some(TOp("*")) => next(); return "*"
         case Some(TOp("[")) =>
           next()
           val items = Seq.newBuilder[Any]
@@ -438,6 +441,51 @@ object TickScript {
     }
   }
 
+  /** Resolve a scope value SYMBOLICALLY: var references chase through
+    * `scope` (cycles fail loudly), pure numeric arithmetic folds with Go
+    * integer semantics, and anything lambda-shaped (field refs, fns,
+    * comparisons — or a var ALIASING a lambda) passes through as the
+    * Expr it is, to be substituted into lambda positions later. Shared
+    * by [[compile]]'s scope resolution and the template-vars API
+    * ([[TickVars]]). */
+  private[tick] def resolveScopeVal(v: Any, scope: Map[String, Any],
+      seen: Set[String]): Any = {
+    def resolveBin(op: String, a: Double, b: Double): Double =
+      op match { case "*" => a * b; case "+" => a + b; case "-" => a - b; case _ => a / b }
+    v match {
+      case EVar(n) =>
+        require(!seen(n), s"cyclic var reference through $n")
+        scope.get(n).map(resolveScopeVal(_, scope, seen + n))
+          .getOrElse(throw new IllegalArgumentException(s"unknown var $n"))
+      case ELit(x) => x
+      case EBin(op @ ("*" | "+" | "-" | "/"), l, r) =>
+        (resolveScopeVal(l, scope, seen), resolveScopeVal(r, scope, seen)) match {
+          case (a: Long, b: Long) =>
+            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
+                       case _ => a / b } // Go int division truncates
+          case (a: Double, b: Double) =>
+            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
+                       case _ => a / b }
+          case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
+          case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
+          // duration arithmetic mirrors parseTemplateValue.mk: a duration
+          // operand keeps duration-ness except the d/d ratio (truncated
+          // int64-nanos division, like Go)
+          case (Dur(a), Dur(b)) =>
+            if (op == "/") math.round(a * 1e9) / math.round(b * 1e9)
+            else Dur(resolveBin(op, a, b))
+          case (Dur(a), b: Long)   => Dur(resolveBin(op, a, b.toDouble))
+          case (Dur(a), b: Double) => Dur(resolveBin(op, a, b))
+          case (a: Long, Dur(b))   => Dur(resolveBin(op, a.toDouble, b))
+          case (a: Double, Dur(b)) => Dur(resolveBin(op, a, b))
+          case (a, b) => // a lambda operand — stays a symbolic tree
+            def toE(x: Any): Expr = x match { case e: Expr => e; case lv => ELit(lv) }
+            EBin(op, toE(a), toE(b))
+        }
+      case other => other // lambdas, strings, durations, lists
+    }
+  }
+
   def parse(src: String): Script = new P(lex(src)).parseScript()
 
   /** Parse a standalone lambda expression (for supplying template vars). */
@@ -541,47 +589,8 @@ object TickScript {
     // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
     // templateVars override of the referenced var propagates (the
     // reference evaluates declarations in the overridden scope)
-    // Resolve a scope value SYMBOLICALLY: var references chase through the
-    // raw scope (cycles fail loudly), pure numeric arithmetic folds with Go
-    // integer semantics, and anything lambda-shaped (field refs, fns,
-    // comparisons — or a var ALIASING a lambda) passes through as the Expr
-    // it is, to be substituted into lambda positions later.
-    def resolveVal(v: Any, seen: Set[String]): Any = v match {
-      case EVar(n) =>
-        require(!seen(n), s"cyclic var reference through $n")
-        rawScope.get(n).map(resolveVal(_, seen + n))
-          .getOrElse(throw new IllegalArgumentException(s"unknown var $n"))
-      case ELit(x) => x
-      case EBin(op @ ("*" | "+" | "-" | "/"), l, r) =>
-        (resolveVal(l, seen), resolveVal(r, seen)) match {
-          case (a: Long, b: Long) =>
-            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
-                       case _ => a / b } // Go int division truncates
-          case (a: Double, b: Double) =>
-            op match { case "*" => a * b; case "+" => a + b; case "-" => a - b
-                       case _ => a / b }
-          case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
-          case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
-          // duration arithmetic mirrors parseTemplateValue.mk: a duration
-          // operand keeps duration-ness except the d/d ratio (truncated
-          // int64-nanos division, like Go)
-          case (Dur(a), Dur(b)) =>
-            if (op == "/") math.round(a * 1e9) / math.round(b * 1e9)
-            else Dur(resolveBin(op, a, b))
-          case (Dur(a), b: Long)   => Dur(resolveBin(op, a, b.toDouble))
-          case (Dur(a), b: Double) => Dur(resolveBin(op, a, b))
-          case (a: Long, Dur(b))   => Dur(resolveBin(op, a.toDouble, b))
-          case (a: Double, Dur(b)) => Dur(resolveBin(op, a, b))
-          case (a, b) => // a lambda operand — stays a symbolic tree
-            def toE(x: Any): Expr = x match { case e: Expr => e; case lv => ELit(lv) }
-            EBin(op, toE(a), toE(b))
-        }
-      case other => other // lambdas, strings, durations, lists
-    }
-    def resolveBin(op: String, a: Double, b: Double): Double =
-      op match { case "*" => a * b; case "+" => a + b; case "-" => a - b; case _ => a / b }
     val scope: Map[String, Any] =
-      rawScope.map { case (k, v) => k -> resolveVal(v, Set(k)) }
+      rawScope.map { case (k, v) => k -> resolveScopeVal(v, rawScope, Set(k)) }
     // substitute template vars into arg positions ([list] values splice)
     def substExpr(e: Expr): Expr = e match {
       case EVar(n) if scope.contains(n) => scope(n) match {

@@ -158,4 +158,53 @@ class TaskRegistrySpec extends SparkSpec {
     assert(reg.templateScript("tpl", "raw").get ===
       "var m string\nstream|from().measurement(m)")
   }
+
+  test("template update propagates to associated tasks with rollback") {
+    val reg = new TaskRegistry
+    val v1 = "var m string\nstream|from().measurement(m)"
+    reg.defineTemplate("tpl", v1)
+    reg.defineFromTemplate("t1", "tpl", Map("m" -> "cpu"))
+    reg.defineFromTemplate("t2", "tpl", Map("m" -> "mem"))
+    reg.define("solo", script) // not associated — must stay untouched
+    // propagation: both tasks take the new script, vars kept
+    val v2 = "var m string\nstream|from().measurement(m).groupBy('host')"
+    reg.redefineTemplate("tpl", v2)
+    assert(reg.get("t1").get.tickscript === v2)
+    assert(reg.get("t2").get.tickscript === v2)
+    assert(reg.get("t1").get.vars === Map("m" -> "cpu"))
+    assert(reg.get("solo").get.tickscript === script)
+    // dbrps: replaced when either version declares header dbrps
+    val v3 = "dbrp \"db\".\"rp\"\nvar m string\nstream|from().measurement(m)"
+    reg.redefineTemplate("tpl", v3)
+    assert(reg.get("t1").get.dbrps === Seq(("db", "rp")))
+    // a DISABLED task accepts a script with a newly-declared unbound var
+    // (the reference validates only at startTask); enable then fails
+    val v4 = "var m string\nvar extra string\nstream|from().measurement(m)"
+    reg.redefineTemplate("tpl", v4)
+    assert(reg.get("t1").get.tickscript === v4)
+  }
+
+  test("template update rolls back tasks when an enabled task fails") {
+    import spark.implicits._
+    val reg = new TaskRegistry
+    val v1 = "var m string\nstream|from().measurement(m)"
+    reg.defineTemplate("tpl", v1)
+    reg.defineFromTemplate("ok", "tpl", Map("m" -> "cpu"))
+    reg.defineFromTemplate("live", "tpl", Map("m" -> "cpu"))
+    val src = Seq(("cpu", new java.sql.Timestamp(1000L), 1.0))
+      .toDF("measurement", "time", "value")
+    reg.enable("live", src)
+    assert(reg.get("live").get.status === reg.Enabled)
+    // the new version declares a var the live task has not bound:
+    // propagation fails at the enabled task and rolls tasks back...
+    val v2 = "var m string\nvar extra string\nstream|from().measurement(m)"
+    val e = intercept[IllegalArgumentException](reg.redefineTemplate("tpl", v2))
+    assert(e.getMessage.contains("error reloading associated task live"))
+    assert(e.getMessage.contains("extra"))
+    assert(reg.get("ok").get.tickscript === v1)
+    assert(reg.get("live").get.tickscript === v1)
+    // ...but the template keeps the new definition (service.go saves it
+    // before walking tasks; only tasks roll back)
+    assert(reg.getTemplate("tpl").get.tickscript === v2)
+  }
 }
