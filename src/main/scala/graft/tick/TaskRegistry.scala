@@ -243,6 +243,7 @@ class TaskRegistry {
     * the reference's initial zeros — callers with live counters pass
     * them through. */
   def dot(id: String, dotView: String = "attributes",
+      throughput: Double = 0.0,
       stats: String => Seq[(String, String)] = _ => TickDot.zeroStats,
       processed: (String, String) => Long = (_, _) => 0L): Option[String] = {
     val labels = dotView match {
@@ -253,8 +254,8 @@ class TaskRegistry {
     }
     synchronized(tasks.get(id)).map { t =>
       if (t.status == Enabled)
-        TickDot.edot(t.tickscript, t.id, labels = labels, stats = stats,
-          processed = processed)
+        TickDot.edot(t.tickscript, t.id, labels = labels,
+          throughput = throughput, stats = stats, processed = processed)
       else TickDot.dot(t.tickscript, t.id)
     }
   }
@@ -270,21 +271,20 @@ class TaskRegistry {
     synchronized(templates.get(id)).map(t => TickVars.varsJson(t.tickscript))
 
   /** A task's BOUND vars as the API shape (the `vars` field of a task
-    * GET — the vars it was created with, typed via its template's
-    * declarations when it has one; task_store convertToClientVars). */
+    * GET — the vars it was created with, typed via the script's own
+    * `var x <type>` declarations so regex/star/lambda typing survives;
+    * task_store convertToClientVars). The task's stored script IS the
+    * template script for template-instance tasks, so one parse covers
+    * both paths. */
   def taskVars(id: String): Option[Seq[(String, TickVars.Var)]] =
     synchronized(tasks.get(id)).map { t =>
-      val declared = t.templateId.flatMap(templates.get)
-        .map(_.declaredVars).getOrElse(Map.empty)
-      TickVars.boundVars(t.vars, declared)
+      TickVars.boundVars(t.vars, TickScript.parse(t.tickscript).declared)
     }
 
   /** [[taskVars]] rendered as the wire JSON object. */
   def taskVarsJson(id: String): Option[String] =
     synchronized(tasks.get(id)).map { t =>
-      val declared = t.templateId.flatMap(templates.get)
-        .map(_.declaredVars).getOrElse(Map.empty)
-      TickVars.boundVarsJson(t.vars, declared)
+      TickVars.boundVarsJson(t.vars, TickScript.parse(t.tickscript).declared)
     }
 
   private def renderScript(raw: String, scriptFormat: String): String =

@@ -46,7 +46,12 @@ object TickVars {
           case s: String => Some(Var("string", Some(s), ""))
           case TickScript.Dur(s) =>
             Some(Var("duration", Some(math.round(s * 1e9)), ""))
-          case _ => None // lambdas/lists land here only via references
+          // a var ALIASING a lambda or list resolves to the value here —
+          // ast.TypeOf yields TLambda/TList (valid types), so it stays a
+          // var in the API; only chain-valued vars fall through to None
+          case e: TickScript.Expr => Some(Var("lambda", Some(exprString(e)), ""))
+          case items: Seq[_] => Some(Var("list", Some(listVal(items)), ""))
+          case _ => None // pipeline chains (ast.TypeOf InvalidType)
         }
       }
 
@@ -109,12 +114,13 @@ object TickVars {
       s"${jstr(name)}:${varJson(v)}"
     }.mkString("{", ",", "}")
 
+  private def listVal(items: Seq[_]): Seq[(String, Any)] = items.map {
+    case "*" => "star" -> ""
+    case s: String => "string" -> s
+    case other => "string" -> other.toString
+  }
+
   private def boundVar(value: Any, declaredType: Option[String]): Var = {
-    def listVal(items: Seq[_]): Seq[(String, Any)] = items.map {
-      case "*" => "star" -> ""
-      case s: String => "string" -> s
-      case other => "string" -> other.toString
-    }
     (declaredType, value) match {
       case (Some("regex"), s: String) => Var("regex", Some(s), "")
       case (Some("star"), _) => Var("star", Some(""), "")

@@ -126,4 +126,17 @@ from1 [avg_exec_time_ns="0s" errors="0" working_cardinality="0" ];
     assert(reg.dot("missing").isEmpty)
     intercept[IllegalArgumentException](reg.dot("d1", "fancy"))
   }
+
+  test("TaskRegistry.dot passes live throughput to the executing view") {
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2).getOrCreate()
+    import spark.implicits._
+    val reg = new graft.tick.TaskRegistry
+    reg.define("live", "stream|from().measurement('cpu')")
+    reg.enable("live", Seq(("cpu", new java.sql.Timestamp(1000L), 1.0))
+      .toDF("measurement", "time", "value"))
+    val got = reg.dot("live", throughput = 7.25).get
+    assert(got.contains("graph [throughput=\"7.25 points/s\"];"))
+  }
 }

@@ -431,4 +431,18 @@ class TickFormatSpec extends AnyFunSuite {
     }
     assert(formatted >= 35, s"only $formatted of ${ticks.size} formatted")
   }
+
+  test("list items in a multi-line call repeat the indent (Go parity)") {
+    // ListNode.Format forwards onNewLine to every element, and the Go
+    // writeIndent never clears it (ast/node.go:1227-1242, :48-52) — a
+    // string list inside a multi-line call therefore renders each
+    // element with the indent inline. Reference-faithful, pinned here
+    // so nobody "fixes" graft's formatter away from the Go output.
+    check(
+      "stream\n|groupBy(\n['host', 'dc']\n)\n",
+      "stream\n" +
+        "    |groupBy(\n" +
+        "        [        'host',         'dc']\n" +
+        "    )\n")
+  }
 }

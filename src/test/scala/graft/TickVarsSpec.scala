@@ -158,4 +158,27 @@ class TickVarsSpec extends AnyFunSuite {
     val once = roundTrip("(\"a\"+1.0)*(\"b\"-2.0)")
     assert(roundTrip(once) === once)
   }
+
+  test("aliases of lambdas and lists stay vars (TypeOf is valid)") {
+    val script =
+      """var warn = lambda: "v" > 1.0
+        |var crit = warn
+        |var g = ['host']
+        |var g2 = g
+        |stream|from()
+        |""".stripMargin
+    val vs = TickVars.vars(script).toMap
+    assert(vs("crit") === Var("lambda", Some("\"v\" > 1.0"), ""))
+    assert(vs("g2") === Var("list", Some(Seq("string" -> "host")), ""))
+    assert(TickVars.vars(script).map(_._1) === Seq("warn", "crit", "g", "g2"))
+  }
+
+  test("directly-defined tasks type bound vars from their own script") {
+    val reg = new graft.tick.TaskRegistry
+    reg.define("t", "var re regex\nvar g star\nstream|from()",
+      Map("re" -> "^cpu\\d+", "g" -> "*"))
+    val vs = reg.taskVars("t").get.toMap
+    assert(vs("re") === Var("regex", Some("^cpu\\d+"), ""))
+    assert(vs("g") === Var("star", Some(""), ""))
+  }
 }
