@@ -284,6 +284,38 @@ object EventQueries4 {
        SELECT event_id, grp, inh <> 0 AS inhibited FROM r WHERE src = 1
        ORDER BY event_id""".replaceAll("\\s+", " ")
 
+  /** q_topic_states: the `/alerts/topics` state queries as data
+    * (alert/topics.go TopicState :171-188 + EventStates :280-296):
+    * topics = event_type, events = one per user; level = max CURRENT
+    * per-event level (latest state per (topic,id) — a recovered
+    * CRITICAL does not count), collected = total events ever; glob
+    * pattern + minLevel filters. The per-event half is q's first 4
+    * columns via the same latest-wins max-struct aggregate. */
+  def topicStatesQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = pipe(s, dir).df.select(
+      col("event_type").as("topic"),
+      concat(lit("u"), col("user_id")).as("id"),
+      unix_micros(col("time")).as("time_us"),
+      when(col("value") > 90, 3).when(col("value") > 70, 2)
+        .when(col("value") > 50, 1).otherwise(0).as("level"))
+    graft.streaming.AlertTopics.topicStates(ev, pattern = "*", minLevel = 1)
+      .orderBy("topic")
+  }
+  val topicStatesSql: String =
+    s"""$preludeSql,
+       ev AS (SELECT event_type AS topic, 'u' || CAST(user_id AS VARCHAR) AS id, tus,
+              CASE WHEN value > 90 THEN 3 WHEN value > 70 THEN 2
+                   WHEN value > 50 THEN 1 ELSE 0 END AS lvl
+              FROM e),
+       latest AS (SELECT topic, id, lvl,
+              row_number() OVER (PARTITION BY topic, id ORDER BY tus DESC, lvl DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY topic) AS topic_n
+              FROM ev)
+       SELECT topic, MAX(lvl) AS level, MAX(topic_n) AS collected
+       FROM latest WHERE rn = 1
+       GROUP BY topic HAVING MAX(lvl) >= 1
+       ORDER BY topic""".replaceAll("\\s+", " ")
+
   // -------------------------------------------------- stateful lambdas
 
   /** q_stateful_lambdas: running count() and spread(value) per event_type

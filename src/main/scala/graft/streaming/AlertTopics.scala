@@ -92,6 +92,60 @@ object AlertTopics {
     TickScript.exprToColumn(subst(TickScript.lambdaExpr(matchExpr)))
   }
 
+  /** Latest event state per (topic, event id) — `Topic.EventStates`
+    * (alert/topics.go:280-296): a topic keeps the most recently
+    * collected state per event id, and the query filters on the
+    * CURRENT level (a historical CRITICAL that recovered does not
+    * count). One partial+final max aggregate per (topic, id): the max
+    * over a `(timeUs, level, carry…)` struct is the latest-wins rule
+    * with a deterministic lexicographic tie-break — no window sort, so
+    * the plan holds at any topic cardinality.
+    *
+    * @param carry additional state columns to keep (message, duration…)
+    */
+  def eventStates(events: DataFrame, minLevel: Int = 0,
+      topicCol: String = "topic", idCol: String = "id",
+      timeUsCol: String = "time_us", levelCol: String = "level",
+      carry: Seq[String] = Nil): DataFrame = {
+    val st = struct((timeUsCol +: levelCol +: carry).map(col): _*)
+    events.groupBy(col(topicCol), col(idCol))
+      .agg(max(st).as("__st"))
+      .select(col(topicCol) +: col(idCol) +:
+        (timeUsCol +: levelCol +: carry).map(c => col(s"__st.$c").as(c)): _*)
+      .where(col(levelCol) >= minLevel)
+  }
+
+  /** `Topics.TopicState(pattern, minLevel)` (alert/topics.go:171-188,
+    * :230-243): per glob-matched topic, `level` = the max CURRENT event
+    * level (over latest states, not history) and `collected` = the
+    * total number of events ever collected. Single scan: per-(topic,id)
+    * partial max+count, then a per-topic rollup — two narrow shuffles,
+    * both partial-aggregated map-side. Pattern is the reference's
+    * path.Match glob (`*`/`?` translated; empty matches all). */
+  def topicStates(events: DataFrame, pattern: String = "", minLevel: Int = 0,
+      topicCol: String = "topic", idCol: String = "id",
+      timeUsCol: String = "time_us", levelCol: String = "level"): DataFrame = {
+    val filtered =
+      if (pattern.isEmpty) events
+      else events.where(col(topicCol).rlike("^" + globRegex(pattern) + "$"))
+    filtered
+      .groupBy(col(topicCol), col(idCol))
+      .agg(max(struct(col(timeUsCol), col(levelCol))).as("__st"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(topicCol))
+      .agg(max(col(s"__st.$levelCol")).as(levelCol),
+        sum(col("__n")).as("collected"))
+      .where(col(levelCol) >= minLevel)
+  }
+
+  private def globRegex(pattern: String): String =
+    pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => "\\" + c
+      case c => c.toString
+    }
+
   /** Suppress candidate events inhibited by an active non-OK inhibitor.
     *
     * @param candidates      events of the inhibited category:

@@ -109,4 +109,41 @@ class AlertTopicsSpec extends SparkSpec {
     val loaded = graft.tick.LoadDir.load("/root/reference/examples/load", reg)
     assert(ev.filter(m(loaded.handlers.head.matchExpr)).count() === 2)
   }
+
+  test("eventStates and topicStates follow the topics.go laws") {
+    import spark.implicits._
+    import graft.streaming.AlertTopics
+    // two topics; event u1 in t1 peaks CRITICAL then recovers to OK,
+    // u2 stays WARNING; t2 has a single INFO event
+    val ev = Seq(
+      ("t1", "u1", 1000L, 3), // CRITICAL (historical)
+      ("t1", "u1", 2000L, 0), // recovered — CURRENT level is OK
+      ("t1", "u2", 1500L, 2), // WARNING (current)
+      ("t2", "u9", 1200L, 1)  // INFO (current)
+    ).toDF("topic", "id", "time_us", "level")
+
+    // latest-wins per (topic,id); minLevel filters CURRENT level
+    val states = AlertTopics.eventStates(ev).orderBy("topic", "id")
+      .as[(String, String, Long, Int)].collect().toSeq
+    assert(states === Seq(("t1", "u1", 2000L, 0), ("t1", "u2", 1500L, 2),
+      ("t2", "u9", 1200L, 1)))
+    assert(AlertTopics.eventStates(ev, minLevel = 2)
+      .as[(String, String, Long, Int)].collect().toSeq ===
+      Seq(("t1", "u2", 1500L, 2)))
+
+    // topic level = max of CURRENT states (u1's historical CRITICAL
+    // does not count); collected = total events ever
+    val ts = AlertTopics.topicStates(ev).orderBy("topic")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(ts === Seq(("t1", 2, 3L), ("t2", 1, 1L)))
+    // minLevel filters topics by their current max level
+    assert(AlertTopics.topicStates(ev, minLevel = 2)
+      .as[(String, Int, Long)].collect().toSeq === Seq(("t1", 2, 3L)))
+    // path.Match glob on the topic id
+    assert(AlertTopics.topicStates(ev, pattern = "t?")
+      .count() === 2)
+    assert(AlertTopics.topicStates(ev, pattern = "t2")
+      .as[(String, Int, Long)].collect().toSeq === Seq(("t2", 1, 1L)))
+    assert(AlertTopics.topicStates(ev, pattern = "x*").count() === 0)
+  }
 }
