@@ -69,6 +69,41 @@ class SourcesSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, "OK"), (3600L, 0L, "CRITICAL"), (7200L, 1L, "OK")))
   }
 
+  test("global deadman: the [deadman] config section end-to-end") {
+    import Deadman.{parseConfig, goDuration, parseGoDurationSeconds, GlobalConfig}
+    // the reference's own shipped config section parses to its defaults
+    val conf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/etc/kapacitor/kapacitor.conf")), "UTF-8")
+    val cfg = parseConfig(conf)
+    assert((cfg.global, cfg.threshold, cfg.intervalSeconds, cfg.id) ===
+      ((false, 0.0, 10L, Deadman.DefaultId)))
+    // the shipped conf carries an older "collected"-field message; the
+    // CODE default (services/deadman/config.go:17) says "emitted" — the
+    // parse is faithful to the file, the default to the code
+    assert(cfg.message === Deadman.DefaultMessage.replace("emitted", "collected"))
+    assert(parseConfig("") === GlobalConfig())
+    // Go duration round-trips
+    assert(parseGoDurationSeconds("90s") === 90)
+    assert(parseGoDurationSeconds("1m30s") === 90)
+    assert(parseGoDurationSeconds("2h") === 7200)
+    assert(goDuration(10) === "10s")
+    assert(goDuration(90) === "1m30s")
+    assert(goDuration(3600) === "1h0m0s")
+    // the global branch renders the service id/message templates:
+    // NODE_NAME/INTERVAL substituted, if-eq alive/dead, printf %0.3f
+    val df = Seq(("g", 10L * 1000000), ("g", 7210L * 1000000)).toDF("k", "tus")
+    val out = Deadman.global(df, "tus", "k",
+      cfg.copy(global = true, intervalSeconds = 3600), taskName = "t1")
+      .orderBy("bucket_s")
+      .select("bucket_s", "id", "message").as[(Long, String, String)]
+      .collect().toSeq
+    assert(out.forall(_._2 === "node 'stream0' in task 't1'"))
+    assert(out(0)._3 ===
+      "node 'stream0' in task 't1' is alive: 1.000 points/1h0m0s.")
+    assert(out(1)._3 ===
+      "node 'stream0' in task 't1' is dead: 0.000 points/1h0m0s.")
+  }
+
   test("brpl/srpl replay fixtures from the reference parse into point frames") {
     import graft.sources.Replay
     val brpl = Replay.readBrpl(spark,

@@ -445,4 +445,22 @@ class TickFormatSpec extends AnyFunSuite {
         "        [        'host',         'dc']\n" +
         "    )\n")
   }
+
+  test("TickFmt formats files with the -w/-b laws (tickfmt CLI)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("tickfmt")
+    val f = dir.resolve("t.tick")
+    Files.write(f, "var x=stream()|window().period(10s)".getBytes("UTF-8"))
+    val exp = "var x = stream()\n    |window()\n        .period(10s)\n"
+    // default: print, file untouched
+    assert(graft.tools.TickFmt.formatFile(f.toString, write = false, backup = false) === exp)
+    assert(new String(Files.readAllBytes(f), "UTF-8") ===
+      "var x=stream()|window().period(10s)")
+    // -w -b: rewrite in place, keep .orig
+    assert(graft.tools.TickFmt.formatFile(f.toString, write = true, backup = true) === "")
+    assert(new String(Files.readAllBytes(f), "UTF-8") === exp)
+    assert(new String(Files.readAllBytes(
+      Paths.get(f.toString + ".orig")), "UTF-8") ===
+      "var x=stream()|window().period(10s)")
+  }
 }
