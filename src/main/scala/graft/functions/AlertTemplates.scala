@@ -63,8 +63,11 @@ object AlertTemplates {
           parts += scope.get(name).map(_.cast("string")).getOrElse(lit(""))
         case Right((kind, k, fmt)) =>
           val src = if (kind == "Tags") tags else fields
+          // null-check BEFORE formatting: java.util.Formatter renders a
+          // null arg as the string "null" (precision applies — "%.3f" of
+          // null is "nul"), which would defeat the empty-render contract
           val render = (c: Column) => fmt match {
-            case Some(f) => format_string(goFmt(f), c)
+            case Some(f) => when(c.isNull, lit("")).otherwise(format_string(goFmt(f), c))
             case None => c.cast("string")
           }
           parts += src.map(m => coalesce(render(m.getItem(k)), lit("")))

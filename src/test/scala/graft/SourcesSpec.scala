@@ -92,8 +92,11 @@ class SourcesSpec extends SparkSpec {
     // the global branch renders the service id/message templates:
     // NODE_NAME/INTERVAL substituted, if-eq alive/dead, printf %0.3f
     val df = Seq(("g", 10L * 1000000), ("g", 7210L * 1000000)).toDF("k", "tus")
+    // the CODE-default message (services/deadman/config.go:17 — "emitted")
+    // renders the emitted count through printf %0.3f
     val out = Deadman.global(df, "tus", "k",
-      cfg.copy(global = true, intervalSeconds = 3600), taskName = "t1")
+      cfg.copy(global = true, intervalSeconds = 3600,
+        message = Deadman.DefaultMessage), taskName = "t1")
       .orderBy("bucket_s")
       .select("bucket_s", "id", "message").as[(Long, String, String)]
       .collect().toSeq
@@ -102,6 +105,16 @@ class SourcesSpec extends SparkSpec {
       "node 'stream0' in task 't1' is alive: 1.000 points/1h0m0s.")
     assert(out(1)._3 ===
       "node 'stream0' in task 't1' is dead: 0.000 points/1h0m0s.")
+    // the SHIPPED conf's message says "collected" (an older field name) —
+    // that key is absent from the emitted-count point, and a missing
+    // index renders EMPTY (never java.util.Formatter's "nul" for a null
+    // arg under precision)
+    val shipped = Deadman.global(df, "tus", "k",
+      cfg.copy(global = true, intervalSeconds = 3600), taskName = "t1")
+      .orderBy("bucket_s")
+      .select("message").as[String].collect().toSeq
+    assert(shipped(0) ===
+      "node 'stream0' in task 't1' is alive:  points/1h0m0s.")
   }
 
   test("brpl/srpl replay fixtures from the reference parse into point frames") {

@@ -653,10 +653,14 @@ class UdfProtoAgentSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("keepalive timeout"))
     assert((System.nanoTime() - t1) / 1e9 < 30, "handshake hang not killed")
-    // a healthy child under keepalive: probes interleave, results intact
+    // a healthy child under keepalive: probes interleave, results intact.
+    // The window must also cover interpreter STARTUP (the timer runs from
+    // spawn, like the reference's keepalive goroutine from Open) — under a
+    // fully loaded 32-thread suite python3 can take >200ms to first write,
+    // so the healthy-child window is deliberately generous
     val small = spark.createDataset(pts.take(10)).coalesce(1)
     val ok = UdfProto.pipePoints(small, Seq("python3", "-u", stubPath, "ok"),
-      keepaliveMs = 200L).collect().sortBy(_.time)
+      keepaliveMs = 1500L).collect().sortBy(_.time)
     assert(ok.length === 10)
     assert(ok.map(_.fieldsDouble("v")).toSeq === (1 to 10).map(_ * 2.0))
   }
@@ -669,13 +673,16 @@ class UdfProtoAgentSpec extends SparkSpec {
     val pts = (1 to 4).map(i => ProtoPoint(
       i.toLong, "m", "", "", "", Nil, Map.empty, Map("v" -> i * 1.0),
       Map.empty, Map.empty, Map.empty, byName = false))
+    // keepalive must also cover python startup under suite load (see the
+    // prober test above); the pause stays well beyond it so the property
+    // (consumer-side stalls don't starve the timer) is still exercised
     val it = UdfProto.runAgentPartition(
       Seq("python3", "-u", stubPath, "ok"), Nil, "t", "n",
-      pts.iterator, keepaliveMs = 300L)
+      pts.iterator, keepaliveMs = 700L)
     val acc = scala.collection.mutable.ArrayBuffer.empty[ProtoPoint]
     while (it.hasNext) {
       acc += it.next()
-      Thread.sleep(700) // far beyond keepaliveMs: only reader-thread draining survives this
+      Thread.sleep(1800) // far beyond keepaliveMs: only reader-thread draining survives this
     }
     assert(acc.map(_.fieldsDouble("v")).sorted === Seq(2.0, 4.0, 6.0, 8.0))
   }
