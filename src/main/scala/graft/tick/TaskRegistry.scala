@@ -235,6 +235,13 @@ class TaskRegistry {
   def templateScript(id: String, scriptFormat: String = "formatted"): Option[String] =
     synchronized(templates.get(id)).map(t => renderScript(t.tickscript, scriptFormat))
 
+  /** The task's pipeline JSON (pipeline/json.go MarshalJSON — the DAG
+    * representation Chronograf round-trips when editing rules): the
+    * stored TICKscript marshaled with the task's bound template vars.
+    * None when the id is unknown. */
+  def pipelineJson(id: String): Option[String] =
+    synchronized(tasks.get(id)).map(t => TickJson.marshal(t.tickscript, t.vars))
+
   /** The task's DOT graph — the `dot` field of `kapacitor show`
     * (task_store service.go:1082-1093): an enabled (executing) task
     * renders the EDot stats view at the requested `dot-view`

@@ -42,7 +42,7 @@ object TickDot {
   }
 
   /** pipeline node desc strings that differ from the script method name. */
-  private val descOverride = Map(
+  private[tick] val descOverride = Map(
     "groupBy" -> "groupby", "httpOut" -> "http_out", "httpPost" -> "http_post",
     "influxDBOut" -> "influxdb_out", "kapacitorLoopback" -> "kapacitor_loopback",
     "stateDuration" -> "state_duration", "stateCount" -> "state_count",
@@ -104,8 +104,9 @@ object TickDot {
           val a = dag.newNode("alert"); d.children += a
           cur = a
         case "join" | "union" =>
-          val parents = cur +: nd.args.collect { case a
-              if vars.contains(a.toString) => resolve(a.toString) }
+          val parents = cur +: nd.args.collect {
+            case TickScript.Ident(n) if vars.contains(n) => resolve(n)
+            case a if vars.contains(a.toString) => resolve(a.toString) }
           val g = dag.newNode(nd.name)
           parents.foreach(_.children += g)
           cur = g

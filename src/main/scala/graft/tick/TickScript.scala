@@ -130,6 +130,14 @@ object TickScript {
   /** A negated arg whose operand may be a script var, resolved (then
     * negated) at compile time — e.g. shift(-period). */
   case class NegArg(v: Any)
+  /** A bare identifier in ARG position (a var reference or a chain-var
+    * name) — kept distinct from a string LITERAL so var substitution
+    * never captures a same-named string: `.tag('triggerType',
+    * triggerType)` must substitute only the second arg (the reference
+    * types these differently in the AST — ast.IdentifierNode vs
+    * ast.StringNode). Unresolved idents unwrap to their name during
+    * [[parseResolved]]. */
+  case class Ident(name: String)
   /** A duration literal in ARG position (`.period(10s)`, `.opt(1s)`).
     * The wrapper keeps duration-ness through to UDF options: the
     * reference types option values (udf.proto OptionValue — a DURATION
@@ -170,7 +178,10 @@ object TickScript {
   private val shadowedProps: Map[String, Set[String]] = Map(
     "from" -> Set("where", "groupBy"),
     "query" -> Set("groupBy"),
-    "alert" -> Set("log"),
+    // "mode" shadows the mode() aggregate when dot-chained on alert: it
+    // is the LogHandler file-mode property (pipeline/alert.go LogHandler
+    // .Mode); the mode aggregate remains reachable via the |mode() form
+    "alert" -> Set("log", "mode"),
     "combine" -> Set("max"), // combine().max(n) is the pair cap, not an agg
     "barrier" -> Set("delete"),
     // autoscale bound props, not the min/max aggregates
@@ -261,8 +272,12 @@ object TickScript {
           if (!isUdf) next()
           val TIdent(name) = next(): @unchecked
           val args = parseArgList()
+          // on a UDF node every dot-call is an OPTION (the reference
+          // reflects options off the agent's declared set; chaining off
+          // a UDF requires the | form), so nothing shadows
           val opensNode = pipe || isUdf || curName == null ||
-            (chainNodeNames(name) && !shadowedProps.getOrElse(curName, Set.empty)(name))
+            (chainNodeNames(name) && !curName.startsWith("@") &&
+              !shadowedProps.getOrElse(curName, Set.empty)(name))
           if (opensNode) { flushNode(); curName = name; curArgs = args }
           else curProps += Call(name, args)
         }
@@ -373,7 +388,7 @@ object TickScript {
         // lexes TRUE/FALSE as bool tokens everywhere, not only in lambdas)
         else if (v == "TRUE") true
         else if (v == "FALSE") false
-        else v
+        else Ident(v)
       case Some(TOp("*")) => next(); "*" // star dimension
       case t => throw new IllegalArgumentException(s"unexpected arg token $t")
     }
@@ -468,6 +483,9 @@ object TickScript {
                        case _ => a / b }
           case (a: Long, b: Double) => resolveBin(op, a.toDouble, b)
           case (a: Double, b: Long) => resolveBin(op, a, b.toDouble)
+          // string concatenation (tick/stateful eval: + on two strings —
+          // the chronograf rule shape `var idVar = name + ':{{.Group}}'`)
+          case (a: String, b: String) if op == "+" => a + b
           // duration arithmetic mirrors parseTemplateValue.mk: a duration
           // operand keeps duration-ness except the d/d ratio (truncated
           // int64-nanos division, like Go)
@@ -487,6 +505,77 @@ object TickScript {
   }
 
   def parse(src: String): Script = new P(lex(src)).parseScript()
+
+  /** Parse + RESOLVE: bind template vars (coerced by declared type),
+    * evaluate the var scope (constant arithmetic, var chains), and
+    * substitute resolved values into every node/prop arg position (list
+    * vars splice; negated args fold). The returned Script's chains carry
+    * only literal/lambda args — the form [[compile]] executes and the
+    * form the task-JSON marshaler ([[TickJson]]) serializes, matching the
+    * reference's eager var evaluation at pipeline-build time
+    * (tick/eval.go:275-310). */
+  def parseResolved(script: String,
+      templateVars: Map[String, Any] = Map.empty): Script = {
+    val parsed = parse(script)
+    val missing = parsed.declared.keySet -- templateVars.keySet
+    require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
+    // coerce bindings by their DECLARED type: a duration-declared var
+    // bound with a plain number (the natural caller binding — seconds)
+    // must carry duration-ness to typed consumers (UDF options validate
+    // DURATION vs DOUBLE), exactly as the reference coerces Var values
+    // against the declared ast.ValueType (tick/eval.go:275-310)
+    val boundVars = templateVars.map { case (k, v) =>
+      k -> ((parsed.declared.get(k), v) match {
+        case (Some("duration"), d: Double) => Dur(d)
+        case (Some("duration"), l: Long)   => Dur(l.toDouble)
+        case (Some("duration"), i: Int)    => Dur(i.toDouble)
+        case _                             => v
+      })
+    }
+    val rawScope = parsed.defaults ++ boundVars
+    // a var default may be a deferred arithmetic tree over OTHER vars
+    // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
+    // templateVars override of the referenced var propagates (the
+    // reference evaluates declarations in the overridden scope)
+    val scope: Map[String, Any] =
+      rawScope.map { case (k, v) => k -> resolveScopeVal(v, rawScope, Set(k)) }
+    // substitute template vars into arg positions ([list] values splice)
+    def substExpr(e: Expr): Expr = e match {
+      case EVar(n) if scope.contains(n) => scope(n) match {
+        case ex: Expr => substExpr(ex) // a var may reference further vars
+        // a duration var in a lambda position substitutes at second
+        // scale, exactly like a lambda-position duration LITERAL does
+        // (parsePrimary keeps ELit(Double) — the repo-wide expression
+        // convention for durations)
+        case Dur(s) => ELit(s)
+        case v => ELit(v)
+      }
+      case EBin(op, l, r) => EBin(op, substExpr(l), substExpr(r))
+      case ENeg(x) => ENeg(substExpr(x))
+      case EFn(f, as) => EFn(f, as.map(substExpr))
+      case other => other
+    }
+    def resolveArgs(xs: Seq[Any]): Seq[Any] = xs.flatMap {
+      // only IDENTS substitute — a string literal that happens to equal
+      // a var name stays a literal
+      case Ident(s) if scope.contains(s) => scope(s) match {
+        case seq: Seq[_] => resolveArgs(seq)
+        case v => Seq(v)
+      }
+      case Ident(s) => Seq(s) // chain-var names etc. unwrap to strings
+      case NegArg(inner) => resolveArgs(Seq(inner)).map {
+        case l: Long => -l
+        case d: Double => -d
+        case Dur(s) => Dur(-s)
+        case other => throw new IllegalArgumentException(s"cannot negate $other")
+      }
+      case e: Expr => Seq(substExpr(e))
+      case other => Seq(other)
+    }
+    parsed.copy(chains = parsed.chains.map(ch => ch.copy(nodes = ch.nodes.map(n =>
+      n.copy(args = resolveArgs(n.args),
+        props = n.props.map(c => c.copy(args = resolveArgs(c.args))))))))
+  }
 
   /** Parse a standalone lambda expression (for supplying template vars). */
   def lambdaExpr(src: String): Expr = new P(lex(src)).parseOr()
@@ -568,62 +657,8 @@ object TickScript {
       stageTap: Option[(String, Pipe) => Unit] = None,
       udfs: Map[String, (DataFrame, Seq[Call]) => DataFrame] = Map.empty,
       autoscaleInitial: Option[String => Long] = None): DataFrame = {
-    val parsed = parse(script)
-    val missing = parsed.declared.keySet -- templateVars.keySet
-    require(missing.isEmpty, s"unbound template vars: ${missing.mkString(", ")}")
-    // coerce bindings by their DECLARED type: a duration-declared var
-    // bound with a plain number (the natural caller binding — seconds)
-    // must carry duration-ness to typed consumers (UDF options validate
-    // DURATION vs DOUBLE), exactly as the reference coerces Var values
-    // against the declared ast.ValueType (tick/eval.go:275-310)
-    val boundVars = templateVars.map { case (k, v) =>
-      k -> ((parsed.declared.get(k), v) match {
-        case (Some("duration"), d: Double) => Dur(d)
-        case (Some("duration"), l: Long)   => Dur(l.toDouble)
-        case (Some("duration"), i: Int)    => Dur(i.toDouble)
-        case _                             => v
-      })
-    }
-    val rawScope = parsed.defaults ++ boundVars
-    // a var default may be a deferred arithmetic tree over OTHER vars
-    // (`var gb = 1024 * mb`) — evaluate it against the MERGED scope so a
-    // templateVars override of the referenced var propagates (the
-    // reference evaluates declarations in the overridden scope)
-    val scope: Map[String, Any] =
-      rawScope.map { case (k, v) => k -> resolveScopeVal(v, rawScope, Set(k)) }
-    // substitute template vars into arg positions ([list] values splice)
-    def substExpr(e: Expr): Expr = e match {
-      case EVar(n) if scope.contains(n) => scope(n) match {
-        case ex: Expr => substExpr(ex) // a var may reference further vars
-        // a duration var in a lambda position substitutes at second
-        // scale, exactly like a lambda-position duration LITERAL does
-        // (parsePrimary keeps ELit(Double) — the repo-wide expression
-        // convention for durations)
-        case Dur(s) => ELit(s)
-        case v => ELit(v)
-      }
-      case EBin(op, l, r) => EBin(op, substExpr(l), substExpr(r))
-      case ENeg(x) => ENeg(substExpr(x))
-      case EFn(f, as) => EFn(f, as.map(substExpr))
-      case other => other
-    }
-    def resolveArgs(xs: Seq[Any]): Seq[Any] = xs.flatMap {
-      case s: String if scope.contains(s) => scope(s) match {
-        case seq: Seq[_] => seq
-        case v => Seq(v)
-      }
-      case NegArg(inner) => resolveArgs(Seq(inner)).map {
-        case l: Long => -l
-        case d: Double => -d
-        case Dur(s) => Dur(-s)
-        case other => throw new IllegalArgumentException(s"cannot negate $other")
-      }
-      case e: Expr => Seq(substExpr(e))
-      case other => Seq(other)
-    }
-    val chains = parsed.chains.map(ch => ch.copy(nodes = ch.nodes.map(n =>
-      n.copy(args = resolveArgs(n.args),
-        props = n.props.map(c => c.copy(args = resolveArgs(c.args)))))))
+    val parsed = parseResolved(script, templateVars)
+    val chains = parsed.chains
     // kapacitorLoopback() writing a dbrp this task subscribes to would
     // loop the task into itself — refuse at definition, like the
     // reference's start-time validation (TestStream_KapacitorLoopback_

@@ -39,6 +39,25 @@ class TaskRegistrySpec extends SparkSpec {
     reg.delete("t1") // idempotent like the reference DELETE
   }
 
+  test("pipelineJson serves the task's DAG with bound template vars") {
+    import graft.tick.TickJson
+    val reg = new TaskRegistry
+    reg.define("tj", script)
+    assert(reg.pipelineJson("tj") === Some(TickJson.marshal(script)))
+    assert(reg.pipelineJson("missing") === None)
+    // a template-bound task marshals with its vars resolved
+    val tmplScript =
+      """var m string
+        |stream
+        ||from().measurement(m)
+        |""".stripMargin
+    reg.defineTemplate("tpl", tmplScript)
+    reg.defineFromTemplate("t2", "tpl", Map("m" -> "disk"))
+    val j = reg.pipelineJson("t2").get
+    assert(j.contains("\"measurement\": \"disk\""))
+    assert(TickJson.remarshal(j) === j)
+  }
+
   test("define validates: syntax, type mixing, unbound template vars") {
     val reg = new TaskRegistry
     intercept[Exception](reg.define("bad", "stream\n|from(\n"))
