@@ -210,4 +210,88 @@ object Mix {
       d -> scale * (w / wSum) / (sizes(d) / total)
     }
   }
+
+  // -------------------------------------------- importance resampling
+
+  /** DSIR-style data selection via importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" — arXiv:2302.03169): score every RAW document by how
+    * much more likely its hashed-n-gram profile is under the TARGET
+    * domain's distribution than under the raw distribution, then draw a
+    * top-k Gumbel sample on the log-weights (importance resampling
+    * without replacement).
+    *
+    * Features are hashed unigram+bigram counts in `buckets` buckets
+    * (md5-based, the repo-wide reproducible hash). Both bag-of-buckets
+    * unigram models use add-1 smoothing.
+    *
+    * 100 TB shape: ONE explode+aggregate over the corpus computes both
+    * bucket distributions (partial+final combine on ≤ `buckets` keys);
+    * the log-ratio vector is a BOUNDED driver literal (buckets ≤ 65536
+    * enforced) shipped in the plan, so the scoring pass is a
+    * shuffle-free per-row array fold (no join against a model table);
+    * the final selection is a distributed top-k
+    * (TakeOrderedAndProject), never a global sort. The Gumbel noise is
+    * derived from md5(id) — exactly reproducible across retries and
+    * partitionings, like every sampler in this file.
+    */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, k: Int, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in (0, 65536]: the log-ratio vector is a plan literal")
+    val toks = filter(
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"), t => t =!= "")
+    val bigrams = when(size(toks) > lit(1),
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    val grams = concat(toks, bigrams)
+    def bucketOf(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+
+    val base = df.withColumn("__grams", grams).withColumn("__tgt", isTarget)
+    // pass 1: both bucket distributions in one aggregate
+    val counts = base
+      .select(explode(col("__grams")).as("__g"), col("__tgt"))
+      .groupBy(bucketOf(col("__g")).as("__b"))
+      .agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__cp"),
+        sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cq"))
+      .collect()
+    val cp = new Array[Long](buckets); val cq = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt; cp(b) = r.getLong(1); cq(b) = r.getLong(2)
+    }
+    val totP = cp.sum.toDouble; val totQ = cq.sum.toDouble
+    // add-1 smoothed log ratio in INTEGER MICRO-UNITS: summing doubles
+    // is order-sensitive (a distributed fold and the oracle's GROUP BY
+    // accumulate differently, and a sum landing on a rounding boundary
+    // flips the reported value), so both engines fold exact integers
+    // and divide once at the end
+    val lamMicro: Seq[Long] = (0 until buckets).map { b =>
+      math.round((math.log((cp(b) + 1.0) / (totP + buckets)) -
+        math.log((cq(b) + 1.0) / (totQ + buckets))) * 1e6)
+    }
+    val lamCol = typedLit(lamMicro)
+
+    // pass 2: shuffle-free scoring of the raw (non-target) side
+    val logw = aggregate(col("__grams"), lit(0L),
+      (acc, g) => acc + element_at(lamCol, (bucketOf(g) + 1).cast("int")))
+      .cast("double") / lit(1000000.0)
+    // deterministic Gumbel: u from md5(id) in (0,1), g = -ln(-ln(u))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000000L + lit(0.5)) / lit(1000000.0)
+    val scored = base.filter(!col("__tgt"))
+      .withColumn("__logw", logw)
+      .withColumn("__key", col("__logw") - log(-log(u))) // + gumbel = -ln(-ln(u))
+      .drop("__grams", "__tgt")
+    scored
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__key").desc, col(idCol))))
+      .select(col("rk").cast("long").as("rk"), col(idCol),
+        round(col("__logw"), 4).as("logw"), round(col("__key"), 4).as("score"))
+  }
 }

@@ -331,6 +331,44 @@ object LlmQueries {
                          ELSE tok_start < 2000 END
        ORDER BY doc_id""".replaceAll("\\s+", " ")
 
+  /** q_mix_importance: DSIR-style data selection (Mix.importanceResample)
+    * — src0 is the TARGET domain; every other document scores by the
+    * add-1-smoothed log-ratio of its hashed unigram+bigram buckets under
+    * target vs raw, and a deterministic md5-Gumbel top-k draws the
+    * selection. The oracle restates the whole construction 1:1: same
+    * md5 bucketing, same rounded log-ratio literals, same Gumbel. */
+  def mixImportanceQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.importanceResample(docs(s, dir), "doc_id", "text",
+      col("source") === "src0", k = 40, buckets = 1024)
+      .orderBy("rk")
+  val mixImportanceSql: String =
+    """WITH t AS (
+       SELECT doc_id, (source = 'src0') AS tgt,
+              list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '') AS toks
+       FROM documents),
+       gr AS (
+       SELECT doc_id, tgt,
+              toks || list_transform(range(greatest(len(toks) - 1, 0)), i -> toks[i+1] || ' ' || toks[i+2]) AS grams
+       FROM t),
+       g1 AS (SELECT doc_id, tgt, unnest(grams) AS g FROM gr),
+       g2 AS (SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b FROM g1),
+       bc AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS cp,
+                     sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END)::BIGINT AS cq
+              FROM g2 GROUP BY b),
+       tot AS (SELECT sum(cp)::DOUBLE AS tp, sum(cq)::DOUBLE AS tq FROM bc),
+       lam AS (SELECT b, CAST(round((ln((cp + 1.0) / (tp + 1024.0)) - ln((cq + 1.0) / (tq + 1024.0))) * 1000000.0, 0) AS BIGINT) AS l
+               FROM bc, tot),
+       sc AS (SELECT g2.doc_id, sum(lam.l)::DOUBLE / 1000000.0 AS logw
+              FROM g2 JOIN lam USING (b) WHERE NOT g2.tgt GROUP BY g2.doc_id),
+       allraw AS (SELECT doc_id, coalesce(sc.logw, 0.0) AS logw
+                  FROM (SELECT doc_id FROM t WHERE NOT tgt) r LEFT JOIN sc USING (doc_id)),
+       key AS (SELECT doc_id, logw,
+                logw - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 + 0.5) / 1000000.0)) AS k
+               FROM allraw)
+       SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rk,
+              doc_id, round(logw, 4) AS logw, round(k, 4) AS score
+       FROM key QUALIFY rk <= 40 ORDER BY rk""".replaceAll("\\s+", " ")
+
   // ---------------------------------------------------- embedding near-dup
 
   /** DuckDB fragments for left-fold dot/norm matching Similarity exactly. */

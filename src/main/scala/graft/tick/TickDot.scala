@@ -80,11 +80,15 @@ object TickDot {
     require(roots.size == 1,
       s"task must be a single type, script has roots ${roots.mkString(", ")}")
     val isBatch = roots.head == "batch"
-    val source = dag.addSource(roots.head, hidden = isBatch)
-    val vars = scala.collection.mutable.Map[String, G](roots.head -> source)
+    val vars = scala.collection.mutable.Map.empty[String, G]
 
-    def resolve(name: String): G = vars.getOrElse(name,
-      throw new IllegalArgumentException(s"chain from unknown var $name"))
+    // every textual `stream`/`batch` root is a fresh source node
+    // (pipeline/tick/join_test.go's two-stream want implies distinct ids)
+    def resolve(name: String): G = name match {
+      case "stream" | "batch" => dag.addSource(name, hidden = isBatch)
+      case other => vars.getOrElse(other,
+        throw new IllegalArgumentException(s"chain from unknown var $other"))
+    }
 
     // Stats() semantics: the stats node is a new source observing `cur`;
     // if `cur` has no children yet it gets a noop child.

@@ -297,11 +297,16 @@ object TickJson {
     val roots = script.chains.map(_.root).filter(r => r == "stream" || r == "batch").distinct
     require(roots.size == 1,
       s"task must be a single type, script has roots ${roots.mkString(", ")}")
-    val source = newNode(roots.head)
-    sources += source
-    val vars = scala.collection.mutable.Map[String, JN](roots.head -> source)
-    def resolve(name: String): JN = vars.getOrElse(name,
-      throw new IllegalArgumentException(s"chain from unknown var $name"))
+    // every textual `stream`/`batch` chain root creates a FRESH source
+    // node (the reference's join golden declares two stream statements
+    // with distinct ids — pipeline/tick/join_test.go)
+    val vars = scala.collection.mutable.Map.empty[String, JN]
+    def resolve(name: String): JN = name match {
+      case "stream" | "batch" =>
+        val src = newNode(name); sources += src; src
+      case other => vars.getOrElse(other,
+        throw new IllegalArgumentException(s"chain from unknown var $other"))
+    }
 
     def statsOn(cur: JN, nd: Node): JN = {
       val st = newNode("stats")

@@ -71,9 +71,18 @@ object TickScript {
         require(j > 0, s"unterminated triple-quoted string at $i")
         out += TStr(s.substring(i + 3, j)); i = j + 3
       } else if (c == '\'') {
-        val j = s.indexOf('\'', i + 1)
-        require(j > 0, s"unterminated string at $i")
-        out += TStr(s.substring(i + 1, j)); i = j + 1
+        // single-quoted string with backslash escapes (tick/ast lex.go
+        // lexString: \' and \\ unescape; other backslashes literal)
+        val sb = new StringBuilder
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != '\'') {
+          if (s.charAt(j) == '\\' && j + 1 < s.length &&
+              (s.charAt(j + 1) == '\'' || s.charAt(j + 1) == '\\')) {
+            sb += s.charAt(j + 1); j += 2
+          } else { sb += s.charAt(j); j += 1 }
+        }
+        require(j < s.length, s"unterminated string at $i")
+        out += TStr(sb.toString); i = j + 1
       } else if (c == '"') {
         val j = s.indexOf('"', i + 1)
         require(j > 0, s"unterminated field ref at $i")
@@ -88,6 +97,11 @@ object TickScript {
         val suffix = s.substring(j, k)
         if (suffix.nonEmpty && unitSeconds.contains(suffix)) {
           out += TDur(num.toDouble * unitSeconds(suffix)); i = k
+        } else if (num.length > 1 && num.head == '0' && !num.contains('.') &&
+            num.forall(ch => ch >= '0' && ch <= '7')) {
+          // leading-zero integer literals are OCTAL (tick/ast lex.go —
+          // the log-handler .mode(0644) shape)
+          out += TNum(java.lang.Long.parseLong(num, 8).toDouble, integral = true); i = j
         } else { out += TNum(num.toDouble, integral = !num.contains('.')); i = j }
       } else if (c.isLetter || c == '_' ||
           (c == '@' && (peek(1).isLetter || peek(1) == '_'))) {
@@ -390,6 +404,17 @@ object TickScript {
         else if (v == "FALSE") false
         else Ident(v)
       case Some(TOp("*")) => next(); "*" // star dimension
+      case Some(TOp("[")) =>
+        // a list LITERAL in arg position (`groupBy(['host'])`) — like a
+        // list-valued var, it splices into the call's args at resolution
+        next()
+        val items = Seq.newBuilder[Any]
+        while (!peek.contains(TOp("]"))) {
+          items += parseArg()
+          if (peek.contains(TOp(","))) next()
+        }
+        next()
+        items.result()
       case t => throw new IllegalArgumentException(s"unexpected arg token $t")
     }
 
@@ -563,6 +588,7 @@ object TickScript {
         case v => Seq(v)
       }
       case Ident(s) => Seq(s) // chain-var names etc. unwrap to strings
+      case seq: Seq[_] => resolveArgs(seq) // a list literal splices
       case NegArg(inner) => resolveArgs(Seq(inner)).map {
         case l: Long => -l
         case d: Double => -d

@@ -419,6 +419,34 @@ class LlmSpec extends SparkSpec {
     assert(again == firstHalf)
   }
 
+  test("importanceResample prefers raw documents that look like the target domain") {
+    // target docs speak "quantum physics energy"; half the raw corpus
+    // mimics that vocabulary, the other half talks about cooking —
+    // DSIR selection must strongly favor the physics-flavored raw docs
+    val physics = "quantum physics energy field particle wave function state"
+    val cooking = "butter flour sugar oven whisk dough recipe bake"
+    val rows =
+      (0L until 40L).map(i => (i, s"$physics sample $i", "target")) ++
+      (100L until 140L).map(i => (i, s"$physics doc $i", "raw")) ++
+      (200L until 240L).map(i => (i, s"$cooking doc $i", "raw"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val out = graft.llm.Mix.importanceResample(df, "doc_id", "text",
+      col("source") === "target", k = 30, buckets = 512)
+    val picked = out.select("doc_id").as[Long].collect().toSet
+    assert(picked.size === 30)
+    val physicsPicked = picked.count(_ < 200L)
+    assert(physicsPicked >= 25, s"only $physicsPicked physics docs selected")
+    // deterministic: same inputs, same selection (md5 Gumbel, no RNG)
+    val again = graft.llm.Mix.importanceResample(df.orderBy(rand(3)), "doc_id", "text",
+      col("source") === "target", k = 30, buckets = 512)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === picked)
+    // scoring is shuffle-free: the only exchanges feed the bounded
+    // bucket aggregate and the final top-k, never a per-doc join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("upsample emits fractional epoch copies deterministically") {
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "web" else "code"))
       .toDF("id", "domain")
