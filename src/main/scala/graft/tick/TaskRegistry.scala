@@ -235,6 +235,72 @@ class TaskRegistry {
   def templateScript(id: String, scriptFormat: String = "formatted"): Option[String] =
     synchronized(templates.get(id)).map(t => renderScript(t.tickscript, scriptFormat))
 
+  /** Go `time.Time` RFC3339Nano JSON rendering from epoch millis: the
+    * zero time marshals as year 1, fractional seconds trim trailing
+    * zeros (client task documents — Created/Modified/LastEnabled). */
+  private def goTimeJson(ms: Long): String = {
+    if (ms == 0L) return "0001-01-01T00:00:00Z"
+    val inst = java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+    val base = inst.format(java.time.format.DateTimeFormatter.ofPattern(
+      "yyyy-MM-dd'T'HH:mm:ss"))
+    val nanos = inst.getNano
+    if (nanos == 0) s"${base}Z"
+    else {
+      val frac = f"$nanos%09d".reverse.dropWhile(_ == '0').reverse
+      s"$base.${frac}Z"
+    }
+  }
+
+  /** The full `kapacitor show` / task-GET wire document
+    * (client/v1/client.go:832-848 Task struct, field order exact;
+    * task_store convertTask + httpd.MarshalJSON(v, pretty=true)):
+    * link/id/template-id/type/dbrps/script(FORMATTED)/vars/dot/status/
+    * executing/error/stats/created/modified/last-enabled. */
+  def taskJson(id: String, basePath: String = "/kapacitor/v1"): Option[String] = {
+    import TickJson._
+    synchronized(tasks.get(id)).map { t =>
+      val vars = TickJson.parseJson(taskVarsJson(id).getOrElse("{}"))
+      write(obj(
+        "link" -> obj("rel" -> JStr("self"),
+          "href" -> JStr(s"$basePath/tasks/${t.id}")),
+        "id" -> JStr(t.id),
+        "template-id" -> JStr(t.templateId.getOrElse("")),
+        "type" -> JStr(if (t.taskType == StreamTask) "stream" else "batch"),
+        "dbrps" -> JArr(t.dbrps.map { case (db, rp) =>
+          obj("db" -> JStr(db), "rp" -> JStr(rp)) }),
+        "script" -> JStr(script(t.id).getOrElse(t.tickscript)),
+        "vars" -> vars,
+        "dot" -> JStr(dot(t.id).getOrElse("")),
+        "status" -> JStr(if (t.status == Enabled) "enabled" else "disabled"),
+        "executing" -> JBool(t.status == Enabled),
+        "error" -> JStr(t.error),
+        "stats" -> obj(),
+        "created" -> JStr(goTimeJson(t.createdMs)),
+        "modified" -> JStr(goTimeJson(t.modifiedMs)),
+        "last-enabled" -> JStr(goTimeJson(t.lastEnabledMs))))
+    }
+  }
+
+  /** The template-GET wire document (client.Template,
+    * client.go:851-861). */
+  def templateJson(id: String, basePath: String = "/kapacitor/v1"): Option[String] = {
+    import TickJson._
+    synchronized(templates.get(id)).map { t =>
+      val vars = TickJson.parseJson(templateVarsJson(id).getOrElse("{}"))
+      write(obj(
+        "link" -> obj("rel" -> JStr("self"),
+          "href" -> JStr(s"$basePath/templates/${t.id}")),
+        "id" -> JStr(t.id),
+        "type" -> JStr(if (t.taskType == StreamTask) "stream" else "batch"),
+        "script" -> JStr(templateScript(t.id).getOrElse(t.tickscript)),
+        "vars" -> vars,
+        "dot" -> JStr(TickDot.dot(t.tickscript, t.id)),
+        "error" -> JStr(""),
+        "created" -> JStr(goTimeJson(t.createdMs)),
+        "modified" -> JStr(goTimeJson(t.createdMs))))
+    }
+  }
+
   /** The task's pipeline JSON (pipeline/json.go MarshalJSON — the DAG
     * representation Chronograf round-trips when editing rules): the
     * stored TICKscript marshaled with the task's bound template vars.

@@ -58,6 +58,52 @@ class TaskRegistrySpec extends SparkSpec {
     assert(TickJson.remarshal(j) === j)
   }
 
+  test("taskJson assembles the client Task wire document (client.go:832-848)") {
+    import graft.tick.TickJson
+    import graft.tick.TickJson._
+    val reg = new TaskRegistry
+    reg.define("wire1", script)
+    val doc = reg.taskJson("wire1").get
+    val JObj(fs) = TickJson.parseJson(doc): @unchecked
+    // exact field order of the client Task struct
+    assert(fs.map(_._1) === Seq("link", "id", "template-id", "type", "dbrps",
+      "script", "vars", "dot", "status", "executing", "error", "stats",
+      "created", "modified", "last-enabled"))
+    def v(k: String) = fs.find(_._1 == k).get._2
+    assert(v("link") === obj("rel" -> JStr("self"),
+      "href" -> JStr("/kapacitor/v1/tasks/wire1")))
+    assert(v("id") === JStr("wire1"))
+    assert(v("type") === JStr("stream"))
+    assert(v("status") === JStr("disabled"))
+    assert(v("executing") === JBool(false))
+    assert(v("stats") === obj())
+    // the script field is the FORMATTED script; the dot field the graph
+    assert(v("script") === JStr(reg.script("wire1").get))
+    val JStr(dotS) = v("dot"): @unchecked
+    assert(dotS.startsWith("digraph wire1 {"))
+    // Go time rendering: RFC3339, zero time for never-enabled
+    val JStr(created) = v("created"): @unchecked
+    assert(created.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z"""))
+    assert(v("last-enabled") === JStr("0001-01-01T00:00:00Z"))
+    // template instance carries template-id and bound vars
+    val tmplScript =
+      """var m string
+        |stream
+        ||from().measurement(m)
+        |""".stripMargin
+    reg.defineTemplate("wtpl", tmplScript)
+    reg.defineFromTemplate("wire2", "wtpl", Map("m" -> "disk"))
+    val JObj(fs2) = TickJson.parseJson(reg.taskJson("wire2").get): @unchecked
+    def v2(k: String) = fs2.find(_._1 == k).get._2
+    assert(v2("template-id") === JStr("wtpl"))
+    val JObj(vars) = v2("vars"): @unchecked
+    assert(vars.map(_._1) === Seq("m"))
+    // the template document
+    val JObj(tf) = TickJson.parseJson(reg.templateJson("wtpl").get): @unchecked
+    assert(tf.map(_._1) === Seq("link", "id", "type", "script", "vars",
+      "dot", "error", "created", "modified"))
+  }
+
   test("define validates: syntax, type mixing, unbound template vars") {
     val reg = new TaskRegistry
     intercept[Exception](reg.define("bad", "stream\n|from(\n"))
