@@ -304,4 +304,59 @@ from1
         |where(lambda: ("a" + "b") * 2 > 10 AND ("c" OR "d"))
         |httpOut('x')""")
   }
+  test("reference examples corpus: marshal fixpoint + regeneration round-trip") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("/root/reference/examples")
+    assume(Files.isDirectory(root))
+    val ticks = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".tick")).toSeq.sortBy(_.toString)
+    var exercised = 0
+    ticks.foreach { f =>
+      val src = new String(Files.readAllBytes(f), "UTF-8")
+      // bind declared template vars with type-appropriate dummies;
+      // skip non-script placeholders and UDF scripts (udfs need a
+      // registry, and funcs in lambdas do not survive JSON — the
+      // documented reference quirk)
+      val parsedOpt =
+        try Some(graft.tick.TickScript.parse(src)) catch { case _: Exception => None }
+      parsedOpt.foreach { parsed =>
+        val binds: Map[String, Any] = parsed.declared.map {
+          case (k, "string") => k -> "x"
+          case (k, "duration") => k -> graft.tick.TickScript.Dur(60.0)
+          case (k, "int") => k -> 1L
+          case (k, "float") => k -> 1.5
+          case (k, "bool") => k -> true
+          case (k, "lambda") => k -> graft.tick.TickScript.lambdaExpr("\"v\" > 0")
+          case (k, "list") => k -> Seq("a")
+          case (k, "star") => k -> "*"
+          case (k, _) => k -> "x"
+        }
+        val usable =
+          try { TickJson.marshal(src, binds); true } catch { case _: Exception => false }
+        if (usable) {
+          exercised += 1
+          val m = TickJson.marshal(src, binds)
+          // canonical JSON fixpoint
+          assert(TickJson.remarshal(m) === m, s"remarshal drift: $f")
+          // regenerated TICKscript is structurally identical and stable.
+          // Scripts whose lambdas CALL functions are excluded from this
+          // leg: ast.FunctionNode.MarshalJSON drops the function name,
+          // so the regenerated source is unparseable — in the reference
+          // exactly as here (the documented JSON data-loss quirk).
+          // (applies to groupBy(time(...)) dims the same way)
+          val hasFuncNode = m.contains("\"typeOf\": \"func\"")
+          if (!hasFuncNode) {
+            val gen = TickGen.fromJson(m)
+            val m2 = TickJson.marshal(gen)
+            assert(structuralForm(m2) === structuralForm(m), s"regen drift: $f\n$gen")
+            val gen2 = TickGen.canonical(gen)
+            assert(TickGen.canonical(gen2) === gen2, s"unstable: $f")
+          }
+        }
+      }
+    }
+    assert(exercised >= 30, s"only $exercised of ${ticks.size} exercised")
+  }
+
 }
