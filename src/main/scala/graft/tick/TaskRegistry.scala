@@ -370,12 +370,50 @@ class TaskRegistry {
         s"invalid script-format '$other': must be 'formatted' or 'raw'")
     }
 
-  /** List tasks, optionally filtered by a glob on the id (the list
-    * handler's pattern match, service.go:513-678). */
-  def list(pattern: String = "*"): Seq[TaskDef] = synchronized {
-    val rx = java.util.regex.Pattern.compile(
-      pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
-    tasks.values.filter(t => rx.matcher(t.id).matches()).toSeq
+  /** List tasks, optionally filtered by a glob on the id, with the
+    * list handler's pagination (service.go:513-678: offset 0, limit
+    * 100 by default; negative values rejected). */
+  def list(pattern: String = "*", offset: Long = 0L, limit: Long = 100L): Seq[TaskDef] =
+    synchronized {
+      require(offset >= 0, s"invalid offset parameter \"$offset\"")
+      require(limit >= 0, s"invalid limit parameter \"$limit\"")
+      val rx = java.util.regex.Pattern.compile(
+        pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+      tasks.values.filter(t => rx.matcher(t.id).matches()).toSeq
+        .slice(offset.toInt, (offset + limit).toInt)
+    }
+
+  /** The list-tasks response document (`{"tasks": [...]}` —
+    * handleListTasks): per-task field SELECTION (`fields` empty → all;
+    * id and link always included, in the full document's field order),
+    * script-format and dot-view dispatch, pattern + offset/limit. */
+  def listJson(pattern: String = "*", fields: Seq[String] = Nil,
+      scriptFormat: String = "formatted", dotView: String = "attributes",
+      offset: Long = 0L, limit: Long = 100L,
+      basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    require(scriptFormat == "formatted" || scriptFormat == "raw",
+      s"""invalid script-format parameter "$scriptFormat"""")
+    require(dotView == "attributes" || dotView == "labels",
+      s"""invalid dot-view parameter "$dotView"""")
+    val wanted: Set[String] =
+      if (fields.isEmpty) Set.empty // empty = all fields
+      else fields.toSet ++ Set("id", "link")
+    val docs = list(pattern, offset, limit).map { t =>
+      val full = TickJson.parseJson(taskJson(t.id, basePath).get) match {
+        case JObj(fs) => fs
+        case _ => Nil
+      }
+      // honor the requested script format / dot view on the selected doc
+      val adjusted = full.map {
+        case ("script", _) if scriptFormat == "raw" => "script" -> JStr(t.tickscript)
+        case ("dot", _) if dotView == "labels" =>
+          "dot" -> JStr(dot(t.id, dotView = "labels").getOrElse(""))
+        case kv => kv
+      }
+      JObj(if (wanted.isEmpty) adjusted else adjusted.filter(kv => wanted(kv._1)))
+    }
+    write(obj("tasks" -> JArr(docs)))
   }
 
   def listTemplates(): Seq[TemplateDef] = synchronized(templates.values.toSeq)

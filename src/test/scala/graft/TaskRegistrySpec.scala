@@ -104,6 +104,32 @@ class TaskRegistrySpec extends SparkSpec {
       "dot", "error", "created", "modified"))
   }
 
+  test("listJson: field selection, pagination, script-format and dot-view dispatch") {
+    import graft.tick.TickJson
+    import graft.tick.TickJson._
+    val reg = new TaskRegistry
+    (1 to 5).foreach(i => reg.define(s"lt$i", script))
+    reg.define("other", script)
+    // pattern + pagination
+    assert(reg.list("lt*").map(_.id) === Seq("lt1", "lt2", "lt3", "lt4", "lt5"))
+    assert(reg.list("lt*", offset = 2, limit = 2).map(_.id) === Seq("lt3", "lt4"))
+    intercept[IllegalArgumentException](reg.list("*", offset = -1))
+    // field selection always carries id and link
+    val JObj(root) = TickJson.parseJson(
+      reg.listJson("lt*", fields = Seq("status"), limit = 2)): @unchecked
+    val JArr(ts) = root.find(_._1 == "tasks").get._2: @unchecked
+    assert(ts.size === 2)
+    val JObj(t0) = ts.head: @unchecked
+    assert(t0.map(_._1) === Seq("link", "id", "status"))
+    // raw script format returns the stored text
+    val JObj(rootRaw) = TickJson.parseJson(
+      reg.listJson("lt1", scriptFormat = "raw")): @unchecked
+    val JArr(Seq(JObj(traw))) = rootRaw.find(_._1 == "tasks").get._2: @unchecked
+    assert(traw.collectFirst { case ("script", JStr(sc)) => sc }.get === script)
+    intercept[IllegalArgumentException](reg.listJson("*", scriptFormat = "pretty"))
+    intercept[IllegalArgumentException](reg.listJson("*", dotView = "3d"))
+  }
+
   test("define validates: syntax, type mixing, unbound template vars") {
     val reg = new TaskRegistry
     intercept[Exception](reg.define("bad", "stream\n|from(\n"))
