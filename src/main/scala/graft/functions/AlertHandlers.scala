@@ -311,6 +311,13 @@ object AlertHandlers {
   def opsgenie2Recovery(message: Column): Column =
     concat(lit("{\"note\":"), jsonStr(message), lit("}"))
 
+  /** The recovery request URL path: the alert's URL-safe-base64 alias +
+    * the configured recovery action (`notes` or `close`) addressed by
+    * alias (service.go:156-175). */
+  def opsgenie2RecoveryUrl(entityId: Column, recoveryAction: String): Column =
+    concat(lit("/"), translate(base64(entityId.cast("binary")), "+/", "-_"),
+      lit(s"/$recoveryAction?identifierType=alias"))
+
   /** Discord webhook (services/discord/service.go:283-330): map keys
     * alphabetical; one embed in struct order (color, title, description,
     * timestamp); colors CRITICAL→0xF95F53 WARNING→0xF48D38 else 0x7A65F2. */

@@ -121,6 +121,33 @@ object Sinks {
       transport: String => Unit): Unit =
     transport(ResultRenderer.httpOutJson(df, name, tagCols))
 
+  /** A real HTTP POST transport for [[httpPost]] with the reference's
+    * timeout semantics (http_post.go timeout + services/httppost): a
+    * slow endpoint is abandoned after `timeoutMs` and the error is
+    * RETURNED (the reference logs it and keeps processing — a stalled
+    * webhook must never stall the pipeline, TestBatch_HttpPost_Timeout).
+    * Returns Right(status) or Left(error). */
+  def httpTransport(url: String, headers: Seq[(String, String)] = Nil,
+      timeoutMs: Int = 0): String => Either[String, Int] = body => {
+    try {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      if (timeoutMs > 0) { conn.setConnectTimeout(timeoutMs); conn.setReadTimeout(timeoutMs) }
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val out = conn.getOutputStream
+      out.write(body.getBytes("UTF-8")); out.close()
+      val code = conn.getResponseCode
+      conn.disconnect()
+      Right(code)
+    } catch {
+      case e: java.net.SocketTimeoutException => Left(s"httpPost timeout: ${e.getMessage}")
+      case e: java.io.IOException => Left(s"httpPost failed: ${e.getMessage}")
+    }
+  }
+
   /** kapacitorLoopback-equivalent: re-inject an output frame into an
     * ingest location other pipelines read (reference
     * kapacitor_loopback.go; cycle detection is the caller's topology

@@ -356,6 +356,95 @@ class GoldenReplaySpec2 extends SparkSpec {
     assert(r.getString(3) == "kapacitor/cpu/serverA is CRITICAL")
   }
 
+  test("TestBatch_HttpPost_Timeout golden: a stalled endpoint cannot stall the pipeline") {
+    import graft.sources.Sinks
+    // a REAL local server that answers after 300ms — far beyond the
+    // post timeout. The reference's law (batcher_test.go:3587-3710):
+    // with .timeout(1ms) the whole task still completes promptly and
+    // httpOut serves the untouched batch results.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/", { exchange =>
+      hits.incrementAndGet()
+      Thread.sleep(300)
+      exchange.sendResponseHeaders(200, 0)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/"
+      val b = graft.sources.Replay.readBrpl(spark,
+        "/root/reference/integrations/testdata/TestBatch_HttpPost_Timeout.0.brpl")
+        .select(expr("tags['cpu']").as("cpu"), col("time"),
+          expr("CAST(fields['mean'] AS DOUBLE)").as("mean"))
+      val t0 = System.nanoTime()
+      val transport = Sinks.httpTransport(url, timeoutMs = 50)
+      // each batch posts (and times out) yet the data passes through
+      val posted = transport("""{"series":[]}""")
+      assert(posted.isLeft && posted.left.exists(_.contains("timeout")))
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      assert(elapsedS < 5, s"timed-out post stalled: ${elapsedS}s")
+      // httpOut still serves the expected batch values — the er vector
+      // is the FINAL batch (t=20s..28s window means)
+      val rows = b.filter(col("cpu") === "cpu-total").orderBy("time")
+        .select("mean").as[Double].collect().toSeq
+      assert(rows.takeRight(5) === Seq(91.06416290101595, 85.9694442394385,
+        90.62985736134186, 86.45443196005628, 88.97243107764031))
+      val cpu1 = b.filter(col("cpu") === "cpu1").orderBy("time")
+        .select("mean").as[Double].collect().toSeq
+      assert(cpu1.takeRight(5).take(2) === Seq(96.49999999996908, 93.46464646468584))
+      assert(hits.get() >= 1) // the server really was hit (and abandoned)
+    } finally server.stop(0)
+  }
+
+  test("TestStream_AlertRecovery golden: create request then alias-addressed recovery note") {
+    import graft.streaming.AlertStream
+    import graft.streaming.AlertStream._
+    import graft.functions.AlertHandlers
+    // fixture: v=2 @0s (CRITICAL), v=0 @1s (recovery to OK), v=0 @2s
+    // (steady OK — no event). Script: crit lambda "v" > 1.0, groupBy host
+    // (streamer_test.go TestStream_AlertOpsGenie2_Recovery)
+    val pts = srplRebased("TestStream_AlertRecovery")
+      .filter(col("measurement") === "cpu")
+      .select(lit("serverA").as("group"), unix_micros(col("time")).as("timeUs"),
+        lit(false).as("pass1"), lit(false).as("pass2"),
+        (expr("fieldsFloat['v']") > 1.0).as("pass3"),
+        lit(true).as("reset1"), lit(true).as("reset2"), lit(true).as("reset3"))
+      .as[AlertPoint]
+    val events = AlertStream.runBatch(pts, AlertConfig()).collect().sortBy(_.timeUs)
+    assert(events.map(e => (e.timeUs / 1000000L, e.levelName)).toSeq ===
+      Seq((0L, "CRITICAL"), (1L, "OK")))
+
+    // the CREATE request: full opsgenie2 payload for the CRITICAL event
+    // (expected fields from the reference test — alias, priority P1,
+    // details incl. BOTH tags, responders)
+    val critRow = Seq(("kapacitor/cpu/serverA", "CRITICAL",
+      "kapacitor/cpu/serverA is CRITICAL",
+      """{"series":[{"name":"cpu","tags":{"host":"serverA","type":"idle"},"columns":["time","v"],"values":[["1971-01-01T00:00:00Z",2]]}]}"""))
+      .toDF("id", "level", "message", "data")
+    val create = critRow.select(AlertHandlers.opsgenie2(
+      Seq("test_team"), Nil, col("message"), col("id"), col("level"),
+      col("data"), lit("cpu"),
+      tags = Seq("host" -> lit("serverA"), "type" -> lit("idle"))))
+      .as[String].head()
+    assert(create.contains("\"alias\":\"a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB\""))
+    assert(create.contains("\"priority\":\"P1\""))
+    assert(create.contains("\"host\":\"serverA\"") && create.contains("\"type\":\"idle\""))
+    assert(create.contains("\"responders\":[{\"name\":\"test_team\",\"type\":\"team\"}]"))
+
+    // the RECOVERY request: note body + alias-addressed URL with the
+    // configured action, byte-exact against the reference expectation
+    val okRow = Seq(("kapacitor/cpu/serverA", "kapacitor/cpu/serverA is OK"))
+      .toDF("id", "message")
+    val (url, body) = okRow.select(
+      AlertHandlers.opsgenie2RecoveryUrl(col("id"), "notes"),
+      AlertHandlers.opsgenie2Recovery(col("message")))
+      .as[(String, String)].head()
+    assert(url === "/a2FwYWNpdG9yL2NwdS9zZXJ2ZXJB/notes?identifierType=alias")
+    assert(body === """{"note":"kapacitor/cpu/serverA is OK"}""")
+  }
+
   test("TestStream_AlertStateChangesOnly golden: 8 events for 4 sub-threshold points") {
     import graft.streaming.AlertStream
     import graft.streaming.AlertStream._
