@@ -174,4 +174,88 @@ object AlertTopics {
       .withColumn("inhibited", col("__inh") =!= 0)
       .drop("__src", "__ilvl", "__inh")
   }
+  /** Go `time.Duration.String()` at micro resolution — the `{{.Interval}}`
+    * rendering of the aggregate handler's message template ("100ms",
+    * "1.5s", "1m40s"). */
+  def goDurationUs(us: Long): String = {
+    if (us == 0L) return "0s"
+    val neg = us < 0; val u = math.abs(us)
+    def trim(d: Double): String =
+      BigDecimal(d).underlying.stripTrailingZeros.toPlainString
+    val out =
+      if (u < 1000L) s"${u}µs"
+      else if (u < 1000000L) trim(u / 1000.0) + "ms"
+      else {
+        val secs = u / 1000000L; val frac = u % 1000000L
+        val h = secs / 3600; val m = (secs % 3600) / 60; val sec = secs % 60
+        val sPart = (if (frac == 0) sec.toString else trim(sec + frac / 1e6)) + "s"
+        (if (h > 0) s"${h}h" else "") +
+          (if (h > 0 || m > 0) s"${m}m" else "") + sPart
+      }
+    if (neg) "-" + out else out
+  }
+
+  /** The AGGREGATE topic handler (services/alert/handlers.go:199-308):
+    * fold each interval's events into ONE synthetic event on `outTopic` —
+    * count-templated message ("Received {{ .Count }} events in the last
+    * {{.Interval}}."), max level, max time, max duration, the member
+    * messages joined by newline as the details, member series
+    * concatenated, `recoverable` pinned false. Empty intervals emit
+    * nothing (the ticker branch skips len(events)==0).
+    *
+    * Batch rendering of the ticker: interval buckets on event time
+    * (floor(time/interval)) — one partial+final aggregate per bucket; the
+    * reference's single-goroutine arrival order is reproduced
+    * deterministically by (time, message) sort inside the bucket.
+    * `seriesCol` (optional) carries each event's Data series fragments
+    * (an array column) for the concatenation. */
+  def aggregateEvents(events: DataFrame, intervalUs: Long, aggId: String,
+      outTopic: String,
+      messageTemplate: String = "Received {{ .Count }} events in the last {{.Interval}}.",
+      timeUsCol: String = "time_us", levelCol: String = "level",
+      durationUsCol: String = "duration_us", messageCol: String = "message",
+      seriesCol: Option[String] = None): DataFrame = {
+    require(intervalUs > 0, "aggregate interval must be positive")
+    val bucket = floor(col(timeUsCol) / intervalUs)
+    val sortedMsgs = sort_array(collect_list(struct(col(timeUsCol), col(messageCol))))
+    val base = events.groupBy(bucket.as("__bkt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        max(col(levelCol)).as(levelCol),
+        max(col(timeUsCol)).as(timeUsCol),
+        max(col(durationUsCol)).as(durationUsCol),
+        sortedMsgs.as("__msgs"),
+        seriesCol.map(c =>
+            flatten(sort_array(collect_list(struct(col(timeUsCol).as("t"),
+              col(c).as("v")))).getField("v")).as("__series"))
+          .getOrElse(lit(null).as("__series")))
+    val message = messageTemplate
+      .replace("{{ .Count }}", "\u0000C").replace("{{.Count}}", "\u0000C")
+      .replace("{{ .Interval }}", goDurationUs(intervalUs))
+      .replace("{{.Interval}}", goDurationUs(intervalUs))
+    val msgCol = {
+      val parts = message.split("\u0000C", -1)
+      val cols = parts.zipWithIndex.flatMap { case (p, i) =>
+        (if (i == 0) Seq.empty[org.apache.spark.sql.Column]
+         else Seq(col("__n").cast("string"))) :+ lit(p)
+      }
+      concat(cols: _*)
+    }
+    val out = base.select(
+      lit(outTopic).as("topic"),
+      lit(aggId).as("id"),
+      col(timeUsCol), col(levelCol), col(durationUsCol),
+      msgCol.as(messageCol),
+      concat_ws("\n", col(s"__msgs.$messageCol")).as("details"),
+      lit(false).as("recoverable"),
+      col("__series").as(seriesCol.getOrElse("__series")))
+    if (seriesCol.isDefined) out else out.drop("__series")
+  }
+
+  /** The PUBLISH topic handler (handlers.go:312-334): republish every
+    * event to each configured topic. */
+  def publishEvents(events: DataFrame, topics: Seq[String],
+      topicCol: String = "topic"): DataFrame =
+    events.withColumn(topicCol,
+      explode(array(topics.map(lit(_)): _*)))
 }

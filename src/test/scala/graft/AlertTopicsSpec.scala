@@ -146,4 +146,65 @@ class AlertTopicsSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSeq === Seq(("t2", 1, 1L)))
     assert(AlertTopics.topicStates(ev, pattern = "x*").count() === 0)
   }
+  test("aggregate handler folds an interval's events into one (TestServer_AlertHandlers aggregate)") {
+    // server_test.go:12000-12120: three CRITICAL events at 0/1/2 ms with
+    // message "message" and durations 0/1/2 ms under interval=100ms
+    val events = Seq(
+      (0L, 3, 0L, "message", Seq("""{"name":"alert","v":3}""")),
+      (1000L, 3, 1000L, "message", Seq("""{"name":"alert","v":4}""")),
+      (2000L, 3, 2000L, "message", Seq("""{"name":"alert","v":2}""")))
+      .toDF("time_us", "level", "duration_us", "message", "series")
+    val out = AlertTopics.aggregateEvents(events, intervalUs = 100000L,
+      aggId = "id-agg", outTopic = "tcp", seriesCol = Some("series"))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("topic") === "tcp")
+    assert(r.getAs[String]("id") === "id-agg")
+    assert(r.getAs[String]("message") === "Received 3 events in the last 100ms.")
+    assert(r.getAs[String]("details") === "message\nmessage\nmessage")
+    assert(r.getAs[Long]("time_us") === 2000L)
+    assert(r.getAs[Int]("level") === 3)
+    assert(r.getAs[Long]("duration_us") === 2000L)
+    assert(r.getAs[Boolean]("recoverable") === false)
+    // member series concatenate in time order
+    assert(r.getAs[Seq[String]]("series") === Seq(
+      """{"name":"alert","v":3}""", """{"name":"alert","v":4}""",
+      """{"name":"alert","v":2}"""))
+    // empty intervals emit nothing; events in different buckets fold apart
+    val spread = Seq(
+      (0L, 1, 0L, "a", Seq.empty[String]),
+      (250000L, 2, 0L, "b", Seq.empty[String]))
+      .toDF("time_us", "level", "duration_us", "message", "series")
+    val two = AlertTopics.aggregateEvents(spread, 100000L, "x", "t")
+      .orderBy("time_us").collect()
+    assert(two.length === 2)
+    assert(two.map(_.getAs[String]("message")).toSeq ===
+      Seq("Received 1 events in the last 100ms.",
+        "Received 1 events in the last 100ms."))
+  }
+
+  test("publish handler republishes to every configured topic") {
+    val events = Seq((0L, "orig", "m1"), (1L, "orig", "m2"))
+      .toDF("time_us", "topic", "message")
+    val out = AlertTopics.publishEvents(events, Seq("t1", "t2"))
+      .orderBy("time_us", "topic")
+      .select("time_us", "topic", "message").as[(Long, String, String)]
+      .collect().toSeq
+    assert(out === Seq((0L, "t1", "m1"), (0L, "t2", "m1"),
+      (1L, "t1", "m2"), (1L, "t2", "m2")))
+  }
+
+  test("Go duration rendering for aggregate intervals") {
+    import AlertTopics.goDurationUs
+    assert(goDurationUs(100000L) === "100ms")
+    assert(goDurationUs(1500L) === "1.5ms")
+    assert(goDurationUs(500L) === "500µs")
+    assert(goDurationUs(1000000L) === "1s")
+    assert(goDurationUs(1500000L) === "1.5s")
+    assert(goDurationUs(100000000L) === "1m40s")
+    assert(goDurationUs(3600000000L) === "1h0m0s")
+    assert(goDurationUs(0L) === "0s")
+  }
+
 }
