@@ -718,4 +718,110 @@ object EventQueries4 {
          FROM fsm f JOIN pts p ON p.resource = f.resource AND p.idx = f.idx + 1) z)
        SELECT resource, t_us AS time_us, old_replicas, new_replicas
        FROM fsm WHERE emit ORDER BY resource, time_us""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------- aggregate topic handler
+
+  /** q_alert_aggregate: the AGGREGATE topic handler
+    * (services/alert/handlers.go:199-308) over click alert events —
+    * 15-minute interval buckets fold to ONE synthetic event each:
+    * count-templated message, max level/time/duration, member messages
+    * newline-joined in time order as the details, recoverable pinned
+    * false. The oracle restates the fold bucket-by-bucket. */
+  def alertAggregateQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = pipe(s, dir).df.filter(col("event_type") === "click")
+      .select(
+        unix_micros(col("time")).as("time_us"),
+        when(col("value") > 90, 3).when(col("value") > 70, 2)
+          .when(col("value") > 50, 1).otherwise(0).as("level"),
+        floor(col("value") * 1000).cast("long").as("duration_us"),
+        concat(lit("u"), col("user_id"), lit(" v="),
+          floor(col("value")).cast("long")).as("message"))
+    graft.streaming.AlertTopics.aggregateEvents(ev,
+        intervalUs = 900000000L, aggId = "agg-click", outTopic = "aggregated")
+      .orderBy("time_us")
+  }
+  val alertAggregateSql: String =
+    s"""$preludeSql,
+       ev AS (SELECT tus,
+              CASE WHEN value > 90 THEN 3 WHEN value > 70 THEN 2
+                   WHEN value > 50 THEN 1 ELSE 0 END AS lvl,
+              CAST(floor(value * 1000) AS BIGINT) AS dur,
+              'u' || CAST(user_id AS VARCHAR) || ' v=' ||
+                CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS msg
+              FROM e WHERE event_type = 'click'),
+       b AS (SELECT CAST(floor(tus / 900000000.0) AS BIGINT) AS bkt,
+              count(*) AS n, max(lvl) AS level, max(tus) AS time_us,
+              max(dur) AS duration_us,
+              string_agg(msg, chr(10) ORDER BY tus, msg) AS details
+              FROM ev GROUP BY 1)
+       SELECT 'aggregated' AS topic, 'agg-click' AS id, time_us, level,
+              duration_us,
+              'Received ' || CAST(n AS VARCHAR) ||
+                ' events in the last 15m0s.' AS message,
+              details, FALSE AS recoverable
+       FROM b ORDER BY time_us""".replaceAll("\\s+", " ")
+
+  // ------------------------------------------- stats service emission
+
+  /** q_stats_emit: the stats service's ticker rendered over history
+    * (services/stats/service.go:104-136 + server/vars/stats.go): per-task
+    * ingest counters (`collected`, `total`) observed at every point time,
+    * snapshotted at each 6-hour tick as one point-field per statistic —
+    * latest-at-or-before-fire as-of fill, skip-before-first-observation,
+    * cluster/server/host ID-tag overlay, plus the global `kapacitor`
+    * uptime field. The oracle restates each tick's counter as a closed-
+    * form aggregate up to the tick. */
+  def statsEmitQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.StatsEmit
+    import org.apache.spark.sql.expressions.Window
+    val iv = 21600000000L // 6h in µs
+    val ids = Map("cluster_id" -> "c1", "server_id" -> "s1",
+      "host" -> "localhost")
+    val base = pipe(s, dir).df.withColumn("time_us", unix_micros(col("time")))
+    val perT = base.groupBy(col("event_type").as("task"), col("time_us"))
+      .agg(count(lit(1)).as("dc"),
+        sum(floor(col("value")).cast("long")).as("dv"))
+    val w = Window.partitionBy("task").orderBy("time_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counters = perT.select(col("task"), col("time_us"),
+      sum("dc").over(w).cast("double").as("collected"),
+      sum("dv").over(w).cast("double").as("total"))
+    val obs = counters.select(col("time_us"), lit("ingest").as("name"),
+        col("task"),
+        explode(map(lit("collected"), col("collected"),
+          lit("total"), col("total"))).as(Seq("field", "value")))
+    val bounds = base.agg(min("time_us").as("mn"), max("time_us").as("mx"))
+    val pts = StatsEmit.statsPoints(obs, Seq("name", "task", "field"),
+      StatsEmit.tickGrid(bounds, iv), idTags = ids)
+    // '' = the untagged global entry (NULL would sort differently in the
+    // two engines' ORDER BY)
+    val up = StatsEmit.uptimePoints(bounds, iv, idTags = ids)
+      .withColumn("task", lit(""))
+    pts.unionByName(up.select(pts.columns.map(col): _*))
+      .orderBy("name", "task", "field", "time_us")
+  }
+  val statsEmitSql: String = {
+    val iv = 21600000000L
+    s"""$preludeSql,
+       st AS (SELECT min(tus) AS mn, max(tus) AS mx FROM e),
+       grid AS (SELECT unnest(generate_series(
+                  (CAST(floor(mn / $iv.0) AS BIGINT) + 1) * $iv, mx, $iv)) AS fire
+                FROM st),
+       pts AS (SELECT g.fire, e.event_type AS task, count(*) AS collected,
+                      sum(CAST(floor(value) AS BIGINT)) AS total
+               FROM grid g JOIN e ON e.tus <= g.fire GROUP BY 1, 2),
+       melted AS (
+         SELECT fire, 'ingest' AS name, task, f.field,
+                CAST(CASE f.field WHEN 'collected' THEN collected
+                     ELSE total END AS DOUBLE) AS value
+         FROM pts CROSS JOIN (VALUES ('collected'), ('total')) f(field)
+         UNION ALL
+         SELECT fire, 'kapacitor' AS name, '' AS task,
+                'uptime' AS field, (fire - mn) / 1000000.0 AS value
+         FROM grid, st)
+       SELECT fire AS time_us, '_kapacitor' AS db, 'autogen' AS rp,
+              name, task, field, 'c1' AS cluster_id, 'localhost' AS host,
+              's1' AS server_id, value
+       FROM melted ORDER BY name, task, field, time_us""".replaceAll("\\s+", " ")
+  }
 }
