@@ -195,6 +195,33 @@ object Mix {
       .drop("__budget", "__h", "__bk", "__d", "__b", "__off")
   }
 
+  /** Deterministic global shuffle + shard assignment — the terminal step
+    * of a training-data pipeline: fix a pseudo-random total order over
+    * the corpus, cut it into `numShards` uniform shards, and number each
+    * row within its shard (the order the shard writer emits).
+    *
+    * Order key = md5(seed || ':' || id) — reproducible across engines,
+    * retries, and partitionings (the [[sampleBucket]] rationale). Shard =
+    * the key's first 8 hex digits mod `numShards`: uniform, integer-exact
+    * on every engine, and independent of corpus size — there is NO global
+    * sort and NO single-partition window anywhere. The within-shard
+    * position ranks (key, id) inside the shard partition only — exactly
+    * the sort a shard writer performs anyway, so at 100 TB this is one
+    * shuffle by shard with numShards sized to the cluster. */
+  def shuffleShards(docs: DataFrame, idCol: String, numShards: Int,
+      seed: String = "42"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    docs.withColumn("__key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__key"), 1, 8), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
+
   /** Driver-side repeat factors that re-weight observed domain sizes to
     * target corpus shares: factor_d = scale · targetShare_d / observedShare_d,
     * where shares are normalized over the domains present in both maps.

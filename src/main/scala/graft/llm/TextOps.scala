@@ -282,6 +282,63 @@ object TextOps {
       "keep" -> (nKept >= minKeptLines && !hasLorem && !hasBrace))
   }
 
+  // --------------------------------------------------- Gopher rule set
+
+  /** The eight Gopher-stopword types whose presence (≥ 2 distinct) gates a
+    * document (Rae et al. 2021 Table A1 last row). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality RULES (Rae et al. 2021 Table A1 — the
+    * threshold family MassiveText/RefinedWeb/Dolma apply before training;
+    * complements [[repetitionFeatures]], which is the same paper's
+    * duplicate-n-gram family):
+    *  - n_words in [50, 100000];
+    *  - mean word length in [3, 10];
+    *  - symbol-to-word ratio (`#` chars + `...` occurrences per word)
+    *    ≤ 0.1;
+    *  - ≤ 90% of lines start with a bullet (`-`, `*`, `•`);
+    *  - ≤ 30% of lines end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct [[gopherStopwords]] present.
+    * `keep` ANDs the unrounded rule values. Pure line/token-array
+    * expressions — per-document cost, no shuffle, no UDF; every ratio is
+    * integer-count-derived, so external engines compute bit-identical
+    * doubles. */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("long")
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / greatest(nToks, lit(1L))
+    val hashCnt = length(text) - length(regexp_replace(text, "#", ""))
+    val ellCnt = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3
+    val symRatio = (hashCnt + ellCnt) / greatest(nToks, lit(1L))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines).cast("long"), lit(1L))
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+      .cast("double") / nLines
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / greatest(nToks, lit(1L))
+    val stopHits = size(array_distinct(
+      filter(toks, t => t.isin(gopherStopwords.map(x => x: Any): _*)))).cast("long")
+    val keep = nToks >= 50 && nToks <= 100000 &&
+      meanLen >= 3 && meanLen <= 10 && symRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 && alphaFrac >= 0.8 &&
+      stopHits >= 2
+    Seq(
+      "n_words" -> nToks,
+      "mean_word_len" -> round(meanLen, 6),
+      "symbol_ratio" -> round(symRatio, 6),
+      "bullet_frac" -> round(bulletFrac, 6),
+      "ellipsis_frac" -> round(ellipsisFrac, 6),
+      "alpha_word_frac" -> round(alphaFrac, 6),
+      "stop_hits" -> stopHits,
+      "keep" -> keep)
+  }
+
   // ----------------------------------------------------- PII detection
 
   /** PII surface detection: counts of email / IPv4 / phone-shaped spans

@@ -602,6 +602,70 @@ object LlmQueries {
        FROM documents d JOIN tok USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
   }
 
+  // ----------------------------------------------------- Gopher rules
+
+  /** The synthetic corpus is uniform word salad, so the rule-triggering
+    * shapes (bullets, ellipses, symbols, stopword runs) are planted
+    * deterministically from doc_id — identically on both sides; the rule
+    * evaluator, not the markers, is the operator (same methodology as
+    * q_text_c4filters). */
+  private def gopherEnriched = concat(col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      lit("\nthe cost of that update have to land with and be near")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("\n- bullet one\n- bullet two")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("\ntrailing thought...")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0, lit(" ## ##")).otherwise(lit("")))
+  private val gopherEnrichedSql =
+    """text
+       || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'the cost of that update have to land with and be near' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' ## ##' ELSE '' END"""
+
+  /** q_text_gopher: the Gopher Table-A1 rule thresholds per document. */
+  def textGopherQ(s: SparkSession, dir: String): DataFrame = {
+    val feats = TextOps.gopherRules(gopherEnriched)
+    docs(s, dir).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+  val textGopherSql: String = {
+    val stops = TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (SELECT doc_id, $gopherEnrichedSql AS mtext FROM documents),
+       t AS (SELECT doc_id, mtext,
+               list_filter(regexp_split_to_array(lower(trim(mtext)), '\\s+'), t -> t <> '') AS toks,
+               string_split(mtext, chr(10)) AS lines
+             FROM m),
+       f AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS mean_len,
+               (CAST(length(mtext) - length(regexp_replace(mtext, '#', '', 'g')) AS DOUBLE)
+                 + CAST(length(mtext) - length(regexp_replace(mtext, '\\.\\.\\.', '', 'g')) AS DOUBLE) / 3)
+                 / greatest(len(toks), 1) AS sym_ratio,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE)
+                 / greatest(len(lines), 1) AS bullet_frac,
+               CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$$'))) AS DOUBLE)
+                 / greatest(len(lines), 1) AS ellipsis_frac,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                 / greatest(len(toks), 1) AS alpha_frac,
+               CAST(len(list_distinct(list_filter(toks, t -> t IN ($stops)))) AS BIGINT) AS stop_hits
+             FROM t)
+       SELECT doc_id, n_words,
+         round(mean_len, 6) AS mean_word_len,
+         round(sym_ratio, 6) AS symbol_ratio,
+         round(bullet_frac, 6) AS bullet_frac,
+         round(ellipsis_frac, 6) AS ellipsis_frac,
+         round(alpha_frac, 6) AS alpha_word_frac,
+         stop_hits,
+         (n_words BETWEEN 50 AND 100000 AND mean_len BETWEEN 3 AND 10
+          AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+          AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          AND stop_hits >= 2) AS keep
+       FROM f ORDER BY doc_id""".replaceAll("\\s+", " ")
+  }
+
   // ------------------------------------------------- C4 filters and PII
 
   /** The synthetic corpus is punctuation-free word salad, so these two
@@ -678,6 +742,23 @@ object LlmQueries {
          md5(regexp_replace(regexp_replace(mtext, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g')) AS redacted_md5
        FROM c ORDER BY doc_id""".replaceAll("\\s+", " ")
   }
+
+  // ------------------------------------------------- shuffle + sharding
+
+  /** q_shard_assign: deterministic global shuffle into 16 training shards
+    * with within-shard positions (graft.llm.Mix.shuffleShards). */
+  def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.shuffleShards(docs(s, dir), "doc_id", numShards = 16)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+  val shardAssignSql: String =
+    """WITH b AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS key FROM documents),
+       k AS (SELECT doc_id, key,
+               CAST(('0x' || substr(key, 1, 8))::BIGINT % 16 AS INT) AS shard
+             FROM b)
+       SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1 AS BIGINT) AS shard_pos
+       FROM k ORDER BY doc_id""".replaceAll("\\s+", " ")
 
   // --------------------------------------------------- stratified sampling
 

@@ -1019,6 +1019,52 @@ class LlmSpec extends SparkSpec {
     assert(rows == again)
   }
 
+  test("gopher rules: each threshold trips on its planted shape") {
+    val longGood = ("the data and that point have to move with the rest " * 10).trim
+    val d = Seq(
+      (1L, longGood), // passes every rule
+      (2L, "short text"), // n_words < 50
+      (3L, longGood + "\n- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k\n- l"), // bullets > 0.9? 12/13 lines
+      (4L, longGood + " " + ("#### " * 30).trim), // symbol ratio > 0.1
+      (5L, ("zq wx vv kj pp mm nn oo " * 16).trim)) // no stopwords, no alpha issue
+      .toDF("doc_id", "text")
+    val feats = TextOps.gopherRules(col("text"))
+    val out = d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("keep") && out(1).getAs[Long]("n_words") === 2L)
+    assert(out(2).getAs[Double]("bullet_frac") > 0.9 && !out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Double]("symbol_ratio") > 0.1 && !out(3).getAs[Boolean]("keep"))
+    assert(out(4).getAs[Long]("stop_hits") === 0L && !out(4).getAs[Boolean]("keep"))
+    // ellipsis lines + the '...' symbol count share the marker
+    val e = Seq((9L, longGood + "\nwait...\nmore...\nhm...")).toDF("doc_id", "text")
+    val r = e.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*).head
+    assert(r.getAs[Double]("ellipsis_frac") === 0.75)
+  }
+
+  test("shuffleShards: deterministic, uniform-ish, dense within-shard positions") {
+    val d = spark.range(0, 1000).toDF("doc_id")
+    val out = graft.llm.Mix.shuffleShards(d, "doc_id", numShards = 8)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val again = graft.llm.Mix.shuffleShards(d.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(out === again) // partitioning-independent
+    val byShard = out.groupBy(_._2)
+    assert(byShard.size === 8)
+    byShard.foreach { case (_, rows) =>
+      // positions are exactly 0..n-1 within each shard
+      assert(rows.map(_._3).sorted === (0L until rows.size).toSeq)
+      assert(rows.size > 60 && rows.size < 190) // uniform-ish for n=1000
+    }
+    // a different seed reshuffles
+    val re = graft.llm.Mix.shuffleShards(d, "doc_id", 8, seed = "7")
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(re !== out)
+  }
+
   test("chunkDocs tiles tokens with overlap and hashes each window") {
     val d = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
     val out = TextOps.chunkDocs(d, "doc_id", "text", chunkLen = 4, stride = 3)
