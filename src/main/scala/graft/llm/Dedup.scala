@@ -57,6 +57,46 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("dup_of")).cast("boolean"))
   }
 
+  /** Cross-document exact PARAGRAPH removal — the line/paragraph-level
+    * dedup of the RefinedWeb/Dolma pipelines: a newline-delimited block
+    * whose trimmed text appears (byte-exact) in more than one document is
+    * removed everywhere except the smallest doc_id (keep-first, like
+    * [[dedupSpans]]; intra-document repeats in the keeper survive —
+    * that's the repetition scorer's defect, not this one's). Blank
+    * blocks are structure, not content: never dup-checked, always kept.
+    *
+    * Output: one row per document — the reassembled text (surviving
+    * blocks re-joined with `\n`, order preserved), block and removal
+    * counts.
+    *
+    * Scale shape: the one corpus-volume shuffle is a partial+final
+    * min/max-of-doc_id aggregate per 128-bit block hash (16 bytes of agg
+    * state per distinct block — cross-doc ⟺ min ≠ max, no posting
+    * lists); the duplicated-block set (duplication volume) joins back on
+    * the hash — AQE broadcasts it when small — and reassembly is one
+    * groupBy(doc) whose partitions hold single documents. */
+  def dedupParagraphs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val parts = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("p_idx", "para")))
+    val withH = parts.withColumn("__ph",
+      when(trim(col("para")) =!= "", md5(trim(col("para")))))
+    val dupSet = withH.filter(col("__ph").isNotNull)
+      .groupBy(col("__ph"))
+      .agg(min(col(idCol)).as("__keep_doc"), max(col(idCol)).as("__mx"))
+      .filter(col("__keep_doc") =!= col("__mx"))
+      .select(col("__ph"), col("__keep_doc"))
+    withH.join(dupSet, Seq("__ph"), "left")
+      .withColumn("__keep",
+        col("__keep_doc").isNull || col("__keep_doc") === col(idCol))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", sort_array(collect_list(when(col("__keep"),
+          struct(col("p_idx"), col("para"))))).getField("para")).as("text"),
+        count(lit(1)).as("n_paras"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Cross-document exact duplicate-SPAN removal — the substring-level
     * dedup of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better" (ACL 2022), restated at word-n-gram granularity:

@@ -282,6 +282,46 @@ object LlmQueries {
        SELECT * FROM frag UNION ALL SELECT * FROM clean
        ORDER BY doc_id, frag_idx""".replaceAll("\\s+", " ")
 
+  /** q_dedup_paragraphs: cross-document exact paragraph removal
+    * (Dedup.dedupParagraphs, the RefinedWeb/Dolma line-level dedup) —
+    * shared blocks are planted deterministically (a per-mod-7-class
+    * boilerplate line on every 3rd doc, a license line on every 5th);
+    * each survives only in the smallest doc_id carrying it. Output keys
+    * the reassembled text by md5 to keep the dump narrow. */
+  def dedupParagraphsQ(s: SparkSession, dir: String): DataFrame = {
+    val enriched = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("\nshared boilerplate block "),
+            pmod(col("doc_id"), lit(7)).cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\nlicense text common to all documents")).otherwise(lit("")))
+        .as("text"))
+    graft.llm.Dedup.dedupParagraphs(enriched, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("n_paras"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+  val dedupParagraphsSql: String =
+    """WITH m AS (SELECT doc_id, text
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared boilerplate block ' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'license text common to all documents' ELSE '' END AS mtext
+       FROM documents),
+       ls AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m),
+       px AS (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS p_idx FROM ls),
+       p AS (SELECT doc_id, p_idx, lines[p_idx] AS para FROM px),
+       d AS (SELECT md5(trim(para)) AS ph, min(doc_id) AS keep_doc
+             FROM p WHERE trim(para) <> '' GROUP BY 1
+             HAVING min(doc_id) <> max(doc_id)),
+       j AS (SELECT p.doc_id, p.p_idx, p.para,
+                    (d.ph IS NULL OR d.keep_doc = p.doc_id) AS keep
+             FROM p LEFT JOIN d ON trim(p.para) <> '' AND md5(trim(p.para)) = d.ph)
+       SELECT doc_id,
+         md5(coalesce(string_agg(para, chr(10) ORDER BY p_idx) FILTER (WHERE keep), '')) AS text_md5,
+         count(*) AS n_paras,
+         CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
+       FROM j GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   /** q_corpus_stats: the per-shard audit report (Report.corpusStats) —
     * doc/token/char volumes, token-length spread, exact-duplicate rate
     * from the 60-bit text hash — one aggregation pass, restated 1:1. */

@@ -217,18 +217,60 @@ object AlertTopics {
       seriesCol: Option[String] = None): DataFrame = {
     require(intervalUs > 0, "aggregate interval must be positive")
     val bucket = floor(col(timeUsCol) / intervalUs)
-    val sortedMsgs = sort_array(collect_list(struct(col(timeUsCol), col(messageCol))))
+    val folds = aggFoldExprs(timeUsCol, levelCol, durationUsCol, messageCol,
+      seriesCol)
     val base = events.groupBy(bucket.as("__bkt"))
-      .agg(
-        count(lit(1)).as("__n"),
-        max(col(levelCol)).as(levelCol),
-        max(col(timeUsCol)).as(timeUsCol),
-        max(col(durationUsCol)).as(durationUsCol),
-        sortedMsgs.as("__msgs"),
-        seriesCol.map(c =>
-            flatten(sort_array(collect_list(struct(col(timeUsCol).as("t"),
-              col(c).as("v")))).getField("v")).as("__series"))
-          .getOrElse(lit(null).as("__series")))
+      .agg(folds.head, folds.tail: _*)
+    renderAggregate(base, intervalUs, aggId, outTopic, messageTemplate,
+      timeUsCol, levelCol, durationUsCol, messageCol, seriesCol)
+  }
+
+  /** STREAMING rendering of the same handler: tumbling event-time windows
+    * (epoch-aligned, ≡ the batch `floor(time/interval)` buckets) close at
+    * the watermark and emit their single synthetic event in append mode —
+    * the ticker as a watermark. `timeCol` is a timestamp column; the
+    * member fold, message template, and output shape are byte-identical
+    * to [[aggregateEvents]] (StreamingParitySpec pins it). */
+  def aggregateEventsStream(events: DataFrame, intervalUs: Long,
+      aggId: String, outTopic: String,
+      messageTemplate: String = "Received {{ .Count }} events in the last {{.Interval}}.",
+      timeCol: String = "time", watermark: String = "0 seconds",
+      timeUsCol: String = "time_us", levelCol: String = "level",
+      durationUsCol: String = "duration_us", messageCol: String = "message",
+      seriesCol: Option[String] = None): DataFrame = {
+    require(intervalUs > 0, "aggregate interval must be positive")
+    val folds = aggFoldExprs(timeUsCol, levelCol, durationUsCol, messageCol,
+      seriesCol)
+    val base = events
+      .withColumn(timeUsCol, unix_micros(col(timeCol)))
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), s"$intervalUs microseconds").as("__w"))
+      .agg(folds.head, folds.tail: _*)
+    renderAggregate(base, intervalUs, aggId, outTopic, messageTemplate,
+      timeUsCol, levelCol, durationUsCol, messageCol, seriesCol)
+  }
+
+  /** The per-interval member fold both renderings share: count, max
+    * level/time/duration, (time, message)-sorted members, optional series
+    * concatenation. */
+  private def aggFoldExprs(timeUsCol: String, levelCol: String,
+      durationUsCol: String, messageCol: String,
+      seriesCol: Option[String]): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("__n"),
+    max(col(levelCol)).as(levelCol),
+    max(col(timeUsCol)).as(timeUsCol),
+    max(col(durationUsCol)).as(durationUsCol),
+    sort_array(collect_list(struct(col(timeUsCol), col(messageCol))))
+      .as("__msgs"),
+    seriesCol.map(c =>
+        flatten(sort_array(collect_list(struct(col(timeUsCol).as("t"),
+          col(c).as("v")))).getField("v")).as("__series"))
+      .getOrElse(lit(null).as("__series")))
+
+  private def renderAggregate(base: DataFrame, intervalUs: Long,
+      aggId: String, outTopic: String, messageTemplate: String,
+      timeUsCol: String, levelCol: String, durationUsCol: String,
+      messageCol: String, seriesCol: Option[String]): DataFrame = {
     val message = messageTemplate
       .replace("{{ .Count }}", "\u0000C").replace("{{.Count}}", "\u0000C")
       .replace("{{ .Interval }}", goDurationUs(intervalUs))

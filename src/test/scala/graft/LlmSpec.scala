@@ -1019,6 +1019,22 @@ class LlmSpec extends SparkSpec {
     assert(rows == again)
   }
 
+  test("dedupParagraphs cuts cross-doc repeated blocks, keeps the smallest doc's copy") {
+    val d = Seq(
+      (1L, "alpha one\nSHARED BLOCK\nalpha two"),
+      (2L, "beta one\nSHARED BLOCK\nbeta two\nSHARED BLOCK"),
+      (3L, "gamma\n\nother"), // blank block: structure, kept
+      (4L, "delta\nrepeat me\nrepeat me")) // intra-doc only: kept
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.dedupParagraphs(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha one\nSHARED BLOCK\nalpha two", 3L, 0L), // keeper: untouched
+      (2L, "beta one\nbeta two", 4L, 2L), // BOTH copies cut in the later doc
+      (3L, "gamma\n\nother", 3L, 0L),
+      (4L, "delta\nrepeat me\nrepeat me", 3L, 0L)))
+  }
+
   test("gopher rules: each threshold trips on its planted shape") {
     val longGood = ("the data and that point have to move with the rest " * 10).trim
     val d = Seq(

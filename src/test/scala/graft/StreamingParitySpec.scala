@@ -145,6 +145,47 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aggregate topic handler ≡ streaming tumbling-window fold") {
+    implicit val ctx = spark.sqlContext
+    // events across three 10 s intervals; bucket 1 left empty
+    val rows = Seq((1L, 3, 500L, "a"), (4L, 1, 900L, "b"), (9L, 2, 100L, "c"),
+      (21L, 0, 50L, "d"), (25L, 3, 800L, "e"))
+      .map { case (t, l, d, m) => P(m, t * us, l.toDouble, d) }
+    def evFrame(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"timeUs".as("time_us"), $"value".cast("int").as("level"),
+      $"pid".as("duration_us"), $"group".as("message"))
+    val batch = graft.streaming.AlertTopics.aggregateEvents(
+        evFrame(rows.toDF()), intervalUs = 10L * us, aggId = "agg",
+        outTopic = "out")
+      .as[(String, String, Long, Int, Long, String, String, Boolean)]
+      .collect().toSet
+
+    val ms = MemoryStream[P]
+    val stream = graft.streaming.AlertTopics.aggregateEventsStream(
+      ms.toDS().toDF()
+        .withColumn("time", timestamp_micros($"timeUs"))
+        .select($"time", $"value".cast("int").as("level"),
+          $"pid".as("duration_us"), $"group".as("message")),
+      intervalUs = 10L * us, aggId = "agg", outTopic = "out")
+    val q = stream.writeStream.format("memory").queryName("agg_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      // watermark sentinel closes every real window
+      ms.addData(Seq(P("zzz", 1000L * us, 0.0, 0L)))
+      q.processAllAvailable()
+      val streamed = spark.table("agg_par")
+        .filter($"time_us" < 900L * us)
+        .as[(String, String, Long, Int, Long, String, String, Boolean)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(batch.map(_._6) === Set(
+        "Received 3 events in the last 10s.",
+        "Received 2 events in the last 10s."))
+    } finally q.stop()
+  }
+
   test("alert handler chain ≡ streaming: slack + opsGenie2 payload bytes match") {
     // The reference fires handlers from the streaming FSM (alert.go:874-913)
     // with the same rendered payloads the batch path carries. The SAME
