@@ -115,6 +115,33 @@ class PlanSpec extends SparkSpec {
       s"non-equi join leaked into dedupSpans:\n${p.take(2000)}")
   }
 
+  test("dedupParagraphs' corpus shuffle is a partial min/max agg; no Expand, no cartesian") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Dedup.dedupParagraphs(docs, "doc_id", "text"))
+    assert(!p.contains("Expand"), s"Expand leaked into dedupParagraphs:\n${p.take(2000)}")
+    assert("partial_min|partial_max".r.findAllIn(p).nonEmpty,
+      s"min/max agg not partial (map-side combine lost):\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join leaked into dedupParagraphs:\n${p.take(2000)}")
+  }
+
+  test("statsPoints broadcasts the bounded stat registry over the fire grid") {
+    import spark.implicits._
+    val obs = (0 until 1000).map(i =>
+      (i.toLong * 10, "ingest", s"t${i % 4}", "collected", i.toDouble))
+      .toDF("time_us", "name", "task", "field", "value")
+    val fires = (1 to 50).map(_.toLong * 100).toDF("fire_us")
+    val out = graft.sources.StatsEmit.statsPoints(
+      obs, Seq("name", "task", "field"), fires)
+    val p = plan(out)
+    // the registry×grid product must be a broadcast of the tiny distinct
+    // key set, never a shuffled or nested-loop corpus product
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stat registry not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"registry×grid went cartesian:\n${p.take(2000)}")
+  }
+
   test("ScrapeScheduler.schedule is generator-only: no Exchange, no driver loop") {
     import spark.implicits._
     val targets = (0 until 100).map(i => graft.sources.ScrapeScheduler.ScrapeTarget(
