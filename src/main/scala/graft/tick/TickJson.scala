@@ -118,6 +118,33 @@ object TickJson {
   private def indent(sb: StringBuilder, depth: Int): Unit =
     sb ++= "    " * depth
 
+  /** `json.NewEncoder(w).Encode(v)` WITHOUT the trailing newline the
+    * Encoder appends — compact (no spaces), same escaping. */
+  def writeCompact(v: JV): String = {
+    val sb = new StringBuilder
+    def go(x: JV): Unit = x match {
+      case JNull => sb ++= "null"
+      case JBool(b) => sb ++= (if (b) "true" else "false")
+      case JInt(l) => sb.append(l)
+      case JFloat(d) => sb ++= goFloat(d)
+      case JStr(s) => escapeGo(sb, s)
+      case JArr(vs) =>
+        sb += '['
+        vs.zipWithIndex.foreach { case (e, i) =>
+          if (i > 0) sb += ','; go(e)
+        }
+        sb += ']'
+      case JObj(fs) =>
+        sb += '{'
+        fs.zipWithIndex.foreach { case ((k, e), i) =>
+          if (i > 0) sb += ','; escapeGo(sb, k); sb += ':'; go(e)
+        }
+        sb += '}'
+    }
+    go(v)
+    sb.toString
+  }
+
   /** Go encoding/json string escaping: `"` `\` control chars, and the
     * HTML-safe escapes for `<` `>` `&` (and U+2028/U+2029). */
   private def escapeGo(sb: StringBuilder, s: String): Unit = {
