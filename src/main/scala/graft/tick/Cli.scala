@@ -1,0 +1,218 @@
+package graft.tick
+
+/** The `kapacitor` CLI's human-readable presentation layer as a library
+  * (reference `cmd/kapacitor/main.go` — the client-side rendering of the
+  * API documents the registry already serves):
+  *
+  *  - `showTask` / `showTemplate` — `kapacitor show[-template]`
+  *    (:1402-1453, :1486-1528): the fixed field lines with Go RFC822
+  *    times, `%v`-rendered dbrp lists, the three/four-column vars table
+  *    (`%-30s%-10v%-40v[%-40s]`) with `varListToStr` list rendering and
+  *    `<required>` for unbound template vars, script then DOT blocks;
+  *  - `listTasksTable` / `listTemplatesTable` — `kapacitor list`
+  *    (:1694-1763): dynamic ID-column width (`max(len(id))+1`, floor
+  *    `len("ID")`), `%-10v` fixed columns, rows sorted by id;
+  *  - `showTopic` (:1583-1631): level/collected/handler summary plus the
+  *    event table with BOTH dynamic columns (event id, message) and the
+  *    time-ascending event sort.
+  *
+  * Every duration/float/bool renders exactly as Go `%v` does (durations
+  * via `time.Duration.String()`, floats via shortest-`%g`); the
+  * reference prints event dates in the process-local zone — pinned to
+  * UTC here so output is environment-independent.
+  */
+object Cli {
+
+  /** Go `time.RFC822` in UTC ("02 Jan 06 15:04 UTC"); ms == 0 renders
+    * the Go zero time, matching the registry's never-enabled marker. */
+  def rfc822(ms: Long): String = {
+    if (ms == 0L) return "01 Jan 01 00:00 UTC"
+    java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(
+        "dd MMM yy HH:mm", java.util.Locale.US)) + " UTC"
+  }
+
+  /** Go `time.Duration.String()` at nanosecond resolution. */
+  def goDurationNs(ns: Long): String = {
+    if (ns == 0L) return "0s"
+    val neg = ns < 0; val u = math.abs(ns)
+    def frac(whole: Long, rem: Long, scale: Long): String =
+      if (rem == 0) whole.toString
+      else {
+        val d = BigDecimal(whole) + BigDecimal(rem) / BigDecimal(scale)
+        d.underlying.stripTrailingZeros.toPlainString
+      }
+    val out =
+      if (u < 1000L) s"${u}ns"
+      else if (u < 1000000L) frac(u / 1000, u % 1000, 1000) + "µs"
+      else if (u < 1000000000L) frac(u / 1000000, u % 1000000, 1000000) + "ms"
+      else {
+        val secs = u / 1000000000L; val rem = u % 1000000000L
+        val h = secs / 3600; val m = (secs % 3600) / 60; val sec = secs % 60
+        val sPart = frac(sec, rem, 1000000000L) + "s"
+        (if (h > 0) s"${h}h" else "") +
+          (if (h > 0 || m > 0) s"${m}m" else "") + sPart
+      }
+    if (neg) "-" + out else out
+  }
+
+  /** Go `%v` of a float64: `strconv.FormatFloat(f, 'g', -1, 64)` —
+    * shortest digits, switching to e-notation (two-digit-padded
+    * exponent) when the decimal exponent is < -4 or ≥ 6, so 100000
+    * prints plain but 1000000 prints `1e+06`. */
+  def goFloatV(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "+Inf" else "-Inf"
+    if (d == 0.0) return "0"
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+    val ud = bd.unscaledValue.abs.toString
+    val sig = { val t = ud.reverse.dropWhile(_ == '0').reverse; if (t.isEmpty) "0" else t }
+    val exp = (ud.length - 1) - bd.scale
+    val sign = if (d < 0) "-" else ""
+    if (exp < -4 || exp >= 6) {
+      val mant = if (sig.length == 1) sig else s"${sig.head}.${sig.tail}"
+      val es = if (exp < 0) "-" else "+"
+      f"$sign$mant%se$es${math.abs(exp)}%02d"
+    } else {
+      val plain = bd.abs.stripTrailingZeros.toPlainString
+      sign + plain
+    }
+  }
+
+  private[graft] def pad(s: String, w: Int): String =
+    if (s.length >= w) s else s + (" " * (w - s.length))
+
+  /** `%v` of client.DBRPs: `["db"."rp" "db2"."rp2"]`. */
+  def dbrpsStr(dbrps: Seq[(String, String)]): String =
+    dbrps.map { case (db, rp) => s""""$db"."$rp"""" }.mkString("[", " ", "]")
+
+  /** `varListToStr` (:1455-1474): string elements raw, star as `*`. */
+  def varListToStr(items: Seq[(String, Any)]): String =
+    items.map {
+      case ("star", _) => "*"
+      case (_, v) => String.valueOf(v)
+    }.mkString("[", ", ", "]")
+
+  /** A var value as the CLI's `%v` shows it after the client unmarshal
+    * (client.go:745-822: durations become time.Duration, ints int64,
+    * floats float64, lists []Var). */
+  def varValueStr(v: TickVars.Var): String = v match {
+    case TickVars.Var(_, None, _) => "<nil>"
+    case TickVars.Var("duration", Some(n: Long), _) => goDurationNs(n)
+    case TickVars.Var("list", Some(items: Seq[_]), _) =>
+      varListToStr(items.asInstanceOf[Seq[(String, Any)]])
+    case TickVars.Var("float", Some(d: Double), _) => goFloatV(d)
+    case TickVars.Var(_, Some(x), _) => String.valueOf(x)
+  }
+
+  private def varsTable(vars: Seq[(String, TickVars.Var)],
+      withDescription: Boolean, requiredMarker: Boolean): String = {
+    val sb = new StringBuilder
+    def row(cols: Seq[String]): Unit = {
+      sb ++= pad(cols.head, 30) ++= pad(cols(1), 10) ++= pad(cols(2), 40)
+      if (withDescription) sb ++= pad(cols(3), 40)
+      sb += '\n'
+    }
+    row(Seq("Name", "Type", "Value", "Description"))
+    vars.sortBy(_._1).foreach { case (name, v) =>
+      val value = v.value match {
+        case None if requiredMarker => "<required>"
+        case _ => varValueStr(v)
+      }
+      row(Seq(name, v.tpe, value, v.description))
+    }
+    sb.toString
+  }
+
+  /** `kapacitor show <task>` (:1402-1453). None when the id is
+    * unknown. */
+  def showTask(reg: TaskRegistry, id: String,
+      dotView: String = "attributes"): Option[String] =
+    reg.get(id).map { t =>
+      val sb = new StringBuilder
+      sb ++= s"ID: ${t.id}\n"
+      sb ++= s"Error: ${t.error}\n"
+      sb ++= s"Template: ${t.templateId.getOrElse("")}\n"
+      sb ++= s"Type: ${if (t.taskType == reg.StreamTask) "stream" else "batch"}\n"
+      sb ++= s"Status: ${if (t.status == reg.Enabled) "enabled" else "disabled"}\n"
+      sb ++= s"Executing: ${t.status == reg.Enabled}\n"
+      sb ++= s"Created: ${rfc822(t.createdMs)}\n"
+      sb ++= s"Modified: ${rfc822(t.modifiedMs)}\n"
+      sb ++= s"LastEnabled: ${rfc822(t.lastEnabledMs)}\n"
+      sb ++= s"Databases Retention Policies: ${dbrpsStr(t.dbrps)}\n"
+      sb ++= s"TICKscript:\n${reg.script(t.id).getOrElse(t.tickscript)}\n"
+      val vars = reg.taskVars(t.id).getOrElse(Nil)
+      if (vars.nonEmpty) {
+        sb ++= "Vars:\n"
+        sb ++= varsTable(vars, withDescription = false, requiredMarker = false)
+      }
+      sb ++= s"DOT:\n${reg.dot(t.id, dotView).getOrElse("")}\n"
+      sb.toString
+    }
+
+  /** `kapacitor show-template <template>` (:1486-1528) — the vars table
+    * always prints (header included) and carries the Description column;
+    * unbound declared vars show `<required>`. */
+  def showTemplate(reg: TaskRegistry, id: String): Option[String] =
+    reg.getTemplate(id).map { t =>
+      val sb = new StringBuilder
+      sb ++= s"ID: ${t.id}\n"
+      sb ++= "Error: \n"
+      sb ++= s"Type: ${if (t.taskType == reg.StreamTask) "stream" else "batch"}\n"
+      sb ++= s"Created: ${rfc822(t.createdMs)}\n"
+      sb ++= s"Modified: ${rfc822(t.createdMs)}\n"
+      sb ++= s"TICKscript:\n${reg.templateScript(t.id).getOrElse(t.tickscript)}\n"
+      sb ++= "Vars:\n"
+      sb ++= varsTable(reg.templateVars(t.id).getOrElse(Nil),
+        withDescription = true, requiredMarker = true)
+      sb ++= s"DOT:\n${TickDot.dot(t.tickscript, t.id)}\n"
+      sb.toString
+    }
+
+  /** `kapacitor list tasks` (:1694-1726): dynamic ID width, fixed
+    * 10-char Type/Status/Executing columns, rows sorted by id. */
+  def listTasksTable(reg: TaskRegistry, patterns: Seq[String] = Seq("*")): String = {
+    val all = patterns.flatMap(p => reg.list(p)).sortBy(_.id)
+    val w = math.max(2, all.map(_.id.length).maxOption.getOrElse(0)) + 1
+    val sb = new StringBuilder
+    def row(id: String, tp: String, st: String, ex: String, db: String): Unit =
+      sb ++= pad(id, w) ++= pad(tp, 10) ++= pad(st, 10) ++= pad(ex, 10) ++= db += '\n'
+    row("ID", "Type", "Status", "Executing", "Databases and Retention Policies")
+    all.foreach { t =>
+      row(t.id, if (t.taskType == reg.BatchTask) "batch" else "stream",
+        if (t.status == reg.Enabled) "enabled" else "disabled",
+        (t.status == reg.Enabled).toString, dbrpsStr(t.dbrps))
+    }
+    sb.toString
+  }
+
+  /** `kapacitor show-topic` (:1583-1631): summary lines + the event
+    * table with dynamic event-id and message widths, events time-asc.
+    * `events` rows are (id, level, message, timeMs); the reference
+    * prints dates in the local zone — pinned UTC here. */
+  def showTopic(id: String, level: String, collected: Long,
+      handlerIds: Seq[String],
+      events: Seq[(String, String, String, Long)]): String = {
+    val we = math.max(5, events.map(_._1.length).maxOption.getOrElse(0)) + 1
+    val wm = math.max(7, events.map(_._3.length).maxOption.getOrElse(0)) + 1
+    val sb = new StringBuilder
+    sb ++= s"ID: $id\n"
+    sb ++= s"Level: $level\n"
+    sb ++= s"Collected: $collected\n"
+    sb ++= s"Handlers: [${handlerIds.mkString(", ")}]\n"
+    sb ++= "Events:\n"
+    def row(e: String, l: String, m: String, d: String): Unit =
+      sb ++= pad(e, we) ++= pad(l, 9) ++= pad(m, wm) ++= pad(d, 23) += '\n'
+    row("Event", "Level", "Message", "Date")
+    events.sortBy(_._4).foreach { case (eid, lvl, msg, ts) =>
+      row(eid, lvl, msg, rfc822(ts))
+    }
+    sb.toString
+  }
+
+  /** `kapacitor show-topic-handler` (:1541-1565). `optionsJson` is the
+    * handler's options object as compact JSON. */
+  def showTopicHandler(id: String, topic: String, kind: String,
+      matchExpr: String, optionsJson: String): String =
+    s"ID: $id\nTopic: $topic\nKind: $kind\nMatch: $matchExpr\nOptions: $optionsJson\n"
+}
