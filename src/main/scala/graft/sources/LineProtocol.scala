@@ -87,11 +87,42 @@ object LineProtocol {
     Some(LinePoint(measurement, tags, ff, fi, fb, fs, timeNs))
   }
 
+  /** The `/write?precision=` multiplier (httpd handler.go:465-470 →
+    * influxdb models.ParsePointsWithPrecision): a line's integer
+    * timestamp is in these units, scaled to nanos on parse. */
+  def precisionMultiplier(precision: String): Long = precision match {
+    case "" | "n" | "ns" => 1L
+    case "u" | "us" => 1000L
+    case "ms" => 1000000L
+    case "s" => 1000000000L
+    case "m" => 60L * 1000000000L
+    case "h" => 3600L * 1000000000L
+    case other => throw new IllegalArgumentException(
+      s"unknown precision '$other'")
+  }
+
+  /** [[parseLine]] at a write precision: present timestamps scale by
+    * the multiplier; a missing timestamp takes the server default
+    * TRUNCATED to the precision (ParsePointsWithPrecision's
+    * defaultTime.Truncate). */
+  def parseLineWithPrecision(line: String, defaultTimeNs: Long,
+      precision: String): Option[LinePoint] = {
+    val mult = precisionMultiplier(precision)
+    parseLine(line, Long.MinValue).map { p =>
+      val t = if (p.timeNs == Long.MinValue) defaultTimeNs - defaultTimeNs % mult
+        else p.timeNs * mult
+      p.copy(timeNs = t)
+    }
+  }
+
   /** Distributed parse: lines → canonical points (partition-local). */
-  def parse(lines: Dataset[String], defaultTimeNs: Long = 0L): Dataset[LinePoint] = {
+  def parse(lines: Dataset[String], defaultTimeNs: Long = 0L,
+      precision: String = "n"): Dataset[LinePoint] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.flatMap(parseLine(_, defaultTimeNs))
+    if (precision == "n" || precision == "" || precision == "ns")
+      lines.flatMap(parseLine(_, defaultTimeNs))
+    else lines.flatMap(parseLineWithPrecision(_, defaultTimeNs, precision))
   }
 
   /** Points as a DataFrame with an event-time column, ready for the Pipe

@@ -27,6 +27,25 @@ class SourcesSpec extends SparkSpec {
     assert(bad.fieldsFloat.isEmpty && bad.measurement == "m")
   }
 
+  test("write precision scales timestamps; missing times truncate the default") {
+    import LineProtocol.{parseLineWithPrecision, precisionMultiplier}
+    assert(precisionMultiplier("s") === 1000000000L)
+    assert(precisionMultiplier("ms") === 1000000L)
+    intercept[IllegalArgumentException](precisionMultiplier("x"))
+    // precision=s: the line's integer timestamp is seconds
+    assert(parseLineWithPrecision("m v=1 1465839830", 0L, "s").get.timeNs ===
+      1465839830000000000L)
+    assert(parseLineWithPrecision("m v=1 1465839830100400", 0L, "u").get.timeNs ===
+      1465839830100400000L)
+    // missing timestamp: server default truncated to the precision
+    assert(parseLineWithPrecision("m v=1", 1465839830123456789L, "s").get.timeNs ===
+      1465839830000000000L)
+    assert(parseLineWithPrecision("m v=1", 1465839830123456789L, "ms").get.timeNs ===
+      1465839830123000000L)
+    // ns path unchanged
+    assert(parseLineWithPrecision("m v=1 17", 0L, "n").get.timeNs === 17L)
+  }
+
   test("distributed parse produces a Pipe-ready frame") {
     val lines = Seq(
       "cpu,host=a usage=0.5 1000000000",
