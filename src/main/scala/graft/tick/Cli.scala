@@ -215,4 +215,41 @@ object Cli {
   def showTopicHandler(id: String, topic: String, kind: String,
       matchExpr: String, optionsJson: String): String =
     s"ID: $id\nTopic: $topic\nKind: $kind\nMatch: $matchExpr\nOptions: $optionsJson\n"
+
+  /** `kapacitor stats general` (:2175-2185): fixed 30-char label/value
+    * columns off the server vars. */
+  def statsGeneral(clusterId: String, serverId: String, host: String,
+      tasks: Long, enabledTasks: Long, subscriptions: Long,
+      platform: String = "OSS", version: String = "graft"): String = {
+    val sb = new StringBuilder
+    def row(k: String, v: String): Unit = sb ++= pad(k, 30) ++= pad(v, 30) += '\n'
+    row("ClusterID:", clusterId)
+    row("ServerID:", serverId)
+    row("Host:", host)
+    row("Tasks:", tasks.toString)
+    row("Enabled Tasks:", enabledTasks.toString)
+    row("Subscriptions:", subscriptions.toString)
+    row("Platform:", platform)
+    row("Version:", version)
+    sb.toString
+  }
+
+  /** `kapacitor stats ingress` (:2186-2238): dynamic db/rp/measurement
+    * widths (+1 space), `%15d` RIGHT-aligned points column, rows sorted
+    * (db, rp, measurement). `rows` are
+    * (database, retentionPolicy, measurement, pointsReceived). */
+  def statsIngress(rows: Seq[(String, String, String, Long)]): String = {
+    val wd = math.max(8, rows.map(_._1.length).maxOption.getOrElse(0)) + 1
+    val wr = math.max(16, rows.map(_._2.length).maxOption.getOrElse(0)) + 1
+    val wm = math.max(11, rows.map(_._3.length).maxOption.getOrElse(0)) + 1
+    val sb = new StringBuilder
+    sb ++= pad("Database", wd) ++= pad("Retention Policy", wr) ++=
+      pad("Measurement", wm) ++= "Points Received" += '\n'
+    rows.sortBy(r => (r._1, r._2, r._3)).foreach { case (d, r, m, n) =>
+      val num = n.toString
+      val left = if (num.length >= 15) num else (" " * (15 - num.length)) + num
+      sb ++= pad(d, wd) ++= pad(r, wr) ++= pad(m, wm) ++= left += '\n'
+    }
+    sb.toString
+  }
 }

@@ -93,6 +93,23 @@ class CliSpec extends AnyFunSuite {
     assert(lines(2).startsWith(Cli.pad("bbb-long-task-id", w) + "stream    disabled  false     []"))
   }
 
+  test("stats general and ingress tables") {
+    val g = Cli.statsGeneral("c1", "s1", "localhost", 5, 2, 3).linesIterator.toSeq
+    assert(g.head === "ClusterID:" + " " * 20 + "c1" + " " * 28)
+    assert(g(3) === "Tasks:" + " " * 24 + "5" + " " * 29)
+    val i = Cli.statsIngress(Seq(
+      ("telegraf", "autogen", "cpu", 1500L),
+      ("_kapacitor", "autogen", "ingress", 12L))).linesIterator.toSeq
+    // widths: db = max(8, len("_kapacitor")=10)+1 = 11; rp 17; m 12
+    assert(i.head === "Database   Retention Policy Measurement " +
+      "Points Received")
+    // rows sort (db, rp, measurement); points right-aligned in 15
+    assert(i(1) === "_kapacitor autogen          ingress     " +
+      " " * 13 + "12")
+    assert(i(2) === "telegraf   autogen          cpu         " +
+      " " * 11 + "1500")
+  }
+
   test("show topic: dynamic event/message widths, time-ascending rows") {
     val out = Cli.showTopic("sys", "CRITICAL", 7L, Seq("slack", "pd"),
       Seq(("cpu:serverA", "CRITICAL", "cpu is high", 1700000060000L),
