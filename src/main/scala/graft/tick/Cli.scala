@@ -216,6 +216,85 @@ object Cli {
       matchExpr: String, optionsJson: String): String =
     s"ID: $id\nTopic: $topic\nKind: $kind\nMatch: $matchExpr\nOptions: $optionsJson\n"
 
+  /** The recording GET document (services/replay/service.go:365-392
+    * convertRecording → httpd.MarshalJSON pretty; client.Recording
+    * struct order). `dateMs` renders Go time JSON (RFC3339Nano). */
+  def recordingJson(id: String, typ: String, size: Long, dateMs: Long,
+      error: String = "", status: String = "finished",
+      progress: Double = 1.0, basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"),
+        "href" -> JStr(s"$basePath/recordings/$id")),
+      "id" -> JStr(id),
+      "type" -> JStr(typ),
+      "size" -> JInt(size),
+      "date" -> JStr(Diag.rfc3339Nano(dateMs * 1000000L)),
+      "error" -> JStr(error),
+      "status" -> JStr(status),
+      "progress" -> JFloat(progress)))
+  }
+
+  /** The replay GET document (client.Replay struct order,
+    * client.go:876-888). `stats` always marshals — Go's `omitempty`
+    * never elides a struct value, a faithful quirk. */
+  def replayJson(id: String, task: String, recording: String,
+      recordingTime: Boolean, clock: String, dateMs: Long,
+      error: String = "", status: String = "finished",
+      progress: Double = 1.0, basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"),
+        "href" -> JStr(s"$basePath/replays/$id")),
+      "id" -> JStr(id),
+      "task" -> JStr(task),
+      "recording" -> JStr(recording),
+      "recording-time" -> JBool(recordingTime),
+      "clock" -> JStr(clock),
+      "date" -> JStr(Diag.rfc3339Nano(dateMs * 1000000L)),
+      "error" -> JStr(error),
+      "status" -> JStr(status),
+      "progress" -> JFloat(progress),
+      "stats" -> obj()))
+  }
+
+  /** `kapacitor list recordings` (:1766-1799): dynamic ID width, sizes
+    * through Go humanize.Bytes, dates RFC822 (UTC-pinned). `rows` are
+    * (id, type, status, sizeBytes, dateMs), listed in the service's
+    * id-sorted order. */
+  def listRecordingsTable(rows: Seq[(String, String, String, Long, Long)]): String = {
+    val w = math.max(2, rows.map(_._1.length).maxOption.getOrElse(0)) + 1
+    val sb = new StringBuilder
+    def row(id: String, tp: String, st: String, sz: String, dt: String): Unit =
+      sb ++= pad(id, w) ++= pad(tp, 8) ++= pad(st, 10) ++= pad(sz, 10) ++=
+        pad(dt, 23) += '\n'
+    row("ID", "Type", "Status", "Size", "Date")
+    rows.sortBy(_._1).foreach { case (id, tp, st, size, dateMs) =>
+      row(id, tp, st,
+        graft.functions.TickFunctions.humanBytesImpl(size.toDouble),
+        rfc822(dateMs))
+    }
+    sb.toString
+  }
+
+  /** `kapacitor list replays` (:1800-1841). `rows` are
+    * (id, task, recording, status, clock, dateMs). */
+  def listReplaysTable(rows: Seq[(String, String, String, String, String, Long)]): String = {
+    val wi = math.max(2, rows.map(_._1.length).maxOption.getOrElse(0)) + 1
+    val wt = math.max(4, rows.map(_._2.length).maxOption.getOrElse(0)) + 1
+    val wr = math.max(9, rows.map(_._3.length).maxOption.getOrElse(0)) + 1
+    val sb = new StringBuilder
+    def row(id: String, t: String, r: String, st: String, ck: String,
+        dt: String): Unit =
+      sb ++= pad(id, wi) ++= pad(t, wt) ++= pad(r, wr) ++= pad(st, 9) ++=
+        pad(ck, 8) ++= pad(dt, 23) += '\n'
+    row("ID", "Task", "Recording", "Status", "Clock", "Date")
+    rows.sortBy(_._1).foreach { case (id, t, r, st, ck, dateMs) =>
+      row(id, t, r, st, ck, rfc822(dateMs))
+    }
+    sb.toString
+  }
+
   /** `kapacitor stats general` (:2175-2185): fixed 30-char label/value
     * columns off the server vars. */
   def statsGeneral(clusterId: String, serverId: String, host: String,

@@ -93,6 +93,30 @@ class CliSpec extends AnyFunSuite {
     assert(lines(2).startsWith(Cli.pad("bbb-long-task-id", w) + "stream    disabled  false     []"))
   }
 
+  test("recording/replay documents and list tables") {
+    val rj = Cli.recordingJson("rec1", "stream", 1500L, 1700000000000L,
+      status = "finished", progress = 1.0)
+    assert(rj.contains("\"href\": \"/kapacitor/v1/recordings/rec1\""))
+    assert(rj.contains("\"size\": 1500"))
+    assert(rj.contains("\"date\": \"2023-11-14T22:13:20Z\""))
+    assert(rj.contains("\"progress\": 1"))
+    val pj = Cli.replayJson("rp1", "t1", "rec1", recordingTime = false,
+      clock = "fast", dateMs = 1700000000000L)
+    assert(pj.contains("\"recording-time\": false"))
+    assert(pj.contains("\"clock\": \"fast\""))
+    // Go omitempty never elides a struct: stats always present
+    assert(pj.contains("\"stats\": {}"))
+
+    val rt = Cli.listRecordingsTable(Seq(
+      ("rec1", "stream", "finished", 1500L, 1700000000000L))).linesIterator.toSeq
+    assert(rt.head === "ID   Type    Status    Size      Date" + " " * 19)
+    assert(rt(1) === "rec1 stream  finished  1.5 kB    14 Nov 23 22:13 UTC" + " " * 4)
+    val pt = Cli.listReplaysTable(Seq(
+      ("rp1", "t1", "rec1", "finished", "fast", 1700000000000L))).linesIterator.toSeq
+    assert(pt.head === "ID  Task Recording Status   Clock   Date" + " " * 19)
+    assert(pt(1) === "rp1 t1   rec1      finished fast    14 Nov 23 22:13 UTC" + " " * 4)
+  }
+
   test("stats general and ingress tables") {
     val g = Cli.statsGeneral("c1", "s1", "localhost", 5, 2, 3).linesIterator.toSeq
     assert(g.head === "ClusterID:" + " " * 20 + "c1" + " " * 28)
