@@ -145,6 +145,51 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stats ticker ≡ streaming fill-forward fold (as-of values at each fire)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StatsEmitStream
+    import graft.streaming.StatsEmitStream.StatObs
+    // key a observes at 2s/7s/23s; key b first observes at 11s; 5s ticker
+    val rows = Seq(P("a", 2L * us, 1.0, 1), P("a", 7L * us, 2.0, 2),
+      P("a", 23L * us, 3.0, 3), P("b", 11L * us, 10.0, 4))
+    val obsDf = rows.toDF().select($"timeUs".as("time_us"),
+      $"group".as("key"), $"value")
+    val bounds = obsDf.agg(min("time_us").as("mn"), max("time_us").as("mx"))
+    val batch = graft.sources.StatsEmit.statsPoints(obsDf, Seq("key"),
+        graft.sources.StatsEmit.tickGrid(bounds, 5L * us))
+      .select($"time_us", $"key", $"value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(batch === Set(
+      (5L * us, "a", 1.0), (10L * us, "a", 2.0), (15L * us, "a", 2.0),
+      (20L * us, "a", 2.0), (15L * us, "b", 10.0), (20L * us, "b", 10.0)))
+
+    val ms = MemoryStream[P]
+    val stream = StatsEmitStream.statsPoints(
+      ms.toDS().toDF()
+        .withColumn("time", timestamp_micros($"timeUs"))
+        .withWatermark("time", "0 seconds")
+        .select($"group".as("key"), $"timeUs", $"value", $"time")
+        .as[StatObs],
+      intervalUs = 5L * us)
+    val q = stream.toDF().writeStream.format("memory").queryName("stats_par")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      // two sentinels: the first advances the watermark past the data,
+      // the second triggers the timed-out groups to drain their fires
+      ms.addData(Seq(P("zz", 40L * us, 0.0, 9)))
+      q.processAllAvailable()
+      ms.addData(Seq(P("zz", 60L * us, 0.0, 9)))
+      q.processAllAvailable()
+      val streamed = spark.table("stats_par")
+        .filter($"key".isin("a", "b") && $"fireUs" <= 23L * us)
+        .select($"fireUs", $"key", $"value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("aggregate topic handler ≡ streaming tumbling-window fold") {
     implicit val ctx = spark.sqlContext
     // events across three 10 s intervals; bucket 1 left empty
