@@ -224,6 +224,48 @@ object Similarity {
     * bounded and embarrassingly parallel. No cartesian, no all-pairs.
     * Output: (vec_id, cid, dup_of, is_dup) for every input vector.
     */
+  /** Embedding-space OUTLIER detection — the curation pass that drops
+    * mis-embedded / out-of-domain vectors before clustering-based dedup
+    * or sampling: assign each vector to its nearest literal centroid
+    * (the shuffle-free argmax fold [[assignToCenters]] — the corpus
+    * never moves), then flag vectors whose cosine-to-own-center sits
+    * `zThreshold` sample deviations below the cluster mean.
+    *
+    * Cross-engine determinism: the per-cluster moments are EXACT
+    * integer sums of the 1e-6-scaled cosines (one partial+final agg on
+    * ≤ nlist keys, broadcast back), and the z-score is one fixed double
+    * expression over those integers — no accumulation-order float
+    * drift anywhere. Degenerate clusters (size < 2 or zero variance)
+    * score z = 0.
+    *
+    * Output: (vid, cid, cos, z, outlier). */
+  def embedOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, zThreshold: Double = 2.0): DataFrame = {
+    graft.expressions.DotProduct.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val model = collectCenters(centroids)
+    val assigned = assignToCenters(n, model, prec = 6)
+      .select(col("vid"), col("cid"),
+        round(col("cos") * 1000000L).cast("long").as("c6"))
+    val stats = assigned.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum(col("c6")).as("s"),
+      sum(col("c6") * col("c6")).as("ss"))
+    val cntD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val ssD = col("ss").cast("double")
+    val c6D = col("c6").cast("double")
+    val num = cntD * ssD - sD * sD
+    val z = when(col("n") < 2 || num <= 0, lit(0.0))
+      .otherwise((c6D - sD / cntD) / sqrt(num / (cntD * (cntD - 1))))
+    assigned.join(broadcast(stats), "cid")
+      .select(col("vid"), col("cid"),
+        (col("c6") / 1000000.0).as("cos"),
+        round(z, 6).as("z"),
+        (round(z, 6) <= -zThreshold).as("outlier"))
+  }
+
   def semanticDedup(
       emb: DataFrame,
       idCol: String,

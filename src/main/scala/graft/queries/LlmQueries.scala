@@ -785,6 +785,43 @@ object LlmQueries {
 
   // ------------------------------------------------- shuffle + sharding
 
+  /** q_embed_outliers: embedding-space outlier detection
+    * (Similarity.embedOutliers) — nearest-literal-centroid assignment,
+    * then a z-score on the cosine-to-own-center over exact integer
+    * cluster moments; z ≤ −2 flags the vector. The oracle restates the
+    * assignment, the integer sums, and the identical double formula. */
+  def embedOutliersQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.llm.Similarity.embedOutliers(e, "vec_id", "embedding", centroids,
+        zThreshold = 2.0)
+      .orderBy("vid")
+  }
+  val embedOutliersSql: String = {
+    val cosExpr = s"round(${dotSql("n.embedding", "cvec")} / (n.nrm * cnrm), 6)"
+    s"""WITH $normCte,
+       c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm FROM n WHERE vec_id < 8),
+       asg AS (SELECT n.vec_id AS vid, cid,
+               CAST(round($cosExpr * 1000000) AS BIGINT) AS c6
+               FROM n CROSS JOIN c
+               QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY $cosExpr DESC, cid) = 1),
+       st AS (SELECT cid, count(*) AS cnt, CAST(sum(c6) AS BIGINT) AS s,
+              CAST(sum(c6 * c6) AS BIGINT) AS ss FROM asg GROUP BY 1),
+       zz AS (SELECT vid, a.cid, c6,
+              CASE WHEN cnt < 2 OR (CAST(cnt AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) <= 0 THEN 0.0
+                   ELSE (CAST(c6 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                        / sqrt((CAST(cnt AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) - 1))) END AS zs
+              FROM asg a JOIN st USING (cid))
+       SELECT vid, CAST(cid AS INT) AS cid, c6 / 1000000.0 AS cos,
+              round(zs, 6) AS z, round(zs, 6) <= -2.0 AS outlier
+       FROM zz ORDER BY vid""".replaceAll("\\s+", " ")
+  }
+
   /** q_shard_assign: deterministic global shuffle into 16 training shards
     * with within-shard positions (graft.llm.Mix.shuffleShards). */
   def shardAssignQ(s: SparkSession, dir: String): DataFrame =

@@ -1019,6 +1019,26 @@ class LlmSpec extends SparkSpec {
     assert(rows == again)
   }
 
+  test("embedOutliers flags the planted far vector, not the tight cluster") {
+    // one tight cluster near e1 plus one vector pointing away
+    def v(x: Double, y: Double) = Array(x, y) ++ Array.fill(62)(0.0)
+    val rows = (0 until 20).map(i => (i.toLong, v(1.0, 0.001 * i))) :+
+      (99L, v(0.2, 0.98))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Seq((0, v(1.0, 0.0))).toDF("cid", "cvec")
+    val out = graft.llm.Similarity.embedOutliers(emb, "vec_id", "embedding",
+        cents, zThreshold = 2.0)
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 21)
+    assert(byId(99L)._5, s"planted outlier not flagged: ${byId(99L)}")
+    assert((0 until 20).forall(i => !byId(i.toLong)._5))
+    // deterministic on rerun
+    val again = graft.llm.Similarity.embedOutliers(emb, "vec_id", "embedding",
+      cents).as[(Long, Int, Double, Double, Boolean)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("dedupParagraphs cuts cross-doc repeated blocks, keeps the smallest doc's copy") {
     val d = Seq(
       (1L, "alpha one\nSHARED BLOCK\nalpha two"),
