@@ -47,4 +47,39 @@ object Report {
       .withColumn("dup_rate",
         round((col("n_docs") - col("n_distinct_texts")).cast("double") / col("n_docs"), 4))
   }
+
+  /** Cross-source duplicate-overlap matrix — the corpus-audit view of
+    * leakage BETWEEN sources (which feeds dedup priorities and
+    * decontamination scoping): for every unordered source pair, the
+    * number of distinct text hashes present in BOTH, each side's
+    * distinct-hash count, and the Jaccard of the two hash sets. Pairs
+    * with zero overlap are omitted.
+    *
+    * Scale shape: ONE shuffle on the 60-bit text hash; the per-hash
+    * state is a source SET bounded by the source count (collect_set is
+    * map-side combinable), and the pair explosion is C(k,2) of that
+    * bounded set — never a doc×doc self-join. The per-source totals are
+    * a tiny broadcast. */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val h = docs
+      .select(col(sourceCol).as("source"),
+        TextOps.h60(coalesce(col(textCol), lit(""))).as("th"))
+      .distinct()
+    val counts = h.groupBy("source").agg(count(lit(1)).as("n"))
+    val sets = h.groupBy("th")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val pairs = sets
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "src_a")))
+      .select(col("src_a"),
+        explode(slice(col("ss"), col("i") + 2, size(col("ss")))).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("overlap"), col("n_a"), col("n_b"),
+        round(col("overlap").cast("double") /
+          (col("n_a") + col("n_b") - col("overlap")), 6).as("jaccard"))
+  }
 }

@@ -785,6 +785,36 @@ object LlmQueries {
 
   // ------------------------------------------------- shuffle + sharding
 
+  /** q_source_overlap: the cross-source duplicate-overlap matrix
+    * (Report.sourceOverlap) — cross-source exact duplicates are planted
+    * deterministically (every 17th doc collapses to one of five shared
+    * blocks) so pairs overlap on both sides identically. */
+  def sourceOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("source"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(lit("shared corpus text block "),
+          pmod(col("doc_id"), lit(5)).cast("string")))
+        .otherwise(col("text")).as("text"))
+    graft.llm.Report.sourceOverlap(planted, "text", "source")
+      .orderBy("src_a", "src_b")
+  }
+  val sourceOverlapSql: String =
+    s"""WITH m AS (SELECT source,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'shared corpus text block ' || CAST(doc_id % 5 AS VARCHAR)
+              ELSE text END AS mtext
+       FROM documents),
+       h AS (SELECT DISTINCT source, ${h60sql("coalesce(mtext, '')")} AS th FROM m),
+       cnt AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+       p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS overlap
+             FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT src_a, src_b, overlap, ca.n AS n_a, cb.n AS n_b,
+              round(CAST(overlap AS DOUBLE) / (ca.n + cb.n - overlap), 6) AS jaccard
+       FROM p JOIN cnt ca ON ca.source = src_a
+              JOIN cnt cb ON cb.source = src_b
+       ORDER BY src_a, src_b""".replaceAll("\\s+", " ")
+
   /** q_embed_outliers: embedding-space outlier detection
     * (Similarity.embedOutliers) — nearest-literal-centroid assignment,
     * then a z-score on the cosine-to-own-center over exact integer

@@ -1019,6 +1019,24 @@ class LlmSpec extends SparkSpec {
     assert(rows == again)
   }
 
+  test("sourceOverlap counts cross-source exact duplicates pairwise") {
+    val d = Seq(
+      (1L, "common page", "a"), (2L, "unique a", "a"),
+      (3L, "common page", "b"), (4L, "also shared", "b"),
+      (5L, "also shared", "c"), (6L, "common page", "c"),
+      (7L, "unique c", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.llm.Report.sourceOverlap(d, "text", "source")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // a: {common, unique a}; b: {common, shared}; c: {shared, common, unique c}
+    assert(out === Seq(
+      ("a", "b", 1L, 2L, 2L, 1.0 / 3),
+      ("a", "c", 1L, 2L, 3L, 0.25),
+      ("b", "c", 2L, 2L, 3L, 2.0 / 3)).map(t =>
+      t.copy(_6 = math.round(t._6 * 1e6) / 1e6)))
+  }
+
   test("embedOutliers flags the planted far vector, not the tight cluster") {
     // one tight cluster near e1 plus one vector pointing away
     def v(x: Double, y: Double) = Array(x, y) ++ Array.fill(62)(0.0)
