@@ -32,6 +32,8 @@ object Pipeline {
       maxAvgNll: Option[Double] = None,
       perplexityVocab: Int = 4096,
       nearDup: Boolean = true,
+      gopherRules: Boolean = false,
+      paragraphDedup: Boolean = false,
       spanDedup: Boolean = false,
       spanDedupN: Int = 8,
       benchmark: Option[DataFrame] = None,
@@ -97,18 +99,38 @@ object Pipeline {
     // so an array-input variant would add an expression without removing
     // a scan. With no LM stage, tokens have one consumer (packing) and
     // inline tokenization there is already the single pass.
+    // stage 2b: Gopher rule thresholds — per-row, fused into the scan
+    // like the C4 heuristics
+    val gopherOk = tap("gopher", {
+      if (!cfg.gopherRules) heurOk
+      else heurOk.filter(TextOps.gopherRules(col(textCol)).toMap.apply("keep"))
+    })
+    // stage 2c: cross-document paragraph dedup — genuinely REWRITES the
+    // text column (one corpus shuffle on the block hash), so it runs
+    // before tokenization and its rewritten frame checkpoints like the
+    // span surgeries; docs reduced to whitespace vanish via the join
+    val cleanOk = tap("paragraph_dedup", {
+      if (!cfg.paragraphDedup) gopherOk
+      else {
+        val deduped = surv(Dedup.dedupParagraphs(gopherOk, idCol, textCol)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col(idCol), col("text").as("__ptext")))
+        gopherOk.drop(textCol).join(deduped, Seq(idCol))
+          .withColumnRenamed("__ptext", textCol)
+      }
+    })
     val toksF: Option[DataFrame] = cfg.maxAvgNll.map { _ =>
-      surv(heurOk.select(col(idCol), toks.as("__toks")))
+      surv(cleanOk.select(col(idCol), toks.as("__toks")))
     }
     // stage 3: perplexity filter (model trained on the surviving corpus)
     val pplOk = tap("perplexity", (cfg.maxAvgNll, toksF) match {
       case (Some(cap), Some(tf)) =>
         val model = LangModel.unigramTrainToks(tf, "__toks", cfg.perplexityVocab)
-        heurOk.join(
+        cleanOk.join(
           surv(LangModel.avgNllToks(tf, idCol, "__toks", model)
             .filter(col("avg_nll") <= cap).select(idCol)),
           idCol)
-      case _ => heurOk
+      case _ => cleanOk
     })
     // stage 4: exact dedup (keep canonical copies)
     val exactKept = tap("exact_dedup", pplOk

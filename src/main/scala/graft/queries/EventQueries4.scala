@@ -761,6 +761,23 @@ object EventQueries4 {
               details, FALSE AS recoverable
        FROM b ORDER BY time_us""".replaceAll("\\s+", " ")
 
+  /** q_alert_publish: the PUBLISH topic handler
+    * (services/alert/handlers.go:312-334) — every source event
+    * republished to each configured topic. */
+  def alertPublishQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = pipe(s, dir).df.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("time")).as("time_us"),
+        lit("purchases").as("topic"))
+    graft.streaming.AlertTopics.publishEvents(ev, Seq("audit", "ops", "pages"))
+      .orderBy("event_id", "topic")
+  }
+  val alertPublishSql: String =
+    s"""$preludeSql,
+       ev AS (SELECT event_id, tus AS time_us FROM e WHERE event_type = 'purchase')
+       SELECT event_id, time_us, t.topic
+       FROM ev CROSS JOIN (VALUES ('audit'), ('ops'), ('pages')) t(topic)
+       ORDER BY event_id, topic""".replaceAll("\\s+", " ")
+
   // ------------------------------------------- stats service emission
 
   /** q_stats_emit: the stats service's ticker rendered over history

@@ -738,6 +738,34 @@ class LlmSpec extends SparkSpec {
     assert(off(4L) == 19L)
   }
 
+  test("Pipeline.curate gopher + paragraph-dedup stages compose with packing") {
+    // doc 7 repeats doc 1's license line; doc 8 is a bullet wall the
+    // gopher rules drop outright
+    val body1 = Seq.fill(4)(
+      "the quick brown fox jumps over that lazy dog with style and it keeps going today").mkString(" ")
+    val body7 = Seq.fill(4)(
+      "a different useful body of english prose keeps the reader moving along with every line written here").mkString(" ")
+    val lic = "licensed to the public under the terms written here."
+    val rows = Seq(
+      (1L, "web", s"$body1\n$lic"),
+      (7L, "web", s"$body7\n$lic"),
+      (8L, "web", ("- item\n" * 40) + "the end with some words of that have be to."))
+      .toDF("doc_id", "source", "text")
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val out = graft.llm.Pipeline.curate(rows, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(nearDup = false, requireC4Keep = false,
+        langs = Set.empty, gopherRules = true, paragraphDedup = true,
+        seqLen = 64),
+      Some(counts))
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    assert(counts("gopher") === 2L) // the bullet wall died on rules
+    assert(counts("paragraph_dedup") === 2L)
+    // doc 1 keeps body+license; doc 7 loses the shared license line
+    val b1 = body1.split("\\s+").length + lic.split("\\s+").length
+    val b7 = body7.split("\\s+").length
+    assert(out === Map(1L -> b1.toLong, 7L -> b7.toLong))
+  }
+
   test("Pipeline.curate runs the full C4/CCNet recipe with per-stage audit counts") {
     val en1 = "the quick brown fox jumps over the lazy dog.\nit runs to the river for a drink."
     val en2 = "a solid paragraph of useful english text is here.\nit is written for the reader in full sentences."
