@@ -1101,6 +1101,29 @@ class LlmSpec extends SparkSpec {
       (4L, "delta\nrepeat me\nrepeat me", 3L, 0L)))
   }
 
+  test("dedupParagraphs is idempotent and identity on dup-free corpora") {
+    // pseudo-random multi-paragraph docs off a fixed seed
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def para() = Seq.fill(3 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = (0L until 30L).map { i =>
+      val own = Seq.fill(2 + rnd.nextInt(2))(s"doc $i ${para()}")
+      val shared = if (i % 4 == 0) Seq(s"shared ${i % 3} ${"x " * 3}".trim) else Nil
+      (i, (own ++ shared).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = graft.llm.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "text")
+    val twice = graft.llm.Dedup.dedupParagraphs(once, "doc_id", "text")
+      .select("doc_id", "text")
+    assert(twice.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      once.as[(Long, String)].collect().sortBy(_._1).toSeq)
+    // a corpus with no cross-doc blocks passes through untouched
+    val unique = (0L until 10L).map(i => (i, s"only doc $i\nsecond line $i"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.dedupParagraphs(unique, "doc_id", "text")
+      .filter(col("n_removed") > 0).count() === 0)
+  }
+
   test("gopher rules: each threshold trips on its planted shape") {
     val longGood = ("the data and that point have to move with the rest " * 10).trim
     val d = Seq(
