@@ -142,6 +142,27 @@ class PlanSpec extends SparkSpec {
       s"registry×grid went cartesian:\n${p.take(2000)}")
   }
 
+  test("embedOutliers: literal-fold assignment, broadcast moments, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val p = plan(graft.llm.Similarity.embedOutliers(emb, "vec_id", "embedding", cents))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster moments should broadcast back onto the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"assignment must stay a per-row literal fold, never a join:\n${p.take(2000)}")
+  }
+
+  test("sourceOverlap: one hash shuffle, no doc-by-doc self-join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.llm.Report.sourceOverlap(docs, "text", "source"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must come from the bounded source set:\n${p.take(2000)}")
+    assert(p.contains("collect_set") || p.contains("partial_collect_set"),
+      s"per-hash source set should partial-aggregate:\n${p.take(2000)}")
+  }
+
   test("ScrapeScheduler.schedule is generator-only: no Exchange, no driver loop") {
     import spark.implicits._
     val targets = (0 until 100).map(i => graft.sources.ScrapeScheduler.ScrapeTarget(
