@@ -75,12 +75,20 @@ object Dedup {
     * lists); the duplicated-block set (duplication volume) joins back on
     * the hash — AQE broadcasts it when small — and reassembly is one
     * groupBy(doc) whose partitions hold single documents. */
+  /** The shared paragraph front-end: one row per newline block with its
+    * 0-based index and (for non-blank blocks) the md5 of its trimmed
+    * text — [[dedupParagraphs]] and the streaming twin
+    * ([[graft.streaming.ParagraphDedupStream]]) both consume it. */
+  private[graft] def paragraphOccurrences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("p_idx", "para")))
+      .withColumn("__ph",
+        when(trim(col("para")) =!= "", md5(trim(col("para")))))
+
   def dedupParagraphs(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val parts = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("p_idx", "para")))
-    val withH = parts.withColumn("__ph",
-      when(trim(col("para")) =!= "", md5(trim(col("para")))))
+    val withH = paragraphOccurrences(docs, idCol, textCol)
     val dupSet = withH.filter(col("__ph").isNotNull)
       .groupBy(col("__ph"))
       .agg(min(col(idCol)).as("__keep_doc"), max(col(idCol)).as("__mx"))

@@ -145,6 +145,48 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("paragraph dedup over a document stream ≡ the batch operator (block registry)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.ParagraphDedupStream
+    import graft.streaming.ParagraphDedupStream.ParaOcc
+    val docs = Seq(
+      (1L, "alpha one\nSHARED BLOCK\nalpha two"),
+      (2L, "beta one\nSHARED BLOCK\nbeta two\nSHARED BLOCK"),
+      (3L, "gamma\n\nSHARED BLOCK\nunique gamma"),
+      (4L, "all original\nnothing shared"))
+    val batch = graft.llm.Dedup.dedupParagraphs(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+    val ms = MemoryStream[(Long, String)]
+    val occ = graft.llm.Dedup.paragraphOccurrences(
+        ms.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .filter($"__ph".isNotNull)
+      .select($"doc_id".as("docId"), $"p_idx".as("pIdx"), $"__ph".as("ph"))
+      .as[ParaOcc]
+    val q = ParagraphDedupStream.badParagraphs(occ)
+      .toDF().writeStream.format("memory").queryName("para_par")
+      .outputMode("update").start()
+    try {
+      // id order across micro-batches reproduces the batch min-id rule
+      ms.addData(Seq(docs.head))
+      q.processAllAvailable()
+      ms.addData(docs.tail)
+      q.processAllAvailable()
+      val flagged = spark.table("para_par")
+        .as[(Long, Int)].collect().toSet
+      val rebuilt = docs.map { case (id, text) =>
+        id -> text.split("\n", -1).zipWithIndex
+          .filterNot { case (_, i) => flagged((id, i)) }
+          .map(_._1).mkString("\n")
+      }.toMap
+      assert(rebuilt === batch)
+      // every copy outside the claiming doc is flagged, intra-doc
+      // repeats of a non-keeper included
+      assert(flagged === Set((2L, 1), (2L, 3), (3L, 2)))
+    } finally q.stop()
+  }
+
   test("stats ticker ≡ streaming fill-forward fold (as-of values at each fire)") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.StatsEmitStream
