@@ -498,6 +498,13 @@ class StreamingParitySpec extends SparkSpec {
     val batchChunks = graft.llm.TextOps
       .chunkDocs(liveRows.toDF("doc_id", "text"), "doc_id", "text", 3, 2)
       .as[(Long, Long, Long, String)].collect().toSet
+    def gopherFrame(df: org.apache.spark.sql.DataFrame) = {
+      val feats = graft.llm.TextOps.gopherRules(col("text"))
+      df.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        .select($"doc_id", $"n_words", $"stop_hits", $"keep")
+    }
+    val batchGopher = gopherFrame(liveRows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
 
     val ms = MemoryStream[(Long, String)]
     val live = ms.toDS().toDF("doc_id", "text")
@@ -505,17 +512,21 @@ class StreamingParitySpec extends SparkSpec {
       .writeStream.format("memory").queryName("ppl_par").outputMode("append").start()
     val q2 = graft.llm.TextOps.chunkDocs(live, "doc_id", "text", 3, 2)
       .writeStream.format("memory").queryName("chunk_par").outputMode("append").start()
+    val q3 = gopherFrame(live)
+      .writeStream.format("memory").queryName("gopher_par").outputMode("append").start()
     try {
       val (first, second) = liveRows.partition(_._1 <= 10L)
       ms.addData(first)
-      Seq(q1, q2).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
       ms.addData(second)
-      Seq(q1, q2).foreach(_.processAllAvailable())
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
       assert(spark.table("ppl_par").as[(Long, Long, Double)].collect().toSet
         == batchScores && batchScores.nonEmpty)
       assert(spark.table("chunk_par").as[(Long, Long, Long, String)].collect().toSet
         == batchChunks && batchChunks.nonEmpty)
-    } finally { q1.stop(); q2.stop() }
+      assert(spark.table("gopher_par").as[(Long, Long, Long, Boolean)].collect().toSet
+        == batchGopher && batchGopher.nonEmpty)
+    } finally { q1.stop(); q2.stop(); q3.stop() }
   }
 
   test("classifier scoring and BPE encode over a document stream ≡ batch") {
