@@ -145,6 +145,39 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source-overlap increments over a document stream sum to the batch matrix") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.SourceOverlapStream
+    import graft.streaming.SourceOverlapStream.HashObs
+    val docs = Seq(
+      (1L, "common page", "a"), (2L, "unique a", "a"),
+      (3L, "common page", "b"), (4L, "also shared", "b"),
+      (5L, "also shared", "c"), (6L, "common page", "c"),
+      (7L, "unique c", "c"), (8L, "common page", "a")) // re-observation: no emit
+    val batch = graft.llm.Report.sourceOverlap(
+        docs.toDF("doc_id", "text", "source"), "text", "source")
+      .select("src_a", "src_b", "overlap")
+      .as[(String, String, Long)].collect().toSet
+
+    val ms = MemoryStream[(Long, String, String)]
+    val occ = ms.toDS().toDF("doc_id", "text", "source")
+      .select(graft.llm.TextOps.h60($"text").as("th"), $"source")
+      .as[HashObs]
+    val q = SourceOverlapStream.pairIncrements(occ)
+      .toDF().writeStream.format("memory").queryName("ovl_par")
+      .outputMode("update").start()
+    try {
+      ms.addData(docs.take(3))
+      q.processAllAvailable()
+      ms.addData(docs.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("ovl_par")
+        .groupBy($"srcA", $"srcB").count()
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed === batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("paragraph dedup over a document stream ≡ the batch operator (block registry)") {
     implicit val ctx = spark.sqlContext
     import graft.streaming.ParagraphDedupStream
