@@ -174,26 +174,11 @@ object AlertTopics {
       .withColumn("inhibited", col("__inh") =!= 0)
       .drop("__src", "__ilvl", "__inh")
   }
-  /** Go `time.Duration.String()` at micro resolution — the `{{.Interval}}`
+  /** Go `time.Duration.String()` of a µs count — the `{{.Interval}}`
     * rendering of the aggregate handler's message template ("100ms",
-    * "1.5s", "1m40s"). */
-  def goDurationUs(us: Long): String = {
-    if (us == 0L) return "0s"
-    val neg = us < 0; val u = math.abs(us)
-    def trim(d: Double): String =
-      BigDecimal(d).underlying.stripTrailingZeros.toPlainString
-    val out =
-      if (u < 1000L) s"${u}µs"
-      else if (u < 1000000L) trim(u / 1000.0) + "ms"
-      else {
-        val secs = u / 1000000L; val frac = u % 1000000L
-        val h = secs / 3600; val m = (secs % 3600) / 60; val sec = secs % 60
-        val sPart = (if (frac == 0) sec.toString else trim(sec + frac / 1e6)) + "s"
-        (if (h > 0) s"${h}h" else "") +
-          (if (h > 0 || m > 0) s"${m}m" else "") + sPart
-      }
-    if (neg) "-" + out else out
-  }
+    * "1.5s", "1m40s"); delegates to the nanosecond renderer the CLI
+    * layer maintains. */
+  def goDurationUs(us: Long): String = graft.tick.Cli.goDurationNs(us * 1000L)
 
   /** The AGGREGATE topic handler (services/alert/handlers.go:199-308):
     * fold each interval's events into ONE synthetic event on `outTopic` —
