@@ -295,6 +295,58 @@ object Cli {
     sb.toString
   }
 
+  /** The topic GET document (services/alert/api.go:243-251
+    * createClientTopic → httpd.MarshalJSON pretty; client.Topic struct
+    * order with the events/handlers relation links). */
+  def topicJson(id: String, level: String, collected: Long,
+      basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    val base = s"$basePath/alerts/topics/$id"
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"), "href" -> JStr(base)),
+      "id" -> JStr(id),
+      "level" -> JStr(level),
+      "collected" -> JInt(collected),
+      "events-link" -> obj("rel" -> JStr("events"),
+        "href" -> JStr(s"$base/events")),
+      "handlers-link" -> obj("rel" -> JStr("handlers"),
+        "href" -> JStr(s"$base/handlers"))))
+  }
+
+  /** The topic-handler GET document (api.go:279-286 convertHandlerSpec;
+    * client.TopicHandler struct order — options is a Go map, keys
+    * sorted). */
+  def topicHandlerJson(topic: String, id: String, kind: String,
+      options: Seq[(String, TickJson.JV)], matchExpr: String = "",
+      basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"),
+        "href" -> JStr(s"$basePath/alerts/topics/$topic/handlers/$id")),
+      "id" -> JStr(id),
+      "kind" -> JStr(kind),
+      "options" -> sortedObj(options),
+      "match" -> JStr(matchExpr)))
+  }
+
+  /** The topic-event GET document (api.go:303-312 + client.TopicEvent/
+    * EventState struct order; duration renders Go Duration.String). */
+  def topicEventJson(topic: String, id: String, message: String,
+      details: String, timeMs: Long, durationNs: Long, level: String,
+      basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"),
+        "href" -> JStr(s"$basePath/alerts/topics/$topic/events/$id")),
+      "id" -> JStr(id),
+      "state" -> obj(
+        "message" -> JStr(message),
+        "details" -> JStr(details),
+        "time" -> JStr(Diag.rfc3339Nano(timeMs * 1000000L)),
+        "duration" -> JStr(goDurationNs(durationNs)),
+        "level" -> JStr(level))))
+  }
+
   /** `kapacitor stats general` (:2175-2185): fixed 30-char label/value
     * columns off the server vars. */
   def statsGeneral(clusterId: String, serverId: String, host: String,

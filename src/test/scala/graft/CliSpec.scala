@@ -93,6 +93,26 @@ class CliSpec extends AnyFunSuite {
     assert(lines(2).startsWith(Cli.pad("bbb-long-task-id", w) + "stream    disabled  false     []"))
   }
 
+  test("topic, topic-handler, and topic-event documents") {
+    import graft.tick.TickJson.{JInt, JStr}
+    val t = Cli.topicJson("sys", "CRITICAL", 7L)
+    assert(t.contains("\"href\": \"/kapacitor/v1/alerts/topics/sys\""))
+    assert(t.contains("\"level\": \"CRITICAL\"") && t.contains("\"collected\": 7"))
+    assert(t.contains("\"rel\": \"events\"") && t.contains(
+      "\"href\": \"/kapacitor/v1/alerts/topics/sys/events\""))
+    val h = Cli.topicHandlerJson("sys", "slack", "slack",
+      Seq("channel" -> JStr("#alerts"), "attach" -> JInt(1)),
+      matchExpr = "level() >= WARNING")
+    assert(h.contains("\"href\": \"/kapacitor/v1/alerts/topics/sys/handlers/slack\""))
+    // options map keys sort
+    assert(h.indexOf("\"attach\"") < h.indexOf("\"channel\""))
+    assert(h.contains("\"match\": \"level() \\u003e= WARNING\""))
+    val e = Cli.topicEventJson("sys", "cpu", "cpu is high", "", 1700000000000L,
+      90L * 1000000000L, "CRITICAL")
+    assert(e.contains("\"time\": \"2023-11-14T22:13:20Z\""))
+    assert(e.contains("\"duration\": \"1m30s\""))
+  }
+
   test("recording/replay documents and list tables") {
     val rj = Cli.recordingJson("rec1", "stream", 1500L, 1700000000000L,
       status = "finished", progress = 1.0)
