@@ -140,6 +140,31 @@ object Dedup {
       docs, spanBadPositions(docs, idCol, textCol, n), idCol, textCol,
       n, margin, minKeepTokens)
 
+  /** Per-document cross-corpus duplication ratio — the NOVELTY score a
+    * curation pass thresholds ("mostly boilerplate" detection, dedup
+    * prioritization): for each document with ≥ n tokens, the fraction of
+    * its positional word-n-grams that also occur in ANY other document.
+    * Same one-shuffle min/max-per-gram machinery as [[dedupSpans]] (no
+    * posting lists); docs shorter than n tokens contribute no grams and
+    * are absent from the output. */
+  def spanDupRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, "n-gram size must be positive")
+    val grams = Decontaminate.positionalGrams(docs, idCol, textCol, n)
+    val dup = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("gram")
+    val tot = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val dupc = grams.join(dup, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
+    tot.join(dupc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("dup_ratio"))
+  }
+
   /** The bad-position half of [[dedupSpans]]: per affected document, the
     * sorted 1-based gram START positions whose n-gram also occurs in a
     * smaller-id document — (idCol, badPos array<int>). Public so the

@@ -322,6 +322,36 @@ object LlmQueries {
          CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed
        FROM j GROUP BY doc_id ORDER BY doc_id""".replaceAll("\\s+", " ")
 
+  /** q_text_novelty: per-document cross-corpus duplication ratio
+    * (Dedup.spanDupRatio) — the same quoting-doc planting as
+    * q_dedup_spans so partial ratios appear (a quoting doc's grams are
+    * mostly duplicated, its unique tail is not). */
+  def textNoveltyQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val quoting = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" qq ww ee rr tt yy uu x"),
+          col("doc_id").cast("string")).as("text"))
+    graft.llm.Dedup.spanDupRatio(d.unionByName(quoting), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+  val textNoveltySql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' qq ww ee rr tt yy uu x' || CAST(doc_id AS VARCHAR)
+              FROM documents WHERE doc_id % 25 = 0),
+       tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+               FROM base),
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tok),
+       pg AS (SELECT doc_id, i, ${h60sql("array_to_string(toks[i:i+7], ' ')")} AS gram FROM pos),
+       dup AS (SELECT gram FROM pg GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+       tot AS (SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY 1),
+       dd AS (SELECT doc_id, count(*) AS n_dup FROM pg JOIN dup USING (gram) GROUP BY 1)
+       SELECT t.doc_id, t.n_grams,
+              CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+              round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / t.n_grams, 6) AS dup_ratio
+       FROM tot t LEFT JOIN dd USING (doc_id) ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   /** q_corpus_stats: the per-shard audit report (Report.corpusStats) —
     * doc/token/char volumes, token-length spread, exact-duplicate rate
     * from the 60-bit text hash — one aggregation pass, restated 1:1. */

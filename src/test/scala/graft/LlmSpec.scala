@@ -1101,6 +1101,27 @@ class LlmSpec extends SparkSpec {
       (4L, "delta\nrepeat me\nrepeat me", 3L, 0L)))
   }
 
+  test("spanDupRatio: a quoting doc scores near 1, originals score its grams too") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ") // 20 unique tokens
+    val d = Seq(
+      (1L, body), // 13 8-grams, all shared with doc 2's prefix
+      (2L, body + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"),
+      (3L, "a b c d e f g h i j k l m")) // alone: ratio 0
+      .toDF("doc_id", "text")
+    val out = graft.llm.Dedup.spanDupRatio(d, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc1: 13 grams, every one also in doc2 → ratio 1
+    assert(out.head === ((1L, 13L, 13L, 1.0)))
+    // doc2: 21 grams, the 13 body grams duplicated, the 8 tail-crossing
+    // ones unique
+    assert(out(1)._2 === 21L && out(1)._3 === 13L)
+    assert(out(2) === ((3L, 6L, 0L, 0.0)))
+    // a doc shorter than n contributes nothing
+    assert(graft.llm.Dedup.spanDupRatio(
+      Seq((9L, "too short")).toDF("doc_id", "text"), "doc_id", "text", 8)
+      .count() === 0)
+  }
+
   test("dedupParagraphs is idempotent and identity on dup-free corpora") {
     // pseudo-random multi-paragraph docs off a fixed seed
     val rnd = new scala.util.Random(7)
