@@ -213,6 +213,51 @@ object ConfigOverride {
     }
   }
 
+  /** The `/config` GET document (services/config/service.go:485-515 +
+    * client.ConfigSections/ConfigSection/ConfigElement): every schema
+    * section whose name has the requested prefix, each element rendered
+    * REDACTED with its self link (single-struct sections' empty element
+    * id folds into the section href, path.Join style); a section with
+    * no elements marshals `"elements": null` (the Go nil slice). */
+  def configSectionsJson(schema: Seq[SectionSpec],
+      config: Map[String, Seq[Element]], sectionPrefix: String = "",
+      basePath: String = "/kapacitor/v1"): String = {
+    import TickJson._
+    def jv(v: Any): JV = v match {
+      case null => JNull
+      case s: String => JStr(s)
+      case b: Boolean => JBool(b)
+      case i: Int => JInt(i.toLong)
+      case l: Long => JInt(l)
+      case d: Double => JFloat(d)
+      case m: Map[_, _] =>
+        sortedObj(m.toSeq.map { case (k, x) => String.valueOf(k) -> jv(x) })
+      case xs: Seq[_] => JArr(xs.map(jv))
+      case other => JStr(String.valueOf(other))
+    }
+    val base = s"$basePath/config"
+    val secs = schema.filter(_.name.startsWith(sectionPrefix)).map { spec =>
+      val els = config.getOrElse(spec.name, Nil).map { e =>
+        val (opts, names) = redacted(spec, e)
+        val eid = spec.elementKey
+          .flatMap(k => e.get(k).map(String.valueOf)).getOrElse("")
+        val href = if (eid.isEmpty) s"$base/${spec.name}"
+          else s"$base/${spec.name}/$eid"
+        obj(
+          "link" -> obj("rel" -> JStr("self"), "href" -> JStr(href)),
+          "options" -> sortedObj(opts.toSeq.map { case (k, v) => k -> jv(v) }),
+          "redacted" -> (if (names.isEmpty) JNull else JArr(names.map(JStr(_)))))
+      }
+      spec.name -> obj(
+        "link" -> obj("rel" -> JStr("self"),
+          "href" -> JStr(s"$base/${spec.name}")),
+        "elements" -> (if (els.isEmpty) JNull else JArr(els)))
+    }
+    write(obj(
+      "link" -> obj("rel" -> JStr("self"), "href" -> JStr(base)),
+      "sections" -> sortedObj(secs)))
+  }
+
   /** Element.Redacted (override.go:518-525): redact-tagged options map
     * to a non-zero boolean; returns (options, redacted names). */
   def redacted(spec: SectionSpec, element: Element): (Map[String, Any], Seq[String]) = {

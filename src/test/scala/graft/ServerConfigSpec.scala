@@ -70,5 +70,19 @@ class ServerConfigSpec extends AnyFunSuite {
     assert(e("enabled") === true && e("channel") === "#ops")
     val (red, names) = redacted(spec, e)
     assert(red("token") === true && names.contains("token"))
+
+    // the /config GET document over the overridden state
+    val doc = configSectionsJson(
+      Seq(spec, SectionSpec("smtp", options = Seq(OptionSpec("host")))),
+      out)
+    assert(doc.contains("\"href\": \"/kapacitor/v1/config\""))
+    assert(doc.contains("\"href\": \"/kapacitor/v1/config/slack\""))
+    assert(doc.contains("\"channel\": \"#ops\""))
+    assert(doc.contains("\"token\": true")) // redacted non-zero secret
+    assert(doc.contains("\"redacted\": [\n"))
+    // a schema section with no loaded elements marshals null (nil slice)
+    assert(doc.contains("\"smtp\"") && doc.contains("\"elements\": null"))
+    // map keys (sections, options) render sorted like Go marshal
+    assert(doc.indexOf("\"slack\"") < doc.indexOf("\"smtp\""))
   }
 }
