@@ -195,6 +195,36 @@ object Mix {
       .drop("__budget", "__h", "__bk", "__d", "__b", "__off")
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * md5(seed:id) bucket in [0, 10000) falls through the splits'
+    * cumulative per-myriad thresholds in declaration order (integer
+    * comparisons only — no float boundary, the [[stratifiedSample]]
+    * discipline), so the split is reproducible across engines/retries/
+    * partitionings and JOINABLE — two tables split on the same key land
+    * in the same split. Fractions must sum to ≤ 1; any remainder falls
+    * to the LAST split (the catch-all). Shuffle-free codegen'd
+    * projection. */
+  def assignSplit(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: String = "42"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    val myriads = splits.map { case (n, f) =>
+      require(f >= 0 && f <= 1, s"split $n fraction out of [0,1]")
+      n -> math.round(f * 10000).toInt
+    }
+    require(myriads.map(_._2.toLong).sum <= 10000L, "split fractions exceed 1")
+    val bucket = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % 10000
+    val cum = myriads.scanLeft(0)(_ + _._2).tail
+    val expr = myriads.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(myriads.last._1): Column) { case ((name, bound), acc) =>
+        when(col("__sb") < bound, lit(name)).otherwise(acc)
+      }
+    docs.withColumn("__sb", bucket)
+      .withColumn("split", expr)
+      .drop("__sb")
+  }
+
   /** Deterministic global shuffle + shard assignment — the terminal step
     * of a training-data pipeline: fix a pseudo-random total order over
     * the corpus, cut it into `numShards` uniform shards, and number each

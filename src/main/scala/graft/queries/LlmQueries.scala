@@ -882,6 +882,24 @@ object LlmQueries {
        FROM zz ORDER BY vid""".replaceAll("\\s+", " ")
   }
 
+  /** q_split_assign: deterministic train/val/test assignment
+    * (Mix.assignSplit) — 90/5/5 via md5-bucket thresholds, remainder to
+    * the catch-all last split. */
+  def splitAssignQ(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Mix.assignSplit(docs(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  val splitAssignSql: String =
+    """WITH b AS (SELECT doc_id,
+         ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS sb
+       FROM documents)
+       SELECT doc_id,
+         CASE WHEN sb < 9000 THEN 'train'
+              WHEN sb < 9500 THEN 'val'
+              ELSE 'test' END AS split
+       FROM b ORDER BY doc_id""".replaceAll("\\s+", " ")
+
   /** q_shard_assign: deterministic global shuffle into 16 training shards
     * with within-shard positions (graft.llm.Mix.shuffleShards). */
   def shardAssignQ(s: SparkSession, dir: String): DataFrame =

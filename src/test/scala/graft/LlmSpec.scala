@@ -1168,6 +1168,28 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Double]("ellipsis_frac") === 0.75)
   }
 
+  test("assignSplit: deterministic, joinable, proportions near fractions") {
+    val d = spark.range(0, 2000).toDF("doc_id")
+    val out = graft.llm.Mix.assignSplit(d, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(out.keySet === Set("train", "val", "test"))
+    assert(out("train") > 1700 && out("train") < 1900)
+    assert(out("val") > 50 && out("val") < 150)
+    // repartitioning does not move a row's split (joinable)
+    val a = graft.llm.Mix.assignSplit(d, "doc_id", Seq("x" -> 0.5, "y" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    val b = graft.llm.Mix.assignSplit(d.repartition(17), "doc_id",
+      Seq("x" -> 0.5, "y" -> 0.5)).as[(Long, String)].collect().toMap
+    assert(a === b)
+    // fractions summing under 1: the remainder lands in the LAST split
+    val c = graft.llm.Mix.assignSplit(d, "doc_id", Seq("a" -> 0.1, "b" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(c("b") > c("a") * 5)
+    intercept[IllegalArgumentException](
+      graft.llm.Mix.assignSplit(d, "doc_id", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
   test("shuffleShards: deterministic, uniform-ish, dense within-shard positions") {
     val d = spark.range(0, 1000).toDF("doc_id")
     val out = graft.llm.Mix.shuffleShards(d, "doc_id", numShards = 8)
