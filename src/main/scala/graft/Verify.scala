@@ -5,17 +5,23 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // dev mode: `runMain graft.Verify <sfDir> <outDir> q_a q_b` dumps only
+    // the named queries (plus the full oracle_sql.json) for focused
+    // oracle iteration; the driver's 2-arg invocation is unchanged
+    val sfDir = args(0); val outDir = args(1)
+    val only = args.drop(2).toSet
     val spark = graft.Graft.session("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-    }
     // The rows-only entries (no DuckDB oracle: Nelder-Mead fit, greedy
     // BPE, gradient descent). Assert value equality HERE against serial
     // driver arithmetic; on mismatch delete the dump so the driver's
@@ -27,7 +33,8 @@ object Verify {
         (() => graft.queries.LlmQueries.textBpeCrossCheck(spark, sfDir)),
       "q_text_classify" ->
         (() => graft.queries.LlmQueries.textClassifyCrossCheck(spark, sfDir)))
-    crossChecks.foreach { case (name, check) =>
+    crossChecks.filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, check) =>
       // An erroring cross-check is just as hollow as a failing one: the
       // value assertion never ran, so the dump must not survive to give
       // the driver a rows>0 pass. Only ok == true keeps the parquet.

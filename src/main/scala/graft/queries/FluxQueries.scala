@@ -144,8 +144,13 @@ object FluxQueries {
     val types = Seq("click", "error", "purchase", "signup", "view")
     val keys = s.read.parquet(s"$dir/region.parquet")
       .select(col("r_regionkey").cast("long")).as[Long].collect().sorted
+    // 7-day horizon: ~22 fires across the five tasks — enough to exercise
+    // every law the oracle checks (alignment arithmetic for all three
+    // @every periods 1d/2d/3d, the NULL-then-set `:last_success` extern,
+    // gap-free adjacent windows) at ~1/3 the wall clock of the original
+    // 20-day horizon (65 sequential real-SQL fires, 11% of the whole gate)
     val base = 1704067200L    // 2024-01-01T00:00:00Z (the events epoch)
-    val horizon = 1705795200L // 2024-01-21T00:00:00Z
+    val horizon = 1704672000L // 2024-01-08T00:00:00Z
 
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
     var now = 0L
@@ -180,7 +185,7 @@ object FluxQueries {
        FROM region),
        f AS (
        SELECT task_id, et,
-              CAST(unnest(range(aligned + every_s, 1705795200 - offset_s + 1, every_s)) AS BIGINT) AS fire
+              CAST(unnest(range(aligned + every_s, 1704672000 - offset_s + 1, every_s)) AS BIGINT) AS fire
        FROM (SELECT *, ((1704067200 + ${FluxCron.GoZeroOffsetSec}) // every_s) * every_s
                        - ${FluxCron.GoZeroOffsetSec} AS aligned
              FROM t)),

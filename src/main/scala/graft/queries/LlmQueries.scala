@@ -1220,25 +1220,48 @@ object LlmQueries {
   // ------------------------------------------------- curation pipeline
 
   /** q_pipeline_curate: the END-TO-END curation recipe (Pipeline.curate)
-    * over `documents`, oracle-checked as one composed chain — perplexity
-    * filter (unigram LM, cap 3.5: cuts the high-NLL tail while keeping
-    * both members of planted near-dup pairs, so EVERY later stage stays
-    * active in composition) → exact dedup → MinHash near-dup keep-best →
-    * benchmark decontamination (the %97 slice as the held-out set) →
+    * over `documents`, oracle-checked as one composed chain — Gopher rule
+    * thresholds → cross-document paragraph dedup → perplexity filter
+    * (unigram LM, cap 3.47: cuts the high-NLL tail while keeping enough
+    * planted near-dup pair members that the near-dup stage stays active)
+    * → exact dedup → MinHash near-dup keep-best → benchmark
+    * decontamination (the %97 ENRICHED slice as the held-out set) →
     * stratified domain mixing → sequence packing. Language/C4 heuristics
     * are off here: the synthetic corpus is punctuation-free word salad
     * (C4 keep would empty it) and both detectors have their own green
-    * rows (q_text_langid, q_text_c4filters). Every stage's oracle
-    * fragment already exists; this entry pins their COMPOSITION,
-    * including the survivor-set scoping (exact-dedup canon chosen among
-    * perplexity survivors, near-dup pairs among exact survivors, packing
-    * over the final mix). */
+    * rows (q_text_langid, q_text_c4filters). The corpus is enriched
+    * IDENTICALLY on both sides (the q_text_gopher/q_dedup_paragraphs
+    * planting convention): a stopword-bearing line on 9/10 docs (so the
+    * Gopher stop-hit rule is active, dropping the tenth), a per-mod-7
+    * boilerplate line on every 3rd doc and a license line on every 5th
+    * (so paragraph dedup genuinely rewrites text — at sf0.01 it edits
+    * 346/347 gopher survivors). Every stage's oracle fragment already
+    * exists standalone; this entry pins their COMPOSITION, including the
+    * survivor-set scoping (paragraph dup-lines chosen among GOPHER
+    * survivors, LM trained on the paragraph-rewritten corpus, exact-dedup
+    * canon among perplexity survivors, near-dup pairs among exact
+    * survivors, packing token counts from the REWRITTEN text). */
+  private def curateEnriched = concat(col("text"),
+    when(pmod(col("doc_id"), lit(10)) =!= 0,
+      lit("\nthe cost of that update have to land with and be near")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("\nshared boilerplate block "),
+        pmod(col("doc_id"), lit(7)).cast("string"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("\nlicense text common to all documents")).otherwise(lit("")))
+  private val curateEnrichedSql =
+    """text
+       || CASE WHEN doc_id % 10 <> 0 THEN chr(10) || 'the cost of that update have to land with and be near' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'shared boilerplate block ' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'license text common to all documents' ELSE '' END"""
   def pipelineCurateQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
+      .select(col("doc_id"), col("source"), curateEnriched.as("text"))
     graft.llm.Pipeline.curate(d, "doc_id", "text", "source",
       graft.llm.Pipeline.CurationConfig(
         langs = Set.empty, requireC4Keep = false,
-        maxAvgNll = Some(3.5), perplexityVocab = 256,
+        gopherRules = true, paragraphDedup = true,
+        maxAvgNll = Some(3.47), perplexityVocab = 256,
         nearDup = true,
         benchmark = Some(d.filter(col("doc_id") % 97 === 0)),
         contaminationN = 3, minOverlap = 3L,
@@ -1250,7 +1273,37 @@ object LlmQueries {
     val sigList = graft.llm.TextOps.minhashConsts(16).map { case (a, b) =>
       s"list_min(list_transform(hs, h -> ((h >> 30) * $a + (h & 1073741823) * $b) % ${graft.llm.TextOps.mixPrime}))"
     }.mkString("[", ", ", "]")
-    s"""WITH RECURSIVE $tokSql, $shSql,
+    val stops = graft.llm.TextOps.gopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE m AS (SELECT doc_id, source, $curateEnrichedSql AS text FROM documents),
+       gt AS (SELECT doc_id, text AS mtext,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS toks,
+               string_split(text, chr(10)) AS lines
+             FROM m),
+       gop AS (SELECT doc_id FROM gt WHERE
+               len(toks) BETWEEN 50 AND 100000
+           AND CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks),1) BETWEEN 3 AND 10
+           AND (CAST(length(mtext) - length(regexp_replace(mtext, '#', '', 'g')) AS DOUBLE)
+                + CAST(length(mtext) - length(regexp_replace(mtext, '\\.\\.\\.', '', 'g')) AS DOUBLE) / 3)
+               / greatest(len(toks),1) <= 0.1
+           AND CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / greatest(len(lines),1) <= 0.9
+           AND CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$$'))) AS DOUBLE) / greatest(len(lines),1) <= 0.3
+           AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / greatest(len(toks),1) >= 0.8
+           AND CAST(len(list_distinct(list_filter(toks, t -> t IN ($stops)))) AS BIGINT) >= 2),
+       px AS (SELECT g.doc_id, lines, unnest(range(1, len(lines) + 1)) AS p_idx
+              FROM (SELECT m.doc_id, string_split(m.text, chr(10)) AS lines
+                    FROM m JOIN gop USING (doc_id)) g),
+       p AS (SELECT doc_id, p_idx, lines[p_idx] AS para FROM px),
+       dl AS (SELECT md5(trim(para)) AS ph, min(doc_id) AS keep_doc
+              FROM p WHERE trim(para) <> '' GROUP BY 1 HAVING min(doc_id) <> max(doc_id)),
+       pj AS (SELECT p.doc_id, p.p_idx, p.para,
+                     (dl.ph IS NULL OR dl.keep_doc = p.doc_id) AS keep
+              FROM p LEFT JOIN dl ON trim(p.para) <> '' AND md5(trim(p.para)) = dl.ph),
+       clean AS (SELECT doc_id,
+                   coalesce(string_agg(para, chr(10) ORDER BY p_idx) FILTER (WHERE keep), '') AS text
+                 FROM pj GROUP BY doc_id
+                 HAVING trim(coalesce(string_agg(para, chr(10) ORDER BY p_idx) FILTER (WHERE keep), '')) <> ''),
+       tok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+               FROM clean),
        tc AS (SELECT unnest(toks) AS token FROM tok),
        counts AS (SELECT token, count(*)::BIGINT AS cnt FROM tc GROUP BY 1),
        tot AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
@@ -1264,11 +1317,14 @@ object LlmQueries {
                 round(-list_reduce(list_transform(toks, tk -> coalesce(map_extract(mp, tk)[1], oov)),
                       (a, b) -> a + b) / len(toks), 5) AS avg_nll
               FROM tok, lm WHERE len(toks) > 0),
-       ppl AS (SELECT doc_id FROM nll WHERE avg_nll <= 3.5),
+       ppl AS (SELECT doc_id FROM nll WHERE avg_nll <= 3.47),
        ex AS (SELECT doc_id FROM (
-                SELECT d.doc_id,
-                       d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canon
-                FROM documents d JOIN ppl USING (doc_id)) WHERE canon),
+                SELECT c.doc_id,
+                       c.doc_id = min(c.doc_id) OVER (PARTITION BY md5(c.text)) AS canon
+                FROM clean c JOIN ppl USING (doc_id)) WHERE canon),
+       sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(len(toks)-2), i -> array_to_string(toks[i+1:i+3], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS s FROM tok),
        hsc AS (SELECT sh.doc_id, list_transform(s, x -> ${h60sql("x")}) AS hs
                FROM sh JOIN ex USING (doc_id)),
        sig AS (SELECT doc_id, $sigList AS sig FROM hsc),
@@ -1287,18 +1343,21 @@ object LlmQueries {
        dropd AS (SELECT doc_id FROM (
                   SELECT cl.doc_id,
                          row_number() OVER (PARTITION BY cluster_id
-                           ORDER BY length(d.text) DESC, cl.doc_id) AS rn
-                  FROM cl JOIN documents d USING (doc_id)) WHERE rn > 1),
+                           ORDER BY length(c.text) DESC, cl.doc_id) AS rn
+                  FROM cl JOIN clean c USING (doc_id)) WHERE rn > 1),
        nk AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM dropd)),
-       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok),
+       pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tok JOIN nk USING (doc_id)),
        g AS (SELECT DISTINCT doc_id, ${h60sql("array_to_string(toks[i:i+2], ' ')")} AS gram FROM pos),
+       btok AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS toks
+                FROM m WHERE doc_id % 97 = 0),
+       bpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM btok),
+       bg AS (SELECT DISTINCT doc_id, ${h60sql("array_to_string(toks[i:i+2], ' ')")} AS gram FROM bpos),
        bad AS (SELECT DISTINCT c.doc_id
-               FROM (SELECT g.* FROM g JOIN nk USING (doc_id)) c
-               JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) bm USING (gram)
-               GROUP BY c.doc_id, bm.doc_id HAVING count(*) >= 3),
+               FROM g c JOIN bg USING (gram)
+               GROUP BY c.doc_id, bg.doc_id HAVING count(*) >= 3),
        decon AS (SELECT doc_id FROM nk WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
        mixed AS (SELECT d.doc_id, d.source
-                 FROM documents d JOIN decon USING (doc_id)
+                 FROM m d JOIN decon USING (doc_id)
                  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
                    CASE d.source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                      WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000 ELSE 5000 END),
