@@ -217,6 +217,63 @@ object EventQueries4 {
        FROM a FULL JOIN b USING (jt_us) FULL JOIN c USING (jt_us)
        ORDER BY jt_us""".replaceAll("\\s+", " ")
 
+  // --------------------------------------------------------------- barrier
+
+  /** q_barrier: the barrier node's emission laws (reference
+    * barrier.go:86-320, [[graft.operators.Barrier]]) in oracle-checkable
+    * batch form — replayed with arrival ≡ data time (the in-order case),
+    * where the FSM's barrier set has a CLOSED FORM the oracle restates:
+    *  - idle(1h): between consecutive arrivals a → a' of a group, the
+    *    idle timer steps k = 1..⌊(a'−a)/idle⌋ barriers at a+k·idle (each
+    *    barrier advances lastPointTime, so continued silence yields
+    *    barriers every `idle` apart), then the kept point resets the
+    *    timer; after the last arrival the grid continues to the harness
+    *    end-wall;
+    *  - period(6h): a pure wall grid a0+k·period from the group's first
+    *    arrival to the end-wall, point arrivals never reset it.
+    * Points survive unconditionally here (in-order arrival ⟹ data time ≥
+    * every barrier fired before it — the drop guard is exercised by the
+    * out-of-order golden replays instead). The `value > 90` filter thins
+    * events to ~2h mean gaps so BOTH laws fire barriers between points.
+    * Both modes emit through the real mapPartitions FSM on the Spark side
+    * and through the closed form in DuckDB. */
+  def barrierQ(s: SparkSession, dir: String): DataFrame = {
+    val endWallUs = 1706659200000000L // 2024-01-31T00:00:00Z end-wall
+    val e = graft.Graft.events(s, dir).filter(col("value") > 90)
+      .select(col("event_type"),
+        timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
+        expr("ts_ns DIV 1000").as("arr_us"))
+    def shape(mode: String, df: DataFrame): DataFrame =
+      df.select(lit(mode).as("mode"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        col("__evt_us").as("evt_us"), col("__barrier").as("is_barrier"))
+    shape("idle", graft.operators.Barrier.idle(
+        e, "ts", "arr_us", Seq("event_type"), 3600.0, endWallUs))
+      .unionByName(shape("period", graft.operators.Barrier.periodic(
+        e, "ts", "arr_us", Seq("event_type"), 21600.0, endWallUs)))
+      .orderBy("mode", "event_type", "evt_us", "is_barrier", "t_us")
+  }
+  val barrierSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 90),
+       seq AS (SELECT event_type, us,
+                lead(us) OVER (PARTITION BY event_type ORDER BY us) AS nxt FROM e),
+       pts AS (SELECT m.mode, event_type, us AS t_us, us AS evt_us, false AS is_barrier
+               FROM seq, (SELECT unnest(['idle', 'period']) AS mode) m),
+       ib0 AS (SELECT event_type, us, coalesce(nxt, 1706659200000000) AS till FROM seq),
+       ibk AS (SELECT event_type, us,
+                unnest(range(1, (till - us) // 3600000000 + 1)) AS k FROM ib0),
+       ib AS (SELECT 'idle' AS mode, event_type, us + 3600000000 * k AS t_us,
+                     us + 3600000000 * k AS evt_us, true AS is_barrier FROM ibk),
+       pb0 AS (SELECT event_type, min(us) AS a0 FROM e GROUP BY 1),
+       pbk AS (SELECT event_type, a0,
+                unnest(range(1, (1706659200000000 - a0) // 21600000000 + 1)) AS k FROM pb0),
+       pb AS (SELECT 'period' AS mode, event_type, a0 + 21600000000 * k AS t_us,
+                     a0 + 21600000000 * k AS evt_us, true AS is_barrier FROM pbk)
+       SELECT mode, event_type, t_us, evt_us, is_barrier FROM pts
+       UNION ALL SELECT * FROM ib
+       UNION ALL SELECT * FROM pb
+       ORDER BY mode, event_type, evt_us, is_barrier, t_us""".replaceAll("\\s+", " ")
+
   // ----------------------------------------------------------- join .on()
 
   /** q_join_on: a coarser per-type stream joined onto a finer
