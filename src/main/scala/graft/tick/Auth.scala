@@ -13,11 +13,12 @@ import scala.collection.mutable
   * (`_sub:<token>` with write access to /api/write, /api/ping and the
   * granted database resource).
   *
-  * The only deviation: stored password hashes use PBKDF2-HMAC-SHA256
-  * (JDK-native) where the reference uses bcrypt — a transport-level
-  * substitution like the repo's other non-goal shells; the
-  * salted-SHA256 authentication CACHE (service.go:242-257) is matched
-  * as-is, and the `Hasher` seam accepts any KDF.
+  * KDF parity (round 18 closes the formerly-documented deviation): the
+  * reference's bcrypt is implemented pure-JVM ([[Bcrypt]], behind the
+  * [[Auth.Hasher]] seam as [[Auth.BcryptHasher]]) so reference-created
+  * `$2a$...` password hashes verify directly; PBKDF2-HMAC-SHA256 stays
+  * the default for fresh stores (JDK-native, faster). The salted-SHA256
+  * authentication CACHE (service.go:242-257) is matched as-is.
   */
 object Auth {
 
@@ -178,6 +179,21 @@ object Auth {
   trait Hasher {
     def hash(password: String): Seq[Byte]
     def verify(password: String, stored: Seq[Byte]): Boolean
+  }
+
+  /** The REFERENCE's KDF ([[Bcrypt]], `services/auth/service.go` via
+    * golang.org/x/crypto/bcrypt): stores the `$2a$NN$...` modular-crypt
+    * string as the hash bytes, exactly what a reference deployment's
+    * user store holds — so migrating users' existing bcrypt hashes
+    * verify as-is, and hashes created here verify in the reference.
+    * Verify accepts $2a/$2b/$2y. Pbkdf2Hasher remains the default for
+    * fresh stores (JDK-native, faster); this closes the hash-portability
+    * gap for stores created by the reference. */
+  final class BcryptHasher(cost: Int = Bcrypt.DefaultCost) extends Hasher {
+    def hash(password: String): Seq[Byte] =
+      Bcrypt.hashPassword(password, cost).getBytes("UTF-8").toSeq
+    def verify(password: String, stored: Seq[Byte]): Boolean =
+      Bcrypt.checkPassword(password, new String(stored.toArray, "UTF-8"))
   }
 
   final class Pbkdf2Hasher(iterations: Int = 65536) extends Hasher {
