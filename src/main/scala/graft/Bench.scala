@@ -96,15 +96,41 @@ object Bench {
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     try {
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
-      // dev mode prints one JSON line {"..","queries":{"name":sec,...},..}
+      // Drain stdout on a reader thread so a chatty child can't deadlock
+      // on a full pipe while we sit in waitFor.
+      val outRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drain = new Thread(() =>
+        outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8")))
+      drain.setDaemon(true); drain.start()
+      // A wedged child must not hang the whole bench run: bound the wait
+      // and kill on expiry. A non-zero exit or a missing queries object
+      // must be distinguishable in the artifact from "nothing flagged",
+      // so record an explicit failure marker instead of silently
+      // returning an empty map.
+      val finished = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) {
+        p.destroyForcibly()
+        System.err.println("[bench] fresh-JVM re-measure timed out after 20 min; killed child")
+        return Map("__fresh_jvm_timeout__" -> -1.0)
+      }
+      drain.join(10000)
+      val out = outRef.get()
+      // dev mode prints one JSON line {"..","queries":{"name":sec,...},..}.
+      // CONTRACT (shared with previousTimes and the println/writeString
+      // sites below): the queries object is FLAT and is the first {...}
+      // after the "queries" key — keep it that way or switch both parsers
+      // to a real tokenizer.
       val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(out).map(_.group(1)).getOrElse("")
-      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qobj)
+      val parsed = """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qobj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (p.exitValue() != 0 || parsed.isEmpty) {
+        System.err.println(s"[bench] fresh-JVM child exit=${p.exitValue()}, parsed ${parsed.size} queries")
+        if (parsed.isEmpty) return Map("__fresh_jvm_failed__" -> p.exitValue().toDouble)
+      }
+      parsed
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] fresh-JVM re-measure failed: ${e.getMessage}")
-      Map.empty
+      Map("__fresh_jvm_failed__" -> -1.0)
     }
   }
 
@@ -114,6 +140,8 @@ object Bench {
     val p = java.nio.file.Paths.get("/root/repo/bench_times.json")
     if (!java.nio.file.Files.isRegularFile(p)) return Map.empty
     val s = java.nio.file.Files.readString(p)
+    // Same flat-queries-object regex contract as freshJvmTimes — see the
+    // comment there and at the writeString site.
     val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
     """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(qobj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -192,18 +220,22 @@ object Bench {
         runSuite(spark, top.map(n => n -> lookup(n)), sfDir, repeat = 5,
           verbose = true).toMap
       }
-    // Fresh-JVM adjudication set: the top-3 plus anything >1.5x its
-    // previous-artifact time (capped at 8 — a degraded session flags
-    // broadly, and the child JVM re-times serially). Runs AFTER the
-    // driver-visible suite numbers exist, in ONE child JVM, so the
-    // artifact carries its own session-skew verdict.
+    // Fresh-JVM adjudication set: the top-3 plus anything that drifted vs
+    // its previous-artifact time — >1.25x for queries above 0.1 s (r18's
+    // q_distinct drifted 1.33x and escaped the old 1.5x trigger), >1.5x
+    // for the sub-0.1 s tail where scheduler jitter alone reaches 1.3x
+    // (capped at 8 — a degraded session flags broadly, and the child JVM
+    // re-times serially). Runs AFTER the driver-visible suite numbers
+    // exist, in ONE child JVM, so the artifact carries its own
+    // session-skew verdict.
     val isolatedFresh: Map[String, Double] =
       if (names.nonEmpty || sys.env.getOrElse("GRAFT_BENCH_FRESH", "1") != "1") Map.empty
       else {
         val big = results.toMap
         val top = results.sortBy(-_._2).take(3).map(_._1)
         val regressed = results.collect {
-          case (n, t) if prev.get(n).exists(p => p > 0.05 && t > 1.5 * p) => n
+          case (n, t) if prev.get(n).exists(p =>
+            p > 0.05 && t > (if (t > 0.1) 1.25 else 1.5) * p) => n
         }.sortBy(n => -big(n))
         val flagged = (top ++ regressed).distinct.take(8)
         // release this JVM's executors before the child spins up its own
@@ -212,6 +244,10 @@ object Bench {
         freshJvmTimes(flagged, sfDir, repeat = 8)
       }
     def jnum(v: Double): String = f"$v%.4f"
+    // CONTRACT: the "queries" object in BOTH the stdout line and
+    // bench_times.json must stay flat (string->number only) and precede
+    // any other nested object — previousTimes and freshJvmTimes parse it
+    // with a first-match regex, not a JSON parser.
     // stdout stays the driver's ONE-line contract, but compact (4-decimal
     // times) so the driver's bounded tail capture never truncates the
     // front of the JSON line (r12 lost 6 queries to exactly that); the

@@ -1169,10 +1169,79 @@ object LlmQueries {
       "doc_id")
     val model = graft.llm.Classifier.trainLogistic(
       labeled, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
+    classifyOracle = Some(classifySqlFor(model))
     graft.llm.Classifier.score(labeled, "text", model)
       .select(col("doc_id"), col("label").cast("long").as("label"),
         col("score"), (col("score") >= 0.5).as("pred"))
       .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for q_text_classify, GENERATED at query-construction
+    * time with the trained weight vector embedded as literals. Gradient
+    * descent itself is not SQL-expressible, but the model it produces is
+    * a deterministic, bit-stable function of the corpus (LlmSpec pins the
+    * retrain), and SCORING is pure arithmetic — the same
+    * model-as-literals move the Spark plan makes, now made for the oracle
+    * too, so the gate hash-checks the teacher labels AND the scoring fold
+    * cross-engine. Verify runs every query before dumping
+    * oracle_sql.json, so the cache always carries the weights trained on
+    * the exact sfDir DuckDB reads; a dev-mode Verify that skipped
+    * q_text_classify leaves the cache empty and the entry is omitted
+    * (falls back to the old rows-only check). */
+  @volatile private var classifyOracle: Option[String] = None
+  def textClassifySqlOpt: Option[String] = classifyOracle
+
+  private def classifySqlFor(model: graft.llm.Classifier.LogisticModel): String = {
+    // only buckets a training token ever touched are nonzero (L2 decays
+    // nothing that was never updated away from 0) — the literal map stays
+    // vocabulary-sized, not dim-sized
+    val nz = model.weights.zipWithIndex.collect { case (w, i) if w != 0.0 => (i, w) }
+    require(nz.nonEmpty, "classifier weights are all zero — training did not run")
+    // Double.toString round-trips, so DuckDB's correctly-rounded literal
+    // parse lands on the identical IEEE bits
+    val keys = nz.map(_._1).mkString("[", ",", "]")
+    val vals = nz.map(p => java.lang.Double.toString(p._2)).mkString("[", ",", "]")
+    val bias = java.lang.Double.toString(model.bias)
+    val dim = model.dim
+    // teacher = the unigram-perplexity CTEs (identical to
+    // textPerplexitySql), LOWER median over the rounded avg_nll histogram,
+    // label = avg_nll <= median; scoring folds the SORTED bucket list so
+    // the FP accumulation order matches Classifier.score bit-for-bit
+    s"""WITH $tokSql,
+       tc AS (SELECT unnest(toks) AS token FROM tok),
+       counts AS (SELECT token, count(*)::BIGINT AS cnt FROM tc GROUP BY 1),
+       tot AS (SELECT sum(cnt)::BIGINT AS t FROM counts),
+       vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 256),
+       vn AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       m AS (SELECT map(list(token ORDER BY token),
+                        list(ln((cnt + 1)::DOUBLE / (t + v + 1)::DOUBLE) ORDER BY token)) AS mp,
+                    ln(1.0 / (t + v + 1)::DOUBLE) AS oov
+             FROM vocab, tot, vn GROUP BY t, v),
+       scored AS (SELECT doc_id, toks,
+              round(-list_reduce(list_transform(toks, tk -> coalesce(map_extract(mp, tk)[1], oov)),
+                    (a, b) -> a + b) / len(toks), 5) AS avg_nll
+             FROM tok, m WHERE len(toks) > 0),
+       hist AS (SELECT avg_nll, count(*)::BIGINT AS c FROM scored GROUP BY 1),
+       med AS (SELECT min(avg_nll) AS mv FROM
+                 (SELECT avg_nll, 2 * sum(c) OVER (ORDER BY avg_nll) >= (SELECT sum(c) FROM hist) AS ok
+                  FROM hist) WHERE ok),
+       wm AS (SELECT map($keys, ($vals)::DOUBLE[]) AS w, CAST($bias AS DOUBLE) AS bias),
+       feats AS (SELECT doc_id, avg_nll,
+                   list_sort(list_transform(toks, t -> ${h60sql("t")} % $dim)) AS bk
+                 FROM scored),
+       dots AS (SELECT doc_id, avg_nll,
+                  list_reduce(list_transform(bk, b -> coalesce(map_extract(w, b)[1], 0.0)),
+                    (a, c) -> a + c) AS rawdot
+                FROM feats, wm),
+       sq AS (SELECT doc_id, sum(c * c)::DOUBLE AS tfsq FROM
+                (SELECT doc_id, b, count(*)::BIGINT AS c FROM
+                  (SELECT doc_id, unnest(bk) AS b FROM feats) GROUP BY 1, 2)
+              GROUP BY 1),
+       fin AS (SELECT d.doc_id, (d.avg_nll <= med.mv)::BIGINT AS label,
+                 round(1.0 / (1.0 + exp(-(d.rawdot / sqrt(s.tfsq) + wm.bias))), 5) AS score
+               FROM dots d JOIN sq s USING (doc_id), med, wm)
+       SELECT doc_id, label, score, (score >= 0.5) AS pred
+       FROM fin ORDER BY doc_id""".replaceAll("\\s+", " ")
   }
 
   /** Exact LOWER median of a bounded-cardinality column (avg_nll is

@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: a recording replays strictly sequentially by definition
   * (the reference walks the file point by point against one clock), so
-  * the one window here is ordered over the whole recording — bounded by
-  * recording size, never corpus size; schedules for MANY recordings
-  * partition by recording id upstream.
+  * the window is ordered WITHIN one recording — bounded by recording
+  * size, never corpus size. Both entry points take `recordingIdCol`:
+  * pass `Some(col)` for a frame holding many recordings (each schedules
+  * independently against its own clock, exactly N parallel replays) and
+  * `None` only when the frame IS a single recording. The parameter has
+  * no default on purpose — the caller must assert which shape they have,
+  * so the single-partition global sort is never reached by accident.
   */
 object ReplayClock {
 
@@ -54,8 +58,10 @@ object ReplayClock {
       orderCol: String,
       zeroUs: Long,
       mode: Mode,
-      recTime: Boolean): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+      recTime: Boolean,
+      recordingIdCol: Option[String]): DataFrame = {
+    val w = recordingIdCol.fold(Window.orderBy(col(orderCol)))(
+        id => Window.partitionBy(col(id)).orderBy(col(orderCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t0 = first(col(timeUsCol)).over(w)
     // waitTime = p.Time() + (zero − start) — replay.go:59
@@ -99,8 +105,10 @@ object ReplayClock {
       lastPtUsCol: String,
       zeroUs: Long,
       mode: Mode,
-      recTime: Boolean): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
+      recTime: Boolean,
+      recordingIdCol: Option[String]): DataFrame = {
+    val w = recordingIdCol.fold(Window.orderBy(col(orderCol)))(
+        id => Window.partitionBy(col(id)).orderBy(col(orderCol)))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // start = first point of the first NON-EMPTY batch (replay.go:206-209)
     val t0 = first(col(firstPtUsCol), ignoreNulls = true).over(w)

@@ -6,7 +6,10 @@ package graft.tick
   * created by a reference deployment verify here directly. Produces and
   * parses the modular-crypt format `$2a$NN$<22-char salt><31-char hash>`
   * ($2b/$2y parse as the same algorithm — they differ from $2a only for
-  * >72-byte passwords, which both reject/truncate upstream).
+  * >72-byte passwords). Long-password parity with x/crypto: hashPassword
+  * REJECTS >72-byte passwords (GenerateFromPassword's ErrPasswordTooLong);
+  * checkPassword keys on the first 72 bytes (CompareHashAndPassword never
+  * length-checks — its EKS schedule reads exactly 72 key bytes).
   *
   * Algorithm notes (matching x/crypto/bcrypt + blowfish bit-for-bit):
   *  - key = password bytes + one 0x00 terminator, cycled;
@@ -186,7 +189,13 @@ object Bcrypt {
   def rawHash(password: Array[Byte], salt: Array[Byte], cost: Int): Array[Byte] = {
     require(salt.length == 16, "bcrypt salt must be 16 bytes")
     require(cost >= MinCost && cost <= MaxCost, s"bcrypt cost out of range: $cost")
-    // x/crypto/bcrypt: key = password (≤72 bytes) + 0x00
+    // x/crypto/bcrypt: key = password + 0x00, but the EKS P-array pass
+    // consumes exactly 72 key bytes, so bytes past 72 never reach the
+    // schedule — truncating here reproduces CompareHashAndPassword's
+    // effective behavior for long inputs bit-for-bit. (Generate-side
+    // rejection of >72-byte passwords lives in hashPassword, matching
+    // x/crypto's ErrPasswordTooLong, which newFromPassword raises but
+    // CompareHashAndPassword does not.)
     val trimmed = if (password.length > 72) password.take(72) else password
     val key = new Array[Byte](trimmed.length + 1)
     System.arraycopy(trimmed, 0, key, 0, trimmed.length)
@@ -286,10 +295,15 @@ object Bcrypt {
   def format(password: Array[Byte], salt: Array[Byte], cost: Int): String =
     f"$$2a$$$cost%02d$$" + b64Encode(salt) + b64Encode(rawHash(password, salt, cost))
 
+  /** GenerateFromPassword: rejects >72-byte passwords the way x/crypto's
+    * newFromPassword does (ErrPasswordTooLong) — hashes the reference
+    * could never have created must not be creatable here either. */
   def hashPassword(password: String, cost: Int = DefaultCost): String = {
+    val bytes = password.getBytes("UTF-8")
+    require(bytes.length <= 72, s"bcrypt: password length exceeds 72 bytes (${bytes.length})")
     val salt = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(salt)
-    format(password.getBytes("UTF-8"), salt, cost)
+    format(bytes, salt, cost)
   }
 
   /** Constant-time check of `password` against a stored `$2a/$2b/$2y`

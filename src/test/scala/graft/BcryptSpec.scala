@@ -60,11 +60,14 @@ class BcryptSpec extends AnyFunSuite {
     assert(Bcrypt.b64Decode(Bcrypt.b64Encode(h), 23).toSeq === h.toSeq)
   }
 
-  test("72-byte truncation matches the reference's key handling") {
+  test("long-password parity: Generate rejects >72, Compare keys on first 72") {
     val long72 = "x" * 72
     val h = Bcrypt.hashPassword(long72, cost = 4)
-    // $2a semantics: bytes beyond 72 never affect the key
+    // CompareHashAndPassword never length-checks; its EKS schedule reads
+    // exactly 72 key bytes, so the tail can't affect the verdict
     assert(Bcrypt.checkPassword(long72 + "tail-that-is-ignored", h))
+    // GenerateFromPassword returns ErrPasswordTooLong for >72 bytes
+    intercept[IllegalArgumentException] { Bcrypt.hashPassword("x" * 73, cost = 4) }
   }
 
   test("BcryptHasher plugs into the auth service seam") {

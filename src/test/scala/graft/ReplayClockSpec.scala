@@ -18,7 +18,8 @@ class ReplayClockSpec extends SparkSpec {
 
   private def sched(df: org.apache.spark.sql.DataFrame, mode: ReplayClock.Mode,
       recTime: Boolean) =
-    ReplayClock.streamSchedule(df, "t_us", "seq", Zero, mode, recTime)
+    ReplayClock.streamSchedule(df, "t_us", "seq", Zero, mode, recTime,
+        recordingIdCol = None)
       .orderBy("seq")
       .select("t_us", "emit_wall_us", "eff_time_us")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
@@ -68,7 +69,7 @@ class ReplayClockSpec extends SparkSpec {
   private def bsched(df: org.apache.spark.sql.DataFrame, mode: ReplayClock.Mode,
       recTime: Boolean) =
     ReplayClock.batchSchedule(df, "seq", "begin_us", "first_us", "last_us",
-        Zero, mode, recTime)
+        Zero, mode, recTime, recordingIdCol = None)
       .orderBy("seq").select("emit_wall_us", "eff_tmax_us")
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
 
@@ -110,6 +111,42 @@ class ReplayClockSpec extends SparkSpec {
     val fast = bsched(b, ReplayClock.Fast, recTime = true)
     assert(fast.map(_._1) === Seq.fill(5)(Zero))
     assert(fast.map(_._2) === out.map(_._2))
+  }
+
+  test("N recordings with recordingIdCol schedule independently (stream + batch)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // two recordings interleaved in one frame; each must get its own
+    // clock anchor and running max, identical to scheduling it alone
+    val recA = Seq(100L, 250L, 900L)
+    val recB = Seq(7000L, 7100L, 9000L)
+    val multi = (recA.zipWithIndex.map { case (t, i) => ("a", i.toLong, t) } ++
+        recB.zipWithIndex.map { case (t, i) => ("b", i.toLong, t) })
+      .toDF("rec", "seq", "t_us")
+      .repartition(4) // arbitrary physical layout must not matter
+    val out = ReplayClock.streamSchedule(multi, "t_us", "seq", Zero,
+        ReplayClock.Real, recTime = false, recordingIdCol = Some("rec"))
+      .orderBy("rec", "seq")
+      .select("rec", "emit_wall_us", "eff_time_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def solo(times: Seq[Long]) = sched(pts(times: _*), ReplayClock.Real, recTime = false)
+    assert(out.filter(_._1 == "a").map(t => (t._2, t._3)) ===
+      solo(recA).map(t => (t._2, t._3)))
+    assert(out.filter(_._1 == "b").map(t => (t._2, t._3)) ===
+      solo(recB).map(t => (t._2, t._3)))
+    // batch side: same independence law
+    val bm = Seq(
+      ("a", 0L, Some(120L), Some(100L), Some(120L)),
+      ("b", 0L, Some(900L), Some(600L), Some(900L)),
+      ("a", 1L, Some(400L), Some(200L), Some(380L)))
+      .toDF("rec", "seq", "begin_us", "first_us", "last_us").repartition(3)
+    val bout = ReplayClock.batchSchedule(bm, "seq", "begin_us", "first_us",
+        "last_us", Zero, ReplayClock.Real, recTime = true, recordingIdCol = Some("rec"))
+      .orderBy("rec", "seq").select("rec", "emit_wall_us")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // recording b anchors its OWN t0 (600), not recording a's: its single
+    // batch emits at Zero + (900 − 600), same as scheduling it alone
+    assert(bout === Seq(("a", Zero + 20L), ("a", Zero + 280L), ("b", Zero + 300L)))
   }
 
   test("batchPointTime matches the stream rewrite arithmetic") {
