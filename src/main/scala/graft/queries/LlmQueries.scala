@@ -1310,6 +1310,9 @@ object LlmQueries {
     * survivors, LM trained on the paragraph-rewritten corpus, exact-dedup
     * canon among perplexity survivors, near-dup pairs among exact
     * survivors, packing token counts from the REWRITTEN text). */
+  /** Exposed for tools.CurateStages (the per-stage adjudication tool must
+    * time the EXACT gate corpus). */
+  private[graft] def curateEnrichedCol = curateEnriched
   private def curateEnriched = concat(col("text"),
     when(pmod(col("doc_id"), lit(10)) =!= 0,
       lit("\nthe cost of that update have to land with and be near")).otherwise(lit("")),
