@@ -152,7 +152,9 @@ object Decontaminate {
     * through whole (frag_idx 0). `badPos`: (idCol, badPos sorted int
     * array). Affected docs only take the positional fold — pure per-row
     * column work, no shuffle beyond the joins shown. */
-  private[llm] def fragmentByBadStarts(
+  // private[graft] (not [llm]): the streaming parity harness feeds this
+  // exact positional surgery with STREAM-derived bad starts
+  private[graft] def fragmentByBadStarts(
       docs: DataFrame, badPos: DataFrame, idCol: String, textCol: String,
       n: Int, margin: Int, minKeepTokens: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))

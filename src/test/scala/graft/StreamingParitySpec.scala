@@ -686,4 +686,151 @@ class StreamingParitySpec extends SparkSpec {
       assert(out(5L) == ((false, true)))
     } finally q.stop()
   }
+
+  test("COMPOSED streaming curate ≡ Pipeline.curate (gopher → paragraph → near-dup → span → pack)") {
+    // The full curation recipe as a streaming ingestion pipeline: four
+    // REAL stateful queries (paragraph block registry, exact-text
+    // registry, LSH bucket state, span gram registry) fed round by round
+    // in id order — the topic-per-stage architecture a production stream
+    // composes — with stateless gopher filtering and the shared
+    // positional-surgery/packing code between them. Under in-order
+    // arrival every registry's keep-first rule coincides with the batch
+    // min-id/keep-best rules (the documented arrival-order contract), so
+    // the FINAL PACKED FRAME must equal Pipeline.curate's on the same
+    // corpus. Corpus plants one fate per stage: a gopher-fail doc, a
+    // stop line shared by all docs + a license line shared by two
+    // (paragraph dedup), an exact-dup pair (which paragraph dedup
+    // structurally shadows — every block of an exact dup is a cross-doc
+    // dup, a true property of the composition asserted on both sides),
+    // a near-dup pair whose earlier doc is longer (keep-best ≡
+    // keep-first), and a 12-token run shared mid-line by two docs (span
+    // surgery).
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.ParagraphDedupStream.ParaOcc
+    import graft.streaming.DedupStream.BandedSig
+    import graft.streaming.SpanDedupStream.GramOcc
+    val stopLine = "the cost of that update have to land with and be near"
+    val license = "license text common to all documents"
+    def body(seed: Int, n: Int): String =
+      (0 until n).map(i => s"a${seed}w$i").mkString(" ")
+    val sharedRun = (0 until 12).map(i => s"sp${i}z").mkString(" ")
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, s"$stopLine\n${body(1, 45)}", "s1"),
+      (2L, s"$stopLine\n${body(2, 45)}\n$license", "s0"),
+      (3L, s"$stopLine\n${body(3, 45)}\n$license", "s1"),
+      (4L, s"$stopLine\n${body(4, 45)} x4extra", "s0"),     // near-dup keeper (longer, earlier)
+      (5L, s"$stopLine\n${body(4, 44)} a5tail", "s1"),      // near-dup of 4 (one token differs)
+      (6L, s"$stopLine\n${body(6, 20)} $sharedRun ${body(60, 13)}", "s0"), // span keeper
+      (7L, s"$stopLine\n${body(7, 18)} $sharedRun ${body(70, 15)}", "s1"), // span-cut victim
+      (8L, "short text only", "s0"),                        // gopher fail (<50 tokens)
+      (9L, s"$stopLine\n${body(9, 45)}", "s1"),
+      (10L, s"$stopLine\n${body(9, 45)}", "s0"))            // exact dup of 9 (dies at paragraph)
+    val corpusDf = docs.toDF("doc_id", "text", "source")
+    val seqLen = 16
+
+    // ---- batch truth: the end-to-end pipeline
+    val batchPacked = graft.llm.Pipeline.curate(corpusDf, "doc_id", "text", "source",
+        graft.llm.Pipeline.CurationConfig(
+          langs = Set.empty, requireC4Keep = false,
+          gopherRules = true, paragraphDedup = true,
+          maxAvgNll = None, nearDup = true,
+          spanDedup = true, spanDedupN = 8,
+          benchmark = None, defaultMixRate = 1.0, seqLen = seqLen))
+      .select($"doc_id", $"source", $"n_tok", $"pack_id", $"pack_offset")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+
+    // ---- the four stateful twins, one query each (topic-per-stage)
+    val msPara = MemoryStream[ParaOcc]
+    val qPara = graft.streaming.ParagraphDedupStream.badParagraphs(msPara.toDS())
+      .toDF().writeStream.format("memory").queryName("cur_para")
+      .outputMode("update").start()
+    val msExact = MemoryStream[ParaOcc] // full-text hash as a one-block registry
+    val qExact = graft.streaming.ParagraphDedupStream.badParagraphs(msExact.toDS())
+      .toDF().writeStream.format("memory").queryName("cur_exact")
+      .outputMode("update").start()
+    val msNear = MemoryStream[BandedSig]
+    val qNear = graft.streaming.DedupStream.nearDupPairs(msNear.toDS(), k = 16, threshold = 0.5)
+      .writeStream.format("memory").queryName("cur_near").outputMode("update").start()
+    val msSpan = MemoryStream[GramOcc]
+    val qSpan = graft.streaming.SpanDedupStream.badPositions(msSpan.toDS())
+      .writeStream.format("memory").queryName("cur_span").outputMode("update").start()
+    try {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val keptNear = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
+      for (round <- Seq(docs.take(4), docs.slice(4, 6), docs.drop(6))) {
+        // stage 1: gopher — stateless, the same expression as the batch
+        val gOk = round.toDF("doc_id", "text", "source")
+          .filter(graft.llm.TextOps.gopherRules($"text").toMap.apply("keep"))
+          .as[(Long, String, String)].collect().toSeq
+        // stage 2: paragraph block registry
+        msPara.addData(graft.llm.Dedup.paragraphOccurrences(
+            gOk.toDF("doc_id", "text", "source"), "doc_id", "text")
+          .filter($"__ph".isNotNull)
+          .select($"doc_id".as("docId"), $"p_idx".as("pIdx"), $"__ph".as("ph"))
+          .as[ParaOcc].collect().toSeq)
+        qPara.processAllAvailable()
+        val paraFlags = spark.table("cur_para").as[(Long, Int)].collect().toSet
+        val rebuilt = gOk.flatMap { case (id, text, src) =>
+          val t = text.split("\n", -1).zipWithIndex
+            .filterNot { case (_, i) => paraFlags((id, i)) }
+            .map(_._1).mkString("\n")
+          if (t.trim.isEmpty) None else Some((id, t, src))
+        }
+        // stage 3: exact-text registry (structurally shadowed by stage 2)
+        msExact.addData(rebuilt.map { case (id, t, _) => ParaOcc(id, 0, md5hex(t)) })
+        qExact.processAllAvailable()
+        val exactFlags = spark.table("cur_exact").as[(Long, Int)].collect().map(_._1).toSet
+        val exOk = rebuilt.filterNot { case (id, _, _) => exactFlags(id) }
+        // stage 4: LSH bucket state; keep-first against already-kept docs
+        msNear.addData(graft.llm.Dedup.signatureBands(
+            exOk.toDF("doc_id", "text", "source"), "doc_id", "text")
+          .select($"doc_id".as("docId"), $"band", $"bh", $"sig")
+          .as[BandedSig].collect().toSeq)
+        qNear.processAllAvailable()
+        val pairs = spark.table("cur_near").select($"idA", $"idB").distinct()
+          .as[(Long, Long)].collect().toSet
+        exOk.sortBy(_._1).foreach { case (id, t, src) =>
+          val dup = keptNear.keys.exists(k => pairs((k min id, k max id)))
+          if (!dup) keptNear.update(id, (t, src))
+        }
+        // stage 5: span gram registry over this round's near-dup KEEPERS
+        val roundKept = exOk.filter { case (id, _, _) => keptNear.contains(id) }
+        msSpan.addData(graft.llm.Decontaminate.positionalGrams(
+            roundKept.toDF("doc_id", "text", "source"), "doc_id", "text", 8)
+          .select($"doc_id".as("docId"), $"pos", $"gram")
+          .as[GramOcc].collect().toSeq)
+        qSpan.processAllAvailable()
+      }
+      // a doc's span flags are final at its own arrival (later docs never
+      // flag earlier ones), so the positional surgery runs once at the end
+      // through the SAME fragment/reassembly code the batch uses
+      val survDf = keptNear.toSeq.map { case (id, (t, src)) => (id, t, src) }
+        .toDF("doc_id", "text", "source")
+      val badPos = spark.table("cur_span").groupBy($"docId".as("doc_id"))
+        .agg(sort_array(collect_set($"pos")).as("badPos"))
+      val frags = graft.llm.Decontaminate.fragmentByBadStarts(
+        survDf, badPos, "doc_id", "text", n = 8, margin = 0, minKeepTokens = 1)
+      val reasm = frags.groupBy($"doc_id").agg(
+        sum($"n_tok").cast("long").as("n_tok"))
+        .join(survDf.select($"doc_id", $"source"), "doc_id")
+      val streamPacked = graft.llm.Mix.packSequencesCounted(
+          reasm, "doc_id", "source", "n_tok", seqLen)
+        .select($"doc_id", $"source", $"n_tok", $"pack_id", $"pack_offset")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+
+      assert(streamPacked === batchPacked)
+      val fate = batchPacked.map(r => r._1 -> r._3).toMap
+      // planted fates, asserted on the (equal) batch side
+      assert(!fate.contains(8L)) // gopher fail
+      assert(!fate.contains(5L) && fate.contains(4L)) // near-dup keep-best ≡ keep-first
+      assert(!fate.contains(10L) && fate.contains(9L)) // exact dup died at paragraph stage
+      assert(fate(7L) === 18L + 15L) // span surgery cut exactly the shared 12-token run
+      assert(fate(6L) === 45L) // span keeper whole (stop line stripped to doc 1)
+      assert(fate(1L) === 12L + 45L) // doc 1 keeps the stop line
+      // the exact registry really was shadowed — flagged nothing
+      assert(spark.table("cur_exact").isEmpty)
+    } finally { qPara.stop(); qExact.stop(); qNear.stop(); qSpan.stop() }
+  }
 }
