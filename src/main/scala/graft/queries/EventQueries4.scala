@@ -274,6 +274,50 @@ object EventQueries4 {
        UNION ALL SELECT * FROM pb
        ORDER BY mode, event_type, evt_us, is_barrier, t_us""".replaceAll("\\s+", " ")
 
+  // ------------------------------------------------- count-window FSM
+
+  /** q_window_count_fsm: the STREAMING count-window ring buffer
+    * ([[graft.streaming.WindowStream.countWindowMean]], the state-store
+    * analog of reference window.go:360-470's circularqueue) run through
+    * the REAL FlatMapGroupsWithState FSM in batch execution, where its
+    * emission law has a closed form the oracle restates: per group in
+    * time order (rank r), every m-th point emits mean/count of the last
+    * n points — rows BETWEEN n−1 PRECEDING AND CURRENT at r % m = 0,
+    * plus r ≥ n when fillPeriod. Both fill modes union (the q_barrier
+    * convention). Values are floor(value·1e6) — integer-valued doubles,
+    * so the FSM's ring-order fold and the oracle's window avg sum the
+    * same exact integers and the means are bit-equal regardless of
+    * accumulation order. */
+  def windowCountFsmQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.WindowStream
+    import graft.streaming.WindowStream.CountPoint
+    import s.implicits._
+    val e = graft.Graft.events(s, dir)
+      .select(col("event_type").as("group"),
+        expr("ts_ns DIV 1000").as("timeUs"),
+        floor(col("value") * 1e6).cast("double").as("value"))
+      .as[CountPoint]
+    def shape(mode: String, d: org.apache.spark.sql.Dataset[WindowStream.CountWindowAgg]) =
+      d.toDF().select(lit(mode).as("mode"), col("group"),
+        col("timeUs").as("t_us"), col("n").cast("long").as("n"), col("mean"))
+    shape("roll", WindowStream.countWindowMean(e, n = 5, m = 3))
+      .unionByName(shape("fill", WindowStream.countWindowMean(e, n = 5, m = 3, fillPeriod = true)))
+      .orderBy("mode", "group", "t_us")
+  }
+  val windowCountFsmSql: String =
+    """WITH e AS (SELECT event_type AS "group", epoch_us(ts) AS t_us,
+                         floor(value * 1e6) AS v FROM events),
+       r AS (SELECT "group", t_us,
+               row_number() OVER (PARTITION BY "group" ORDER BY t_us) AS rn,
+               count(*) OVER w AS n,
+               sum(v) OVER w AS sv
+             FROM e WINDOW w AS (PARTITION BY "group" ORDER BY t_us
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       m AS (SELECT "group", t_us, rn, n::BIGINT AS n, sv / n AS mean FROM r WHERE rn % 3 = 0)
+       SELECT 'roll' AS mode, "group", t_us, n, mean FROM m
+       UNION ALL SELECT 'fill', "group", t_us, n, mean FROM m WHERE rn >= 5
+       ORDER BY mode, "group", t_us""".replaceAll("\\s+", " ")
+
   // ----------------------------------------------------------- join .on()
 
   /** q_join_on: a coarser per-type stream joined onto a finer
