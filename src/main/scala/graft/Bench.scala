@@ -31,10 +31,15 @@ object Bench {
       // NonFatal only: an OOME or interrupt here means the timed runs
       // would be garbage anyway — let it propagate instead of silently
       // proceeding with skewed numbers. Log what we swallow.
-      try fn(spark, sfDir).count()
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
-      }
+      // TWO untimed passes: one is not enough for multi-stage plans —
+      // the r19 fresh-JVM child read q_pipeline_curate 6.6 s with a
+      // single warm pass vs its 4.9 s fully-warmed truth (C2 keeps
+      // compiling through the first timed repeats of a 10-stage plan).
+      for (_ <- 1 to 2)
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up of $name failed: ${e.getMessage}")
+        }
     }
     for ((name, fn) <- selected) {
       // Queries eagerly localCheckpoint small results so they can release
