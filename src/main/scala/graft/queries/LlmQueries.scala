@@ -1272,18 +1272,82 @@ object LlmQueries {
 
   /** Real subword tokenization: a 200-merge BPE model trained on the
     * corpus word-frequency dict (driver-bounded), applied distributed via
-    * the native BpeEncode expression. Greedy BPE is not SQL-expressible
-    * (iterative lowest-rank merging), so this entry is rows-only for the
-    * driver, like q_holt_winters; LlmSpec pins the classic Sennrich merge
-    * order, encode semantics, and distributed ≡ driver equality. */
+    * the native BpeEncode expression. TRAINING (the Sennrich merge loop)
+    * is not SQL-expressible and stays LlmSpec/BpePropertySpec-gated, but
+    * ENCODE is: with the trained merge table as rank-map literals (the
+    * q_text_classify move), greedy lowest-rank-first merging is a
+    * recursive CTE whose step folds the symbol list once per chosen pair
+    * — so the oracle re-executes the whole encode cross-engine and the
+    * gate hash-checks it. */
   def textBpeQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val model = Bpe.train(d, "text", numMerges = 200)
+    bpeOracle = Some(bpeSqlFor(model))
     Bpe.encode(d, "text", model)
       .select(col("doc_id"),
         size(col("subwords")).cast("long").as("n_subwords"),
         md5(concat_ws(" ", col("subwords"))).as("subwords_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Generated DuckDB oracle for q_text_bpe (see [[textBpeQ]]); cache
+    * populated when the query runs, exactly like [[classifyOracle]]. */
+  @volatile private var bpeOracle: Option[String] = None
+  def textBpeSqlOpt: Option[String] = bpeOracle
+
+  private def bpeSqlFor(model: graft.llm.Bpe.BpeModel): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    // rank map: 'a|b' → merge index ('|' never occurs in [a-z</w>] symbols)
+    val keys = model.merges.map { case (a, b) => q(a + "|" + b) }.mkString("[", ",", "]")
+    val vals = model.merges.indices.mkString("[", ",", "]")
+    // The encode recursion, validated against Bpe.encodeWord on
+    // adversarial rank tables (incl. a lower-rank pair that only exists
+    // mid-merge — all-occurrence folding is load-bearing):
+    //  - state = (word, symbol list); init = chars with EOW glued to the
+    //    last (symbolsOf);
+    //  - step: best = min-rank adjacent pair (leftmost on ties — tie
+    //    identity is unique anyway); fold the list left-to-right merging
+    //    every (a,b) adjacency. The fold's accumulator is a chr(1)-joined
+    //    STRING because DuckDB 1.0's list_reduce silently corrupts
+    //    list-valued struct accumulators; "last symbol == a" is the
+    //    suffix test on the separator boundary, and a merged tail 'ab'
+    //    can never re-trigger (ab ≠ a since b is non-empty) — exactly the
+    //    reference loop's skip semantics;
+    //  - terminal row per word = no adjacent pair has a rank.
+    s"""WITH RECURSIVE $tokSql,
+       rm AS (SELECT map($keys, $vals) AS m),
+       w AS (SELECT DISTINCT unnest(toks) AS word FROM tok),
+       init AS (SELECT word,
+           list_concat(list_transform(range(length(word) - 1), i -> word[i+1:i+1]),
+                       [word[length(word):length(word)] || '</w>']) AS syms
+         FROM w),
+       enc(word, syms) AS (
+         SELECT word, syms FROM init
+         UNION ALL
+         SELECT word,
+           string_split(list_reduce(syms,
+             (acc, s) -> CASE WHEN s = best.b AND (acc = best.a OR ends_with(acc, chr(1) || best.a))
+               THEN left(acc, length(acc) - length(best.a)) || best.a || best.b
+               ELSE acc || chr(1) || s END), chr(1))
+         FROM (
+           SELECT word, syms,
+             list_reduce(list_transform(range(len(syms) - 1),
+               i -> struct_pack(r := coalesce(map_extract(m, syms[i+1] || '|' || syms[i+2])[1], 2147483647),
+                                a := syms[i+1], b := syms[i+2])),
+               (x, y) -> CASE WHEN y.r < x.r THEN y ELSE x END) AS best
+           FROM enc, rm WHERE len(syms) > 1)
+         WHERE best.r < 2147483647),
+       term AS (SELECT word, syms FROM enc, rm
+         WHERE len(syms) <= 1 OR list_min(list_transform(range(len(syms) - 1),
+           i -> coalesce(map_extract(m, syms[i+1] || '|' || syms[i+2])[1], 2147483647))) = 2147483647),
+       sub AS (SELECT word, array_to_string(syms, ' ') AS sw, len(syms)::BIGINT AS ns FROM term),
+       pd AS (SELECT doc_id, i, toks[i+1] AS word
+              FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tok)),
+       j AS (SELECT doc_id, i, sw, ns FROM pd JOIN sub USING (word))
+       SELECT t.doc_id, coalesce(sum(j.ns), 0)::BIGINT AS n_subwords,
+              md5(coalesce(string_agg(j.sw, ' ' ORDER BY j.i), '')) AS subwords_md5
+       FROM tok t LEFT JOIN j USING (doc_id)
+       GROUP BY t.doc_id ORDER BY t.doc_id""".replaceAll("\\s+", " ")
   }
 
   // ------------------------------------------------- curation pipeline
