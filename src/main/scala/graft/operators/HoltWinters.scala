@@ -313,26 +313,33 @@ object HoltWinters {
     out.toArray
   }
 
+  /** The serial seed-grid argmin over a prepared series — the winning
+    * parameter vector `run` emits from. Exposed (private[graft]) so the
+    * q_holt_winters oracle generator can embed the winner as literals. */
+  private[graft] def fitPrepared(prep: Prepared, m: Int): Array[Double] = {
+    val params0 = initialParams(prep.y, m)
+    var minSSE = Double.PositiveInfinity
+    var best: Array[Double] = null
+    var idx = 0
+    while (idx < SeedCount) {
+      val (fbest, opt) = fitSeed(prep.y, m, params0, idx)
+      // a NaN objective (degenerate series) must never pin `best`
+      // against later finite seeds
+      if (best == null || (!fbest.isNaN && (minSSE.isNaN || fbest < minSSE))) {
+        minSSE = fbest; best = opt
+      }
+      idx += 1
+    }
+    best
+  }
+
   private[graft] def run(points: Array[TV], h: Int, m: Int, intervalS: Long,
       withFit: Boolean): Array[TV] = {
     if (h <= 0) return Array.empty
     prepare(points, m, intervalS) match {
       case None => Array.empty
       case Some(prep) =>
-        val params0 = initialParams(prep.y, m)
-        var minSSE = Double.PositiveInfinity
-        var best: Array[Double] = null
-        var idx = 0
-        while (idx < SeedCount) {
-          val (fbest, opt) = fitSeed(prep.y, m, params0, idx)
-          // a NaN objective (degenerate series) must never pin `best`
-          // against later finite seeds
-          if (best == null || (!fbest.isNaN && (minSSE.isNaN || fbest < minSSE))) {
-            minSSE = fbest; best = opt
-          }
-          idx += 1
-        }
-        emitPoints(prep, best, h, m, intervalS, withFit)
+        emitPoints(prep, fitPrepared(prep, m), h, m, intervalS, withFit)
     }
   }
 

@@ -340,6 +340,69 @@ object EventQueries {
       val diff = (got diff expected) ++ (expected diff got)
       System.err.println(s"[verify] holtWinters mismatch rows: ${diff.take(10).mkString(", ")}")
     }
+    // Build the weights-as-literals DuckDB oracle while the fitted state
+    // is at hand: the Nelder-Mead FIT stays non-SQL (this cross-check is
+    // its gate), but the damped multiplicative FORECAST recursion is pure
+    // arithmetic on the winner — embed (clamped params, y0, n) per group
+    // and let DuckDB re-execute it (the q_text_classify/q_text_bpe move).
+    // The recursion never reads the series past y(0): simulate feeds its
+    // own emissions back (the reference's semantics), so the oracle needs
+    // no cross-engine float aggregation at all.
+    hwOracle = Some(holtWintersSqlFor(series))
     ok
+  }
+
+  @volatile private var hwOracle: Option[String] = None
+  def holtWintersSqlOpt: Option[String] = hwOracle
+
+  private def holtWintersSqlFor(
+      series: Map[String, Array[(String, Long, Double)]]): String = {
+    // every double literal rides as a string CAST — DuckDB's bare decimal
+    // literals are DECIMALs whose arithmetic drifts a ulp from the JVM's;
+    // derived constants (1−α, (1−β)·φ, 1−γ) are precomputed HERE so both
+    // engines multiply identical doubles in an identical tree (prototype
+    // verified bit-equal over 33 steps)
+    def L(v: Double) = s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)"
+    val m = 7
+    val rows = series.toSeq.sortBy(_._1).flatMap { case (g, rws) =>
+      val tvs = rws.sortBy(_._2).map(r => HoltWinters.TV(r._2, r._3)).toArray
+      HoltWinters.prepare(tvs, m, 86400L).flatMap { p =>
+        val best = HoltWinters.fitPrepared(p, m).clone()
+        var i = 0
+        while (i < 4) { // simulate's in-place clamp, applied to the literals
+          if (best(i) > 1) best(i) = 1; if (best(i) < 0) best(i) = 0; i += 1
+        }
+        if (p.y(0).isNaN) None // NaN head → all-NaN forecasts → no rows
+        else Some(
+          s"('$g', ${L(best(0))}, ${L(1 - best(0))}, ${L(best(1))}, " +
+          s"${L((1 - best(1)) * best(3))}, ${L(best(2))}, ${L(1 - best(2))}, " +
+          s"${L(best(3))}, ${L(best(4))}, ${L(best(5))}, ${L(p.y(0))}, " +
+          s"${p.y.length}, [${(6 until 6 + m).map(j => L(best(j))).mkString(",")}])")
+      }
+    }
+    require(rows.nonEmpty, "holtWinters oracle: no fittable groups")
+    s"""WITH RECURSIVE pr(grp, a, oma, bb, ombphi, g, omg, phi, l0, b0, y0, n, seas0) AS (
+         VALUES ${rows.mkString(", ")}),
+       st(grp, tt, l, b, y, phih, phipow, seas, n) AS (
+         SELECT grp, 1, l0, b0, y0, phi, phi, seas0, n FROM pr
+         UNION ALL
+         SELECT grp, tt + 1, l2,
+                bb * (l2 - l) + ombphi * b,
+                (l2 + phih * (bb * (l2 - l) + ombphi * b)) * seas[(tt % $m) + 1],
+                phih + phipow, phipow * phi,
+                list_transform(range($m), j -> CASE WHEN j = (tt - 1) % $m
+                  THEN g * (y / l2) + omg * seas[((tt - 1) % $m) + 1]
+                  ELSE seas[j + 1] END),
+                n
+         FROM (SELECT st.grp, tt, l, b, y, phih, phipow, st.seas, st.n,
+                 pr.a * (y / st.seas[((tt - 1) % $m) + 1]) + pr.oma * (l + pr.phi * b) AS l2,
+                 pr.bb, pr.ombphi, pr.g, pr.omg, pr.phi
+               FROM st JOIN pr USING (grp) WHERE tt < st.n + 3)),
+       fc AS (SELECT grp AS event_type,
+                (row_number() OVER (PARTITION BY grp ORDER BY tt) - 1)::INT AS step,
+                round(y, 6) AS forecast
+              FROM st WHERE tt > n AND NOT isnan(y))
+       SELECT event_type, step, forecast FROM fc ORDER BY event_type, step"""
+      .replaceAll("\\s+", " ")
   }
 }
