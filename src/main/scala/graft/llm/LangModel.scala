@@ -49,7 +49,7 @@ object LangModel {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      val totalRow = counts.agg(sum(col("cnt"))).head
+      val totalRow = counts.agg(sum(col("cnt"))).head()
       require(!totalRow.isNullAt(0),
         "cannot train a unigram language model on an empty corpus (no tokens)")
       val total = totalRow.getLong(0)
@@ -81,7 +81,7 @@ object LangModel {
       val counts = toks.select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .persist()
-      val totalRow = counts.agg(sum(col("cnt"))).head
+      val totalRow = counts.agg(sum(col("cnt"))).head()
       require(!totalRow.isNullAt(0),
         "cannot train a bigram language model on an empty corpus (no tokens)")
       val total = totalRow.getLong(0)

@@ -42,7 +42,7 @@ object Pq {
       sampleMax: Int = 65536,
       iterations: Int = 12,
       seed: Long = 42L): PqModel = {
-    val dim = emb.select(size(col(vecCol))).head.getInt(0)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subdim = dim / m
     // deterministic sample: smallest md5(vid) order, one distributed pass

@@ -438,7 +438,7 @@ object Similarity {
     for (r <- 1 to rounds) {
       val a = assign(cands)
         .withColumn("d2", greatest(lit(0.0), lit(1.0) - col("cos")))
-      val sum = a.agg(org.apache.spark.sql.functions.sum("d2")).head.getDouble(0)
+      val sum = a.agg(org.apache.spark.sql.functions.sum("d2")).head().getDouble(0)
       if (sum > 0) {
         val u = (pmod(xxhash64(col("vid"), lit(seed + r)), lit(1000000000L))
           .cast("double") / 1e9)

@@ -136,6 +136,40 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("exact + minhashLsh: partition/order invariance on random corpora") {
+    for (_ <- 0 until 4) {
+      val corpus = randCorpus()
+      val exactOuts = Seq(1 + rnd.nextInt(7), 1 + rnd.nextInt(7)).map { k =>
+        Dedup.exact(shuffledDf(corpus, k), "doc_id", "text")
+          .select($"doc_id", $"dup_of", $"is_dup")
+          .as[(Long, Long, Boolean)].collect().toSet
+      }
+      assert(exactOuts.head === exactOuts.last)
+      // serial contract: dup_of = the smallest doc with identical text
+      val firstByText = corpus.groupBy(_._2).map { case (t, ds) => t -> ds.map(_._1).min }
+      val expected = corpus.map { case (id, t) =>
+        (id, firstByText(t), id != firstByText(t)) }.toSet
+      assert(exactOuts.head === expected)
+      val lshOuts = Seq(1 + rnd.nextInt(7), 1 + rnd.nextInt(7)).map { k =>
+        Dedup.minhashLsh(shuffledDf(corpus, k), "doc_id", "text")
+          .select($"id_a", $"id_b", $"est_jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      }
+      assert(lshOuts.head === lshOuts.last)
+      // every emitted pair is ordered and self-pair-free; exact dups
+      // (identical text ⇒ identical signature) must always surface
+      lshOuts.head.foreach { case (a, b, est) =>
+        assert(a < b && est >= 0.5 && est <= 1.0)
+      }
+      val exactPairs = corpus.groupBy(_._2).values.filter(_.size > 1)
+        .flatMap(ds => ds.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      exactPairs.foreach { p =>
+        assert(lshOuts.head.exists(r => (r._1, r._2) == p && r._3 == 1.0),
+          s"exact twin pair $p missing from LSH output")
+      }
+    }
+  }
+
   test("assignSplit: total, exclusive, deterministic, proportion-bounded") {
     val n = 4000
     val ids = (1L to n.toLong).toDF("doc_id")
