@@ -182,4 +182,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"fire-time expansion shuffles:\n${p.take(1500)}")
     assert(p.contains("Generate"), "@every fires not produced by a generator")
   }
+
+  test("curate's final plan reads the raw corpus a BOUNDED number of times (pinning holds)") {
+    // The round-19 fix: downstream stages replan from the pinned cleaned
+    // corpus (a LogicalRDD from localCheckpoint), so the raw documents
+    // parquet appears in the FINAL packed plan only through the stages
+    // that legitimately read it — the pre-pin filter chain feeding the
+    // paragraph shuffle, the join-back projection, and the benchmark
+    // slice. Before the fix the scan showed up once per downstream
+    // stage/branch (6+ occurrences) — the recompute cascade this test
+    // makes structurally impossible to reintroduce.
+    import org.apache.spark.sql.functions._
+    // the gate corpus: enrichment plants the stop/boilerplate lines the
+    // gopher + paragraph stages need to be active
+    val d = graft.Graft.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.queries.LlmQueries.curateEnrichedCol.as("text"))
+    val packed = graft.llm.Pipeline.curate(d, "doc_id", "text", "source",
+      graft.llm.Pipeline.CurationConfig(
+        langs = Set.empty, requireC4Keep = false,
+        gopherRules = true, paragraphDedup = true,
+        maxAvgNll = Some(10.0), perplexityVocab = 64,
+        nearDup = true, benchmark = Some(d.filter(col("doc_id") % 97 === 0)),
+        defaultMixRate = 1.0, seqLen = 128))
+    val p = plan(packed)
+    val scans = "documents\\.parquet".r.findAllMatchIn(p).length
+    assert(scans <= 4, s"raw corpus scanned $scans times — the cleaned-corpus pin regressed:\n${p.take(1500)}")
+    // and the pinned frame really is in the plan (checkpointed scans)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") || p.contains("RDDScan"),
+      "no checkpointed frame in the curate plan")
+  }
 }
