@@ -16,6 +16,10 @@ package graft.tools
   *     IVF coarse quantizer is a model object, not a data-sized side.
   *   - q_batch_periods / q_fill_*: the generated period/bucket axis is a
   *     single-partition sequence by construction (tiny).
+  *   - q_stats_emit: the ticker grid (a generated sequence off a one-row
+  *     min/max bounds aggregate — the single-partition exchange) crossed
+  *     with the BROADCAST bounded stat registry (PlanSpec:128 pins it);
+  *     the observation history itself never cross-joins.
   *   - q_pipeline_curate: the unigram-LM training total (`agg(sum(cnt))`)
   *     is a global aggregate — partial per partition, then ONE row per
   *     partition into the single-partition final agg; bounded at any
