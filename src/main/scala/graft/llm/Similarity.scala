@@ -266,25 +266,101 @@ object Similarity {
         (round(z, 6) <= -zThreshold).as("outlier"))
   }
 
+  /** Candidate (id_a < id_b) pairs within groups, with a HOT-GROUP GUARD —
+    * the vector-space analog of the text path's heavy-shingle demotion
+    * (Dedup.heavyShingles): uncapped within-group pairing is Σ|group|², and
+    * real web corpora DO contain exact-duplicate embedding mega-clusters
+    * (boilerplate pages, mirrors — all embed identically), so the largest
+    * bucket/cell is quadratic exactly where duplication is densest.
+    *
+    * Groups of size ≤ `maxGroup` pair exhaustively (the cold path —
+    * unchanged semantics). A group above the cap instead pairs every member
+    * against `anchors` deterministic representatives: the group's min-id
+    * member plus `anchors-1` hash-argmin members (min over
+    * xxhash64(vid, j) — seeded, RNG-free, engine-restatable). Work per hot
+    * group drops from |g|²/2 to |g|·anchors.
+    *
+    * Recall bound (documented, by construction): a hot-group pair survives
+    * iff one side is an anchor. For the motivating case — an
+    * exact-duplicate cluster, where every pair qualifies — star pairing
+    * through the min-id anchor preserves the full dedup verdict (every
+    * member links to the min id, which IS the uncapped canonical). For
+    * merely-similar hot groups the guard trades tail pairs for boundedness,
+    * the same trade heavy-shingle demotion makes on posting lists.
+    *
+    * Plan shape: one partial+final size agg, a broadcast of the hot-group
+    * list (≤ |members|/maxGroup rows by pigeonhole), a broadcast of the
+    * anchor table (hot groups × anchors rows), and the cold self-join.
+    * Pairs may repeat across the two branches' callers (min-aggs absorb
+    * them); callers that need uniqueness apply distinct(). */
+  private[graft] def boundedGroupPairs(
+      members: DataFrame,
+      groupCols: Seq[String],
+      maxGroup: Int,
+      anchors: Int): DataFrame = {
+    require(maxGroup > 0 && anchors > 0, "need positive maxGroup/anchors")
+    val gc = groupCols.map(col)
+    val sizes = members.groupBy(gc: _*).agg(count(lit(1)).as("__gn"))
+    val hot = sizes.filter(col("__gn") > maxGroup).drop("__gn")
+      .withColumn("__hot", lit(true))
+    val tagged = members.join(broadcast(hot), groupCols, "left")
+    val cold = tagged.filter(col("__hot").isNull).drop("__hot")
+    val joinCond = groupCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.vid") < col("b.vid")
+    val coldPairs = cold.as("a").join(cold.as("b"), joinCond)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    val hotM = tagged.filter(col("__hot").isNotNull).drop("__hot")
+    // anchor 0 is the min id (the canonical under the min-id dedup rule);
+    // the rest are hash-argmins — struct min orders by (hash, vid), so each
+    // is a uniform deterministic draw from the group
+    val anchorAggs = min(col("vid")).as("__a0") +: (1 until anchors).map(j =>
+      min(struct(xxhash64(col("vid"), lit(j)).as("h"), col("vid").as("v")))
+        .getField("v").as(s"__a$j"))
+    val anchorTbl = hotM.groupBy(gc: _*).agg(anchorAggs.head, anchorAggs.tail: _*)
+    val anchorLong = anchorTbl
+      .select(gc :+ explode(array((0 until anchors).map(j => col(s"__a$j")): _*)).as("__anchor"): _*)
+      .distinct() // hash-argmins can coincide on small hot groups
+    val hotPairs = hotM.join(broadcast(anchorLong), groupCols)
+      .filter(col("vid") =!= col("__anchor"))
+      .select(least(col("vid"), col("__anchor")).as("id_a"),
+        greatest(col("vid"), col("__anchor")).as("id_b"))
+    coldPairs.unionByName(hotPairs)
+  }
+
+  /** SemDeDup within-cluster dedup. `maxCell`/`cellAnchors` bound a hot
+    * k-means cell (an exact-duplicate mega-cluster collapses into one
+    * centroid's cell) via [[boundedGroupPairs]] — below the cap the pairing
+    * is exhaustive and exactly the published SemDeDup rule. Assignment
+    * (a shuffle-free literal-centers argmax) is recomputed per use rather
+    * than cached: at 100 TB the assignment scan is the one table you must
+    * never pin, and recomputing beats spilling it (same argument as the
+    * unpersisted PPJoin prefix index in Dedup.ngramCandidates). */
   def semanticDedup(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
       threshold: Double,
-      prec: Int = 6): DataFrame = {
+      prec: Int = 6,
+      maxCell: Int = 4096,
+      cellAnchors: Int = 8): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("v"), norm(col(vecCol)).as("nrm"))
     val model = collectCenters(centroids)
     val asg = assignToCenters(n, model, prec = prec)
       .select(col("vid"), col("v"), col("nrm"), col("cid"))
-    val dups = asg.as("a").join(asg.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vid") < col("b.vid"))
-      .filter(round(cosineWithNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), prec)
+    val pairs = boundedGroupPairs(asg.select("cid", "vid"), Seq("cid"), maxCell, cellAnchors)
+    // candidate pairs are id-keyed and narrow; the vectors join back on the
+    // fine-grained id keys (better distributed than riding the few-key cid
+    // self-join), and duplicate hot-path pairs are absorbed by the min-agg
+    val dups = pairs
+      .join(asg.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(asg.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .filter(round(cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")), prec)
         >= lit(threshold))
-      .groupBy(col("b.vid").as("vid"))
-      .agg(min(col("a.vid")).as("__dup_of"))
+      .groupBy(col("id_b").as("vid"))
+      .agg(min(col("id_a")).as("__dup_of"))
     asg.select("vid", "cid").join(dups, Seq("vid"), "left")
       .select(col("vid").as("vec_id"), col("cid"),
         coalesce(col("__dup_of"), col("vid")).as("dup_of"),
@@ -298,7 +374,9 @@ object Similarity {
       k: Int,
       families: Int = 4,
       planesPerFamily: Int = 6,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucket: Int = 4096,
+      bucketAnchors: Int = 8): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val famBuckets = (0 until families).map { f =>
@@ -310,11 +388,11 @@ object Similarity {
     val buckets = n.select(col("vid"), explode(array(famBuckets: _*)).as("fb"))
       .select(col("vid"), col("fb.fam").as("fam"), col("fb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.fam") === col("b.fam") && col("a.bucket") === col("b.bucket") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    // hot-bucket guard: a bucket above `maxBucket` pairs members against
+    // deterministic anchors instead of exhaustively (see boundedGroupPairs)
+    // — an exact-duplicate embedding mega-cluster lands in ONE bucket of
+    // every family and would otherwise cost |cluster|²/2 per family
+    val cand = boundedGroupPairs(buckets, Seq("fam", "bucket"), maxBucket, bucketAnchors)
       .distinct()
     val scored = cand
       .join(n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
