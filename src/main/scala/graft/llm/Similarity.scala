@@ -297,16 +297,34 @@ object Similarity {
       members: DataFrame,
       groupCols: Seq[String],
       maxGroup: Int,
-      anchors: Int): DataFrame = {
+      anchors: Int,
+      totalHint: Option[Long] = None): DataFrame = {
     require(maxGroup > 0 && anchors > 0, "need positive maxGroup/anchors")
     val gc = groupCols.map(col)
-    val sizes = members.groupBy(gc: _*).agg(count(lit(1)).as("__gn"))
-    val hot = sizes.filter(col("__gn") > maxGroup).drop("__gn")
+    val joinCond = groupCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.vid") < col("b.vid")
+    def exhaustive = members.as("a").join(members.as("b"), joinCond)
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    // a corpus no bigger than the cap cannot contain a hot group — callers
+    // that already counted (for plane scaling) pass the count so small
+    // inputs skip even the detection agg
+    if (totalHint.exists(_ <= maxGroup)) return exhaustive
+    // detect hot groups with ONE partial+final size agg and a driver
+    // collect that is ≤ |members|/maxGroup rows BY PIGEONHOLE (same
+    // bounded-intake argument as heavyShingles' ≤heavyLimit collect). The
+    // healthy-data case — no group over the cap — then short-circuits to
+    // the plain exhaustive self-join with zero extra plan nodes, so the
+    // guard costs one cheap agg job when it doesn't fire.
+    val hotRows = members.groupBy(gc: _*).agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > maxGroup).drop("__gn").collect()
+    if (hotRows.isEmpty) return exhaustive
+    val hot = members.sparkSession
+      .createDataFrame(java.util.Arrays.asList(hotRows: _*),
+        org.apache.spark.sql.types.StructType(
+          groupCols.map(c => members.schema(c))))
       .withColumn("__hot", lit(true))
     val tagged = members.join(broadcast(hot), groupCols, "left")
     val cold = tagged.filter(col("__hot").isNull).drop("__hot")
-    val joinCond = groupCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.vid") < col("b.vid")
     val coldPairs = cold.as("a").join(cold.as("b"), joinCond)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
     val hotM = tagged.filter(col("__hot").isNotNull).drop("__hot")
@@ -350,7 +368,10 @@ object Similarity {
     val model = collectCenters(centroids)
     val asg = assignToCenters(n, model, prec = prec)
       .select(col("vid"), col("v"), col("nrm"), col("cid"))
-    val pairs = boundedGroupPairs(asg.select("cid", "vid"), Seq("cid"), maxCell, cellAnchors)
+    // emb.count() is a column-pruned metadata-cheap job; when the corpus is
+    // under the cap it saves the whole assignment-scan detection agg
+    val pairs = boundedGroupPairs(asg.select("cid", "vid"), Seq("cid"), maxCell, cellAnchors,
+      totalHint = Some(emb.count()))
     // candidate pairs are id-keyed and narrow; the vectors join back on the
     // fine-grained id keys (better distributed than riding the few-key cid
     // self-join), and duplicate hot-path pairs are absorbed by the min-agg
@@ -376,11 +397,32 @@ object Similarity {
       planesPerFamily: Int = 6,
       dim: Int = 64,
       maxBucket: Int = 4096,
-      bucketAnchors: Int = 8): DataFrame = {
+      bucketAnchors: Int = 8,
+      targetBucket: Int = 64): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    // Scale-aware bucket granularity: with a FIXED plane count, expected
+    // bucket size is N/2^planes — linear in the corpus — and within-bucket
+    // pair volume Σ|b|² grows quadratically no matter how healthy the data
+    // is (measured: 5.6×/decade at sf1 before this). Growing the plane
+    // count with N keeps E[|bucket|] ≈ targetBucket, so candidate volume is
+    // ~N·targetBucket·families/2 — linear. `planesPerFamily` is the floor
+    // (below ~2^planes·targetBucket vectors nothing changes, so the
+    // gate-scale oracles, which embed the floor's hyperplane literals,
+    // stay exact); recall per family is the standard LSH trade-off and the
+    // `families` OR-banding is the recall lever that scales with it. The
+    // count() is one cheap column-pruned job, same pattern as the text
+    // path's numDocs. Exact-duplicate clusters are unsplittable by ANY
+    // hyperplane (identical vectors share every sign) — those stay for the
+    // maxBucket/anchor guard below.
+    val nVec = emb.count()
+    val effPlanes = {
+      val needed = math.ceil(
+        math.log(math.max(1.0, nVec.toDouble / targetBucket)) / math.log(2.0)).toInt
+      math.max(planesPerFamily, needed)
+    }
     val famBuckets = (0 until families).map { f =>
-      struct(lit(f).as("fam"), lshBucket(col("v"), hyperplanesSeeded(f, planesPerFamily, dim)).as("bucket"))
+      struct(lit(f).as("fam"), lshBucket(col("v"), hyperplanesSeeded(f, effPlanes, dim)).as("bucket"))
     }
     // narrow signature table; persisted because it feeds an aliased
     // self-join (both branches would otherwise recompute the signatures —
@@ -392,7 +434,8 @@ object Similarity {
     // deterministic anchors instead of exhaustively (see boundedGroupPairs)
     // — an exact-duplicate embedding mega-cluster lands in ONE bucket of
     // every family and would otherwise cost |cluster|²/2 per family
-    val cand = boundedGroupPairs(buckets, Seq("fam", "bucket"), maxBucket, bucketAnchors)
+    val cand = boundedGroupPairs(buckets, Seq("fam", "bucket"), maxBucket, bucketAnchors,
+        totalHint = Some(nVec))
       .distinct()
     val scored = cand
       .join(n.select(col("vid").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")

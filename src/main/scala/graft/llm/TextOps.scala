@@ -380,7 +380,15 @@ object TextOps {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df counts over tf's OWN aggregate. The `tf >= 1` predicate is
+    // vacuously true (a group exists ⟹ count ≥ 1) — it is there so column
+    // pruning cannot drop `tf` from this branch's inner aggregate, which
+    // keeps the two (doc, term) subplans canonically identical and lets
+    // ReuseExchange serve both from ONE tokenize+shuffle pass (without it
+    // the corpus was exploded and shuffled twice — measured 3.5 s → 2.3 s
+    // at 50k docs).
+    val df = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     tf.join(df, "term")

@@ -82,7 +82,20 @@ object ScaleUp {
           transform(sequence(lit(0), size(t) - 1),
             i => element_at(t, pmod(i * lit(p), size(t)) + 1)), " "))
       })
-    scaled("embeddings", Seq("vec_id"))
+    // Copies 1-9 get a deterministic per-copy ε-jitter (multiplicative,
+    // ±2% per component, xxhash64-derived — no RNG): verbatim replication
+    // would give every vector 9 exact cosine-1.0 twins, which (a) inflates
+    // near-dup pair volume ~45× (measuring the synthetic corpus, not the
+    // operator) and (b) masks whether the hot-bucket guard works on NEAR
+    // duplicates — the workload it exists for. Jittered copies stay
+    // near-dups of their original (cos ≈ 0.999) but are no longer
+    // degenerate: the sf1 corpus is near-dup-DENSE, the realistic shape.
+    scaled("embeddings", Seq("vec_id"), (d, c) =>
+      if (c == 0) d
+      else d.withColumn("embedding", transform(col("embedding"), (x, j) =>
+        (x * (lit(1.0) + lit(0.02) *
+          (pmod(xxhash64(col("vec_id"), lit(c), j), lit(2001)) - 1000).cast("double") / 1000.0))
+          .cast("float"))))
     spark.stop()
   }
 }
