@@ -152,8 +152,22 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** First three /proc/loadavg fields — session-health evidence so uniform
+    * cross-query drift (a busy box) is machine-readable in the artifact
+    * instead of needing a manual second session to adjudicate (r19). */
+  private def loadavg(): String = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+      .split(" ").take(3).mkString(" ")
+  } catch { case scala.util.control.NonFatal(_) => "" }
+
+  private def jvmUptimeMs(): Long =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
+    val upStart = jvmUptimeMs()
     val spark = graft.Graft.session("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footers, shuffle machinery) so
@@ -250,18 +264,16 @@ object Bench {
       }
     def jnum(v: Double): String = f"$v%.4f"
     // CONTRACT: the "queries" object in BOTH the stdout line and
-    // bench_times.json must stay flat (string->number only) and precede
-    // any other nested object — previousTimes and freshJvmTimes parse it
-    // with a first-match regex, not a JSON parser.
-    // stdout stays the driver's ONE-line contract, but compact (4-decimal
-    // times) so the driver's bounded tail capture never truncates the
-    // front of the JSON line (r12 lost 6 queries to exactly that); the
-    // full-precision per-query map + slopes also land in bench_times.json
-    // inside the repo, which survives independently of the tail.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
-      .mkString("{", ",", "}")
+    // bench_times.json must stay flat (string->number only) and be the
+    // first {...} after the "queries" key — previousTimes and
+    // freshJvmTimes parse it with a first-match regex, not a JSON parser.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // session-health evidence (r19 item 5): loadavg + JVM age at both ends
+    // of the run make uniform drift adjudicable from the artifact alone
+    val sessionJson =
+      s"""{"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
+      s""""jvm_uptime_ms_start":$upStart,"jvm_uptime_ms_end":${jvmUptimeMs()}}"""
     // only a FULL-suite run owns the artifact — a dev-mode partial run
     // (`runMain graft.Bench q_x repeat=8`) must not clobber the complete
     // per-query map the driver snapshots
@@ -270,19 +282,37 @@ object Bench {
         .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
       val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // suite position per query: a query whose reading is inflated only
+      // when it runs late in the slot order is session contamination, not
+      // a regression — make that check possible from one artifact
+      val posJson = results.zipWithIndex
+        .map { case ((k, _), i) => s"\"" + k + "\":" + i }.mkString("{", ",", "}")
       val isoJson = isolated.toSeq.sorted
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       val isoFreshJson = isolatedFresh.toSeq.sorted
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("/root/repo/bench_times.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs,"isolated":$isoJson,"isolated_fresh":$isoFreshJson,"slopes":$slopesJson,"slope_flags":$flagsJson}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$fullQs,"positions":$posJson,"isolated":$isoJson,"isolated_fresh":$isoFreshJson,"slopes":$slopesJson,"slope_flags":$flagsJson,"session":$sessionJson}""")
     } catch { case _: Throwable => () }
     val isoOut = isolated.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val isoFreshOut = isolatedFresh.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"sf":"$sfDir"}""")
+    // stdout is captured by the driver as a BOUNDED TAIL (~2 KB): at 121
+    // queries the full per-query map alone overflows it and truncates the
+    // FRONT of the line (BENCH_r19 kept 66/121 entries and lost the
+    // totals). Full-suite stdout therefore carries only the top-20 most
+    // expensive queries — the complete map lives in bench_times.json,
+    // committed alongside — with the adjudication payload (isolated,
+    // isolated_fresh, slope_flags, session health) and the total at the
+    // END of the line, where a tail capture can never lose them. The
+    // whole line now fits the bound, so nothing is truncated at all.
+    // Dev mode (explicit query names) keeps the complete map on stdout —
+    // freshJvmTimes parses its child's line for exactly that.
+    val qsOut = (if (names.isEmpty) results.sortBy(-_._2).take(20) else results)
+      .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"bench_times.json","queries":$qsOut,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"session":$sessionJson,"value":${jnum(total)}}""")
     spark.stop()
   }
 }

@@ -687,79 +687,88 @@ class StreamingParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("COMPOSED streaming curate ≡ Pipeline.curate (gopher → paragraph → near-dup → span → pack)") {
-    // The full curation recipe as a streaming ingestion pipeline: four
-    // REAL stateful queries (paragraph block registry, exact-text
-    // registry, LSH bucket state, span gram registry) fed round by round
-    // in id order — the topic-per-stage architecture a production stream
-    // composes — with stateless gopher filtering and the shared
-    // positional-surgery/packing code between them. Under in-order
-    // arrival every registry's keep-first rule coincides with the batch
-    // min-id/keep-best rules (the documented arrival-order contract), so
-    // the FINAL PACKED FRAME must equal Pipeline.curate's on the same
-    // corpus. Corpus plants one fate per stage: a gopher-fail doc, a
-    // stop line shared by all docs + a license line shared by two
-    // (paragraph dedup), an exact-dup pair (which paragraph dedup
-    // structurally shadows — every block of an exact dup is a cross-doc
-    // dup, a true property of the composition asserted on both sides),
-    // a near-dup pair whose earlier doc is longer (keep-best ≡
-    // keep-first), and a 12-token run shared mid-line by two docs (span
-    // surgery).
-    implicit val ctx = spark.sqlContext
-    import graft.streaming.ParagraphDedupStream.ParaOcc
-    import graft.streaming.DedupStream.BandedSig
-    import graft.streaming.SpanDedupStream.GramOcc
-    val stopLine = "the cost of that update have to land with and be near"
-    val license = "license text common to all documents"
-    def body(seed: Int, n: Int): String =
-      (0 until n).map(i => s"a${seed}w$i").mkString(" ")
-    val sharedRun = (0 until 12).map(i => s"sp${i}z").mkString(" ")
-    val docs: Seq[(Long, String, String)] = Seq(
-      (1L, s"$stopLine\n${body(1, 45)}", "s1"),
-      (2L, s"$stopLine\n${body(2, 45)}\n$license", "s0"),
-      (3L, s"$stopLine\n${body(3, 45)}\n$license", "s1"),
-      (4L, s"$stopLine\n${body(4, 45)} x4extra", "s0"),     // near-dup keeper (longer, earlier)
-      (5L, s"$stopLine\n${body(4, 44)} a5tail", "s1"),      // near-dup of 4 (one token differs)
-      (6L, s"$stopLine\n${body(6, 20)} $sharedRun ${body(60, 13)}", "s0"), // span keeper
-      (7L, s"$stopLine\n${body(7, 18)} $sharedRun ${body(70, 15)}", "s1"), // span-cut victim
-      (8L, "short text only", "s0"),                        // gopher fail (<50 tokens)
-      (9L, s"$stopLine\n${body(9, 45)}", "s1"),
-      (10L, s"$stopLine\n${body(9, 45)}", "s0"))            // exact dup of 9 (dies at paragraph)
-    val corpusDf = docs.toDF("doc_id", "text", "source")
-    val seqLen = 16
+  // ------------------------------------------------- composed curate corpus
+  // The full curation recipe as a streaming ingestion pipeline: four REAL
+  // stateful queries (paragraph block registry, exact-text registry, LSH
+  // bucket state, span gram registry) fed round by round in id order — the
+  // topic-per-stage architecture a production stream composes — with
+  // stateless gopher filtering and the shared positional-surgery/packing
+  // code between them. Under in-order arrival every registry's keep-first
+  // rule coincides with the batch min-id/keep-best rules (the documented
+  // arrival-order contract), so the FINAL PACKED FRAME must equal
+  // Pipeline.curate's on the same corpus — for EVERY partitioning of the
+  // arrival sequence into micro-batch rounds (the law; the fixed case
+  // plants per-stage fates, the randomized case samples the law).
+  // Corpus plants one fate per stage: a gopher-fail doc, a stop line shared
+  // by all docs + a license line shared by two (paragraph dedup), an exact
+  // dup pair (which paragraph dedup structurally shadows — every block of
+  // an exact dup is a cross-doc dup, a true property of the composition
+  // asserted on both sides), a near-dup pair whose earlier doc is longer
+  // (keep-best ≡ keep-first), and a 12-token run shared mid-line by two
+  // docs (span surgery).
+  private val curateStopLine = "the cost of that update have to land with and be near"
+  private val curateLicense = "license text common to all documents"
+  private def curateBody(seed: Int, n: Int): String =
+    (0 until n).map(i => s"a${seed}w$i").mkString(" ")
+  private val curateSharedRun = (0 until 12).map(i => s"sp${i}z").mkString(" ")
+  private lazy val curateDocs: Seq[(Long, String, String)] = Seq(
+    (1L, s"$curateStopLine\n${curateBody(1, 45)}", "s1"),
+    (2L, s"$curateStopLine\n${curateBody(2, 45)}\n$curateLicense", "s0"),
+    (3L, s"$curateStopLine\n${curateBody(3, 45)}\n$curateLicense", "s1"),
+    (4L, s"$curateStopLine\n${curateBody(4, 45)} x4extra", "s0"),     // near-dup keeper (longer, earlier)
+    (5L, s"$curateStopLine\n${curateBody(4, 44)} a5tail", "s1"),      // near-dup of 4 (one token differs)
+    (6L, s"$curateStopLine\n${curateBody(6, 20)} $curateSharedRun ${curateBody(60, 13)}", "s0"), // span keeper
+    (7L, s"$curateStopLine\n${curateBody(7, 18)} $curateSharedRun ${curateBody(70, 15)}", "s1"), // span-cut victim
+    (8L, "short text only", "s0"),                        // gopher fail (<50 tokens)
+    (9L, s"$curateStopLine\n${curateBody(9, 45)}", "s1"),
+    (10L, s"$curateStopLine\n${curateBody(9, 45)}", "s0"))            // exact dup of 9 (dies at paragraph)
+  private val curateSeqLen = 16
 
-    // ---- batch truth: the end-to-end pipeline
-    val batchPacked = graft.llm.Pipeline.curate(corpusDf, "doc_id", "text", "source",
+  /** Batch truth: the end-to-end pipeline, computed once and shared by the
+    * fixed-split and randomized-split parity cases. */
+  private lazy val curateBatchPacked: Set[(Long, String, Long, Long, Long)] =
+    graft.llm.Pipeline.curate(curateDocs.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source",
         graft.llm.Pipeline.CurationConfig(
           langs = Set.empty, requireC4Keep = false,
           gopherRules = true, paragraphDedup = true,
           maxAvgNll = None, nearDup = true,
           spanDedup = true, spanDedupN = 8,
-          benchmark = None, defaultMixRate = 1.0, seqLen = seqLen))
+          benchmark = None, defaultMixRate = 1.0, seqLen = curateSeqLen))
       .select($"doc_id", $"source", $"n_tok", $"pack_id", $"pack_offset")
       .as[(Long, String, Long, Long, Long)].collect().toSet
 
-    // ---- the four stateful twins, one query each (topic-per-stage)
+  /** Drive the four stateful twins over `rounds` (an ordered partitioning
+    * of the id-ordered corpus into micro-batch arrival rounds) and return
+    * the final packed frame. `tag` keys the memory sinks so invocations
+    * are independent. Returns (packedFrame, exactRegistryFlaggedAnything). */
+  private def streamCurate(
+      rounds: Seq[Seq[(Long, String, String)]],
+      tag: String): (Set[(Long, String, Long, Long, Long)], Boolean) = {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.ParagraphDedupStream.ParaOcc
+    import graft.streaming.DedupStream.BandedSig
+    import graft.streaming.SpanDedupStream.GramOcc
     val msPara = MemoryStream[ParaOcc]
     val qPara = graft.streaming.ParagraphDedupStream.badParagraphs(msPara.toDS())
-      .toDF().writeStream.format("memory").queryName("cur_para")
+      .toDF().writeStream.format("memory").queryName(s"cur_para_$tag")
       .outputMode("update").start()
     val msExact = MemoryStream[ParaOcc] // full-text hash as a one-block registry
     val qExact = graft.streaming.ParagraphDedupStream.badParagraphs(msExact.toDS())
-      .toDF().writeStream.format("memory").queryName("cur_exact")
+      .toDF().writeStream.format("memory").queryName(s"cur_exact_$tag")
       .outputMode("update").start()
     val msNear = MemoryStream[BandedSig]
     val qNear = graft.streaming.DedupStream.nearDupPairs(msNear.toDS(), k = 16, threshold = 0.5)
-      .writeStream.format("memory").queryName("cur_near").outputMode("update").start()
+      .writeStream.format("memory").queryName(s"cur_near_$tag").outputMode("update").start()
     val msSpan = MemoryStream[GramOcc]
     val qSpan = graft.streaming.SpanDedupStream.badPositions(msSpan.toDS())
-      .writeStream.format("memory").queryName("cur_span").outputMode("update").start()
+      .writeStream.format("memory").queryName(s"cur_span_$tag").outputMode("update").start()
     try {
       val md = java.security.MessageDigest.getInstance("MD5")
       def md5hex(s: String): String =
         md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       val keptNear = scala.collection.mutable.LinkedHashMap.empty[Long, (String, String)]
-      for (round <- Seq(docs.take(4), docs.slice(4, 6), docs.drop(6))) {
+      for (round <- rounds) {
         // stage 1: gopher — stateless, the same expression as the batch
         val gOk = round.toDF("doc_id", "text", "source")
           .filter(graft.llm.TextOps.gopherRules($"text").toMap.apply("keep"))
@@ -771,7 +780,7 @@ class StreamingParitySpec extends SparkSpec {
           .select($"doc_id".as("docId"), $"p_idx".as("pIdx"), $"__ph".as("ph"))
           .as[ParaOcc].collect().toSeq)
         qPara.processAllAvailable()
-        val paraFlags = spark.table("cur_para").as[(Long, Int)].collect().toSet
+        val paraFlags = spark.table(s"cur_para_$tag").as[(Long, Int)].collect().toSet
         val rebuilt = gOk.flatMap { case (id, text, src) =>
           val t = text.split("\n", -1).zipWithIndex
             .filterNot { case (_, i) => paraFlags((id, i)) }
@@ -781,7 +790,7 @@ class StreamingParitySpec extends SparkSpec {
         // stage 3: exact-text registry (structurally shadowed by stage 2)
         msExact.addData(rebuilt.map { case (id, t, _) => ParaOcc(id, 0, md5hex(t)) })
         qExact.processAllAvailable()
-        val exactFlags = spark.table("cur_exact").as[(Long, Int)].collect().map(_._1).toSet
+        val exactFlags = spark.table(s"cur_exact_$tag").as[(Long, Int)].collect().map(_._1).toSet
         val exOk = rebuilt.filterNot { case (id, _, _) => exactFlags(id) }
         // stage 4: LSH bucket state; keep-first against already-kept docs
         msNear.addData(graft.llm.Dedup.signatureBands(
@@ -789,7 +798,7 @@ class StreamingParitySpec extends SparkSpec {
           .select($"doc_id".as("docId"), $"band", $"bh", $"sig")
           .as[BandedSig].collect().toSeq)
         qNear.processAllAvailable()
-        val pairs = spark.table("cur_near").select($"idA", $"idB").distinct()
+        val pairs = spark.table(s"cur_near_$tag").select($"idA", $"idB").distinct()
           .as[(Long, Long)].collect().toSet
         exOk.sortBy(_._1).foreach { case (id, t, src) =>
           val dup = keptNear.keys.exists(k => pairs((k min id, k max id)))
@@ -808,7 +817,7 @@ class StreamingParitySpec extends SparkSpec {
       // through the SAME fragment/reassembly code the batch uses
       val survDf = keptNear.toSeq.map { case (id, (t, src)) => (id, t, src) }
         .toDF("doc_id", "text", "source")
-      val badPos = spark.table("cur_span").groupBy($"docId".as("doc_id"))
+      val badPos = spark.table(s"cur_span_$tag").groupBy($"docId".as("doc_id"))
         .agg(sort_array(collect_set($"pos")).as("badPos"))
       val frags = graft.llm.Decontaminate.fragmentByBadStarts(
         survDf, badPos, "doc_id", "text", n = 8, margin = 0, minKeepTokens = 1)
@@ -816,21 +825,50 @@ class StreamingParitySpec extends SparkSpec {
         sum($"n_tok").cast("long").as("n_tok"))
         .join(survDf.select($"doc_id", $"source"), "doc_id")
       val streamPacked = graft.llm.Mix.packSequencesCounted(
-          reasm, "doc_id", "source", "n_tok", seqLen)
+          reasm, "doc_id", "source", "n_tok", curateSeqLen)
         .select($"doc_id", $"source", $"n_tok", $"pack_id", $"pack_offset")
         .as[(Long, String, Long, Long, Long)].collect().toSet
-
-      assert(streamPacked === batchPacked)
-      val fate = batchPacked.map(r => r._1 -> r._3).toMap
-      // planted fates, asserted on the (equal) batch side
-      assert(!fate.contains(8L)) // gopher fail
-      assert(!fate.contains(5L) && fate.contains(4L)) // near-dup keep-best ≡ keep-first
-      assert(!fate.contains(10L) && fate.contains(9L)) // exact dup died at paragraph stage
-      assert(fate(7L) === 18L + 15L) // span surgery cut exactly the shared 12-token run
-      assert(fate(6L) === 45L) // span keeper whole (stop line stripped to doc 1)
-      assert(fate(1L) === 12L + 45L) // doc 1 keeps the stop line
-      // the exact registry really was shadowed — flagged nothing
-      assert(spark.table("cur_exact").isEmpty)
+      (streamPacked, !spark.table(s"cur_exact_$tag").isEmpty)
     } finally { qPara.stop(); qExact.stop(); qNear.stop(); qSpan.stop() }
+  }
+
+  test("COMPOSED streaming curate ≡ Pipeline.curate (gopher → paragraph → near-dup → span → pack)") {
+    val docs = curateDocs
+    val (streamPacked, exactFlagged) =
+      streamCurate(Seq(docs.take(4), docs.slice(4, 6), docs.drop(6)), "fix")
+    assert(streamPacked === curateBatchPacked)
+    val fate = curateBatchPacked.map(r => r._1 -> r._3).toMap
+    // planted fates, asserted on the (equal) batch side
+    assert(!fate.contains(8L)) // gopher fail
+    assert(!fate.contains(5L) && fate.contains(4L)) // near-dup keep-best ≡ keep-first
+    assert(!fate.contains(10L) && fate.contains(9L)) // exact dup died at paragraph stage
+    assert(fate(7L) === 18L + 15L) // span surgery cut exactly the shared 12-token run
+    assert(fate(6L) === 45L) // span keeper whole (stop line stripped to doc 1)
+    assert(fate(1L) === 12L + 45L) // doc 1 keeps the stop line
+    // the exact registry really was shadowed — flagged nothing
+    assert(!exactFlagged)
+  }
+
+  test("composed streaming-curate parity holds for EVERY arrival partitioning (20 generated splits)") {
+    // The in-order-arrival contract makes the packed frame a function of
+    // the SEQUENCE, not of where micro-batch boundaries fall — the fixed
+    // case above samples one partitioning; this samples the law across the
+    // two extremes (one round; one doc per round) plus 18 seeded-random
+    // cut sets over the 2^9 possible contiguous partitionings.
+    val docs = curateDocs
+    val rnd = new scala.util.Random(20260815L)
+    def splitAt(cuts: Seq[Int]): Seq[Seq[(Long, String, String)]] = {
+      val bounds = (0 +: cuts.sorted) :+ docs.length
+      bounds.sliding(2).map { case Seq(a, b) => docs.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+    }
+    val cases: Seq[Seq[Int]] =
+      Seq(Seq.empty[Int], (1 until docs.length)) ++
+        (0 until 18).map(_ => (1 until docs.length).filter(_ => rnd.nextDouble() < 0.4))
+    cases.zipWithIndex.foreach { case (cuts, i) =>
+      val (streamPacked, _) = streamCurate(splitAt(cuts), s"rnd$i")
+      assert(streamPacked === curateBatchPacked,
+        s"arrival partitioning at cuts=$cuts diverged from the batch packed frame")
+    }
   }
 }
