@@ -20,12 +20,20 @@ object Salt {
       df: DataFrame,
       keyCol: String,
       valueCol: String,
+      salts: Int): DataFrame = saltedSumCount(df, Seq(keyCol), valueCol, salts)
+
+  /** Multi-column key variant — composes with windowed FSM outputs, whose
+    * natural aggregation key is (dims..., emit time). */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
       salts: Int): DataFrame = {
     val salted = df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(salts)))
     salted
-      .groupBy(col(keyCol), col("__salt"))
+      .groupBy(keyCols.map(col) :+ col("__salt"): _*)
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
-      .groupBy(col(keyCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(sum("__psum").as("sum_v"), sum("__pcnt").as("cnt"))
       .withColumn("mean_v", col("sum_v") / col("cnt"))
   }
