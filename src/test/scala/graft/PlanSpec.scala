@@ -212,4 +212,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") || p.contains("RDDScan"),
       "no checkpointed frame in the curate plan")
   }
+
+  test("tfidf's tf and df branches share ONE tokenize+shuffle via ReuseExchange") {
+    // The round-20 fix: df aggregates over tf's own (doc, term) aggregate,
+    // with the count column referenced (vacuous tf>=1) so column pruning
+    // cannot make the two subplans canonically different. Under static
+    // planning the ReuseExchange rule must then serve both branches from
+    // one exchange — i.e. the corpus is tokenized, exploded and shuffled
+    // exactly once (AQE applies the same reuse at stage materialization;
+    // it is asserted here with AQE off because the adaptive plan string
+    // hides it until execution).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(graft.llm.TextOps.tfidfTopK(
+        graft.Graft.table(spark, dir, "documents"), "doc_id", "text", 3))
+      assert(p.contains("ReusedExchange"),
+        s"tf/df subplans no longer share the (doc,term) exchange:\n${p.take(2000)}")
+      val generates = "Generate explode".r.findAllMatchIn(p).length
+      assert(generates == 1, s"corpus tokenized $generates times, want 1")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
