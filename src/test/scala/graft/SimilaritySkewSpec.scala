@@ -101,6 +101,54 @@ class SimilaritySkewSpec extends SparkSpec {
     assert(byId(5001L)._4 && byId(5001L)._3 == 5000L && !byId(5000L)._4)
   }
 
+  test("boundedGroupPairs: randomized contract — subset, cold-exact, hot-star, partition invariance") {
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 12) {
+      val nGroups = 3 + rnd.nextInt(6)
+      val cap = 4 + rnd.nextInt(9)
+      val anchors = 1 + rnd.nextInt(4)
+      // unique vids across the corpus; group sizes straddle the cap
+      var nextVid = 100L
+      val memberRows = (0 until nGroups).flatMap { g =>
+        val size = 1 + rnd.nextInt(3 * cap)
+        (0 until size).map { _ => nextVid += 1; (s"g$g", nextVid) }
+      }
+      val bySize = memberRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val members = rnd.shuffle(memberRows).toDF("grp", "vid")
+
+      def pairsOf(df: org.apache.spark.sql.DataFrame, maxGroup: Int) =
+        graft.llm.Similarity.boundedGroupPairs(df, Seq("grp"), maxGroup, anchors)
+          .as[(Long, Long)].collect().toSet
+      val capped = pairsOf(members, cap)
+      val uncapped = pairsOf(members, Int.MaxValue)
+
+      // ordering + same-group membership + subset of the exhaustive set
+      assert(capped.forall { case (a, b) => a < b }, s"trial $trial: unordered pair")
+      assert(capped.forall { case (a, b) =>
+        bySize.values.exists(s => s(a) && s(b)) }, s"trial $trial: cross-group pair")
+      assert(capped.subsetOf(uncapped), s"trial $trial: invented pair")
+      bySize.foreach { case (g, vids) =>
+        val within = capped.filter { case (a, b) => vids(a) && vids(b) }
+        if (vids.size <= cap)
+          // cold: exhaustive, exactly C(n,2)
+          assert(within.size == vids.size * (vids.size - 1) / 2,
+            s"trial $trial group $g cold pairing not exhaustive")
+        else {
+          // hot: bounded, and the min-id star is complete (the property that
+          // preserves fully-connected-cluster verdicts under the cap)
+          assert(within.size <= vids.size.toLong * anchors,
+            s"trial $trial group $g hot pairing exceeds the anchor bound")
+          val mn = vids.min
+          assert(vids.filterNot(_ == mn).forall(v => within((mn, v))),
+            s"trial $trial group $g min-id star incomplete")
+        }
+      }
+      // results are a function of the membership SET, not its partitioning
+      val repart = pairsOf(members.repartition(7), cap)
+      assert(repart == capped, s"trial $trial: partitioning changed the result")
+    }
+  }
+
   test("gate safety: default caps never fire below 4096 — capped ≡ uncapped on diverse data") {
     val emb = (0 until 200).map(i => (i.toLong, fakeVec(i.toLong, 16)))
       .toDF("vec_id", "embedding")
