@@ -459,7 +459,13 @@ object Similarity {
     * the query's sign-bucket; exact cosine ranks within the bucket. With B
     * buckets the scored pairs shrink ~B× versus brute force, and the join
     * is a plain equi-join on the bucket key (shuffle keyed by bucket —
-    * skew-safe for moderate `planes` counts, AQE handles the rest). */
+    * skew-safe for moderate `planes` counts, AQE handles the rest).
+    *
+    * `planes` is a FLOOR: like [[nearDupPairsLsh]], the effective plane
+    * count grows as ceil(log2(N/targetBucket)) so candidates per query
+    * stay ~targetBucket as the corpus grows instead of ~N/2^planes
+    * (at gate/bench scales the floor wins and results are unchanged —
+    * the static oracle embeds the floor's hyperplane literals). */
   def knnLsh(
       emb: DataFrame,
       idCol: String,
@@ -467,9 +473,16 @@ object Similarity {
       queryPred: Column,
       k: Int,
       planes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      targetBucket: Int = 64): DataFrame = {
     graft.expressions.DotProduct.register(emb.sparkSession)
-    val hp = hyperplanes(planes, dim)
+    val effPlanes = {
+      val nVec = emb.count()
+      val needed = math.ceil(
+        math.log(math.max(1.0, nVec.toDouble / targetBucket)) / math.log(2.0)).toInt
+      math.max(planes, needed)
+    }
+    val hp = hyperplanes(effPlanes, dim)
     val n = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), hp).as("bucket"))
     val q = n.filter(queryPred)
