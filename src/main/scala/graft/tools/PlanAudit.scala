@@ -31,6 +31,9 @@ object PlanAudit {
     val spark = graft.Graft.session("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // AQE off so static ReuseExchange is visible and duplicate subtrees
+    // countable (pass aqe=1 to audit the adaptive initial plans instead)
+    spark.conf.set("spark.sql.adaptive.enabled", args.contains("aqe=1").toString)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
@@ -41,6 +44,14 @@ object PlanAudit {
           "SinglePartitionExchange" -> plan.contains("Exchange SinglePartition"))
           .filter(_._2).map(_._1)
         if (flags.nonEmpty) println(s"== FLAG $name: ${flags.mkString(",")}")
+        def c(re: String): Int = re.r.findAllMatchIn(plan).length
+        // duplicate-work telemetry (the r20 tfidf class of defect): high
+        // scan counts mean the same table is re-read per branch — fine
+        // when it's the documented rescan-over-cache trade, a defect when
+        // a broken ReuseExchange silently doubles a corpus pass
+        println(s"== WORK $name scans=${c("FileScan parquet")} " +
+          s"explodes=${c("Generate (pos)?explode")} " +
+          s"exchanges=${c("Exchange (hash|range)")} reused=${c("ReusedExchange")}")
       } catch { case e: Throwable => println(s"== ERR $name: ${e.getMessage.take(80)}") }
     }
     println("== audit done")

@@ -9,14 +9,18 @@ import org.apache.spark.sql.functions._
   * (sf0.01 → sf0.1 → sf1).
   *
   * Ten key-shifted copies of every sf0.1 table, foreign keys shifted
-  * consistently so joins land exactly as before. Two deliberate choices
+  * consistently so joins land exactly as before. Three deliberate choices
   * that preserve WORKLOAD CHARACTER instead of degenerating it:
-  *  - `documents.text` gets a per-copy token suffix on EVERY token
-  *    (copy 0 verbatim): without it, each doc would have 9 exact twins
-  *    and near-dup pair volume would grow ~45× (cluster blowup), which
-  *    measures the synthetic corpus, not the operator. With it, intra-
-  *    copy planted dups replicate and cross-copy overlap is zero — pair
-  *    volume scales exactly 10×.
+  *  - `documents.text` is STRIDE-PERMUTED per copy (copy 0 verbatim; see
+  *    the inline note): token multisets — and every LM/stopword/quality
+  *    statistic — are preserved per doc, while cross-copy shingle overlap
+  *    collapses, so dedup pair volume scales 10× rather than ~45×
+  *    (9 exact twins per doc would measure the synthetic corpus, not the
+  *    operator).
+  *  - `embeddings` copies 1-9 get a deterministic ±2% per-component
+  *    jitter (see the inline note): near-dup-DENSE (each vector keeps 9
+  *    cos≈0.999 twins) without being bit-identical — the workload the
+  *    hot-bucket dedup guard exists for.
   *  - `events.ts` is kept, so the time range holds and window density
   *    grows 10× (more points per window — the realistic scale-up);
   *    `user_id`/`event_id` shift, so group cardinality grows 10× too.
