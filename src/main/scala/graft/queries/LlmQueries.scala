@@ -452,7 +452,12 @@ object LlmQueries {
     * re-rank (Similarity.nearDupPairsLsh) — the scale path; the all-pairs
     * baseline is test-only (LlmSpec planted-duplicate recall). The oracle
     * restates the identical algorithm with the same JVM-derived hyperplane
-    * literals. */
+    * literals. INVARIANT the static SQL depends on (r20): the operator's
+    * scale-aware plane count and hot-bucket guard only engage above the
+    * gate scales (effPlanes floor wins for N ≤ 2^6·64; maxBucket=4096 >
+    * any gate bucket), so at sf0.001/sf0.01 the plan is byte-equivalent
+    * to the plain 6-plane exhaustive algorithm restated here —
+    * SimilaritySkewSpec's gate-safety case pins exactly this. */
   def dedupEmbeddingQ(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairsLsh(embs(s, dir), "vec_id", "embedding", 20).orderBy("rk")
   val dedupEmbeddingSql: String = {
