@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
 class SimilaritySkewSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic pseudo-random unit-ish vector from an id (no RNG). */
+  /** Deterministic pseudo-random unit-ish vector from an id (no RNG).
+    * Murmur-mixed per (id, j): a plain linear-congruential sequence here
+    * makes different ids' vectors rotated slices of ONE periodic sequence
+    * (accidental cos≈1.0 pairs that out-rank planted twins). */
   private def fakeVec(id: Long, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      val h = ((id * 31L + j) * 2654435761L) % 1000L
-      (h - 500L) / 500.0
+      import scala.util.hashing.MurmurHash3
+      val h = MurmurHash3.finalizeHash(
+        MurmurHash3.mix(MurmurHash3.mix(0x9747b28c, id.toInt), j), 2)
+      (math.floorMod(h, 1000L) - 500L) / 500.0
     }
 
   test("boundedGroupPairs: a planted mega-group yields O(N·anchors) candidates, not N²/2") {
@@ -147,6 +152,33 @@ class SimilaritySkewSpec extends SparkSpec {
       val repart = pairsOf(members.repartition(7), cap)
       assert(repart == capped, s"trial $trial: partitioning changed the result")
     }
+  }
+
+  test("recall survives scale-grown plane counts: planted near-dup twins are still found") {
+    // The scale-aware granularity trades per-family collision probability
+    // for bucket boundedness: a cos≈0.999 pair survives one family with
+    // p^planes (p = 1 - θ/π ≈ 0.986), and the `families` OR-banding keeps
+    // overall recall ≈ 1-(1-p^planes)^families ≈ 0.999 even at 9+ planes.
+    // This pins it empirically: targetBucket=4 forces effPlanes ≈
+    // ceil(log2(600/4)) = 8 ≫ the floor of 3, and every planted jittered
+    // twin pair must still rank top-k by exact cosine.
+    val base = (0 until 300).map(i => (i.toLong, fakeVec(i.toLong, 32)))
+    // 20 planted twins: tiny deterministic jitter of vectors 0..19
+    val twins = (0 until 20).map { i =>
+      val v = fakeVec(i.toLong, 32)
+      val j = v.zipWithIndex.map { case (x, k) =>
+        x * (1.0 + 0.004 * (((i * 31 + k) % 7) - 3)) }
+      (1000L + i, j)
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val top = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding", k = 20,
+        families = 4, planesPerFamily = 3, dim = 32, targetBucket = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    val found = top.map(r => (r._2, r._3)).toSet
+    val expected = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    assert(found == expected,
+      s"grown-plane bucketing lost planted twins: missing ${expected -- found}")
+    assert(top.forall(_._4 >= 0.999))
   }
 
   test("gate safety: default caps never fire below 4096 — capped ≡ uncapped on diverse data") {
