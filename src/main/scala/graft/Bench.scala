@@ -87,6 +87,22 @@ object Bench {
     * never forks again, so recursion is structurally impossible. */
   private def freshJvmTimes(names: Seq[String], sfDir: String, repeat: Int): Map[String, Double] = {
     if (names.isEmpty) return Map.empty
+    // Contention guard (r20 postmortem: the isolated_fresh re-time — the
+    // machinery built to EXONERATE a contended session — itself ran inside
+    // the contended session and read 10.6 s for a 5.5 s query). If the box
+    // is loaded right now, wait one cooldown for the load to drain; either
+    // way the child's launch-time loadavg lands in the artifact (see
+    // freshLoadavg) so the adjudication columns carry their own validity
+    // stamp instead of needing a judge-side re-measure.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toDouble
+    def load1(): Double =
+      loadavg().split(" ").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+    if (load1() > cpus / 8) {
+      System.err.println(f"[bench] loadavg ${load1()}%.2f > ${cpus / 8}%.1f before fresh-JVM re-measure; cooling down 60 s")
+      Thread.sleep(60000)
+    }
+    freshLoadavg = loadavg()
+    freshContended = load1() > cpus / 8
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -163,6 +179,11 @@ object Bench {
 
   private def jvmUptimeMs(): Long =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
+
+  /** Launch-time health of the fresh-JVM adjudication child (r21 item:
+    * the re-time must carry its own validity stamp — see freshJvmTimes). */
+  @volatile private var freshLoadavg: String = ""
+  @volatile private var freshContended: Boolean = false
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -273,7 +294,8 @@ object Bench {
     // of the run make uniform drift adjudicable from the artifact alone
     val sessionJson =
       s"""{"loadavg_start":"$loadStart","loadavg_end":"${loadavg()}",""" +
-      s""""jvm_uptime_ms_start":$upStart,"jvm_uptime_ms_end":${jvmUptimeMs()}}"""
+      s""""jvm_uptime_ms_start":$upStart,"jvm_uptime_ms_end":${jvmUptimeMs()},""" +
+      s""""fresh_loadavg":"$freshLoadavg","fresh_contended":$freshContended}"""
     // only a FULL-suite run owns the artifact — a dev-mode partial run
     // (`runMain graft.Bench q_x repeat=8`) must not clobber the complete
     // per-query map the driver snapshots
@@ -312,7 +334,11 @@ object Bench {
     // freshJvmTimes parses its child's line for exactly that.
     val qsOut = (if (names.isEmpty) results.sortBy(-_._2).take(20) else results)
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"bench_times.json","queries":$qsOut,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"session":$sessionJson,"value":${jnum(total)}}""")
+    // queries_full points at the artifact only when this run actually
+    // wrote it — a dev-mode partial run does NOT own bench_times.json and
+    // must not reference a stale file from a different run (r20 advice)
+    val fullPtr = if (names.isEmpty) "\"bench_times.json\"" else "null"
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":$fullPtr,"queries":$qsOut,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"session":$sessionJson,"value":${jnum(total)}}""")
     spark.stop()
   }
 }

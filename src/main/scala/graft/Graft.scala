@@ -32,6 +32,14 @@ object Graft {
       // reader rejects; read it as Long nanos and convert ourselves.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Let the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold (guide §3.1/§9): the self-join family (LSH bands,
+      // simhash chunks, PPJoin candidates) joins two same-keyed sides
+      // where per-partition hash builds beat sorting both sides. Scale
+      // note: this is the guide's recommended batch-ETL baseline, not a
+      // local[32] trick — SHJ is only CHOSEN when a side's per-partition
+      // build fits memory, and sort-merge remains the fallback.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

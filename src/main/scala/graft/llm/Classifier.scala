@@ -54,32 +54,50 @@ object Classifier {
       lr: Double = 1.0,
       l2: Double = 1e-4,
       maxSample: Int = 65536): LogisticModel = {
-    val sample = docs
+    val rows = docs
       .select(col(idCol).cast("string").as("sid"), col(textCol).cast("string").as("t"),
         col(labelCol).cast("double").as("y"))
       .orderBy(md5(col("sid")))
       .limit(maxSample)
-      .collect().map(r => (featurize(r.getString(1), dim), r.getDouble(2)))
-    require(sample.nonEmpty, "trainLogistic needs a non-empty labeled sample")
+      .collect()
+    require(rows.nonEmpty, "trainLogistic needs a non-empty labeled sample")
     // primitive parallel arrays: the GD loop touches every feature of
-    // every sample per iteration — boxed tuples there dominate runtime
-    val idxs = sample.map(_._1.map(_._1))
-    val vals = sample.map(_._1.map(_._2))
-    val ys = sample.map(_._2)
+    // every sample per iteration — boxed tuples there dominate runtime.
+    // Featurization (an md5 per token of the whole sample) is per-sample
+    // independent, so it runs on the common FJ pool; results land by
+    // index, identical regardless of thread interleaving.
+    val idxs = new Array[Array[Int]](rows.length)
+    val vals = new Array[Array[Double]](rows.length)
+    val ys = new Array[Double](rows.length)
+    java.util.stream.IntStream.range(0, rows.length).parallel().forEach { s =>
+      val f = featurize(rows(s).getString(1), dim)
+      idxs(s) = f.map(_._1)
+      vals(s) = f.map(_._2)
+      ys(s) = rows(s).getDouble(2)
+    }
     val w = new Array[Double](dim)
     var b = 0.0
-    val n = sample.length.toDouble
+    val n = rows.length.toDouble
+    val errs = new Array[Double](rows.length)
     for (_ <- 0 until iters) {
-      val gw = new Array[Double](dim)
-      var gb = 0.0
-      var s = 0
-      while (s < idxs.length) {
+      // Phase 1 (parallel): per-sample logits/errors read only the
+      // iteration-stable (w, b) — each err is the same serial dot product,
+      // so the doubles are bit-identical to the single-threaded loop.
+      java.util.stream.IntStream.range(0, rows.length).parallel().forEach { s =>
         val is = idxs(s); val vs = vals(s)
         var z = b
         var j = 0
         while (j < is.length) { z += w(is(j)) * vs(j); j += 1 }
-        val err = sigmoid(z) - ys(s)
-        j = 0
+        errs(s) = sigmoid(z) - ys(s)
+      }
+      // Phase 2 (serial, sample order): gradient accumulation — the one
+      // part whose FP ADD ORDER defines the model bits stays sequential.
+      val gw = new Array[Double](dim)
+      var gb = 0.0
+      var s = 0
+      while (s < idxs.length) {
+        val is = idxs(s); val vs = vals(s); val err = errs(s)
+        var j = 0
         while (j < is.length) { gw(is(j)) += err * vs(j); j += 1 }
         gb += err
         s += 1
@@ -101,6 +119,22 @@ object Classifier {
     * tf(t)/nrm == (Σ w[h(t)] per occurrence)/nrm because tf-weighted sums
     * distribute over occurrences. */
   def score(docs: DataFrame, textCol: String, model: LogisticModel,
+      prec: Int = 5): DataFrame = {
+    // Fused native logit ([[graft.expressions.ClassifierLogit]]): same
+    // sorted-bucket folds, bit-identical doubles (LlmSpec pins native ≡
+    // staged ≡ scoreDriver); removes the interpreted HOF chain and — the
+    // dominant cost — a per-token element_at into a dim-sized (65536)
+    // array LITERAL.
+    val fn = graft.expressions.ClassifierLogit.register(
+      docs.sparkSession, model.weights, model.dim)
+    docs.withColumn("score",
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(call_function(fn, col(textCol)) + lit(model.bias)))), prec))
+  }
+
+  /** The staged builtin composition of [[score]] — the semantic reference
+    * the native expression is pinned against (LlmSpec). */
+  private[graft] def scoreStaged(docs: DataFrame, textCol: String, model: LogisticModel,
       prec: Int = 5): DataFrame = {
     val wLit = typedlit(model.weights)
     val toks = TextOps.tokens(col(textCol))

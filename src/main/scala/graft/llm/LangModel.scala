@@ -114,9 +114,27 @@ object LangModel {
   /** Per-document average NLL under the interpolated bigram model: the
     * first token scores as unigram, each following as
     * ln(λ·p(tᵢ|tᵢ₋₁) + (1−λ)·p(tᵢ)); same left-fold/rounding contract as
-    * [[avgNll]]. Scoring is shuffle-free — both maps are task literals. */
+    * [[avgNll]]. Scoring is shuffle-free — both maps are task literals,
+    * folded by the fused native expression
+    * ([[graft.expressions.BigramNllSum]] — bit-identical arithmetic, one
+    * hash probe per token instead of an interpreted lambda concatenating a
+    * lookup key and linearly scanning two map literals per pair;
+    * LlmSpec pins native ≡ staged). */
   def avgNllBigram(docs: DataFrame, idCol: String, textCol: String,
       model: BigramModel): DataFrame = {
+    val fn = graft.expressions.BigramNllSum.register(
+      docs.sparkSession, model.uniP, model.oovP, model.biP, model.lambda)
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tok"),
+        round(-call_function(fn, col("toks")) / size(col("toks")), 5).as("avg_nll"))
+  }
+
+  /** The staged builtin composition of [[avgNllBigram]]'s fold — kept as
+    * the semantic reference the native expression is pinned against. */
+  private[graft] def avgNllBigramStaged(docs: DataFrame, idCol: String,
+      textCol: String, model: BigramModel): DataFrame = {
     val mu = typedlit(model.uniP)
     val mb = typedlit(model.biP)
     def pUni(t: org.apache.spark.sql.Column) =
@@ -147,9 +165,27 @@ object LangModel {
       idCol, "toks", model)
 
   /** [[avgNll]] over a pre-tokenized (idCol, toksCol) frame — identical
-    * fold order and rounding, so scores are bit-equal to the text path. */
+    * fold order and rounding, so scores are bit-equal to the text path.
+    * The fold runs in the fused native expression
+    * ([[graft.expressions.UnigramNllSum]]): same left fold, one hash-map
+    * probe per token instead of an interpreted lambda linearly scanning a
+    * map LITERAL per element (O(|vocab|) per token — at vocab 4096 the
+    * staged tree WAS the scoring stage; LlmSpec pins native ≡ staged). */
   def avgNllToks(toksDf: DataFrame, idCol: String, toksCol: String,
       model: UnigramModel): DataFrame = {
+    val fn = graft.expressions.UnigramNllSum.register(
+      toksDf.sparkSession, model.lp, model.oovLp)
+    toksDf
+      .select(col(idCol), col(toksCol).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tok"),
+        round(-call_function(fn, col("toks")) / size(col("toks")), 5).as("avg_nll"))
+  }
+
+  /** The staged builtin composition of [[avgNllToks]]'s fold — kept as the
+    * semantic reference the native expression is pinned against. */
+  private[graft] def avgNllToksStaged(toksDf: DataFrame, idCol: String,
+      toksCol: String, model: UnigramModel): DataFrame = {
     val m = typedlit(model.lp)
     toksDf
       .select(col(idCol), col(toksCol).as("toks"))

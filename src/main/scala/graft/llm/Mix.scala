@@ -296,22 +296,20 @@ object Mix {
       isTarget: Column, k: Int, buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in (0, 65536]: the log-ratio vector is a plan literal")
-    val toks = filter(
-      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"), t => t =!= "")
-    val bigrams = when(size(toks) > lit(1),
-      zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b))).otherwise(array())
-    val grams = concat(toks, bigrams)
-    def bucketOf(g: Column): Column =
-      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
-
-    val base = df.withColumn("__grams", grams).withColumn("__tgt", isTarget)
+    // Fused native featurizer ([[graft.expressions.DsirGramBuckets]]):
+    // text → hashed unigram+bigram bucket ids in ONE JVM pass, replacing
+    // the staged split/zip_with/concat HOF chain plus a per-gram
+    // md5→substring→conv stack. Identical bucket ids feed both the
+    // distribution aggregate and the scoring fold, so counts, the
+    // log-ratio literal, and every score are unchanged (LlmSpec pins it).
+    val fnB = graft.expressions.DsirGramBuckets.register(df.sparkSession, buckets)
+    val base = df
+      .withColumn("__bkts", call_function(fnB, coalesce(col(textCol), lit(""))))
+      .withColumn("__tgt", isTarget)
     // pass 1: both bucket distributions in one aggregate
     val counts = base
-      .select(explode(col("__grams")).as("__g"), col("__tgt"))
-      .groupBy(bucketOf(col("__g")).as("__b"))
+      .select(explode(col("__bkts")).as("__b"), col("__tgt"))
+      .groupBy(col("__b"))
       .agg(
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("__cp"),
         sum(when(!col("__tgt"), 1L).otherwise(0L)).as("__cq"))
@@ -330,19 +328,18 @@ object Mix {
       math.round((math.log((cp(b) + 1.0) / (totP + buckets)) -
         math.log((cq(b) + 1.0) / (totQ + buckets))) * 1e6)
     }
-    val lamCol = typedLit(lamMicro)
-
-    // pass 2: shuffle-free scoring of the raw (non-target) side
-    val logw = aggregate(col("__grams"), lit(0L),
-      (acc, g) => acc + element_at(lamCol, (bucketOf(g) + 1).cast("int")))
-      .cast("double") / lit(1000000.0)
+    // pass 2: shuffle-free scoring of the raw (non-target) side — the
+    // integer fold over the bounded log-ratio table runs native
+    // ([[graft.expressions.LamMicroSum]]; long adds, order-exact)
+    val fnL = graft.expressions.LamMicroSum.register(df.sparkSession, lamMicro.toArray)
+    val logw = call_function(fnL, col("__bkts")).cast("double") / lit(1000000.0)
     // deterministic Gumbel: u from md5(id) in (0,1), g = -ln(-ln(u))
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000000L + lit(0.5)) / lit(1000000.0)
     val scored = base.filter(!col("__tgt"))
       .withColumn("__logw", logw)
       .withColumn("__key", col("__logw") - log(-log(u))) // + gumbel = -ln(-ln(u))
-      .drop("__grams", "__tgt")
+      .drop("__bkts", "__tgt")
     scored
       .orderBy(col("__key").desc, col(idCol))
       .limit(k)

@@ -301,11 +301,35 @@ object TextOps {
     *  - ≤ 30% of lines end with an ellipsis;
     *  - ≥ 80% of words contain at least one alphabetic character;
     *  - ≥ 2 distinct [[gopherStopwords]] present.
-    * `keep` ANDs the unrounded rule values. Pure line/token-array
-    * expressions — per-document cost, no shuffle, no UDF; every ratio is
-    * integer-count-derived, so external engines compute bit-identical
-    * doubles. */
+    * `keep` ANDs the unrounded rule values. Per-document cost, no shuffle,
+    * no UDF; every ratio is integer-count-derived, so external engines
+    * compute bit-identical doubles.
+    *
+    * Evaluation is ONE fused native pass per document
+    * ([[graft.expressions.GopherFeatures]]) — the staged builtin tree
+    * (kept below as [[gopherRulesStaged]], the parity reference LlmSpec
+    * pins) is ~10 interpreted HOF folds plus four regex passes over
+    * re-derived token/line arrays, the most expensive per-row expression
+    * in the curate recipe; the native struct carries the UNROUNDED values
+    * and the display rounding stays here. */
   def gopherRules(text: Column): Seq[(String, Column)] = {
+    val fn = graft.expressions.GopherFeatures.register(
+      org.apache.spark.sql.SparkSession.active)
+    val f = call_function(fn, text)
+    Seq(
+      "n_words" -> f.getField("n_words"),
+      "mean_word_len" -> round(f.getField("mean_word_len"), 6),
+      "symbol_ratio" -> round(f.getField("symbol_ratio"), 6),
+      "bullet_frac" -> round(f.getField("bullet_frac"), 6),
+      "ellipsis_frac" -> round(f.getField("ellipsis_frac"), 6),
+      "alpha_word_frac" -> round(f.getField("alpha_word_frac"), 6),
+      "stop_hits" -> f.getField("stop_hits"),
+      "keep" -> f.getField("keep"))
+  }
+
+  /** The staged builtin composition of [[gopherRules]] — the semantic
+    * reference the native expression is pinned against (LlmSpec). */
+  private[graft] def gopherRulesStaged(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nToks = size(toks).cast("long")
     val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))

@@ -569,8 +569,15 @@ object EventQueries4 {
         lit(false).as("byName"))
       .as[graft.sources.UdfProto.ProtoPoint]
     val cp = sys.props("java.class.path")
+    // One agent child per partition; derive the fan-out from the session's
+    // cores (¼ of them: each child is its own JVM with writer/reader
+    // threads) instead of a fixed 4, so per-child stream volume shrinks as
+    // cores grow — and the driver's lower-core scaling runs keep a
+    // proportional child count. Point-independent transform: partitioning
+    // cannot change the output rows.
+    val agents = math.max(4, s.sparkContext.defaultParallelism / 4)
     graft.sources.UdfProto.pipePoints(
-        in.coalesce(4),
+        in.coalesce(agents),
         Seq("java", "-cp", cp, "graft.tools.ScaleAgent"),
         options = Seq("factor" -> Seq(graft.sources.UdfProto.OptDouble(2.5))))
       .toDF()
@@ -620,8 +627,11 @@ object EventQueries4 {
           })
       }
     val cp = sys.props("java.class.path")
+    // same core-derived agent fan-out as q_udf_proto; batches are whole
+    // rows, so re-partitioning cannot split or reorder a batch
+    val agents = math.max(4, s.sparkContext.defaultParallelism / 4)
     graft.sources.UdfProto.pipeBatches(
-        batches.coalesce(4),
+        batches.coalesce(agents),
         Seq("java", "-cp", cp, "graft.tools.BatchStatsAgent"),
         options = Seq("field" -> Seq(graft.sources.UdfProto.OptString("value"))))
       .flatMap(b => b.points.map(p => (
@@ -909,8 +919,17 @@ object EventQueries4 {
         explode(map(lit("collected"), col("collected"),
           lit("total"), col("total"))).as(Seq("field", "value")))
     val bounds = base.agg(min("time_us").as("mn"), max("time_us").as("mx"))
+    // The registry stated from the cheap branch: obs's key set is exactly
+    // {ingest} × distinct(event_type) × {collected, total} by construction
+    // (the melt emits both fields for every counter row), so deriving it
+    // from a one-column distinct over the RAW scan instead of obs skips a
+    // second run of the groupBy→window→explode tail (statsPoints keysOpt).
+    val keys = base.select(col("event_type").as("task")).distinct()
+      .crossJoin(
+        s.range(1).select(explode(array(lit("collected"), lit("total"))).as("field")))
+      .select(lit("ingest").as("name"), col("task"), col("field"))
     val pts = StatsEmit.statsPoints(obs, Seq("name", "task", "field"),
-      StatsEmit.tickGrid(bounds, iv), idTags = ids)
+      StatsEmit.tickGrid(bounds, iv), idTags = ids, keysOpt = Some(keys))
     // '' = the untagged global entry (NULL would sort differently in the
     // two engines' ORDER BY)
     val up = StatsEmit.uptimePoints(bounds, iv, idTags = ids)

@@ -137,10 +137,17 @@ object FluxQueries {
     * alignment arithmetic) and windows (lag over fires) in DuckDB. */
   def fluxtaskSqlQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.Graft.events(s, dir)
+    // The ~22 fires each scan the same 3-column events projection; cache
+    // it for the duration of this invocation (computed from parquet on
+    // every call, released before returning — an intra-query reuse, guide
+    // §5: the frame is re-read 22x and recomputing it dominates the fire).
+    // At production scale the projection is the warehouse's events table —
+    // the same table every incremental task reads.
+    val ev = graft.Graft.events(s, dir)
       .select(timestamp_micros(expr("ts_ns DIV 1000")).as("ts"),
         col("event_type"), col("value"))
-      .createOrReplaceTempView("flux_gate_events")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ev.createOrReplaceTempView("flux_gate_events")
     val types = Seq("click", "error", "purchase", "signup", "view")
     val keys = s.read.parquet(s"$dir/region.parquet")
       .select(col("r_regionkey").cast("long")).as[Long].collect().sorted
@@ -172,6 +179,7 @@ object FluxQueries {
     }
     now = horizon
     sys.advanceTo(horizon)
+    ev.unpersist(false)
     out.toSeq.toDF("task_id", "scheduled_for_s", "n", "s")
       .orderBy("task_id", "scheduled_for_s")
   }

@@ -57,9 +57,17 @@ object StatsEmit {
   def statsPoints(obs: DataFrame, keyCols: Seq[String], fires: DataFrame,
       db: String = "_kapacitor", rp: String = "autogen",
       idTags: Map[String, String] = Map.empty,
-      timeCol: String = "time_us", valueCol: String = "value"): DataFrame = {
+      timeCol: String = "time_us", valueCol: String = "value",
+      keysOpt: Option[DataFrame] = None): DataFrame = {
     require(keyCols.nonEmpty, "statsPoints needs at least the stat-name key")
-    val keys = obs.select(keyCols.map(col): _*).distinct()
+    // The registry (distinct stat keys). Default: derived from obs — which
+    // re-executes obs's whole upstream for a handful of rows when obs is a
+    // derived pipeline (the gate query's obs is groupBy→window→explode;
+    // only the groupBy exchange is reusable). Callers that can state the
+    // registry from a CHEAPER equivalent branch (the key set is fixed by
+    // construction well before the expensive tail) pass it via `keysOpt` —
+    // it must be exactly obs's distinct key set.
+    val keys = keysOpt.getOrElse(obs.select(keyCols.map(col): _*).distinct())
     // registry × grid: the registry is bounded, broadcast it over the grid
     val fireRows = fires.crossJoin(broadcast(keys))
       .select((col("fire_us").as(timeCol) +: keyCols.map(col)) :+
