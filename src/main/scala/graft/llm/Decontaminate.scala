@@ -160,6 +160,38 @@ object Decontaminate {
     val toks = TextOps.tokens(col(textCol))
     val cd = docs.select(col(idCol), toks.as("toks"))
       .withColumn("ntok", size(col("toks")))
+    // clean-run extraction is ONE fused native sweep per affected doc
+    // (graft.expressions.CleanRuns) — the staged coverage-filter +
+    // run-append fold (kept below as fragmentByBadStartsStaged, the
+    // parity reference) is O(ntok·|badPos|) interpreted plus O(ntok·runs)
+    // array copies, and on span-dedup inputs MOST documents take it;
+    // fragment text still slices/joins through the same builtins, so
+    // output rows are byte-identical
+    val fn = graft.expressions.CleanRuns.register(
+      docs.sparkSession, n, margin, minKeepTokens)
+    val fragged = cd.join(badPos, Seq(idCol))
+      .select(col(idCol), col("toks"),
+        posexplode(call_function(fn, col("ntok"), col("badPos")))
+          .as(Seq("frag_idx", "r")))
+      .select(col(idCol), col("frag_idx").cast("long").as("frag_idx"),
+        array_join(slice(col("toks"), col("r.s"), col("r.l")), " ").as("frag_text"),
+        col("r.l").cast("long").as("n_tok"))
+    val cleanDocs = docs.join(badPos, Seq(idCol), "left_anti")
+      .select(col(idCol), lit(0L).as("frag_idx"),
+        array_join(toks, " ").as("frag_text"),
+        size(toks).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= minKeepTokens)
+    fragged.unionByName(cleanDocs)
+  }
+
+  /** The staged builtin composition of [[fragmentByBadStarts]] — the
+    * parity reference (NativeExprParitySpec pins native ≡ staged). */
+  private[graft] def fragmentByBadStartsStaged(
+      docs: DataFrame, badPos: DataFrame, idCol: String, textCol: String,
+      n: Int, margin: Int, minKeepTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val cd = docs.select(col(idCol), toks.as("toks"))
+      .withColumn("ntok", size(col("toks")))
     // token t is removed iff some bad gram start p covers it (with margin)
     val cleanPos = filter(sequence(lit(1), col("ntok")),
       t => !exists(col("badPos"),

@@ -91,15 +91,18 @@ object LangModel {
       val vocabSet = vocab.map(_._1).toSeq
       val uniCnt = vocab.toMap
       val denom = (total + vocab.length + 1).toDouble
-      // bigram pairs via the index grid; vocabulary membership filters
-      // BEFORE the aggregation so the pair shuffle is vocab², not corpus²
+      // bigram pairs via the fused native generator (one pass per doc,
+      // vocabulary probe fused — the staged transform/struct tree built
+      // every pair interpretedly and filtered after the explode; same
+      // pair stream, NativeExprParitySpec pins it); vocabulary membership
+      // filters BEFORE the aggregation so the pair shuffle is vocab², not
+      // corpus²
+      val fn = graft.expressions.VocabBigrams.register(
+        toks.sparkSession, vocabSet)
       val pairs = toks
         .filter(size(col("toks")) > 1)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
-          .as("p"))
+        .select(explode(call_function(fn, col("toks"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a").isInCollection(vocabSet) && col("b").isInCollection(vocabSet))
         .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(topB)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -164,8 +164,19 @@ object TextOps {
     size(filter(toks, t => t.isInCollection(words)))
 
   /** Predicted language: the stopword list with the most hits; ties break
-    * alphabetically; zero hits everywhere → "und" (undetermined). */
+    * by declaration order (strictly-greater fold); zero hits everywhere →
+    * "und" (undetermined). One fused native pass
+    * ([[graft.expressions.LangIdFeature]]) instead of 5 interpreted
+    * stopword-filter folds; NativeExprParitySpec pins native ≡ staged. */
   def langId(toks: Column): (Column, Column) = {
+    val fn = graft.expressions.LangIdFeature.register(
+      org.apache.spark.sql.SparkSession.active)
+    val f = call_function(fn, toks)
+    (f.getField("lang"), f.getField("score"))
+  }
+
+  /** The staged builtin composition of [[langId]] — the parity reference. */
+  private[graft] def langIdStaged(toks: Column): (Column, Column) = {
     val scores = stopwords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
     val best = scores.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
@@ -179,6 +190,20 @@ object TextOps {
     * score in [0,1]. Linear combination only (no transcendentals) so every
     * engine computes bit-identical doubles. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val fn = graft.expressions.QualityFeatures.register(
+      org.apache.spark.sql.SparkSession.active, stopwords.head._2)
+    val f = call_function(fn, text)
+    Seq(
+      "n_chars" -> f.getField("n_chars"),
+      "n_tokens" -> f.getField("n_tokens"),
+      "mean_tok_len" -> round(f.getField("mean_tok_len"), 6),
+      "stop_ratio" -> round(f.getField("stop_ratio"), 6),
+      "alpha_ratio" -> round(f.getField("alpha_ratio"), 6),
+      "quality" -> round(f.getField("quality"), 6))
+  }
+
+  /** The staged builtin composition of [[qualityFeatures]] — parity ref. */
+  private[graft] def qualityFeaturesStaged(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nChars = length(text).cast("long")
     val nToks = size(toks).cast("long")
@@ -210,6 +235,19 @@ object TextOps {
     * O(|distinct|·|toks|) on documents, not corpus pairs. Ratios are
     * count-derived, so every engine rounds identically. */
   def repetitionFeatures(text: Column): Seq[(String, Column)] = {
+    val fn = graft.expressions.RepetitionFeatures.register(
+      org.apache.spark.sql.SparkSession.active)
+    val f = call_function(fn, text)
+    Seq(
+      "dup_word_ratio" -> round(f.getField("dup_word_ratio"), 6),
+      "dup_2gram_ratio" -> round(f.getField("dup_2gram_ratio"), 6),
+      "top_tok_ratio" -> round(f.getField("top_tok_ratio"), 6))
+  }
+
+  /** The staged builtin composition of [[repetitionFeatures]] — parity
+    * ref (the staged top-token fold is O(|distinct|·|toks|); the native
+    * hash-count pass is O(|toks|) with the identical max multiplicity). */
+  private[graft] def repetitionFeaturesStaged(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nToks = size(toks).cast("long")
     val dupWord = lit(1.0) - size(array_distinct(toks)).cast("double") /
@@ -268,6 +306,20 @@ object TextOps {
     * Pure line-array expressions — per-document cost, no shuffle, no UDF;
     * the keep decision compares integer counts only. */
   def c4Features(text: Column, minKeptLines: Int = 2): Seq[(String, Column)] = {
+    val fn = graft.expressions.C4Features.register(
+      org.apache.spark.sql.SparkSession.active, minKeptLines)
+    val f = call_function(fn, text)
+    Seq(
+      "n_lines" -> f.getField("n_lines"),
+      "n_kept_lines" -> f.getField("n_kept_lines"),
+      "n_sentences" -> f.getField("n_sentences"),
+      "has_lorem" -> f.getField("has_lorem"),
+      "has_brace" -> f.getField("has_brace"),
+      "keep" -> f.getField("keep"))
+  }
+
+  /** The staged builtin composition of [[c4Features]] — parity ref. */
+  private[graft] def c4FeaturesStaged(text: Column, minKeptLines: Int = 2): Seq[(String, Column)] = {
     val lines = split(text, "\n")
     val kept = filter(lines, l => trim(l).rlike("[.!?\"']$"))
     val nKept = size(kept).cast("long")

@@ -113,6 +113,85 @@ class NativeExprParitySpec extends SparkSpec {
     assert(native == staged)
   }
 
+  test("C4Features / QualityFeatures / RepetitionFeatures: native == staged") {
+    def run(f: org.apache.spark.sql.Column => Seq[(String, org.apache.spark.sql.Column)]) =
+      docs.select(col("doc_id") +: f(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // c4-sensitive corners: trailing '\r' before $ anchors, space-only trim
+    val extra = Seq(
+      (100L, "line one.\r\nline two! \nlorem IPSUM marker"),
+      (101L, "brace { code }\nclean line."),
+      (102L, "tab-trimmed.\t\nspace-trimmed. ")).toDF("doc_id", "text")
+    for (d <- Seq(docs, extra)) {
+      def runOn(f: org.apache.spark.sql.Column => Seq[(String, org.apache.spark.sql.Column)]) =
+        d.select(col("doc_id") +: f(col("text")).map { case (n, c) => c.as(n) }: _*)
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(runOn(TextOps.c4Features(_)) == runOn(TextOps.c4FeaturesStaged(_)))
+      assert(runOn(TextOps.qualityFeatures) == runOn(TextOps.qualityFeaturesStaged))
+      assert(runOn(TextOps.repetitionFeatures) == runOn(TextOps.repetitionFeaturesStaged))
+    }
+    assert(run(TextOps.c4Features(_)).nonEmpty)
+  }
+
+  test("LangIdFeature: native == staged over multilingual token arrays") {
+    val multi = (texts ++ Seq(
+      "der hund ist nicht ein zu mit auf der die",
+      "el la los las es un una por que para",
+      "le chat est dans la maison pour que les",
+      "la es le und the")) // cross-language ambiguity → tie-break order
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    def run(f: org.apache.spark.sql.Column => (org.apache.spark.sql.Column, org.apache.spark.sql.Column)) = {
+      val (lang, score) = f(toks)
+      multi.select(col("doc_id"), lang.as("l"), score.as("s"))
+        .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    assert(run(TextOps.langId) == run(TextOps.langIdStaged))
+  }
+
+  test("VocabBigrams: native pair stream == staged transform+filter") {
+    val vocab = Seq("the", "quick", "brown", "fox", "a", "b", "c", "und")
+    val fn = graft.expressions.VocabBigrams.register(spark, vocab)
+    val toks = TextOps.tokens(col("text"))
+    val stagedPairs = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").isInCollection(vocab) && col("b").isInCollection(vocab))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    val nativePairs = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(call_function(fn, col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .as[(Long, String, String)].collect().toSeq.sorted
+    assert(nativePairs == stagedPairs && nativePairs.nonEmpty)
+  }
+
+  test("CleanRuns: native span surgery == staged coverage/runs fold") {
+    // boilerplate 8-gram shared by docs 0 and 1 at different offsets; doc 2
+    // untouched; doc 3 fully covered (vanishes); doc 4 short tail fragments
+    val boiler = "one two three four five six seven eight"
+    val d = Seq(
+      (0L, s"alpha beta $boiler gamma delta epsilon"),
+      (1L, s"$boiler zeta eta"),
+      (2L, "totally unrelated words that survive whole"),
+      (3L, boiler),
+      (4L, s"x $boiler y")).toDF("doc_id", "text")
+    for ((margin, minKeep) <- Seq((0, 1), (1, 2), (0, 3))) {
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          String, String, Int, Int, Int) => org.apache.spark.sql.DataFrame) =
+        f(d, graft.llm.Dedup.spanBadPositions(d, "doc_id", "text", 8),
+          "doc_id", "text", 8, margin, minKeep)
+          .as[(Long, Long, String, Long)].collect().toSeq.sorted
+      val native = run(graft.llm.Decontaminate.fragmentByBadStarts)
+      val staged = run(graft.llm.Decontaminate.fragmentByBadStartsStaged)
+      assert(native == staged, s"margin=$margin minKeep=$minKeep")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("LamMicroSum: native fold == aggregate over the literal table") {
     val lam = Array.tabulate(64)(i => (i * 2654435761L) % 1000001L - 500000L)
     val fn = graft.expressions.LamMicroSum.register(spark, lam)
