@@ -160,12 +160,26 @@ object FluxQueries {
     val horizon = 1704672000L // 2024-01-08T00:00:00Z
 
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    // Overlap the result DRAINS (guide §2.6 — independent jobs from a small
+    // thread pool back-fill each other's stragglers), as the reference
+    // executor drains runs on its worker pool: the fire itself stays
+    // synchronous and in scheduler order — `spark.sql` binds `:now` /
+    // `:last_success` and plans the frame inside the runner — only the
+    // collect of the bound frame is deferred, so every row is identical to
+    // the sequential drain and `out`'s order is normalized by the final
+    // orderBy anyway. A drain failure surfaces at the await below.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val pending = scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
     var now = 0L
     val sys = new FluxTasks.FluxTaskSystem(
       () => now,
       graft.tick.FluxSql.sqlQueryRunner(s, (task, sf, df) => {
-        val r = df.collect().head
-        out += ((task.id - 1, sf, r.getLong(0), r.getDouble(1)))
+        pending += pool.submit(new Runnable {
+          def run(): Unit = {
+            val r = df.collect().head
+            out.synchronized { out += ((task.id - 1, sf, r.getLong(0), r.getDouble(1))) }
+          }
+        })
       }))
     for (k <- keys) {
       now = base
@@ -179,6 +193,7 @@ object FluxQueries {
     }
     now = horizon
     sys.advanceTo(horizon)
+    try pending.foreach(_.get()) finally pool.shutdown()
     ev.unpersist(false)
     out.toSeq.toDF("task_id", "scheduled_for_s", "n", "s")
       .orderBy("task_id", "scheduled_for_s")
