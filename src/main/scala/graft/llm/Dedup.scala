@@ -399,7 +399,15 @@ object Dedup {
     // prefix element (in the demoted global order) passes both, so the
     // filters stay lossless.
     val alpha = ceil(lit(threshold) / (1 + threshold) * (col("na") + col("nb")))
-    a.join(b, Seq("shingle"))
+    // Keep the posting-list self-join SORT-MERGE even under the session's
+    // preferSortMergeJoin=false: both sides are the corpus-volume prefix
+    // index, so a shuffled-hash build has no small side and inherits the
+    // posting-list skew (boilerplate shingles), where SMJ spills
+    // gracefully (guide §3.1). Measured: on the saturated-df sf1 corpus
+    // SHJ read 8.7 s vs SMJ 7.6 s, with no sf0.1 penalty — the family's
+    // SHJ win comes from the bounded signature/verification joins, which
+    // keep it.
+    a.hint("merge").join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("na") >= ceil(col("nb") * threshold) && col("nb") >= ceil(col("na") * threshold))
       .filter(lit(1) + least(col("na") - col("pos_a"), col("nb") - col("pos_b")) >= alpha)

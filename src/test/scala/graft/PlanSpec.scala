@@ -28,6 +28,31 @@ class PlanSpec extends SparkSpec {
       s"unpruned scan: $readSchema")
   }
 
+  test("PPJoin posting-list self-join stays sort-merge under preferSortMergeJoin=false") {
+    // The r21 session default lets the planner pick shuffled-hash for the
+    // bounded signature/verification joins, but the corpus-volume prefix
+    // index self-join has no small build side and carries the posting-list
+    // skew — Dedup.ngramCandidates pins it to SMJ (hint) so it spills
+    // gracefully at scale. Measured on the saturated-df sf1 corpus:
+    // hybrid 4.7 s vs all-SHJ 8.7 s vs all-SMJ 7.6 s.
+    val prevPrefer = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan visible
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sets = graft.llm.Dedup.shingleHashes(docs, "doc_id", "text", 3)
+        .withColumn("nsh", org.apache.spark.sql.functions.size(col("sh")).cast("long"))
+      val p = plan(graft.llm.Dedup.ngramCandidates(sets, 0.5, Array.empty))
+      assert(p.contains("SortMergeJoin"),
+        s"posting-list self-join lost its sort-merge pin:\n${p.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPrefer)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("revenue join broadcasts every dimension side; only the fact join shuffles") {
     val p = plan(graft.queries.TpchQueries.revenueByRegionNation(spark, dir))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
