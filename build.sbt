@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from the process output. sbt's default LoggedOutput wraps
+// every forked-JVM stdout line in an `[info] ` prefix, which is not valid
+// JSON — every round's BENCH artifact carried `parsed: null` because of it.
+// StdoutOutput passes the child's stdout through verbatim, and
+// showSuccess := false drops the trailing `[success] Total time: ...` line
+// so the JSON line is the last thing on stdout.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

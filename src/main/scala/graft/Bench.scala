@@ -321,24 +321,22 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val isoFreshOut = isolatedFresh.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    // stdout is captured by the driver as a BOUNDED TAIL (~2 KB): at 121
-    // queries the full per-query map alone overflows it and truncates the
-    // FRONT of the line (BENCH_r19 kept 66/121 entries and lost the
-    // totals). Full-suite stdout therefore carries only the top-20 most
-    // expensive queries — the complete map lives in bench_times.json,
-    // committed alongside — with the adjudication payload (isolated,
-    // isolated_fresh, slope_flags, session health) and the total at the
-    // END of the line, where a tail capture can never lose them. The
-    // whole line now fits the bound, so nothing is truncated at all.
-    // Dev mode (explicit query names) keeps the complete map on stdout —
+    // The stdout line carries the FULL per-query map (r21 verdict item 1:
+    // the driver parses per-query perf from this line and does not follow
+    // file pointers — the old top-20 + `queries_full` indirection left
+    // PERF_*.json empty every round). Expensive queries print first and the
+    // adjudication payload (isolated, isolated_fresh, slope_flags, session
+    // health) plus the total sit at the END of the line, so even a bounded
+    // tail capture keeps the totals. The complete map is also committed in
+    // bench_times.json, byte-for-byte the same numbers. Dev mode (explicit
+    // query names) keeps its complete map on stdout in run order —
     // freshJvmTimes parses its child's line for exactly that.
-    val qsOut = (if (names.isEmpty) results.sortBy(-_._2).take(20) else results)
+    val qsOut = (if (names.isEmpty) results.sortBy(-_._2) else results)
       .map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    // queries_full points at the artifact only when this run actually
-    // wrote it — a dev-mode partial run does NOT own bench_times.json and
-    // must not reference a stale file from a different run (r20 advice)
-    val fullPtr = if (names.isEmpty) "\"bench_times.json\"" else "null"
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":$fullPtr,"queries":$qsOut,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"session":$sessionJson,"value":${jnum(total)}}""")
+    // stop BEFORE printing the contract line: Spark's shutdown logging goes
+    // to stderr and must not race a merged-stream capture mid-line
     spark.stop()
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qsOut,"isolated":$isoOut,"isolated_fresh":$isoFreshOut,"slope_flags":$flagsJson,"session":$sessionJson,"value":${jnum(total)}}""")
+    System.out.flush()
   }
 }
