@@ -160,27 +160,28 @@ object FluxQueries {
     val horizon = 1704672000L // 2024-01-08T00:00:00Z
 
     val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
-    // Overlap the result DRAINS (guide §2.6 — independent jobs from a small
-    // thread pool back-fill each other's stragglers), as the reference
-    // executor drains runs on its worker pool: the fire itself stays
-    // synchronous and in scheduler order — `spark.sql` binds `:now` /
-    // `:last_success` and plans the frame inside the runner — only the
-    // collect of the bound frame is deferred, so every row is identical to
-    // the sequential drain and `out`'s order is normalized by the final
-    // orderBy anyway. A drain failure surfaces at the await below.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-    val pending = scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
+    // Overlap fires the way the REFERENCE executor does (guide §2.6 +
+    // executor.go's hashed worker pool): scheduled fires dispatch to a
+    // per-task SERIAL pool, so each run binds `:now`/`:last_success`,
+    // drains its frame, and completes its whole run-FSM transition
+    // (finishRun's forward-only latest* fold) strictly before the SAME
+    // task's next fire binds — while different tasks' fires overlap. A
+    // drain failure is therefore the run's own failure: the runner
+    // returns Left and the FSM records `query error` without advancing
+    // latestSuccess, exactly the reference's ErrQueryError path
+    // (FluxTaskSpec pins it; r21 submitted the drain asynchronously and
+    // returned Right early, so a collect-time failure recorded a
+    // successful run). Rows are identical to the sequential walk — the
+    // final orderBy is a total order over the unique fire keys.
+    val pool = new FluxTasks.TaskSerialPool(8)
     var now = 0L
     val sys = new FluxTasks.FluxTaskSystem(
       () => now,
       graft.tick.FluxSql.sqlQueryRunner(s, (task, sf, df) => {
-        pending += pool.submit(new Runnable {
-          def run(): Unit = {
-            val r = df.collect().head
-            out.synchronized { out += ((task.id - 1, sf, r.getLong(0), r.getDouble(1))) }
-          }
-        })
-      }))
+        val r = df.collect().head
+        out.synchronized { out += ((task.id - 1, sf, r.getLong(0), r.getDouble(1))) }
+      }),
+      workerPool = Some(pool))
     for (k <- keys) {
       now = base
       sys.createTask(graft.tick.TaskOptions.taskCreateFromScript(
@@ -193,8 +194,7 @@ object FluxQueries {
     }
     now = horizon
     sys.advanceTo(horizon)
-    try pending.foreach(_.get()) finally pool.shutdown()
-    ev.unpersist(false)
+    try pool.awaitAll() finally ev.unpersist(false)
     out.toSeq.toDF("task_id", "scheduled_for_s", "n", "s")
       .orderBy("task_id", "scheduled_for_s")
   }

@@ -133,10 +133,59 @@ object FluxTasks {
   class RunAlreadyQueued extends IllegalStateException(
     "run already queued for this time")
 
+  /** The reference executor's worker-pool seam (executor.go:47-66): run
+    * executions CONCURRENTLY across tasks but strictly serially per task
+    * id — the observable law of the reference's hashed worker pool (see
+    * the treescheduler note in the object doc). A caller wires it into
+    * [[FluxTaskSystem]] (`workerPool`) when it wants the drains of
+    * different tasks to overlap WITHOUT changing run-FSM semantics: each
+    * execution completes its whole FSM transition — including finishRun's
+    * forward-only latest* fold — before the SAME task's next fire binds
+    * `:last_success`. An execution that THROWS (the reference's
+    * unrecovered panic) is remembered and rethrown at [[awaitAll]]; later
+    * fires of the task still run, matching the scheduler's onErr law
+    * (executor errors do not stop the schedule). */
+  final class TaskSerialPool(threads: Int) {
+    require(threads > 0, "worker pool needs at least one thread")
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    private val tails = mutable.Map.empty[Long, java.util.concurrent.CompletableFuture[Void]]
+    private val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+
+    /** Enqueue `body` to run after every previously-submitted body for the
+      * same task id (strict per-id serial order, cross-id concurrent).
+      * Single-threaded caller contract: the deterministic scheduler. */
+    def submit(taskId: Long)(body: => Unit): Unit = {
+      val prev = tails.getOrElse(taskId,
+        java.util.concurrent.CompletableFuture.completedFuture(null: Void))
+      val next = prev.thenRunAsync(() => body, pool)
+      // keep the chain alive past a thrown body so later fires still run;
+      // remember the FIRST failure for awaitAll's rethrow
+      tails(taskId) = next.exceptionally { e =>
+        failure.compareAndSet(null,
+          if (e.isInstanceOf[java.util.concurrent.CompletionException] && e.getCause != null)
+            e.getCause else e)
+        null
+      }
+    }
+
+    /** Block until every submitted execution finished, release the
+      * threads, and rethrow the first execution failure (if any). */
+    def awaitAll(): Unit = {
+      try tails.values.foreach(_.join())
+      finally pool.shutdown()
+      val e = failure.get()
+      if (e != null) throw e
+    }
+  }
+
   /** task/kv/task.go Service — the task + run store, in memory. The kv
     * schema (taskBucket, taskRunBucket with `<task>/<run>` keys, the
     * `<task>/manualRuns` list) collapses to three maps; every method
-    * reproduces the corresponding kv transaction's observable effect. */
+    * reproduces the corresponding kv transaction's observable effect.
+    * Methods are `synchronized` (each is one short kv transaction) so a
+    * [[TaskSerialPool]]-driven executor can fold concurrent runs of
+    * DIFFERENT tasks into the store safely; per-task sequencing is the
+    * pool's job, not the lock's. */
   final class FluxTaskService(clock: () => Long) {
     private var nextId = 1L
     private val tasks = mutable.LinkedHashMap[Long, Task]()
@@ -147,7 +196,7 @@ object FluxTasks {
 
     private def genId(): Long = { val i = nextId; nextId += 1; i }
 
-    def createTask(tc: TaskCreate): Task = {
+    def createTask(tc: TaskCreate): Task = this.synchronized {
       require(tc.every.nonEmpty || tc.cron.nonEmpty, "invalid cron or every")
       val now = clock()
       val t = Task(
@@ -166,15 +215,16 @@ object FluxTasks {
       t
     }
 
-    def findTaskByID(id: Long): Task =
+    def findTaskByID(id: Long): Task = this.synchronized {
       tasks.getOrElse(id, throw new TaskNotFound(id))
+    }
 
-    def findTasks(): Seq[Task] = tasks.values.toSeq
+    def findTasks(): Seq[Task] = this.synchronized { tasks.values.toSeq }
 
     /** kv/task.go:187-292 findTasks: page-size laws (negative → too
       * small, > 500 → too large, 0 → default 100), `after`-id paging on
       * the id-ordered store, exact name/status matching, stop at limit. */
-    def findTasks(filter: TaskFilter): Seq[Task] = {
+    def findTasks(filter: TaskFilter): Seq[Task] = this.synchronized {
       if (filter.limit < 0) fail("page size too small")
       if (filter.limit > 500) fail("page size too large")
       val limit = if (filter.limit == 0) 100 else filter.limit
@@ -189,7 +239,7 @@ object FluxTasks {
       * queue first and the running set second, keeping runs whose
       * scheduledFor is strictly inside (afterTime, beforeTime) —
       * beforeTime defaults to now — up to the limit. */
-    def findRuns(taskId: Long, filter: RunFilter = RunFilter()): Seq[Run] = {
+    def findRuns(taskId: Long, filter: RunFilter = RunFilter()): Seq[Run] = this.synchronized {
       if (filter.limit < 0 || filter.limit > 500) fail("run limit out of bounds")
       val limit = if (filter.limit == 0) 100 else filter.limit
       val before = filter.beforeTimeS.getOrElse(clock())
@@ -205,7 +255,7 @@ object FluxTasks {
     /** kv/task.go:383-511 updateTask — including the inactive→active
       * reset of latestCompleted/latestScheduled to now and the
       * forward-only latest* updates. */
-    def updateTask(id: Long, upd: TaskUpdate): Task = {
+    def updateTask(id: Long, upd: TaskUpdate): Task = this.synchronized {
       var t = findTaskByID(id)
       val now = clock()
       upd.flux.foreach { f => t = t.copy(flux = f, updatedAtS = now) }
@@ -241,7 +291,7 @@ object FluxTasks {
       t
     }
 
-    def deleteTask(id: Long): Unit = {
+    def deleteTask(id: Long): Unit = this.synchronized {
       tasks.remove(id).getOrElse(throw new TaskNotFound(id))
       runs.remove(id)
       manual.remove(id)
@@ -250,24 +300,26 @@ object FluxTasks {
     // ------------------------------------------------ run control plane
 
     /** kv/task.go:913 createRun: a `scheduled` run in the running set. */
-    def createRun(taskId: Long, scheduledForS: Long, runAtS: Long): Run = {
+    def createRun(taskId: Long, scheduledForS: Long, runAtS: Long): Run = this.synchronized {
       findTaskByID(taskId)
       val r = Run(genId(), taskId, RunStatus.Scheduled, scheduledForS, runAtS)
       runs.getOrElseUpdate(taskId, mutable.LinkedHashMap())(r.id) = r
       r
     }
 
-    def currentlyRunning(taskId: Long): Seq[Run] =
+    def currentlyRunning(taskId: Long): Seq[Run] = this.synchronized {
       runs.get(taskId).map(_.values.toSeq).getOrElse(Nil)
+    }
 
-    def manualRuns(taskId: Long): Seq[Run] = manual.getOrElse(taskId, Nil)
+    def manualRuns(taskId: Long): Seq[Run] = this.synchronized { manual.getOrElse(taskId, Nil) }
 
-    def findRunByID(taskId: Long, runId: Long): Run =
+    def findRunByID(taskId: Long, runId: Long): Run = this.synchronized {
       runs.get(taskId).flatMap(_.get(runId)).getOrElse(throw new RunNotFound)
+    }
 
     /** kv/task.go:854 forceRun: queue a manual run at `scheduledForS`;
       * a second force at the same time is rejected. */
-    def forceRun(taskId: Long, scheduledForS: Long): Run = {
+    def forceRun(taskId: Long, scheduledForS: Long): Run = this.synchronized {
       findTaskByID(taskId)
       val r = Run(genId(), taskId, RunStatus.Scheduled, scheduledForS,
         runAtS = scheduledForS, requestedAtS = Some(clock()))
@@ -279,7 +331,7 @@ object FluxTasks {
 
     /** kv/task.go:787 retryRun: clone a (finished or running) run back
       * into the manual queue as a fresh `scheduled` run. */
-    def retryRun(taskId: Long, runId: Long): Run = {
+    def retryRun(taskId: Long, runId: Long): Run = this.synchronized {
       val orig = findRunByID(taskId, runId)
       val r = orig.copy(id = genId(), status = RunStatus.Scheduled,
         startedAtS = None, finishedAtS = None, requestedAtS = None)
@@ -289,7 +341,7 @@ object FluxTasks {
 
     /** kv/task.go:1038 startManualRun: move a run from the manual queue
       * into the running set. */
-    def startManualRun(taskId: Long, runId: Long): Run = {
+    def startManualRun(taskId: Long, runId: Long): Run = this.synchronized {
       val q = manual.getOrElse(taskId, Vector.empty)
       val run = q.find(_.id == runId).getOrElse(throw new RunNotFound)
       manual(taskId) = q.filterNot(_.id == runId)
@@ -301,7 +353,7 @@ object FluxTasks {
       * (forward-only latest* clocks; lastRunError is the SECOND-to-last
       * log line per the reference's own composition — see
       * kv/task.go:1127-1138) and drop it from the running set. */
-    def finishRun(taskId: Long, runId: Long): Run = {
+    def finishRun(taskId: Long, runId: Long): Run = this.synchronized {
       val r = findRunByID(taskId, runId)
       val failed = r.status == RunStatus.Failed
       updateTask(taskId, TaskUpdate(
@@ -319,7 +371,7 @@ object FluxTasks {
 
     /** kv/task.go:1171 updateRunState: started stamps startedAt;
       * success/failed/canceled stamp finishedAt. */
-    def updateRunState(taskId: Long, runId: Long, whenS: Long, state: String): Unit = {
+    def updateRunState(taskId: Long, runId: Long, whenS: Long, state: String): Unit = this.synchronized {
       val r = findRunByID(taskId, runId)
       val r2 = state match {
         case RunStatus.Started => r.copy(status = state, startedAtS = Some(whenS))
@@ -330,20 +382,20 @@ object FluxTasks {
       runs(taskId)(runId) = r2
     }
 
-    def addRunLog(taskId: Long, runId: Long, whenS: Long, message: String): Unit = {
+    def addRunLog(taskId: Long, runId: Long, whenS: Long, message: String): Unit = this.synchronized {
       val r = findRunByID(taskId, runId)
       runs(taskId)(runId) = r.copy(logs = r.logs :+ RunLog(runId, whenS, message))
     }
 
     /** kv/task.go:743 cancelRun: status only (the executor's FSM adds
       * the canceled finishedAt stamp through updateRunState). */
-    def cancelRun(taskId: Long, runId: Long): Unit = {
+    def cancelRun(taskId: Long, runId: Long): Unit = this.synchronized {
       val r = findRunByID(taskId, runId)
       runs(taskId)(runId) = r.copy(status = RunStatus.Canceled)
     }
 
     /** backend/schedulable_task_service.go:31 UpdateLastScheduled. */
-    def updateLastScheduled(taskId: Long, tS: Long): Unit = {
+    def updateLastScheduled(taskId: Long, tS: Long): Unit = this.synchronized {
       updateTask(taskId, TaskUpdate(latestScheduledS = Some(tS)))
       ()
     }
@@ -570,13 +622,23 @@ object FluxTasks {
       runQuery: QueryRunner,
       onErr: (Long, Long, String) => Unit = (_, _, _) => (),
       onRunFinished: Run => Unit = _ => (),
-      concurrencyOf: Task => Option[Int] = _ => None) {
+      concurrencyOf: Task => Option[Int] = _ => None,
+      workerPool: Option[TaskSerialPool] = None) {
 
     val service = new FluxTaskService(clock)
     val executor = new FluxExecutor(service, runQuery, clock, onRunFinished,
       concurrencyLimit(service, concurrencyOf))
+    // With a workerPool, scheduled fires dispatch to the per-task serial
+    // queues (the reference's executor worker pool — cross-task overlap,
+    // per-task order and complete FSM transitions); the caller awaits
+    // workerPool.awaitAll() after advanceTo. Without one, execution stays
+    // synchronous inside the scheduler walk (the deterministic default
+    // every spec and the schedule/runs oracles use).
     val scheduler = new FluxScheduler(
-      (id, sf, ra) => { executor.execute(id, sf, ra); () },
+      (id, sf, ra) => workerPool match {
+        case Some(p) => p.submit(id) { executor.execute(id, sf, ra); () }
+        case None    => executor.execute(id, sf, ra); ()
+      },
       (id, t) => service.updateLastScheduled(id, t),
       onErr)
 

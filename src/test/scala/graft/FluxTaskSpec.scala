@@ -462,6 +462,71 @@ class FluxTaskSpec extends AnyFunSuite {
     assert(t2.latestFailureS === Some(1200L))
     assert(t2.lastRunStatus === RunStatus.Success)
   }
+
+  // -------------------------------------- worker-pool fire dispatch (r22)
+
+  test("TaskSerialPool: per-id serial order, failures rethrow at awaitAll without stopping the chain") {
+    val pool = new TaskSerialPool(4)
+    val order = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    for (i <- 1 to 5; id <- Seq(1L, 2L)) pool.submit(id) {
+      Thread.sleep(if (id == 1) 3 else 1) // skew so overlap would reorder if unserialized
+      order.synchronized { order += ((id, i)) }
+      if (id == 2 && i == 3) throw new RuntimeException("boom")
+    }
+    val e = intercept[RuntimeException] { pool.awaitAll() }
+    assert(e.getMessage === "boom")
+    // strict per-id order, including the fires AFTER the thrown one
+    assert(order.synchronized(order.filter(_._1 == 1L).map(_._2).toSeq) === (1 to 5))
+    assert(order.synchronized(order.filter(_._1 == 2L).map(_._2).toSeq) === (1 to 5))
+  }
+
+  test("worker pool: a drain-time failure is the run's own failure — latestSuccess does NOT advance") {
+    // The r21 fluxtask regression at the margin: the runner submitted the
+    // drain asynchronously and returned Right, so a collect-time failure
+    // recorded a SUCCESSFUL run and every later `:last_success` binding
+    // diverged from the reference's ErrQueryError path. With the per-task
+    // serial pool the drain runs inside the runner: the poisoned fire
+    // fails its run, and the same task's next fires observe the
+    // pre-failure clock.
+    def run(pool: Option[TaskSerialPool]): (Seq[(Long, Long, Option[Long])], Seq[Task]) = {
+      val observed = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])]()
+      var now = 0L
+      val sys = new FluxTaskSystem(
+        () => now,
+        (task, sf) => {
+          // what the reference binds as tasks.lastSuccessTime for this run
+          observed.synchronized { observed += ((task.id, sf, task.latestSuccessS)) }
+          Thread.sleep(if (task.id == 2) 8 else 2) // make cross-task overlap real
+          if (task.id == 2 && sf == 300L) Left("query error: poisoned drain")
+          else Right(())
+        },
+        workerPool = pool)
+      now = 0L
+      for (i <- 1 to 3) sys.createTask(TaskCreate(name = s"t$i", flux = "f", every = "60s"))
+      now = 300L
+      sys.advanceTo(300L)
+      pool.foreach(_.awaitAll())
+      (observed.synchronized(observed.toSeq), sys.service.findTasks())
+    }
+    val (obs, tasks) = run(Some(new TaskSerialPool(4)))
+    val t2 = tasks.find(_.id == 2L).get
+    assert(t2.latestSuccessS === Some(240L), "failed fire must not advance latestSuccess")
+    assert(t2.latestFailureS === Some(300L))
+    assert(t2.latestCompletedS === 300L)
+    assert(t2.lastRunStatus === RunStatus.Failed)
+    // the second-to-last-log lastRunError law (kv/task.go:1127-1138): the
+    // executor logs Started / Completed(failed) / <error>, so the stored
+    // lastRunError is the Completed line — same as the synchronous path
+    assert(t2.lastRunError === "Completed(failed)")
+    // per-task bind-time clocks: strictly the previous fire's outcome
+    assert(obs.filter(_._1 == 2L).sortBy(_._2) === Seq(
+      (2L, 60L, None), (2L, 120L, Some(60L)), (2L, 180L, Some(120L)),
+      (2L, 240L, Some(180L)), (2L, 300L, Some(240L))))
+    // pooled execution is observably identical to the synchronous walk
+    val (obsSync, tasksSync) = run(None)
+    assert(obs.sorted === obsSync.sorted)
+    assert(tasks === tasksSync)
+  }
 }
 
 /** Spark-side: the distributed fire-time expansion agrees with the
