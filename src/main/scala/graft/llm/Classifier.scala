@@ -60,6 +60,24 @@ object Classifier {
       .orderBy(md5(col("sid")))
       .limit(maxSample)
       .collect()
+    trainLogisticRows(
+      rows.map(r => (r.getString(1), r.getDouble(2))), dim, iters, lr, l2)
+  }
+
+  /** The driver GD over an ALREADY-collected (text, label) sample — the
+    * fused-action path (q_text_classify pulls the sample and the teacher
+    * median in ONE job and labels on the driver). Sample ORDER defines
+    * the gradient fold's FP accumulation order: callers must pass rows in
+    * the same md5(sid)-ascending order [[trainLogistic]] collects, and
+    * then the model bits are identical (the Verify cross-check replays
+    * the staged path and asserts bit-equality). */
+  private[graft] def trainLogisticRows(
+      sample: Array[(String, Double)],
+      dim: Int,
+      iters: Int,
+      lr: Double = 1.0,
+      l2: Double = 1e-4): LogisticModel = {
+    val rows = sample
     require(rows.nonEmpty, "trainLogistic needs a non-empty labeled sample")
     // primitive parallel arrays: the GD loop touches every feature of
     // every sample per iteration — boxed tuples there dominate runtime.
@@ -70,10 +88,10 @@ object Classifier {
     val vals = new Array[Array[Double]](rows.length)
     val ys = new Array[Double](rows.length)
     java.util.stream.IntStream.range(0, rows.length).parallel().forEach { s =>
-      val f = featurize(rows(s).getString(1), dim)
+      val f = featurize(rows(s)._1, dim)
       idxs(s) = f.map(_._1)
       vals(s) = f.map(_._2)
-      ys(s) = rows(s).getDouble(2)
+      ys(s) = rows(s)._2
     }
     val w = new Array[Double](dim)
     var b = 0.0

@@ -49,17 +49,31 @@ object LangModel {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .persist()
     try {
-      val totalRow = counts.agg(sum(col("cnt"))).head()
-      require(!totalRow.isNullAt(0),
-        "cannot train a unigram language model on an empty corpus (no tokens)")
-      val total = totalRow.getLong(0)
-      val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val (total, vocab) = vocabAndTotal(counts, topV)
       val denom = (total + vocab.length + 1).toDouble
       UnigramModel(
         vocab.map { case (t, c) => t -> math.log((c + 1).toDouble / denom) }.toMap,
         math.log(1.0 / denom), total, vocab.length)
     } finally { counts.unpersist(blocking = false) }
+  }
+
+  /** The two model inputs — the top-`topV` (count DESC, token ASC)
+    * vocabulary and the TOTAL token-occurrence count — in ONE driver
+    * round-trip (r22, guide §1.2: the pipeline's serial job count is
+    * latency, not data): a null-token marker row carries the corpus total
+    * alongside the vocabulary rows, and the persisted `counts` feeds both
+    * union branches inside the single collect job. Vocabulary rows and
+    * the total are exactly the old two-action values. */
+  private def vocabAndTotal(counts: DataFrame, topV: Int): (Long, Array[(String, Long)]) = {
+    val rows = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
+      .select(col("token"), col("cnt"))
+      .unionAll(counts.agg(
+        lit(null).cast("string").as("token"), sum(col("cnt")).as("cnt")))
+      .collect()
+    val (totRow, vocabRows) = rows.partition(_.isNullAt(0))
+    require(totRow.nonEmpty && !totRow.head.isNullAt(1),
+      "cannot train a unigram language model on an empty corpus (no tokens)")
+    (totRow.head.getLong(1), vocabRows.map(r => r.getString(0) -> r.getLong(1)))
   }
 
   /** Interpolated bigram model: raw (not log) probabilities so the mixture
@@ -81,12 +95,11 @@ object LangModel {
       val counts = toks.select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .persist()
-      val totalRow = counts.agg(sum(col("cnt"))).head()
-      require(!totalRow.isNullAt(0),
-        "cannot train a bigram language model on an empty corpus (no tokens)")
-      val total = totalRow.getLong(0)
-      val vocab = counts.orderBy(col("cnt").desc, col("token")).limit(topV)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val (total, vocab) = try vocabAndTotal(counts, topV)
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            "cannot train a bigram language model on an empty corpus (no tokens)", e)
+        }
       counts.unpersist(blocking = false)
       val vocabSet = vocab.map(_._1).toSeq
       val uniCnt = vocab.toMap

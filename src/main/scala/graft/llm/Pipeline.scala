@@ -109,6 +109,7 @@ object Pipeline {
     // text column (one corpus shuffle on the block hash), so it runs
     // before tokenization and its rewritten frame checkpoints like the
     // span surgeries; docs reduced to whitespace vanish via the join
+    var toksFPre: Option[DataFrame] = None
     val cleanOk = tap("paragraph_dedup", {
       if (!cfg.paragraphDedup) gopherOk
       else {
@@ -129,14 +130,27 @@ object Pipeline {
         // (tools.CurateStages, repeat=8, fresh JVM); at 100 TB they are
         // the difference between re-filtering the raw corpus per stage
         // and reading the cleaned one. Same space-for-passes trade as the
-        // toksF checkpoint below — production writes its cleaned corpus
+        // shared-tokens checkpoint — production writes its cleaned corpus
         // to parquet exactly once.
-        surv(docs.drop(textCol).join(deduped, Seq(idCol))
-          .withColumnRenamed("__ptext", textCol))
+        val joined = docs.drop(textCol).join(deduped, Seq(idCol))
+          .withColumnRenamed("__ptext", textCol)
+        if (cfg.maxAvgNll.isEmpty) surv(joined)
+        else {
+          // LM stage active: tokenize INSIDE the same checkpoint job, so
+          // ONE materialization pins the cleaned corpus and its token
+          // arrays together (r22 — the (id, toks) frame used to be a
+          // second serial checkpoint re-reading the frame this job just
+          // pinned; same pinned bytes either way, one fewer pass+job).
+          // Downstream text consumers project __toks away at the pinned
+          // scan, so no join or shuffle ever carries the arrays.
+          val wide = surv(joined.withColumn("__toks", toks))
+          toksFPre = Some(wide.select(col(idCol), col("__toks")))
+          wide.drop("__toks")
+        }
       }
     })
     val toksF: Option[DataFrame] = cfg.maxAvgNll.map { _ =>
-      surv(cleanOk.select(col(idCol), toks.as("__toks")))
+      toksFPre.getOrElse(surv(cleanOk.select(col(idCol), toks.as("__toks"))))
     }
     // stage 3: perplexity filter (model trained on the surviving corpus)
     val pplOk = tap("perplexity", (cfg.maxAvgNll, toksF) match {

@@ -1166,19 +1166,69 @@ object LlmQueries {
     * and ≥85% teacher agreement on this distillation (measured 91%). */
   def textClassifyQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val teacher = LangModel.unigramTrain(d, "text", topV = 256)
-    val scored = LangModel.avgNll(d, "doc_id", "text", teacher)
-    val med = boundedLowerMedian(scored, "avg_nll")
+    val (model, med, teacher) = classifyModelFused(s, dir)
     val labeled = d.join(
-      scored.select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
+      LangModel.avgNll(d, "doc_id", "text", teacher)
+        .select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
       "doc_id")
-    val model = graft.llm.Classifier.trainLogistic(
-      labeled, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
     classifyOracle = Some(classifySqlFor(model))
     graft.llm.Classifier.score(labeled, "text", model)
       .select(col("doc_id"), col("label").cast("long").as("label"),
         col("score"), (col("score") >= 0.5).as("pred"))
       .orderBy("doc_id")
+  }
+
+  /** The distillation driver work of q_text_classify in TWO jobs instead
+    * of five (r22, guide §1.2 — the query's floor was serial driver
+    * round-trips, not data): job 1 trains the unigram teacher
+    * (LangModel's fused vocab+total collect), job 2 pulls the avg_nll
+    * HISTOGRAM (boundedLowerMedian's exact input) and the md5-ordered
+    * bounded training sample in one union collect; the driver then
+    * computes the same lower median, labels the sample
+    * (label = avg_nll <= med), re-establishes the md5 order and runs the
+    * same bit-pinned GD. Model bits are IDENTICAL to the staged
+    * median-join-collect chain — textClassifyCrossCheck replays that
+    * staged chain in Verify and asserts score equality, and
+    * NativeExprParitySpec pins fused ≡ staged weights directly. */
+  private[graft] def classifyModelFused(s: SparkSession, dir: String):
+      (graft.llm.Classifier.LogisticModel, Double, LangModel.UnigramModel) = {
+    val d = docs(s, dir)
+    val teacher = LangModel.unigramTrain(d, "text", topV = 256)
+    val scored = LangModel.avgNll(d, "doc_id", "text", teacher)
+    val maxSample = 65536
+    val hist = scored.groupBy(col("avg_nll")).agg(count(lit(1)).as("__c"))
+      .select(lit(0).as("__k"), lit(null).cast("string").as("__m"),
+        lit(null).cast("string").as("__t"), col("avg_nll").as("__v"), col("__c"))
+    val samp = d.join(scored.select(col("doc_id"), col("avg_nll")), "doc_id")
+      .select(md5(col("doc_id").cast("string")).as("__m"),
+        col("text").cast("string").as("__t"), col("avg_nll").as("__v"))
+      .orderBy(col("__m")).limit(maxSample)
+      .select(lit(1).as("__k"), col("__m"), col("__t"), col("__v"),
+        lit(null).cast("long").as("__c"))
+    val rows = hist.unionAll(samp).collect()
+    // lower median over the rounded-score histogram: the first ascending
+    // value whose cumulative count reaches half — boundedLowerMedian's
+    // exact law, replayed on the collected histogram rows
+    val histRows = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val tot = histRows.map(_._2).sum
+    var cum = 0L
+    var med = Double.NaN
+    var found = false
+    for ((v, c) <- histRows if !found) {
+      cum += c
+      if (2 * cum >= tot) { med = v; found = true }
+    }
+    require(found, "boundedLowerMedian(avg_nll): empty input")
+    // the training sample in md5(sid)-ascending order (hex strings sort
+    // identically as Java Strings and UTF8 binaries; ids are distinct so
+    // there are no ties) — the exact fold order trainLogistic collects
+    val sample = rows.filter(_.getInt(0) == 1)
+      .map(r => (r.getString(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+      .map { case (_, t, nll) => (t, if (nll <= med) 1.0 else 0.0) }
+    (graft.llm.Classifier.trainLogisticRows(
+      sample, dim = 1 << 14, iters = 100), med, teacher)
   }
 
   /** DuckDB oracle for q_text_classify, GENERATED at query-construction

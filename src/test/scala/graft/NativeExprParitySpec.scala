@@ -92,6 +92,25 @@ class NativeExprParitySpec extends SparkSpec {
     assert(m1.bias == m2.bias && m1.weights == m2.weights)
   }
 
+  test("classifyModelFused: one-job median+sample path yields the staged chain's exact model bits (r22)") {
+    // staged chain — q_text_classify's pre-r22 construction: separate
+    // median action, distributed label join, trainLogistic's own collect
+    val sfDir = "/root/testdata/sf0.001"
+    val d = graft.Graft.table(spark, sfDir, "documents")
+    val teacher = graft.llm.LangModel.unigramTrain(d, "text", topV = 256)
+    val scored = graft.llm.LangModel.avgNll(d, "doc_id", "text", teacher)
+    val med = graft.queries.LlmQueries.boundedLowerMedian(scored, "avg_nll")
+    val labeled = d.join(
+      scored.select(col("doc_id"), (col("avg_nll") <= med).cast("int").as("label")),
+      "doc_id")
+    val staged = Classifier.trainLogistic(
+      labeled, "doc_id", "text", "label", dim = 1 << 14, iters = 100)
+    val (fused, fusedMed, _) = graft.queries.LlmQueries.classifyModelFused(spark, sfDir)
+    assert(fusedMed == med, "fused lower median drifted")
+    assert(fused.bias == staged.bias && fused.weights == staged.weights,
+      "fused-action training sample or order drifted from the staged chain")
+  }
+
   test("DsirGramBuckets: native bucket ids == staged md5-prefix bucketing") {
     val buckets = 64
     val fn = graft.expressions.DsirGramBuckets.register(spark, buckets)
