@@ -20,6 +20,7 @@ run / fork := true
 // so the JSON line is the last thing on stdout.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

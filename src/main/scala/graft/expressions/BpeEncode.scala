@@ -3,8 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * cannot grow the executor heap.
   */
 case class BpeEncode(child: Expression, model: graft.llm.Bpe.BpeModel)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -38,7 +38,11 @@ case class BpeEncode(child: Expression, model: graft.llm.Bpe.BpeModel)
         }
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): ArrayData = {
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val cache = memo.get()
@@ -56,6 +60,15 @@ case class BpeEncode(child: Expression, model: graft.llm.Bpe.BpeModel)
       i += 1
     }
     new GenericArrayData(out.result())
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

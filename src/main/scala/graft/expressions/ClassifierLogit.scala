@@ -6,8 +6,9 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused hashing-trick logistic-regression logit (pre-bias): tokenize →
   * h60 bucket per token → ASCENDING bucket sort → the two canonical folds
@@ -24,7 +25,7 @@ import org.apache.spark.sql.types._
   * Catalyst re-walks per token.
   */
 case class ClassifierLogit(child: Expression, weights: Array[Double], dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -47,7 +48,11 @@ case class ClassifierLogit(child: Expression, weights: Array[Double], dim: Int)
     v >>> 4
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): Double = {
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val n = toks.length
@@ -72,6 +77,15 @@ case class ClassifierLogit(child: Expression, weights: Array[Double], dim: Int)
     }
     val nrm = java.lang.Math.sqrt(tfSq)
     if (nrm > 0) rawDot / nrm else 0.0
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("clslogit", this, classOf[ClassifierLogit].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

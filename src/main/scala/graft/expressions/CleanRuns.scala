@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   */
 case class CleanRuns(left: Expression, right: Expression,
     n: Int, margin: Int, minKeepTokens: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("s", IntegerType, nullable = false),
@@ -41,10 +41,23 @@ case class CleanRuns(left: Expression, right: Expression,
     case t => TypeCheckResult.TypeCheckFailure(s"graft_cleanruns expects (int, array<int>), got $t")
   }
 
-  override def nullSafeEval(ntokAny: Any, badAny: Any): Any = {
-    val ntok = ntokAny.asInstanceOf[Int]
-    val bad = badAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(ntokAny: Any, badAny: Any): Any =
+    evalRuns(ntokAny.asInstanceOf[Int], badAny.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalRuns(ntok: Int, bad: ArrayData): ArrayData = {
     val nb = bad.numElements()
+    // the two-pointer sweep REQUIRES badPos sorted ascending (the staged
+    // reference is order-insensitive, so an unsorted caller would get
+    // silently wrong fragments) — assert the precondition cheaply:
+    // O(|badPos|) integer compares against an O(ntok) sweep
+    var k = 1
+    while (k < nb) {
+      if (bad.getInt(k) < bad.getInt(k - 1))
+        throw new IllegalArgumentException(
+          s"graft_cleanruns: badPos must be sorted ascending (pos $k)")
+      k += 1
+    }
     val out = new java.util.ArrayList[Any]()
     val reach = n - 1 + margin
     // sweep positions 1..ntok against the sorted bad starts: a position t
@@ -68,6 +81,15 @@ case class CleanRuns(left: Expression, right: Expression,
     }
     if (runLen >= minKeepTokens && runLen > 0) out.add(InternalRow(runStart, runLen))
     new GenericArrayData(out.toArray)
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cleanruns", this, classOf[CleanRuns].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.evalRuns($a, $b);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

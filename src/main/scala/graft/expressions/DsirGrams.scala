@@ -6,7 +6,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -24,7 +25,7 @@ import org.apache.spark.sql.types._
   * the log-ratio literal, and every score are unchanged.
   */
 case class DsirGramBuckets(child: Expression, buckets: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -47,7 +48,11 @@ case class DsirGramBuckets(child: Expression, buckets: Int)
     v % buckets
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): ArrayData = {
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val n = toks.length
@@ -58,6 +63,15 @@ case class DsirGramBuckets(child: Expression, buckets: Int)
     i = 0
     while (i < nBi) { out(n + i) = bucketOf(toks(i) + " " + toks(i + 1)); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirb", this, classOf[DsirGramBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -80,22 +94,48 @@ object DsirGramBuckets {
   * element_at over a 65536-entry array literal. Pairs with
   * [[DsirGramBuckets]] for shuffle-free DSIR scoring. */
 case class LamMicroSum(child: Expression, lam: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"graft_lamsum expects array<bigint>, got $t")
+    // nullable elements rejected up front: a null bucket id has no staged
+    // meaning here (the fold is only defined paired with DsirGramBuckets,
+    // whose output is containsNull = false)
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lamsum expects array<bigint> with non-null elements, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalBuckets(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalBuckets(arr: ArrayData): Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) { acc += lam(arr.getLong(i).toInt); i += 1 }
+    while (i < n) {
+      val b = arr.getLong(i)
+      // a bucket id outside the literal table means the caller paired this
+      // fold with a different-bucket featurizer — fail loudly instead of
+      // reading a wrong slot or throwing an opaque bounds error
+      if (b < 0 || b >= lam.length)
+        throw new IllegalArgumentException(
+          s"graft_lamsum: bucket id $b outside the ${lam.length}-entry table")
+      acc += lam(b.toInt)
+      i += 1
+    }
     acc
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lamsum", this, classOf[LamMicroSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalBuckets($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

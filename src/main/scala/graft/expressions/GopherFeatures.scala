@@ -6,8 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused Gopher rule evaluation (Rae et al. 2021 Table A1): one JVM pass
   * per document computing every feature of
@@ -31,8 +32,7 @@ import org.apache.spark.sql.types._
   * Output struct (unrounded): n_words, mean_word_len, symbol_ratio,
   * bullet_frac, ellipsis_frac, alpha_word_frac, stop_hits, keep.
   */
-case class GopherFeatures(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class GopherFeatures(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),
@@ -63,7 +63,11 @@ case class GopherFeatures(child: Expression)
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): InternalRow = {
     val text = input.toString
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val toks = lower.split("\\s+").filter(_.nonEmpty)
@@ -128,6 +132,17 @@ case class GopherFeatures(child: Expression)
 
     InternalRow(nToks, meanLen, symRatio, bulletFrac, ellipsisFrac,
       alphaFrac, stopHits, keep)
+  }
+
+  /** Not CodegenFallback (r22): a fallback expression disqualifies its
+    * whole Project from WholeStageCodegen (CollapseCodegenStages checks
+    * every expression), so the curate filter chain broke into interpreted
+    * row-at-a-time segments at exactly its hottest per-row pass. The
+    * generated code delegates to the same fused JVM eval via a reference
+    * object — the heavy lifting is identical, the span stays fused. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopher", this, classOf[GopherFeatures].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,15 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `oov` — but one JVM hash-map probe per token instead of an interpreted
   * HOF lambda with a linear scan over a MapData literal per element (the
   * map literal's element_at is O(|vocab|) per lookup; at vocab 4096 the
-  * staged tree was the whole scoring stage). CodegenFallback is fine: the
-  * map probes dominate and the fold is a tight loop; what this removes is
-  * per-lambda expression interpretation and the linear-scan lookup.
+  * staged tree was the whole scoring stage). Generates real code (r22):
+  * a CodegenFallback disqualifies the whole Project from
+  * WholeStageCodegen, splitting the corpus-volume scoring pass into
+  * interpreted segments — the generated call delegates to the same fused
+  * fold through a reference object, keeping the span intact.
   *
   * Bit-compatibility contract (LlmSpec pins it): identical fold order ⟹
   * identical double sum ⟹ identical rounded avg_nll downstream.
   */
 case class UnigramNllSum(child: Expression, lp: Map[String, Double], oov: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -39,8 +41,11 @@ case class UnigramNllSum(child: Expression, lp: Map[String, Double], oov: Double
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalToks(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalToks(arr: ArrayData): Double = {
     val n = arr.numElements()
     var acc = 0.0
     var i = 0
@@ -51,6 +56,11 @@ case class UnigramNllSum(child: Expression, lp: Map[String, Double], oov: Double
       i += 1
     }
     acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("uninll", this, classOf[UnigramNllSum].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalToks($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -88,7 +98,11 @@ object UnigramNllSum {
   */
 case class BigramNllSum(child: Expression, uniP: Map[String, Double], oovP: Double,
     biP: Map[String, Double], lambda: Double)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  // NOTE: nullable result (empty arrays score null) — doGenCode must keep
+  // ev.isNull in sync, unlike the non-null siblings
+  override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
 
@@ -113,10 +127,14 @@ case class BigramNllSum(child: Expression, uniP: Map[String, Double], oovP: Doub
     if (v == null) oovP else v.doubleValue()
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalToks(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code; null for empty arrays (callers
+    * filter size > 0 — mirrors the staged element_at null). */
+  def evalToks(arr: ArrayData): java.lang.Double = {
     val n = arr.numElements()
-    if (n == 0) return null // callers filter size > 0; mirror element_at null
+    if (n == 0) return null
     val toks = new Array[String](n)
     var i = 0
     while (i < n) {
@@ -134,6 +152,25 @@ case class BigramNllSum(child: Expression, uniP: Map[String, Double], oovP: Doub
       i += 1
     }
     first + rest
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("binll", this, classOf[BigramNllSum].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("binllRes")
+      s"""
+         |java.lang.Double $r = $ref.evalToks($c);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * broadcast variable, zero shuffle.
   */
 case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val m = codebooks.length
   private val ksub = codebooks.head.length
@@ -57,8 +57,11 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
     case _ => false
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalVec(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalVec(v: ArrayData): ArrayData = {
     if (v.numElements() != m * subdim)
       throw new IllegalArgumentException(
         s"graft_pqcodes: input vector has ${v.numElements()} dims but the " +
@@ -95,6 +98,15 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       s += 1
     }
     new GenericArrayData(codes)
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalVec($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

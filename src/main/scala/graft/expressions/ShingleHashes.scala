@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
 /** Fused text → word-n-shingle 60-bit hash array: lowercase/trim/tokenize,
@@ -17,15 +18,13 @@ import org.apache.spark.sql.types._
   *
   * Exactly the staged `tokens → shingles → h60 → array_distinct` builtin
   * pipeline (TextOps), but one partition-local JVM pass — no interpreted
-  * HOF trees, no intermediate UTF8String arrays. CodegenFallback is fine:
-  * the md5 work dominates and the Scala loop is already tight; what this
-  * removes is per-lambda expression interpretation.
+  * HOF trees, no intermediate UTF8String arrays; generates a real codegen
+  * call (r22) so the enclosing Project keeps its WholeStageCodegen span.
   *
   * `n == 1, distinct = false` yields the token-hash multiset SimHash needs.
   */
 case class ShingleHashes(child: Expression, n: Int, distinct: Boolean,
-    wholeDocIfShort: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    wholeDocIfShort: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -49,7 +48,11 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean,
     v >>> 4
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): ArrayData = {
     // mirror lower(trim(text)) + split("\s+") + drop empties (TextOps.tokens)
     val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
@@ -91,6 +94,15 @@ case class ShingleHashes(child: Expression, n: Int, distinct: Boolean,
         java.util.Arrays.copyOf(out, w)
       }
     new GenericArrayData(res)
+  }
+
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,7 +48,7 @@ private[expressions] object TextFeatureEval {
 /** One-pass C4 document heuristics — the exact fields of
   * [[graft.llm.TextOps.c4Features]]. */
 case class C4Features(child: Expression, minKeptLines: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextFeatureEval._
 
   override def dataType: DataType = StructType(Seq(
@@ -66,7 +66,11 @@ case class C4Features(child: Expression, minKeptLines: Int)
 
   @transient private lazy val keptRe = Pattern.compile("[.!?\"']$")
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): InternalRow = {
     val text = input.toString
     val lines = text.split("\n", -1)
     var kept = 0
@@ -88,6 +92,15 @@ case class C4Features(child: Expression, minKeptLines: Int)
     InternalRow(lines.length.toLong, kept.toLong, sentences, hasLorem, hasBrace, keep)
   }
 
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("c4feat", this, classOf[C4Features].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -105,7 +118,7 @@ object C4Features {
   * [[graft.llm.TextOps.qualityFeatures]] (unrounded; rounding stays in
   * TextOps). */
 case class QualityFeatures(child: Expression, enStopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextFeatureEval._
 
   override def dataType: DataType = StructType(Seq(
@@ -127,7 +140,11 @@ case class QualityFeatures(child: Expression, enStopwords: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): InternalRow = {
     val text = input.toString
     val toks = tokens(text)
     val nChars = codePoints(text)
@@ -155,6 +172,15 @@ case class QualityFeatures(child: Expression, enStopwords: Seq[String])
     InternalRow(nChars, nToks, meanTokLen, stopRatio, alphaRatio, score)
   }
 
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quality", this, classOf[QualityFeatures].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -174,7 +200,7 @@ object QualityFeatures {
   * O(|toks|) with the identical result (max multiplicity). top_tok_ratio
   * is NULL for token-less documents (array_max of an empty array). */
 case class RepetitionFeatures(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   import TextFeatureEval._
 
   override def dataType: DataType = StructType(Seq(
@@ -187,7 +213,11 @@ case class RepetitionFeatures(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"graft_repetition expects string, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    evalText(input.asInstanceOf[UTF8String])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalText(input: UTF8String): InternalRow = {
     val toks = tokens(input.toString)
     val nToks = toks.length.toLong
     val counts = new java.util.HashMap[String, Int](toks.length * 2)
@@ -215,6 +245,15 @@ case class RepetitionFeatures(child: Expression)
     InternalRow(dupWord, dup2, topRatio)
   }
 
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetition", this, classOf[RepetitionFeatures].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -235,7 +274,7 @@ object RepetitionFeatures {
   * ties), "und" when every count is zero. Input is the token array so the
   * call composes with however the caller tokenized. */
 case class LangIdFeature(child: Expression, langWords: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("lang", StringType, nullable = false),
@@ -261,8 +300,11 @@ case class LangIdFeature(child: Expression, langWords: Seq[(String, Seq[String])
   }
   @transient private lazy val und = UTF8String.fromString("und")
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalToks(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalToks(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val scores = new Array[Long](langNames.length)
     var i = 0
@@ -291,6 +333,15 @@ case class LangIdFeature(child: Expression, langWords: Seq[(String, Seq[String])
     else InternalRow(langNames(best), scores(best))
   }
 
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langid", this, classOf[LangIdFeature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalToks($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -311,7 +362,7 @@ object LangIdFeature {
   * fused (the staged tree built every pair struct interpretedly and
   * filtered after the explode). */
 case class VocabBigrams(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("a", StringType, nullable = false),
@@ -328,8 +379,11 @@ case class VocabBigrams(child: Expression, vocab: Seq[String])
     s
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalToks(input.asInstanceOf[ArrayData])
+
+  /** Public entry for generated code (nullSafeEval is protected). */
+  def evalToks(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[String](n)
@@ -349,13 +403,26 @@ case class VocabBigrams(child: Expression, vocab: Seq[String])
     new GenericArrayData(out.toArray)
   }
 
+  /** Generates a real codegen call (r22): CodegenFallback disqualifies the
+    * enclosing Project from WholeStageCodegen, splitting the fused span at
+    * this expression; the generated code delegates to the same JVM eval
+    * through a reference object, keeping the span intact. */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vbigrams", this, classOf[VocabBigrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalToks($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object VocabBigrams {
   def register(spark: SparkSession, vocab: Seq[String]): String = {
-    val sig = graft.llm.TextOps.jvmH60(vocab.mkString("")) & 0xffffffffL
+    // separator escaped explicitly ("\u0001" was a raw control byte that
+    // rendered invisibly — reviewers read it as mkString("")); a 0x01 never
+    // appears in whitespace-split tokens, so concatenation-ambiguous
+    // vocabularies keep distinct registered names
+    val sig = graft.llm.TextOps.jvmH60(vocab.mkString("\u0001")) & 0xffffffffL
     val name = s"graft_vbigrams_$sig"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => VocabBigrams(exprs.head, vocab), "built-in")

@@ -53,6 +53,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard at scale: SHJ on the bounded verification joins, SMJ on the posting-list join, in ONE plan") {
+    // r21 left no committed artifact proving the hybrid at bench scale —
+    // the sf0.01 plan dumps broadcast the bounded joins, hiding the SHJ
+    // choice. Force the above-broadcast-threshold regime (threshold -1 =
+    // nothing broadcasts, the planner must pick a shuffle join for every
+    // join) and assert BOTH halves of the hybrid in the same executed
+    // plan: the candidate→sets verification joins go shuffled-hash (the
+    // session's preferSortMergeJoin=false, bounded per-partition builds)
+    // while the corpus-volume posting-list self-join keeps its sort-merge
+    // hint (no small build side, posting-list skew; sf1 measured: hybrid
+    // 4.7 s vs all-SHJ 8.7 s vs all-SMJ 7.6 s). Fails if either side flips.
+    val prevPrefer = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan visible
+      // production proportions, scaled to the spec corpus: the shingle-set
+      // table is far ABOVE the broadcast threshold (no BHJ possible) but
+      // its per-partition build fits (size < threshold × partitions — the
+      // planner's shuffled-hash condition). threshold -1 would be wrong
+      // here: it disables the local-hash-map size check too and forces
+      // SMJ everywhere.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      spark.conf.set("spark.sql.shuffle.partitions", "200")
+      // ngramJaccard itself checkpoints eagerly (its returned plan is a
+      // bare RDD scan), so assemble its exact pre-checkpoint composition:
+      // candidates (posting-list self-join) joined back to the full
+      // shingle sets for verification — Dedup.ngramJaccard's own shape.
+      import org.apache.spark.sql.functions.{col, size => asize}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sets = graft.llm.Dedup.shingleHashes(docs, "doc_id", "text", 3)
+        .withColumn("nsh", asize(col("sh")).cast("long"))
+      val candidates = graft.llm.Dedup.ngramCandidates(sets, 0.5, Array.empty)
+      val setsA = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("nsh").as("n_a"))
+      val setsB = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("nsh").as("n_b"))
+      val p = plan(candidates.join(setsA, "id_a").join(setsB, "id_b"))
+      val shj = "ShuffledHashJoin".r.findAllIn(p).size
+      val smj = "SortMergeJoin".r.findAllIn(p).size
+      assert(shj >= 2, s"verification joins not shuffled-hash above the broadcast threshold (SHJ=$shj):\n${p.take(2000)}")
+      assert(smj == 1, s"posting-list self-join lost its sort-merge pin (SMJ=$smj):\n${p.take(2000)}")
+      assert(!p.contains("BroadcastHashJoin"), "broadcast leaked above the threshold")
+    } finally {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPrefer)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("revenue join broadcasts every dimension side; only the fact join shuffles") {
     val p = plan(graft.queries.TpchQueries.revenueByRegionNation(spark, dir))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
