@@ -24,8 +24,22 @@ object TextOps {
   def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Whitespace tokens of the lowercased, trimmed text; empty tokens
-    * filtered so leading/trailing/multiple whitespace is harmless. */
+    * filtered so leading/trailing/multiple whitespace is harmless.
+    * One native expression (r22): the staged
+    * `filter(split(lower(trim(text)), "\\s+"), t -> t <> "")` kept its
+    * ArrayFilter HOF — CodegenFallback — so every tokenizing Project fell
+    * out of WholeStageCodegen; [[graft.expressions.Tokens]] calls the
+    * same UTF8String methods those builtins evaluate (bit-parity by
+    * construction, pinned in NativeExprParitySpec against the staged
+    * chain kept below). */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Tokens(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** The staged builtin composition of [[tokens]] — kept as the semantic
+    * reference the native expression is pinned against. */
+  private[graft] def tokensStaged(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Word n-shingles joined by a single space; a document shorter than n

@@ -92,6 +92,30 @@ class NativeExprParitySpec extends SparkSpec {
     assert(m1.bias == m2.bias && m1.weights == m2.weights)
   }
 
+  test("Tokens: native tokenizer == staged filter(split(lower(trim))) on ASCII, unicode, whitespace edges") {
+    val edge = Seq(
+      "simple words here",
+      "  leading and trailing  ",
+      "tab\tseparated\nand newline",
+      "MIXED Case ÄÖÜ STRASSE İstanbul ΣΟΦΙΑ",
+      "non breaking space stays one token", // NBSP is not \s
+      "multi   runs\t\t\nof   whitespace",
+      "", "   ", "controlbytes",
+      "emoji 🙂 and ℻ digits １２３")
+    val d2 = edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = d2.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val staged = d2.select(col("doc_id"), TextOps.tokensStaged(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native == staged)
+    // and on the real corpus
+    val nc = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val sc2 = docs.select(col("doc_id"), TextOps.tokensStaged(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(nc == sc2)
+  }
+
   test("classifyModelFused: one-job median+sample path yields the staged chain's exact model bits (r22)") {
     // staged chain — q_text_classify's pre-r22 construction: separate
     // median action, distributed label join, trainLogistic's own collect
