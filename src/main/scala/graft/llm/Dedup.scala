@@ -198,6 +198,26 @@ object Dedup {
       bands: Int = 4,
       rows: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    val (pairs, banded) = minhashLshParts(docs, idCol, textCol, k, bands, rows, threshold)
+    eagerRelease(pairs, banded)
+  }
+
+  /** [[minhashLsh]] split into its LAZY pair frame and the persisted
+    * signature table backing it — for SINGLE-consumer pipelines (r22):
+    * the eagerRelease checkpoint above exists so REPEATED consumers stop
+    * re-running the self-join against the persist, but curate's near-dup
+    * stage consumes the pairs exactly once (the connected-components
+    * probe), so checkpointing them first is a whole extra serial
+    * materialization job. The caller materializes `pairs` through its own
+    * single action and then unpersists `banded`. */
+  private[graft] def minhashLshParts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      rows: Int = 4,
+      threshold: Double = 0.5): (DataFrame, DataFrame) = {
     require(bands * rows == k, "bands*rows must equal k")
     // materialize one h60 per shingle in its own projection, then derive
     // the k families arithmetically — the md5s are computed exactly once
@@ -217,7 +237,7 @@ object Dedup {
         round(TextOps.minhashEstimate(col("sig_a"), col("sig_b"), k), 6).as("est_jaccard"))
       .distinct() // a pair may collide on several bands
       .filter(col("est_jaccard") >= threshold)
-    eagerRelease(pairs, banded)
+    (pairs, banded)
   }
 
   /** The (doc_id, sig, band, bh) signature+band table — the shared front

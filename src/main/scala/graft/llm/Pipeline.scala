@@ -170,11 +170,18 @@ object Pipeline {
     val nearKept = tap("near_dedup", {
       if (!cfg.nearDup) exactKept
       else {
-        val pairs = Dedup.minhashLsh(exactKept, idCol, textCol)
-        val drop = surv(Dedup.keepBest(
+        // single-consumer pair stream: connectedComponents' probe is the
+        // only action that reads the pairs, so skip minhashLsh's
+        // decoupling checkpoint (one whole serial materialization) and
+        // release the signature persist once keepBest's clusters exist —
+        // its output frame is clusters ⋈ weights, independent of the
+        // signatures (r22; identical pair set ⟹ identical clusters)
+        val (pairs, banded) = Dedup.minhashLshParts(exactKept, idCol, textCol)
+        val kept = Dedup.keepBest(
           exactKept.withColumn("__len", length(col(textCol))),
           pairs, idCol = idCol, weightCol = "__len")
-          .filter(!col("keep")).select(col("doc_id").as(idCol)))
+        banded.unpersist(false)
+        val drop = surv(kept.filter(!col("keep")).select(col("doc_id").as(idCol)))
         exactKept.join(drop, Seq(idCol), "left_anti")
       }
     })

@@ -73,10 +73,16 @@ object LlmQueries {
     * every doc in a pair gets cluster_id = min doc_id of its component.
     * The oracle recomputes the same pair set (the q_dedup_minhash CTE) and
     * closes it transitively with a recursive CTE. */
-  def dedupClustersQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text"), "id_a", "id_b")
-      .orderBy("doc_id")
+  def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    // single-consumer pair stream (r22): connectedComponents' probe is the
+    // only action reading the pairs, so skip minhashLsh's decoupling
+    // checkpoint and release the signature persist once the labels exist
+    // (identical pair set ⟹ identical clusters; the oracle re-derives both)
+    val (pairs, banded) = Dedup.minhashLshParts(docs(s, dir), "doc_id", "text")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    banded.unpersist(false)
+    out.orderBy("doc_id")
+  }
   val dedupClustersSql: String = {
     val pairs = dedupMinhashSql
       .replaceAll("ORDER BY 1, 2", "")
@@ -98,9 +104,13 @@ object LlmQueries {
     * cluster keep the longest member (ties → smallest doc_id), drop the
     * rest. Composes the MinHash pair graph, connected components, and the
     * per-cluster argmax. */
-  def dedupKeepbestQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.keepBest(docs(s, dir), Dedup.minhashLsh(docs(s, dir), "doc_id", "text"))
-      .orderBy("doc_id")
+  def dedupKeepbestQ(s: SparkSession, dir: String): DataFrame = {
+    // same single-consumer fusion as q_dedup_clusters (r22)
+    val (pairs, banded) = Dedup.minhashLshParts(docs(s, dir), "doc_id", "text")
+    val out = Dedup.keepBest(docs(s, dir), pairs)
+    banded.unpersist(false)
+    out.orderBy("doc_id")
+  }
   val dedupKeepbestSql: String =
     dedupClustersSql.replace(
       "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a ORDER BY 1",
